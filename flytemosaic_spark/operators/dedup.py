@@ -1,0 +1,218 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each chosen for a different scale/recall trade-off:
+
+- **exact**: content-hash groupBy — one shuffle on a 16-byte key,
+  the cheapest possible dedup at 100 TB.
+- **n-gram Jaccard**: exact pairwise similarity via shingle
+  inverted-index self-join — quadratic only within shingle buckets,
+  oracle-checkable in SQL.
+- **MinHash + LSH**: sub-quadratic near-dup at scale; signatures via
+  ``xxhash64(shingle, seed)`` permutations, banded into buckets so
+  candidate pairs only form inside a bucket (the standard
+  shingle→minhash→band→bucket-join pipeline).
+- **SimHash**: 64-bit weighted-bit sketch, hamming-ball candidate
+  pairs via band equality.
+
+All are pure DataFrame/Catalyst pipelines (hash functions are
+JVM-side); no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flytemosaic_spark.operators.text import word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: one row per distinct content hash with the
+    surviving (min) id and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) exploded pairs with per-doc distinct shingle count."""
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).select("id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
+    return base
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold).
+
+    Inverted-index formulation: explode distinct shingles, self-join
+    on the shingle (so only docs sharing ≥1 shingle ever pair),
+    count shared shingles, then |A∪B| = |A|+|B|−|A∩B|. The shuffle
+    key is the shingle — high-frequency shingles are the skew risk,
+    which AQE skew-join splitting handles; for extreme corpora a
+    document-frequency cap on shingles bounds it.
+    """
+    a = _shingled(df, text_col, id_col, n)
+    b = (
+        a.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_sh", "n_sh_b")
+    )
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id") < F.col("id_b"))
+        .groupBy(
+            F.col("id").alias("id_a"),
+            F.col("id_b"),
+            F.col("n_sh").alias("n_a"),
+            F.col("n_sh_b").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jacc = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.select("id_a", "id_b", F.round(jacc, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Per-doc MinHash signature: for permutation ``i``, the min over
+    shingles of ``xxhash64(shingle, seed=i)``. One explode + one
+    groupBy; the signature is an array column of length num_hashes."""
+    sh = _shingled(df, text_col, id_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified with
+    the estimated Jaccard (fraction of agreeing minhashes).
+
+    rows-per-band = num_hashes/bands; two docs collide if any band of
+    their signatures is identical. Bucket key = hash(band_id, band
+    slice) so the join is a plain equi-join on a 64-bit key.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    banded = sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b, F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+    other = banded.select(
+        F.col("id").alias("id_b"),
+        F.col("signature").alias("signature_b"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        banded.join(other, ["band", "bucket"])
+        .where(F.col("id") < F.col("id_b"))
+        .select("id", "id_b", "signature", "signature_b")
+        .dropDuplicates(["id", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("signature", "signature_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return cand.select(
+        F.col("id").alias("id_a"),
+        "id_b",
+        F.round(agree / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash per document from whitespace tokens.
+
+    Per token: xxhash64 → 64 bits contribute ±1 to each bit-position
+    counter; the sketch sets bit i where the counter is positive.
+    Implemented as an explode + one groupBy with an array-summing
+    aggregate — all JVM-side."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    contrib = toks.select(
+        "id",
+        F.expr(
+            "transform(sequence(0, 63), "
+            "i -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)"
+        ).alias("bits"),
+    )
+    summed = contrib.groupBy("id").agg(
+        F.expr(
+            "reduce(collect_list(bits), array_repeat(0, 64), "
+            "(acc, b) -> zip_with(acc, b, (x, y) -> x + y))"
+        ).alias("counts")
+    )
+    bits_to_long = F.expr(
+        "aggregate(zip_with(counts, sequence(0, 63), "
+        "(c, i) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), i) "
+        "ELSE CAST(0 AS BIGINT) END), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc | v)"
+    )
+    return summed.select("id", bits_to_long.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold).
+
+    Brute-force formulation for modest n; at 100 TB scale route
+    through :mod:`flytemosaic_spark.operators.similarity` LSH/IVF
+    bucketing first and only refine within buckets."""
+    from flytemosaic_spark.operators.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(sim, 4).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`brute_force_topk` — exact cosine top-k via broadcast of the
+  query set + window ranking. The correctness baseline.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing: sub-linear
+  candidate generation for the 100 TB path (buckets are an equi-join
+  key, so the probe side never scans the full corpus).
+- :func:`ivf_topk` — inverted-file variant: corpus is clustered to
+  deterministic centroids, queries probe the nearest ``nprobe``
+  centroids only.
+
+The dot product / norms are Catalyst higher-order functions
+(``zip_with`` + ``aggregate``) — JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Broadcast the (small) query side so the corpus scan is a single
+    narrow stage; ranking shuffles only (q_id, candidate) pairs.
+    Similarity is rounded *before* ranking (with id tie-break) so the
+    ranking is reproducible across engines and float summation orders.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _bucket_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit signature: sign of the projection onto each hyperplane."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(p) for p in plane])) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for plane in planes
+    ]
+    sig = F.lit(0).cast("bigint")
+    for bit in bits:
+        sig = F.shiftleft(sig, 1) + bit.cast("bigint")
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via ``n_tables`` independent random-hyperplane
+    LSH tables. Candidates = union of bucket collisions across tables;
+    exact cosine refines and ranks within candidates only."""
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.lit(t).alias("table"),
+            _bucket_signature(F.col(vec_col), planes).alias("bucket"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.lit(t).alias("table"),
+            _bucket_signature(F.col(vec_col), planes).alias("bucket"),
+        )
+        tables.append((q, c))
+    q_all = tables[0][0]
+    c_all = tables[0][1]
+    for q, c in tables[1:]:
+        q_all = q_all.unionByName(q)
+        c_all = c_all.unionByName(c)
+    cand = (
+        q_all.join(c_all, ["table", "bucket"])
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("q_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (every id-stride-th
+    corpus vector), corpus assigned to its nearest centroid, queries
+    probe the ``nprobe`` nearest centroid lists only.
+
+    At scale the centroid assignment is one broadcast-join stage and
+    the probe join is an equi-join on centroid id — no full scan per
+    query."""
+    w_rank = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
+    # deterministic centroid sample: every stride-th vector by id rank
+    # (a cheap stand-in for k-means; planning-time count is metadata-scale)
+    stride = max(1, corpus.count() // n_centroids)
+    centroids = (
+        corpus.withColumn("rn", F.row_number().over(Window.orderBy(id_col)))
+        .where((F.col("rn") - 1) % stride == 0)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
+    )
+    # assign corpus vectors to nearest centroid
+    c_scored = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "centroid_id",
+            cosine(F.col(vec_col), F.col("centroid")).alias("csim"),
+        )
+        .withColumn("crank", F.row_number().over(w_rank))
+    )
+    assigned = c_scored.where(F.col("crank") == 1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "centroid_id",
+    )
+    q_scored = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "centroid_id",
+            cosine(F.col(vec_col), F.col("centroid")).alias("csim"),
+        )
+        .withColumn("crank", F.row_number().over(w_rank))
+    )
+    probed = q_scored.where(F.col("crank") <= nprobe).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
+    )
+    cand = (
+        probed.join(assigned, "centroid_id")
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("q_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,17 @@
+"""Probe-query registry: one entry per operator in SURVEY.md §2.
+
+Each probe pairs a Spark DataFrame builder with the equivalent ANSI
+SQL that DuckDB runs on the same parquet tables. The driver compares
+them (row count + schema + order-insensitive value hash) at sf0.01 —
+so every computed column is aliased identically on both sides, and
+floating-point aggregates are rounded identically on both sides.
+"""
+
+from flytemosaic_spark.probes.registry import Probe, all_probes, get_probe, probe
+
+# Importing the modules populates the registry.
+from flytemosaic_spark.probes import relational  # noqa: E402,F401
+from flytemosaic_spark.probes import scalars  # noqa: E402,F401
+from flytemosaic_spark.probes import extensions  # noqa: E402,F401
+
+__all__ = ["Probe", "all_probes", "get_probe", "probe"]

@@ -1,0 +1,322 @@
+"""Extension probes (SURVEY §2.11 X1-X5 + training-data-pipeline ops):
+dedup families, similarity search, text analysis, event windowing,
+multimodal binary columns.
+
+Oracle SQL mirrors the Spark expression tree exactly (same operation
+order, same rounding) so double-precision results hash-match. Probes
+whose hash family DuckDB lacks (xxhash64 minhash/simhash) or whose
+inputs are generated driver-side (numpy LSH hyperplanes) carry no
+oracle and are instead property-tested in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flytemosaic_spark.operators import dedup, similarity, text
+from flytemosaic_spark.probes.registry import T, probe
+
+_SHINGLE_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 4, 1) + 1),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+               )) AS shingles
+        FROM toks
+    )
+"""
+
+
+@probe(
+    "x1_exact_dedup",
+    sql="""
+        SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    note="exact dedup via content-hash groupBy (X1)",
+)
+def x1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup(T(spark, sf, "documents"))
+
+
+@probe(
+    "x2_ngram_jaccard",
+    sql=_SHINGLE_SQL
+    + """,
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
+        FROM ex a JOIN ex b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, round(n_inter / (n_a + n_b - n_inter), 4) AS jaccard
+    FROM pairs
+    WHERE round(n_inter / (n_a + n_b - n_inter), 4) >= 0.5
+    """,
+    note="exact 5-gram Jaccard near-dup pairs via shingle inverted index (X2)",
+)
+def x2_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(T(spark, sf, "documents"), threshold=0.5)
+
+
+@probe(
+    "x2b_minhash_lsh",
+    sql=None,
+    note="MinHash+LSH near-dup candidates (X2, scale path); xxhash64 has no "
+    "DuckDB equivalent — recall/precision property-tested vs exact Jaccard in tests/",
+)
+def x2b_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(T(spark, sf, "documents"))
+
+
+@probe(
+    "x2c_simhash",
+    sql=None,
+    note="64-bit SimHash sketch per doc (X2 family); property-tested in tests/",
+)
+def x2c_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(T(spark, sf, "documents"))
+
+
+@probe(
+    "x3_cosine_topk",
+    sql="""
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        scored AS (
+            SELECT q_id, neighbor_id,
+                   round(list_cosine_similarity(qv, cv), 4) AS sim
+            FROM q CROSS JOIN c WHERE q_id <> neighbor_id
+        ),
+        ranked AS (
+            SELECT q_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT q_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+    """,
+    note="brute-force cosine top-k similarity search (X3 baseline)",
+)
+def x3_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    return similarity.brute_force_topk(
+        corpus=emb, queries=emb.where(F.col("vec_id") < 10), k=5
+    )
+
+
+@probe(
+    "x3b_lsh_topk",
+    sql=None,
+    note="random-hyperplane LSH ANN (X3 scale path); recall vs brute force "
+    "property-tested in tests/",
+)
+def x3b_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    return similarity.lsh_topk(corpus=emb, queries=emb.where(F.col("vec_id") < 10), k=5)
+
+
+@probe(
+    "x3c_ivf_topk",
+    sql=None,
+    note="IVF-bucketed ANN (X3 scale path); recall property-tested in tests/",
+)
+def x3c_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    return similarity.ivf_topk(corpus=emb, queries=emb.where(F.col("vec_id") < 10), k=5)
+
+
+@probe(
+    "x4_text_stats",
+    sql="""
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM documents GROUP BY lang
+    """,
+    note="text corpus stats rollup (X4)",
+)
+def x4_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@probe(
+    "x5_tumbling_window",
+    sql="""
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY bucket
+    """,
+    note="tumbling-window event aggregation (X5); same plan as the streaming "
+    "variant in flytemosaic_spark.streaming",
+)
+def x5_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "events")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("bucket"), "n", "total")
+    )
+
+
+@probe(
+    "x6_sessionize",
+    sql="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM marked
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM sess GROUP BY user_id, sess_id
+    """,
+    note="session windows with 30-minute gap (X5 family); Spark session_window "
+    "vs gaps-and-islands oracle",
+)
+def x6_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+
+
+@probe(
+    "x7_token_count",
+    sql="""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM documents
+    """,
+    note="whitespace token counting (text analysis)",
+)
+def x7_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "documents").select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+@probe(
+    "x8_lang_id",
+    sql="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+        ),
+        hits AS (
+            SELECT doc_id,
+                   len(list_filter(w, t -> t IN ('the','and','of','a','to','in','is'))) AS h_en,
+                   len(list_filter(w, t -> t IN ('le','la','les','et','de','un','est'))) AS h_fr,
+                   len(list_filter(w, t -> t IN ('der','die','das','und','ist','ein'))) AS h_de,
+                   len(list_filter(w, t -> t IN ('el','la','los','y','de','es','un'))) AS h_es
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(h_en, h_fr, h_de, h_es) = 0 THEN 'und'
+                    WHEN h_en = greatest(h_en, h_fr, h_de, h_es) THEN 'en'
+                    WHEN h_fr = greatest(h_en, h_fr, h_de, h_es) THEN 'fr'
+                    WHEN h_de = greatest(h_en, h_fr, h_de, h_es) THEN 'de'
+                    ELSE 'es' END AS lang_pred
+        FROM hits
+    """,
+    note="heuristic stopword-marker language ID (text analysis)",
+)
+def x8_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "documents").select(
+        "doc_id", text.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@probe(
+    "x9_quality_score",
+    sql="""
+        WITH base AS (
+            SELECT doc_id, text,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+                   CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+                        ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> t IN ('the','and','of','a','to','in','is'))) END AS stops
+            FROM documents
+        )
+        SELECT doc_id,
+               floor((
+                   least(CAST(n AS DOUBLE) / 100.0, 1.0) * 0.5
+                   + least((stops / CAST(greatest(n, 1) AS DOUBLE)) * 5.0, 1.0) * 0.3
+                   + (1.0 - least(((length(text)
+                        - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                        / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0, 1.0)) * 0.2
+               ) * 10000 + 0.5) / 10000.0 AS quality
+        FROM base
+    """,
+    note="composite document quality score (text analysis); floor-based rounding "
+    "because Spark's round() uses decimal-string HALF_UP while DuckDB rounds the "
+    "binary double — they disagree on exact .5 boundaries",
+)
+def x9_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    q = text.quality_score(F.col("text"))
+    portable_round = F.floor(q * 10000 + F.lit(0.5)).cast("double") / F.lit(10000.0)
+    return T(spark, sf, "documents").select("doc_id", portable_round.alias("quality"))
+
+
+@probe(
+    "x10_fingerprint",
+    sql=_SHINGLE_SQL
+    + """
+    SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fp FROM sh
+    """,
+    note="document fingerprint: min-md5 over 5-gram shingles (simplified winnowing)",
+)
+def x10_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "documents").select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@probe(
+    "x11_embedding_neardup",
+    sql="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    """,
+    note="embedding-cosine near-dup pairs (X2 family / X3 building block)",
+)
+def x11_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(T(spark, sf, "embeddings"), threshold=0.4)
+
+
+@probe(
+    "x13_binary_column",
+    sql="SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents",
+    note="multimodal binary column plumbing: opaque payload + byte length "
+    "(decode itself is a stubbed pandas UDF, see operators/multimodal.py)",
+)
+def x13_binary_column(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "documents").select(
+        "doc_id", F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes")
+    )

@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32), but
+every config here is chosen to also make sense on a 1000-executor
+cluster reading ~100 TB:
+
+- AQE on (runtime partition coalescing + skew-join splitting) so the
+  static ``shuffle.partitions`` only needs to be an upper bound.
+- Arrow transfer on, so grouped-map / map-in-pandas kernels move
+  columnar batches, never pickled rows.
+- UTC session timezone so timestamp arithmetic is reproducible and
+  matches the parquet (UTC-naive) test data.
+- A generous broadcast threshold: dimension tables (nation, region,
+  the 19k-row tile index of the reference) must never shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "flytemosaic-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "24g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cpus, 32)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
