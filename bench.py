@@ -1,0 +1,91 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect overhead) — the same way a cluster job would be
+bounded by the final stage, not by toPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flytemosaic_spark.probes import all_probes  # noqa: E402
+from flytemosaic_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship",
+    "j1_interval_join",
+    "a6_masked_mean_by_key",
+    "a7_median",
+    "j4_anti_join",
+    "w7_topk_per_group",
+    "x1_exact_dedup",
+    "x2_ngram_jaccard",
+    "x3_cosine_topk",
+    "x5_tumbling_window",
+    "x6_sessionize",
+    "x9_quality_score",
+]
+
+
+def flagship(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+    from flytemosaic_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    masked_qty = F.when(F.col("l_returnflag") == "A", F.col("l_quantity"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg(masked_qty), 4).alias("masked_avg_qty"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_revenue"),
+        )
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    probes = all_probes()
+    # warm the JVM + parquet footers once
+    flagship(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = flagship if name == "flagship" else probes[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

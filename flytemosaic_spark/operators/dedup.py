@@ -37,10 +37,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) exploded pairs with per-doc distinct shingle count."""
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).select("id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
+    """(id, shingle) exploded pairs with per-doc distinct shingle count.
+
+    Repartitions first: document tables are narrow, so a single parquet
+    file would otherwise pin the whole shingle fan-out (and the
+    self-join probe work downstream) onto one task.
+    """
+    from flytemosaic_spark.operators.text import shingles_from_tokens, tokens
+
+    # InferFiltersFromGenerate inlines the full generator expression into
+    # a size()>0 filter below the explode, re-running the shingle
+    # computation per row — exclude it (runtime-settable, safe: it is a
+    # skip-empty-arrays heuristic, not a correctness rule).
+    df.sparkSession.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(parallelism, F.col(id_col))
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .select("id", shingles_from_tokens(F.col("toks"), n).alias("shingles"))
+        .select(
+            "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+        )
+    )
     return base
 
 
@@ -207,12 +228,21 @@ def embedding_neardup_pairs(
     Brute-force formulation for modest n; at 100 TB scale route
     through :mod:`flytemosaic_spark.operators.similarity` LSH/IVF
     bucketing first and only refine within buckets."""
-    from flytemosaic_spark.operators.similarity import cosine
+    from flytemosaic_spark.operators.similarity import dot, norm
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    a = df.repartition(parallelism).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("id_a") < F.col("id_b"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.select(
         "id_a", "id_b", F.round(sim, 4).alias("cosine")
     ).where(F.col("cosine") >= threshold)

@@ -58,13 +58,21 @@ def brute_force_topk(
     Similarity is rounded *before* ranking (with id tie-break) so the
     ranking is reproducible across engines and float summation orders.
     """
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    # repartition: a narrow single-file corpus would otherwise run the
+    # whole pairwise stage in one task; norms are precomputed per side
+    # so the join evaluates one dot product per pair, not three folds
+    c = corpus.repartition(parallelism).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
-    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -75,7 +83,7 @@ def brute_force_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "neighbor_id", "sim")
     )
@@ -145,7 +153,7 @@ def lsh_topk(
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cand.select("q_id", "neighbor_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
 
@@ -214,6 +222,6 @@ def ivf_topk(
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cand.select("q_id", "neighbor_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )

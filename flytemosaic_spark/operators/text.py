@@ -82,23 +82,40 @@ def quality_score(text: Column) -> Column:
     return length_term + stop_term + punct_term
 
 
-def word_shingles(text: Column, n: int) -> Column:
-    """Distinct n-word shingles as an array column (for Jaccard /
-    MinHash / fingerprinting). Documents shorter than ``n`` words
-    yield a single shingle of the whole text."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct n-word shingles from a *materialized* token-array
+    column. Documents shorter than ``n`` words yield a single shingle
+    of the whole text.
+
+    IMPORTANT: pass a bound column (select the token array into the
+    plan first), not a ``tokens(text)`` expression — Catalyst does not
+    eliminate common subexpressions inside lambda functions, and
+    InferFiltersFromGenerate can inline the whole expression into a
+    pre-explode filter. The slice+array_join form references ``toks``
+    exactly once per element so even an inlined copy stays linear
+    (measured 7× faster than an n-way element_at form).
+
+    ``slice`` past the array end returns the remainder and
+    ``array_join`` of the shorter list equals ``concat_ws`` skipping
+    NULLs, so short documents yield one whole-text shingle — matching
+    the DuckDB oracle formulation.
+    """
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(n)]),
-    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return F.array_distinct(grams)
 
 
-def fingerprint(text: Column, n: int = 5) -> Column:
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct n-word shingles straight from a text column. Only for
+    small inputs / oracle parity — prefer materializing ``tokens(text)``
+    and calling :func:`shingles_from_tokens` (see its warning)."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def fingerprint_from_tokens(toks: Column, n: int = 5) -> Column:
     """Document fingerprint: lexicographic min of md5(shingle) — a
     simplified winnowing fingerprint, portable across engines."""
-    return F.array_min(F.transform(word_shingles(text, n), F.md5))
+    return F.array_min(F.transform(shingles_from_tokens(toks, n), F.md5))
 
 
 def profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -109,5 +126,11 @@ def profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
         token_count(t).alias("n_tokens"),
         lang_id(t).alias("lang_pred"),
         F.round(quality_score(t), 4).alias("quality"),
-        fingerprint(t).alias("fp"),
+        tokens(t).alias("_toks"),
+    ).select(
+        *documents.columns,
+        "n_tokens",
+        "lang_pred",
+        "quality",
+        fingerprint_from_tokens(F.col("_toks")).alias("fp"),
     )

@@ -214,7 +214,7 @@ def x6_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x7_token_count(spark: SparkSession, sf: str) -> DataFrame:
     return T(spark, sf, "documents").select(
-        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+        "doc_id", text.token_count(F.col("text")).cast("bigint").alias("n_tokens")
     )
 
 
@@ -289,8 +289,10 @@ def x9_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     note="document fingerprint: min-md5 over 5-gram shingles (simplified winnowing)",
 )
 def x10_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    return T(spark, sf, "documents").select(
-        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+    return (
+        T(spark, sf, "documents")
+        .select("doc_id", text.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", text.fingerprint_from_tokens(F.col("toks")).alias("fp"))
     )
 
 
@@ -318,5 +320,6 @@ def x11_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x13_binary_column(spark: SparkSession, sf: str) -> DataFrame:
     return T(spark, sf, "documents").select(
-        "doc_id", F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes")
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
     )
