@@ -1,0 +1,89 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (SURVEY §2.8): its incremental
+semantics are idempotent re-runs + existence anti-joins. Here those
+map onto Structured Streaming's native machinery:
+
+- :func:`stream_new_files` — a file-source stream with checkpointed
+  offsets replaces the listing-scan + anti-join (J4): each run with
+  ``Trigger.AvailableNow`` processes exactly the files not seen by the
+  checkpoint, then stops. That *is* the reference's "re-run and skip
+  what exists", with the source offset log playing the role of the
+  object-store listing.
+- :func:`windowed_event_counts` — tumbling windows + watermark for the
+  events table (the X5 probe's streaming twin; identical plan shape,
+  so the batch oracle validates the streaming result).
+- :func:`sessionize_stream` — session windows with a gap timeout
+  (`session_window`), watermarked for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_new_files(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Incremental file ingestion: only files unseen by the checkpoint
+    are processed on each AvailableNow run."""
+    return spark.readStream.format(fmt).schema(schema).load(src_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts+sums; works on both batch and streaming
+    DataFrames (same Catalyst plan → the batch result is the oracle)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("bucket"), "n", "total")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session windows per user with a gap timeout — the streaming
+    form of the x6 probe (batch gaps-and-islands oracle)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(user_col, F.session_window(ts_col, gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(user_col, F.col("sw.start").alias("session_start"), "n_events")
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, query_name: str
+) -> None:
+    """Drain everything currently available into a memory sink, then
+    stop — the batch-incremental execution mode (Trigger.AvailableNow).
+    Results: ``spark.sql(f"select * from {query_name}")``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append" if not _has_aggregation(stream_df) else "complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

@@ -1,0 +1,126 @@
+"""Chunk-store sink/scan: template + disjoint region-parallel writes
+round-trip bit-exactly, and the end-to-end mini-mosaic (planner ->
+parallel region writes -> full-array read) reproduces the numpy
+oracle — the reference lifecycle §3.1 steps 5-7 in miniature."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from flytemosaic_spark.plans.partitioner import plan_partitions
+from flytemosaic_spark.sources.chunkstore import (
+    read_array,
+    read_store,
+    read_template,
+    write_region_chunks,
+    write_template,
+)
+
+SHAPE = (2, 3, 40, 50)  # (time, band, y, x)
+CHUNKS = (1, 3, 16, 16)
+
+
+def _cube(seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(SHAPE).astype("f4")
+
+
+def _chunk_rows(cube, plan_rows):
+    rows = []
+    for r in plan_rows:
+        block = cube[r.t, r.band0 : r.band1, r.y0 : r.y1, r.x0 : r.x1]
+        rows.append(
+            (
+                int(r.t),
+                int(r.band0),
+                int(r.y0),
+                int(r.x0),
+                list(block.shape),
+                block.ravel().tolist(),
+            )
+        )
+    return rows
+
+
+def test_template_roundtrip(tmp_path):
+    path = str(tmp_path / "store")
+    write_template(path, SHAPE, CHUNKS, attrs={"bands": ["b1", "b2", "b3"]})
+    meta = read_template(path)
+    assert meta["shape"] == list(SHAPE) and meta["chunks"] == list(CHUNKS)
+
+
+def test_mini_mosaic_end_to_end(spark, tmp_path):
+    """planner -> region writes (executor-parallel) -> read == oracle."""
+    path = str(tmp_path / "store")
+    cube = _cube()
+    write_template(path, SHAPE, CHUNKS)
+
+    plan = plan_partitions(
+        spark,
+        n_time=SHAPE[0],
+        bands=[0, 1, 2],
+        ny=SHAPE[2],
+        nx=SHAPE[3],
+        chunk_y=CHUNKS[2],
+        chunk_x=CHUNKS[3],
+        budget_bytes=4 * CHUNKS[2] * CHUNKS[3] * 3 * 4,
+        shuffle_seed=3,
+    ).collect()
+
+    rows = _chunk_rows(cube, plan)
+    df = spark.createDataFrame(
+        rows, "t int, b0 int, y0 int, x0 int, shape array<int>, payload array<float>"
+    ).repartition(8)
+    write_region_chunks(df, path)
+
+    got = read_array(path)
+    np.testing.assert_array_equal(got, cube)
+
+
+def test_write_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "store")
+    cube = _cube(11)
+    write_template(path, SHAPE, CHUNKS)
+    plan = plan_partitions(
+        spark, SHAPE[0], [0, 1, 2], SHAPE[2], SHAPE[3], CHUNKS[2], CHUNKS[3]
+    ).collect()
+    df = spark.createDataFrame(
+        _chunk_rows(cube, plan),
+        "t int, b0 int, y0 int, x0 int, shape array<int>, payload array<float>",
+    )
+    write_region_chunks(df, path)
+    write_region_chunks(df, path)  # retry: identical bytes, no corruption
+    np.testing.assert_array_equal(read_array(path), cube)
+
+
+def test_read_store_scan(spark, tmp_path):
+    path = str(tmp_path / "store")
+    cube = _cube(13)
+    write_template(path, SHAPE, CHUNKS)
+    plan = plan_partitions(
+        spark, SHAPE[0], [0, 1, 2], SHAPE[2], SHAPE[3], CHUNKS[2], CHUNKS[3]
+    ).collect()
+    df = spark.createDataFrame(
+        _chunk_rows(cube, plan),
+        "t int, b0 int, y0 int, x0 int, shape array<int>, payload array<float>",
+    )
+    write_region_chunks(df, path)
+
+    scan = read_store(spark, path)
+    # manifest filter prunes chunk reads: only time slice 1
+    sub = scan.where("t = 1").toPandas()
+    assert (sub["t"] == 1).all()
+    # reassemble t=1 and compare (edge chunks are fill-padded)
+    got = np.full(SHAPE[1:], np.nan, "f4")
+    for row in sub.itertuples(index=False):
+        nb, ny, nx = row.shape
+        block = np.asarray(row.payload, "f4").reshape(nb, ny, nx)
+        ys, xs = min(ny, SHAPE[2] - row.y0), min(nx, SHAPE[3] - row.x0)
+        got[row.b0 : row.b0 + nb, row.y0 : row.y0 + ys, row.x0 : row.x0 + xs] = block[
+            :, :ys, :xs
+        ]
+    np.testing.assert_array_equal(got, cube[1])
+    assert not math.isnan(got.sum())

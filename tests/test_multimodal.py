@@ -1,0 +1,59 @@
+"""Multimodal binary-column plumbing: decode/resize/frame-sample/embed
+via Arrow-batched mapInPandas over the deterministic FAKE container,
+and the clearly-marked codec seam (NotImplementedError for real
+formats)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flytemosaic_spark.operators.multimodal import (
+    _decode_payload,
+    _fake_payload,
+    decode_stats,
+    embed_media,
+    frame_sample,
+    resize,
+    synthesize_media,
+)
+
+
+def test_codec_seam_raises_for_real_formats():
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"\x89PNG\r\n...")
+
+
+def test_decode_stats_matches_numpy(spark):
+    media = synthesize_media(spark, n=16)
+    got = {r.media_id: r for r in decode_stats(media).collect()}
+    assert len(got) == 16
+    for mid in (0, 7, 15):
+        arr = _decode_payload(_fake_payload(mid, got[mid].width, got[mid].height, got[mid].channels))
+        assert got[mid].mean_px == pytest.approx(float(arr.mean()))
+        assert got[mid].std_px == pytest.approx(float(arr.std()))
+
+
+def test_resize_shapes(spark):
+    media = synthesize_media(spark, n=8)
+    out = resize(media, 16, 12).collect()
+    for r in out:
+        arr = _decode_payload(bytes(r.payload))
+        assert arr.shape[:2] == (12, 16)
+        assert r.width == 16 and r.height == 12
+
+
+def test_frame_sample_halves_rows(spark):
+    media = synthesize_media(spark, n=8)
+    before = {r.media_id: r.height for r in media.collect()}
+    for r in frame_sample(media, every=2).collect():
+        assert r.height == -(-before[r.media_id] // 2)
+
+
+def test_embed_deterministic(spark):
+    media = synthesize_media(spark, n=8)
+    a = {r.media_id: list(r.embedding) for r in embed_media(media, dim=8).collect()}
+    b = {r.media_id: list(r.embedding) for r in embed_media(media, dim=8).collect()}
+    assert a == b
+    assert all(len(v) == 8 for v in a.values())
+    assert np.std([v[0] for v in a.values()]) > 0  # not all identical

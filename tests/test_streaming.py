@@ -1,0 +1,79 @@
+"""Structured Streaming surface: checkpointed file-source incremental
+ingestion (the streaming twin of the J4 anti-join) and windowed aggs
+whose batch execution is the oracle for the streaming one."""
+
+from __future__ import annotations
+
+import pytest
+
+from flytemosaic_spark.sources.tables import load_table
+from flytemosaic_spark.streaming.events import (
+    run_available_now,
+    sessionize_stream,
+    stream_new_files,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_windowed_counts_stream_matches_batch(spark, events, tmp_path):
+    src = str(tmp_path / "src")
+    events.limit(2000).coalesce(1).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    want = {
+        (str(r.bucket), r.n, r.total)
+        for r in windowed_event_counts(batch).collect()
+    }
+
+    stream = stream_new_files(spark, src, batch.schema)
+    run_available_now(
+        windowed_event_counts(stream), str(tmp_path / "ckpt"), "win_counts"
+    )
+    got = {
+        (str(r.bucket), r.n, r.total)
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got == want
+
+
+def test_file_stream_is_incremental(spark, events, tmp_path):
+    """Checkpointed offsets skip already-processed files — the
+    Structured-Streaming form of the reference's rerun-and-skip."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    events.limit(500).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (
+            stream_new_files(spark, src, schema)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 500
+
+    # append a second file; only the delta is processed (500 would
+    # double to 1000 if the checkpoint were ignored)
+    events.limit(800).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert spark.read.parquet(out).count() == 500 + 800
+
+
+def test_sessionize_stream_plan_builds(spark, events):
+    # session_window agg: batch execution sanity (streaming twin shares
+    # the plan; full streaming run exercised by the windowed test above)
+    out = sessionize_stream(events.limit(1000))
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {c for c in out.columns} == {"user_id", "session_start", "n_events"}
