@@ -114,8 +114,8 @@ def lsh_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
@@ -167,51 +167,55 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
 ) -> DataFrame:
-    """IVF-style ANN: deterministic centroids (every id-stride-th
-    corpus vector), corpus assigned to its nearest centroid, queries
-    probe the ``nprobe`` nearest centroid lists only.
+    """IVF-style ANN: deterministic centroids (a hash-sampled subset of
+    the corpus — k-means would slot in unchanged), corpus assigned to
+    its nearest centroid, queries probe the ``nprobe`` nearest centroid
+    lists only.
 
-    At scale the centroid assignment is one broadcast-join stage and
-    the probe join is an equi-join on centroid id — no full scan per
-    query."""
-    w_rank = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
-    # deterministic centroid sample: every stride-th vector by id rank
-    # (a cheap stand-in for k-means; planning-time count is metadata-scale)
+    Scale shape: the centroid set is metadata-sized, so it is collected
+    and inlined as literal expressions — assignment is then a pure
+    map stage (no join, no window, no shuffle); the only shuffles are
+    the candidate equi-join on centroid_id and the final ranking."""
     stride = max(1, corpus.count() // n_centroids)
-    centroids = (
-        corpus.withColumn("rn", F.row_number().over(Window.orderBy(id_col)))
-        .where((F.col("rn") - 1) % stride == 0)
+    centroid_rows = (
+        corpus.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        .orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
+        .collect()
     )
-    # assign corpus vectors to nearest centroid
-    c_scored = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            "centroid_id",
-            cosine(F.col(vec_col), F.col("centroid")).alias("csim"),
-        )
-        .withColumn("crank", F.row_number().over(w_rank))
-    )
-    assigned = c_scored.where(F.col("crank") == 1).select(
+
+    def _scored_array(vec: Column) -> Column:
+        """array<struct<csim,centroid_id>> — one entry per centroid,
+        all computed JVM-side from literals."""
+        entries = [
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(v)) for v in r.centroid])).alias(
+                    "csim"
+                ),
+                F.lit(r.centroid_id).alias("centroid_id"),
+            )
+            for r in centroid_rows
+        ]
+        return F.array(*entries)
+
+    # nearest centroid = array_max over the struct array (csim leads)
+    assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        "centroid_id",
+        F.array_max(_scored_array(F.col(vec_col)))["centroid_id"].alias("centroid_id"),
     )
-    q_scored = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            "centroid_id",
-            cosine(F.col(vec_col), F.col("centroid")).alias("csim"),
-        )
-        .withColumn("crank", F.row_number().over(w_rank))
-    )
-    probed = q_scored.where(F.col("crank") <= nprobe).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
+    # queries probe their nprobe nearest centroids: sort desc + slice
+    probed = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(_scored_array(F.col(vec_col)))),
+                1,
+                nprobe,
+            )["centroid_id"]
+        ).alias("centroid_id"),
     )
     cand = (
         probed.join(assigned, "centroid_id")

@@ -1,0 +1,89 @@
+"""ANN quality: LSH and IVF top-k must achieve high recall against the
+brute-force exact baseline on the real embeddings table — the
+correctness contract for the approximate scale paths (probes x3b/x3c).
+Also sanity-checks the vector math against numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flytemosaic_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    ivf_topk,
+    lsh_topk,
+)
+from flytemosaic_spark.sources.tables import load_table
+
+K = 5
+N_QUERIES = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.q_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(got, want):
+    hits = sum(len(got.get(q, set()) & w) for q, w in want.items())
+    return hits / sum(len(w) for w in want.values())
+
+
+def test_cosine_matches_numpy(spark, emb):
+    rows = (
+        emb.where(F.col("vec_id") < 2)
+        .crossJoin(
+            emb.where((F.col("vec_id") >= 2) & (F.col("vec_id") < 4)).select(
+                F.col("vec_id").alias("o_id"), F.col("embedding").alias("other")
+            )
+        )
+        .select(
+            "vec_id",
+            "o_id",
+            cosine(F.col("embedding"), F.col("other")).alias("sim"),
+            "embedding",
+            "other",
+        )
+        .collect()
+    )
+    for r in rows:
+        a, b = np.array(r.embedding, "f8"), np.array(r.other, "f8")
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r.sim == pytest.approx(want, rel=1e-9)
+
+
+def test_lsh_recall_vs_brute_force(spark, emb):
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    exact = _topk_sets(brute_force_topk(emb, queries, k=K).collect())
+    approx = _topk_sets(lsh_topk(emb, queries, k=K).collect())
+    assert _recall(approx, exact) >= 0.5  # 4 tables x 8 planes on sf0.001
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    exact = _topk_sets(brute_force_topk(emb, queries, k=K).collect())
+    approx = _topk_sets(ivf_topk(emb, queries, k=K, nprobe=8).collect())
+    assert _recall(approx, exact) >= 0.5
+
+
+def test_approx_results_are_subsets_of_corpus(spark, emb):
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    for fn in (lsh_topk, ivf_topk):
+        rows = fn(emb, queries, k=K).collect()
+        assert rows, f"{fn.__name__} returned nothing"
+        assert all(r.neighbor_id in ids and r.q_id != r.neighbor_id for r in rows)
+        # ranks are 1..k contiguous per query
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.q_id, []).append(r.rank)
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())

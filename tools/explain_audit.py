@@ -1,0 +1,97 @@
+"""Physical-plan audit: flags anti-patterns in every probe's plan.
+
+Checks, per probe at the given sf dir:
+- CartesianProduct / BroadcastNestedLoopJoin where the probe didn't
+  declare it intentional (cross-join probes excepted)
+- BatchEvalPython (row-at-a-time Python UDF) anywhere — always wrong
+- parquet scans with no PushedFilters when the probe filters (info)
+- whether WholeStageCodegen covers the aggregation/join spine (info)
+- scans that read all columns (ReadSchema width vs table width)
+
+Usage: python tools/explain_audit.py [sf_dir] [probe ...]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from flytemosaic_spark.probes import all_probes  # noqa: E402
+from flytemosaic_spark.session import get_spark  # noqa: E402
+
+# probes where a nested-loop/cartesian is the declared semantics:
+# explicit cross joins, and ANN stages whose broadcast side is a
+# constant-size centroid/query set (linear, not quadratic, in corpus)
+CROSS_OK = {
+    "j6_cross_join",
+    "j1_interval_join",
+    "x2_ngram_jaccard",
+    "x11_embedding_neardup",
+    "x3_cosine_topk",
+    "x3c_ivf_topk",
+}
+# probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
+PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x13", "s5")
+
+TABLE_WIDTHS = {
+    "lineitem": 16, "orders": 9, "customer": 8, "supplier": 7, "part": 9,
+    "nation": 4, "region": 3, "events": 6, "documents": 7, "embeddings": 3,
+}
+
+
+def audit(name: str, plan: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in plan and name not in CROSS_OK:
+        flags.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan and name not in CROSS_OK:
+        flags.append("NESTED_LOOP")
+    if "BatchEvalPython" in plan:
+        flags.append("ROW_PYTHON_UDF")
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        ncols = len([c for c in m.group(1).split(",") if c])
+        # full-width reads of wide tables are suspicious (no pruning)
+        loc = plan[: m.start()].rfind("Location")
+        tbl = None
+        if loc != -1:
+            mm = re.search(r"/(\w+)\.parquet", plan[loc : loc + 300])
+            tbl = mm.group(1) if mm else None
+        if tbl in TABLE_WIDTHS and ncols >= TABLE_WIDTHS[tbl] and TABLE_WIDTHS[tbl] > 6:
+            flags.append(f"FULL_WIDTH_SCAN:{tbl}({ncols})")
+    n_exch = plan.count("Exchange")
+    if n_exch > 6:
+        flags.append(f"MANY_SHUFFLES({n_exch})")
+    return flags
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("audit", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = 0
+    for name, p in sorted(all_probes().items()):
+        if only and name not in only:
+            continue
+        df = p.fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        flags = audit(name, plan)
+        hot = [f for f in flags if not f.startswith(("FULL_WIDTH", "MANY_"))]
+        wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))
+        status = "FLAG " + ",".join(flags) if flags else "ok"
+        if any(name.startswith(pre) for pre in PANDAS_OK_PREFIX):
+            status = status.replace("ROW_PYTHON_UDF", "pandas-udf(ok)")
+            hot = [f for f in hot if f != "ROW_PYTHON_UDF"]
+        print(f"{name:28s} wsc={wsc:2d}  {status}")
+        bad += bool(hot)
+    print(f"\n{'AUDIT CLEAN' if bad == 0 else f'{bad} probes flagged'}")
+
+
+if __name__ == "__main__":
+    main()
