@@ -19,6 +19,7 @@ map onto Structured Streaming's native machinery:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -87,3 +88,55 @@ def run_available_now(
 
 def _has_aggregation(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def stateful_user_totals(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    shape Structured Streaming's built-in aggs can't express (e.g.
+    evolving per-key state with custom merge/emit rules). Maintains a
+    running (n_events, total, last_ts) per user across micro-batches
+    and emits the updated row for every user seen in the batch.
+
+    The reference has no streaming at all (SURVEY §2.8); this is the
+    engine's native-Spark path for incremental per-entity rollups that
+    would otherwise be idempotent batch re-runs."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} long, n_events long, total double, last_ts timestamp"
+    )
+    state_schema = "n long, total double, last_us long"
+
+    def update(key, pdfs, state: GroupState):
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            mx = pdf[ts_col].max()
+            last_us = max(last_us, int(pd.Timestamp(mx).value // 1000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]],
+                "n_events": [n],
+                "total": [round(total, 6)],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -77,3 +77,57 @@ def test_sessionize_stream_plan_builds(spark, events):
     rows = out.collect()
     assert len(rows) > 0
     assert {c for c in out.columns} == {"user_id", "session_start", "n_events"}
+
+
+def test_stateful_user_totals_across_batches(spark, events, tmp_path):
+    """applyInPandasWithState: state accumulates across two AvailableNow
+    runs; the final per-user totals equal a plain batch aggregation
+    over all the data."""
+    from flytemosaic_spark.streaming.events import stateful_user_totals
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    first = events.limit(600)
+    both = events.limit(1000)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (
+            stateful_user_totals(stream_new_files(spark, src, schema))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # second batch: the remaining 400 rows (dedup via anti filter)
+    both.exceptAll(first).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    # latest emitted row per user == batch aggregation over both batches
+    import pyspark.sql.functions as F
+
+    emitted = spark.read.parquet(out)
+    latest = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .where("rn = 1")
+        .select("user_id", "n_events", "total")
+    )
+    want = both.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total")
+    )
+    got = {r.user_id: (r.n_events, round(r.total, 4)) for r in latest.collect()}
+    exp = {r.user_id: (r.n_events, r.total) for r in want.collect()}
+    assert got == exp
