@@ -618,3 +618,95 @@ def u3_except(spark: SparkSession, sf: str) -> DataFrame:
     c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@probe(
+    "a13_rollup",
+    sql="""
+        SELECT coalesce(l_returnflag, '(all)') AS flag,
+               coalesce(l_linestatus, '(all)') AS status,
+               count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    note="hierarchical rollup (absent in reference; free from Spark, "
+    "SURVEY §2.4 closing note). Subtotal rows distinguished via coalesce "
+    "sentinels so the row set is engine-portable.",
+)
+def a13_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("status"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@probe(
+    "a14_cube",
+    sql="""
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    note="cube over two dims (free from Spark; SURVEY §2.4 closing note)",
+)
+def a14_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@probe(
+    "a15_pivot",
+    sql="""
+        SELECT l_returnflag AS flag,
+               round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS F,
+               round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS O
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    note="pivot to wide form (Spark groupBy().pivot(); oracle via portable "
+    "conditional aggregation)",
+)
+def a15_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+    )
+
+
+@probe(
+    "f16_hof_norm",
+    sql="""
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x))), 4) AS l2
+        FROM embeddings
+    """,
+    note="higher-order array functions (transform/aggregate) — the JVM-side "
+    "vector-math path used by the similarity operators, probed directly",
+)
+def f16_hof_norm(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return emb.select("vec_id", F.round(F.sqrt(sq_sum), 4).alias("l2"))
