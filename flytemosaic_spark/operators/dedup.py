@@ -195,26 +195,24 @@ def simhash(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    contrib = toks.select(
-        "id",
-        F.expr(
-            "transform(sequence(0, 63), "
-            "i -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)"
-        ).alias("bits"),
-    )
-    summed = contrib.groupBy("id").agg(
-        F.expr(
-            "reduce(collect_list(bits), array_repeat(0, 64), "
-            "(acc, b) -> zip_with(acc, b, (x, y) -> x + y))"
-        ).alias("counts")
-    )
-    bits_to_long = F.expr(
-        "aggregate(zip_with(counts, sequence(0, 63), "
-        "(c, i) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), i) "
-        "ELSE CAST(0 AS BIGINT) END), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc | v)"
-    )
-    return summed.select("id", bits_to_long.alias("simhash"))
+    # 64 algebraic sums (one per bit) — partial-aggregatable, so the
+    # shuffle carries 64 longs per doc and map-side combine works; a
+    # collect_list formulation would ship every token's bit array
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"c{i}")
+        for i in range(64)
+    ]
+    summed = toks.groupBy("id").agg(*bit_sums)
+    sketch = F.lit(0).cast("bigint")
+    for i in range(64):
+        sketch = sketch.bitwiseOR(
+            F.when(
+                F.col(f"c{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return summed.select("id", sketch.alias("simhash"))
 
 
 def embedding_neardup_pairs(

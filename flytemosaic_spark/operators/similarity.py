@@ -121,28 +121,30 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k via ``n_tables`` independent random-hyperplane
     LSH tables. Candidates = union of bucket collisions across tables;
-    exact cosine refines and ranks within candidates only."""
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            F.lit(t).alias("table"),
-            _bucket_signature(F.col(vec_col), planes).alias("bucket"),
-        )
-        q = queries.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.lit(t).alias("table"),
-            _bucket_signature(F.col(vec_col), planes).alias("bucket"),
-        )
-        tables.append((q, c))
-    q_all = tables[0][0]
-    c_all = tables[0][1]
-    for q, c in tables[1:]:
-        q_all = q_all.unionByName(q)
-        c_all = c_all.unionByName(c)
+    exact cosine refines and ranks within candidates only.
+
+    All tables' signatures are computed in ONE corpus pass (an array of
+    (table, bucket) structs, exploded) — the scan cost is independent
+    of n_tables; only the equi-join key space grows."""
+
+    def _with_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        entries = [
+            F.struct(
+                F.lit(t).alias("table"),
+                _bucket_signature(
+                    F.col(vec_col), _hyperplanes(dim, n_planes, seed + t)
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.explode(F.array(*entries)).alias("tb"),
+        ).select(out_id, out_vec, "tb.table", "tb.bucket")
+
+    q_all = _with_buckets(queries, "q_id", "q_vec")
+    c_all = _with_buckets(corpus, "neighbor_id", "c_vec")
     cand = (
         q_all.join(c_all, ["table", "bucket"])
         .where(F.col("q_id") != F.col("neighbor_id"))
