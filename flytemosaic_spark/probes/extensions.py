@@ -323,3 +323,28 @@ def x13_binary_column(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
     )
+
+
+@probe(
+    "x12_user_totals",
+    sql="""
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 4) AS total,
+               max(ts) AS last_ts
+        FROM events GROUP BY user_id
+    """,
+    note="per-entity running rollup — the batch twin of the stateful "
+    "streaming operator (streaming/events.py:stateful_user_totals, "
+    "applyInPandasWithState); identical results checked in "
+    "tests/test_streaming.py",
+)
+def x12_user_totals(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total"),
+            F.max("ts").alias("last_ts"),
+        )
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -39,16 +40,26 @@ def write_template(
     dtype: str = "float32",
     fill_value: float | str = "NaN",
     attrs: dict | None = None,
+    compression_level: int | None = None,
 ) -> None:
     """S9 — driver-side, metadata-only store creation ("CREATE TABLE AS
-    SELECT ... LIMIT 0"). Cheap at any scale: two small JSON files."""
+    SELECT ... LIMIT 0"). Cheap at any scale: two small JSON files.
+
+    ``compression_level`` enables the Zarr v2 ``zlib`` codec (a
+    standard numcodecs id, stdlib-only here). At 100 TB the win is
+    object-store bytes and network, paid with executor CPU — level 1
+    is the usual sweet spot for float rasters."""
     os.makedirs(path, exist_ok=True)
     meta = {
         "zarr_format": 2,
         "shape": list(shape),
         "chunks": list(chunks),
         "dtype": _DTYPES[dtype],
-        "compressor": None,
+        "compressor": (
+            None
+            if compression_level is None
+            else {"id": "zlib", "level": int(compression_level)}
+        ),
         "fill_value": fill_value,
         "filters": None,
         "order": "C",
@@ -81,6 +92,7 @@ def write_region_chunks(chunks_df: DataFrame, path: str) -> int:
     meta = read_template(path)
     zshape, zchunks, zdtype = meta["shape"], meta["chunks"], meta["dtype"]
     fill = math.nan if meta["fill_value"] in ("NaN", None) else float(meta["fill_value"])
+    level = (meta.get("compressor") or {}).get("level")
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_written = 0
@@ -109,8 +121,11 @@ def write_region_chunks(chunks_df: DataFrame, path: str) -> int:
                             chunk[: sub.shape[0], : sub.shape[1], : sub.shape[2]] = sub
                             fname = os.path.join(path, ".".join(map(str, cidx)))
                             tmp = fname + ".tmp"
+                            payload_bytes = chunk.tobytes(order="C")
+                            if level is not None:
+                                payload_bytes = zlib.compress(payload_bytes, level)
                             with open(tmp, "wb") as f:
-                                f.write(chunk.tobytes(order="C"))
+                                f.write(payload_bytes)
                             os.replace(tmp, fname)  # atomic → idempotent retries
                             n_written += 1
         yield pd.DataFrame({"n_written": [n_written]})
@@ -129,6 +144,7 @@ def read_store(spark: SparkSession, path: str) -> DataFrame:
     reference engineered into its GTI files (SURVEY §4)."""
     meta = read_template(path)
     zdtype, zchunks = meta["dtype"], meta["chunks"]
+    level = (meta.get("compressor") or {}).get("level")
     names = [n for n in os.listdir(path) if not n.startswith(".")]
     manifest = spark.createDataFrame(
         [(os.path.join(path, n), *map(int, n.split("."))) for n in names],
@@ -136,10 +152,15 @@ def read_store(spark: SparkSession, path: str) -> DataFrame:
     )
 
     def load(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def read_chunk(f: str) -> np.ndarray:
+            with open(f, "rb") as fh:
+                raw = fh.read()
+            if level is not None:
+                raw = zlib.decompress(raw)
+            return np.frombuffer(raw, dtype=zdtype).astype("f4")
+
         for pdf in batches:
-            payloads = [
-                np.fromfile(f, dtype=zdtype).astype("f4") for f in pdf["file"]
-            ]
+            payloads = [read_chunk(f) for f in pdf["file"]]
             yield pd.DataFrame(
                 {
                     "t": pdf["t"] * zchunks[0],
@@ -161,12 +182,17 @@ def read_array(path: str) -> np.ndarray:
     meta = read_template(path)
     shape, chunks, dtype = meta["shape"], meta["chunks"], meta["dtype"]
     fill = math.nan if meta["fill_value"] in ("NaN", None) else float(meta["fill_value"])
+    level = (meta.get("compressor") or {}).get("level")
     out = np.full(shape, fill, dtype=dtype)
     for name in os.listdir(path):
         if name.startswith("."):
             continue
         idx = list(map(int, name.split(".")))
-        block = np.fromfile(os.path.join(path, name), dtype=dtype).reshape(chunks)
+        with open(os.path.join(path, name), "rb") as fh:
+            raw = fh.read()
+        if level is not None:
+            raw = zlib.decompress(raw)
+        block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
         sl = tuple(
             slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape)
         )

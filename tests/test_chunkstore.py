@@ -124,3 +124,34 @@ def test_read_store_scan(spark, tmp_path):
         ]
     np.testing.assert_array_equal(got, cube[1])
     assert not math.isnan(got.sum())
+
+
+def test_compressed_store_roundtrip(spark, tmp_path):
+    """zlib-compressed chunks (Zarr v2 codec) round-trip bit-exactly
+    and actually shrink the store for smooth data."""
+    import os
+
+    path = str(tmp_path / "store_z")
+    cube = np.tile(np.linspace(0, 1, SHAPE[3], dtype="f4"), (*SHAPE[:3], 1))
+    write_template(path, SHAPE, CHUNKS, compression_level=1)
+    plan = plan_partitions(
+        spark, SHAPE[0], [0, 1, 2], SHAPE[2], SHAPE[3], CHUNKS[2], CHUNKS[3]
+    ).collect()
+    df = spark.createDataFrame(
+        _chunk_rows(cube, plan),
+        "t int, b0 int, y0 int, x0 int, shape array<int>, payload array<float>",
+    )
+    write_region_chunks(df, path)
+    np.testing.assert_array_equal(read_array(path), cube)
+
+    raw_bytes = int(np.prod(SHAPE)) * 4
+    stored = sum(
+        os.path.getsize(os.path.join(path, n))
+        for n in os.listdir(path)
+        if not n.startswith(".")
+    )
+    assert stored < raw_bytes / 2  # smooth data compresses well
+
+    # the distributed scan decompresses too
+    sub = read_store(spark, path).where("t = 0")
+    assert sub.count() > 0
