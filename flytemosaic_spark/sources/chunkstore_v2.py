@@ -1,0 +1,239 @@
+"""Custom Spark DataSource for the chunk store — the "optional
+DataSource V2" from SURVEY §4/§7, implemented with PySpark 4's Python
+DataSource API so the store is a first-class format:
+
+    spark.dataSource.register(ChunkStoreDataSource)
+    df = (spark.read.format("chunkstore")
+          .option("path", store).load())           # parallel scan
+    df.write.format("chunkstore").option("path", store).mode("append")
+
+Scale properties mirrored from the reference's GTI metadata planning
+(flytemosaic/mosaics.py:33-39):
+
+- **planning is metadata-only** — partitions are derived from chunk
+  file names (``t.b.y.x``), no chunk bytes are touched at plan time;
+- **filter pushdown prunes files**: comparisons on the origin columns
+  (t, b0, y0, x0) are consumed by ``pushFilters`` and applied to the
+  file-name-derived origins, so pruned chunks are never opened — the
+  same effect as parquet row-group min/max skipping;
+- **one task reads a bounded batch of chunks** and yields Arrow
+  batches, so executor memory is bounded regardless of store size.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import zlib
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA = "t int, b0 int, y0 int, x0 int, shape array<int>, payload array<float>"
+_ORIGIN_COLS = ("t", "b0", "y0", "x0")
+_FILES_PER_TASK = 32
+
+
+def _read_meta(path: str) -> dict:
+    import json
+
+    with open(os.path.join(path, ".zarray")) as f:
+        return json.load(f)
+
+
+@dataclass
+class _ChunkBatch(InputPartition):
+    files: list[str]
+
+
+class ChunkStoreReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.meta = _read_meta(self.path)
+        self._pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Consume origin-column comparisons (they prune whole chunk
+        files); return everything else for Spark to evaluate.
+
+        Reset on every call: Spark re-plans a reused DataFrame through
+        the same reader instance, and the previous query's pushed
+        filters must not leak into this one."""
+        self._pushed = []
+        for f in filters:
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if col in _ORIGIN_COLS and isinstance(
+                f,
+                (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In),
+            ):
+                self._pushed.append(f)
+            elif col in _ORIGIN_COLS and isinstance(f, IsNotNull):
+                self._pushed.append(f)  # origins are never null
+            else:
+                yield f  # not consumed
+
+    def _origin_ok(self, origin: dict[str, int]) -> bool:
+        for f in self._pushed:
+            if isinstance(f, IsNotNull):
+                continue  # origins are never null
+            v = origin[f.attribute[0]]
+            if isinstance(f, EqualTo) and not v == f.value:
+                return False
+            if isinstance(f, GreaterThan) and not v > f.value:
+                return False
+            if isinstance(f, GreaterThanOrEqual) and not v >= f.value:
+                return False
+            if isinstance(f, LessThan) and not v < f.value:
+                return False
+            if isinstance(f, LessThanOrEqual) and not v <= f.value:
+                return False
+            if isinstance(f, In) and v not in f.value:
+                return False
+        return True
+
+    def partitions(self) -> Sequence[InputPartition]:
+        ct, cb, cy, cx = self.meta["chunks"]
+        keep = []
+        for name in sorted(os.listdir(self.path)):
+            if name.startswith("."):
+                continue
+            ti, bi, yi, xi = map(int, name.split("."))
+            origin = {"t": ti * ct, "b0": bi * cb, "y0": yi * cy, "x0": xi * cx}
+            if self._origin_ok(origin):
+                keep.append(os.path.join(self.path, name))
+        if not keep:
+            return [_ChunkBatch([])]
+        return [
+            _ChunkBatch(keep[i : i + _FILES_PER_TASK])
+            for i in range(0, len(keep), _FILES_PER_TASK)
+        ]
+
+    def read(self, partition: _ChunkBatch):
+        import numpy as np
+        import pyarrow as pa
+
+        meta = self.meta
+        ct, cb, cy, cx = meta["chunks"]
+        level = (meta.get("compressor") or {}).get("level")
+        ts, b0s, y0s, x0s, shapes, payloads = [], [], [], [], [], []
+        for fpath in partition.files:
+            name = os.path.basename(fpath)
+            ti, bi, yi, xi = map(int, name.split("."))
+            with open(fpath, "rb") as fh:
+                raw = fh.read()
+            if level is not None:
+                raw = zlib.decompress(raw)
+            arr = np.frombuffer(raw, dtype=meta["dtype"]).astype("f4")
+            ts.append(ti * ct)
+            b0s.append(bi * cb)
+            y0s.append(yi * cy)
+            x0s.append(xi * cx)
+            shapes.append([cb, cy, cx])
+            payloads.append(arr)
+        yield pa.record_batch(
+            {
+                "t": pa.array(ts, pa.int32()),
+                "b0": pa.array(b0s, pa.int32()),
+                "y0": pa.array(y0s, pa.int32()),
+                "x0": pa.array(x0s, pa.int32()),
+                "shape": pa.array(shapes, pa.list_(pa.int32())),
+                "payload": pa.array(
+                    [p.tolist() for p in payloads], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+@dataclass
+class _WroteChunks(WriterCommitMessage):
+    n_chunks: int
+
+
+class ChunkStoreWriter(DataSourceWriter):
+    """Region-parallel writer: each task writes the disjoint,
+    chunk-aligned regions of its rows (S10 semantics — atomic rename,
+    idempotent). The template (.zarray) must exist."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.meta = _read_meta(self.path)
+
+    def write(self, rows) -> _WroteChunks:
+        import numpy as np
+
+        meta = self.meta
+        ct, cb, cy, cx = meta["chunks"]
+        level = (meta.get("compressor") or {}).get("level")
+        fill = (
+            math.nan
+            if meta["fill_value"] in ("NaN", None)
+            else float(meta["fill_value"])
+        )
+        n = 0
+        for row in rows:
+            nb, ny, nx = row.shape
+            block = np.asarray(row.payload, dtype=meta["dtype"]).reshape(nb, ny, nx)
+            t, b0, y0, x0 = int(row.t), int(row.b0), int(row.y0), int(row.x0)
+            assert t % ct == 0 and b0 % cb == 0 and y0 % cy == 0 and x0 % cx == 0
+            for byi in range(0, ny, cy):
+                for bxi in range(0, nx, cx):
+                    for bbi in range(0, nb, cb):
+                        cidx = (t // ct, (b0 + bbi) // cb, (y0 + byi) // cy, (x0 + bxi) // cx)
+                        chunk = np.full((cb, cy, cx), fill, dtype=meta["dtype"])
+                        sub = block[bbi : bbi + cb, byi : byi + cy, bxi : bxi + cx]
+                        chunk[: sub.shape[0], : sub.shape[1], : sub.shape[2]] = sub
+                        payload = chunk.tobytes(order="C")
+                        if level is not None:
+                            payload = zlib.compress(payload, level)
+                        fname = os.path.join(self.path, ".".join(map(str, cidx)))
+                        tmp = f"{fname}.tmp-{os.getpid()}"
+                        with open(tmp, "wb") as f:
+                            f.write(payload)
+                        os.replace(tmp, fname)
+                        n += 1
+        return _WroteChunks(n)
+
+    def commit(self, messages):
+        return None
+
+    def abort(self, messages):
+        # partial chunk files are overwritten by the retry (idempotent)
+        return None
+
+
+class ChunkStoreDataSource(DataSource):
+    """``spark.read.format("chunkstore")`` / ``df.write.format(...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "chunkstore"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> ChunkStoreReader:
+        return ChunkStoreReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> ChunkStoreWriter:
+        return ChunkStoreWriter(self.options)
+
+
+def register(spark) -> None:
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ChunkStoreDataSource)
