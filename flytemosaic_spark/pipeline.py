@@ -6,24 +6,21 @@ Stages (SURVEY §3.1, boundaries become shuffles instead of pods):
 
 1. catalog planning — (bbox, times) → (tile, snapped-time) targets and
    their covering scene periods (reference flyte/scenes.py:29-57);
-   pure column expressions, broadcast joins.
-2. scene materialization — one row per (tile, time, period) scene
-   payload via ``mapInPandas`` (here a deterministic synthetic source;
-   a real deployment reads COGs the same way — the Spark shape is
-   identical, reference utils.py:99-151).
-3. composite kernel — ``groupBy(tile, time).applyInPandas`` QA-masked
-   temporal mean/median over each target's scene stack (reference
-   glad.py:259-282). The groupBy shuffle is the ONLY data shuffle in
-   the whole pipeline.
-4. mosaic assembly — map each tile onto the global pixel grid from the
-   tile index (broadcast join; reference mosaics.py:116-175 does this
-   with GTI metadata), producing chunk-aligned region rows.
-5. template + region-parallel writes — S9/S10 two-phase sink into the
-   Zarr-compatible chunk store; partitions disjoint by construction.
+   pure column expressions, broadcast joins. Incremental skip (J4)
+   anti-joins the store listing.
+2. fused build — ``groupBy(tile, time).applyInPandas`` where each task
+   loads its scene stack (the synthetic source stands in for a COG
+   reader — same array contract, reference utils.py:99-151), runs the
+   QA-masked mean/median composite (glad.py:259-282), and writes its
+   disjoint store chunk (S10) — all inside one Python worker.
 
-At 100 TB: stage 2/3 scale with (tiles × times × periods) and
-shuffle once on (tile, time); stage 4 is a metadata broadcast; stage 5
-writes are embarrassingly parallel and idempotent.
+The ONLY shuffle moves metadata-scale manifest rows (tile, time,
+period); pixel payloads never cross the Python/JVM boundary. This is
+the reference's exact task granularity (one pod builds one (tile,
+date) feature COG, scenes.py:235-249) and is what makes the design
+hold at 100 TB: a staged formulation that shuffles payloads pays
+Arrow + UnsafeRow serialization on every hop and caps out at tens of
+MB/s per node; the fused kernel runs at memory bandwidth.
 """
 
 from __future__ import annotations
@@ -31,7 +28,6 @@ from __future__ import annotations
 import datetime as dt
 import os
 import zlib
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -41,7 +37,7 @@ from pyspark.sql import functions as F
 from flytemosaic_spark.functions.temporal import clamp, date_to_period
 from flytemosaic_spark.operators.catalog import EARLIEST, feature_targets
 from flytemosaic_spark.operators.raster import QA_CLEAR
-from flytemosaic_spark.sources.chunkstore import write_region_chunks, write_template
+from flytemosaic_spark.sources.chunkstore import read_template, write_template
 
 
 def synthetic_scene(tile_id: str, period: int, n_bands: int, size: int) -> np.ndarray:
@@ -178,76 +174,71 @@ def build_mosaic(
                 .drop("t")
             )
 
-    # Stage 2 — materialize scenes (Arrow-batched; real reader drops in
-    # here unchanged). One row per (tile, time, period) scene block.
-    scene_schema = (
-        "tile_id string, time timestamp, period long, payload array<float>"
-    )
+    # Stages 2-5, FUSED — one grouped-map task per (tile, time) loads
+    # its scenes, composites, and writes its disjoint store chunk, all
+    # inside the Python worker. Only the metadata-scale manifest rows
+    # (tile, time, period) ever shuffle; pixel payloads NEVER cross the
+    # Python/JVM boundary. This is the reference's exact task shape
+    # (build_tile_date_feature_cog_task loads scenes and writes the COG
+    # inside the task, flyte/scenes.py:235-249, protocols.py:298-316)
+    # and the difference between ~0.02 and ~1 GiB/s per node: a staged
+    # formulation pays Arrow/UnsafeRow serialization on every hop.
+    meta = read_template(store_path)
+    level = (meta.get("compressor") or {}).get("level")
+    stats_schema = "tile_id string, time timestamp, n_chunks int"
 
-    def load_scenes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [
-                synthetic_scene(t, int(p), n_bands, tile_px).ravel()
-                for t, p in zip(pdf["tile_id"], pdf["period"])
-            ]
-            out = pdf[["tile_id", "time", "period"]].copy()
-            out["payload"] = payloads
-            yield out
-
-    scenes = scene_periods.repartition(
-        spark.sparkContext.defaultParallelism, "tile_id", "time"
-    ).mapInPandas(load_scenes, scene_schema)
-
-    # Stage 3 — composite per (tile, time): the flagship kernel.
-    comp_schema = "tile_id string, time timestamp, payload array<float>"
-
-    def composite(pdf: pd.DataFrame) -> pd.DataFrame:
-        stack = np.stack(
-            [
-                np.asarray(p, dtype="f4").reshape(n_bands, tile_px, tile_px)
-                for p in pdf["payload"]
-            ]
-        )
-        qa = stack[:, n_bands - 1 : n_bands]
-        vals = np.where(qa == QA_CLEAR, stack[:, : n_bands - 1], np.nan)
-        with np.errstate(invalid="ignore"):
-            out = (np.nanmean if reducer == "mean" else np.nanmedian)(vals, axis=0)
+    def load_composite_write(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = pdf["tile_id"].iloc[0]
+        time = pdf["time"].iloc[0]
+        if reducer == "mean":
+            # streaming accumulation: one scene resident at a time, so
+            # peak memory is (1 scene + 2 accumulators) instead of the
+            # whole stack + nanmean temporaries — the difference between
+            # bandwidth-bound thrashing and cache-friendly accumulation
+            # when 32 tasks share one node (reference spills to local
+            # zarr for the same reason, utils.py:128-131 / D7)
+            acc = np.zeros((n_bands - 1, tile_px, tile_px), "f8")
+            cnt = np.zeros((tile_px, tile_px), "i4")
+            for p in pdf["period"]:
+                s = synthetic_scene(tile, int(p), n_bands, tile_px)
+                ok = s[n_bands - 1] == QA_CLEAR
+                np.add(acc, s[: n_bands - 1], out=acc, where=ok[None, :, :])
+                cnt += ok
+            with np.errstate(invalid="ignore", divide="ignore"):
+                comp = (acc / cnt).astype("f4")
+            comp[:, cnt == 0] = np.nan
+        else:
+            stack = np.stack(
+                [
+                    synthetic_scene(tile, int(p), n_bands, tile_px)
+                    for p in pdf["period"]
+                ]
+            )
+            qa = stack[:, n_bands - 1 : n_bands]
+            vals = np.where(qa == QA_CLEAR, stack[:, : n_bands - 1], np.nan)
+            with np.errstate(invalid="ignore"):
+                comp = np.nanmedian(vals, axis=0).astype("f4")
+        # S10 region write, task-local: (t, 0, y0, x0) is chunk-aligned
+        # by construction (chunk == one tile slab)
+        y0, x0 = origin[tile]
+        ti = t_index[pd.Timestamp(time).to_pydatetime()]
+        cidx = (ti, 0, y0 // tile_px, x0 // tile_px)
+        payload = comp.tobytes(order="C")
+        if level is not None:
+            payload = zlib.compress(payload, level)
+        fname = os.path.join(store_path, ".".join(map(str, cidx)))
+        tmp = f"{fname}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, fname)  # atomic → idempotent retries
         return pd.DataFrame(
-            {
-                "tile_id": [pdf["tile_id"].iloc[0]],
-                "time": [pdf["time"].iloc[0]],
-                "payload": [out.astype("f4").ravel()],
-            }
+            {"tile_id": [tile], "time": [time], "n_chunks": [1]}
         )
 
-    features = scenes.groupBy("tile_id", "time").applyInPandas(composite, comp_schema)
-
-    # Stage 4 — global placement: tile origins + time index via a
-    # broadcast lookup (metadata-scale).
-    origin_df = spark.createDataFrame(
-        [(tid, y0, x0) for tid, (y0, x0) in origin.items()],
-        "tile_id string, y0 int, x0 int",
+    stats = scene_periods.groupBy("tile_id", "time").applyInPandas(
+        load_composite_write, stats_schema
     )
-    time_df = spark.createDataFrame(
-        [(t, i) for t, i in t_index.items()], "time timestamp, t int"
-    )
-    regions = (
-        features.join(F.broadcast(origin_df), "tile_id")
-        .join(F.broadcast(time_df), "time")
-        .select(
-            "t",
-            F.lit(0).alias("b0"),
-            "y0",
-            "x0",
-            F.array(
-                F.lit(n_bands - 1), F.lit(tile_px), F.lit(tile_px)
-            ).alias("shape"),
-            "payload",
-        )
-    )
-
-    # Stage 5 — parallel disjoint region writes (S10).
-    n_chunks = write_region_chunks(regions, store_path)
+    n_chunks = int(stats.agg(F.sum("n_chunks")).first()[0] or 0)
     return {
         "path": store_path,
         "shape": shape,
