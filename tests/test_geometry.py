@@ -1,0 +1,49 @@
+"""Exact intersects refine: WKB round-trip, the rect×polygon predicate
+against hand-checked cases, and the two-phase prune (bbox prefilter →
+exact refine) over the tile grid — a triangle query that bbox alone
+over-selects."""
+
+from __future__ import annotations
+
+from flytemosaic_spark.fixtures import tile_grid
+from flytemosaic_spark.functions.geometry import (
+    parse_wkb_polygons,
+    rect_intersects_polygon,
+    refine_intersects,
+    wkb_polygon,
+)
+from flytemosaic_spark.operators.catalog import tiles_for_bbox
+
+TRIANGLE = [(0.0, 0.0), (4.0, 0.0), (0.0, 4.0)]  # lower-left half of 4x4
+
+
+def test_wkb_roundtrip():
+    ring = parse_wkb_polygons(wkb_polygon(TRIANGLE))[0]
+    assert ring[0] == ring[-1]
+    assert set(ring) == set([*TRIANGLE, TRIANGLE[0]])
+
+
+def test_rect_polygon_cases():
+    ring = parse_wkb_polygons(wkb_polygon(TRIANGLE))[0]
+    assert rect_intersects_polygon(0, 0, 1, 1, ring)        # inside
+    assert rect_intersects_polygon(3, 3, 5, 5, ring) is False  # beyond hypotenuse
+    assert rect_intersects_polygon(1.5, 1.5, 2.6, 2.6, ring)   # straddles edge
+    assert rect_intersects_polygon(-1, -1, 5, 5, ring)      # contains polygon
+    assert rect_intersects_polygon(10, 10, 11, 11, ring) is False
+
+
+def test_two_phase_prune_tightens_bbox(spark):
+    tiles = tile_grid(spark, n=6)
+    # bbox of the triangle = (0,0)-(4,4): 16 tiles survive the prefilter
+    pre = tiles_for_bbox(tiles, (0.0, 0.0, 4.0, 4.0))
+    assert pre.count() == 16
+    exact = refine_intersects(pre, wkb_polygon(TRIANGLE))
+    got = sorted(r.tile_id for r in exact.collect())
+    # tile (ix, iy) intersects the triangle iff ix+iy < 4 (area overlap)
+    # or ix+iy == 4 (lower-left corner touches the hypotenuse — a
+    # boundary touch IS an intersection under OGC semantics, matching
+    # the reference's GeoPandas .intersects)
+    want = sorted(
+        f"{ix:03d}E_{iy:02d}N" for ix in range(4) for iy in range(4) if ix + iy <= 4
+    )
+    assert got == want  # 13 of 16 — the refine removed 3 corner tiles
