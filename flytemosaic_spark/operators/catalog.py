@@ -61,6 +61,7 @@ def required_scenes(
     feature: str = "annual_means",
     window_days: int = 365,
     latest: str = "2026-01-01",
+    query_wkb: bytes | None = None,
 ) -> DataFrame:
     """The §3.2 planning query: full required-scene catalog for a
     (bbox, times, feature) request.
@@ -81,6 +82,12 @@ def required_scenes(
         .distinct()
     )
     tiles = tiles_for_bbox(tile_index, bbox).select("tile_id", "minx", "miny", "maxx", "maxy")
+    if query_wkb is not None:
+        # phase 2 of J1: exact intersects refine over bbox survivors
+        # (reference glad.py:236-239 does both phases in GeoPandas)
+        from flytemosaic_spark.functions.geometry import refine_intersects
+
+        tiles = refine_intersects(tiles, query_wkb)
 
     lo = date_to_period(
         clamp(

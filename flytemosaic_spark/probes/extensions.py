@@ -348,3 +348,53 @@ def x12_user_totals(spark: SparkSession, sf: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+@probe(
+    "x14_media_decode",
+    sql=None,
+    note="multimodal decode/feature-extract over mapInPandas (binary in, "
+    "typed stats out); deterministic FAKE codec — real codecs are a "
+    "clearly-marked seam (operators/multimodal.py). Not SQL-expressible "
+    "(binary payload decode); unit-tested vs numpy in tests/.",
+)
+def x14_media_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import decode_stats, synthesize_media
+
+    media = synthesize_media(spark, n=64)
+    return decode_stats(media).orderBy("media_id")
+
+
+@probe(
+    "x15_mosaic_pipeline",
+    sql=None,
+    note="the reference's flagship workflow end-to-end (SURVEY §3.1): "
+    "catalog planning -> fused load+composite+write per (tile, time) -> "
+    "chunk-store stats. Golden-tested vs a numpy oracle in tests/; here "
+    "the driver smoke-checks it runs and is schema-stable.",
+)
+def x15_mosaic_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+    import tempfile
+
+    from flytemosaic_spark.fixtures import tile_grid
+    from flytemosaic_spark.pipeline import build_mosaic
+
+    tiles = tile_grid(spark, n=4)
+    with tempfile.TemporaryDirectory() as d:
+        layout = build_mosaic(
+            spark,
+            tiles,
+            (0.0, 0.0, 3.0, 2.0),
+            [dt.datetime(2020, 6, 1), dt.datetime(2021, 2, 1)],
+            d + "/mosaic",
+            n_bands=4,
+            tile_px=16,
+        )
+    rows = [
+        (tid, int(y0), int(x0), len(layout["times"]), layout["n_chunks_written"])
+        for tid, (y0, x0) in sorted(layout["origins"].items())
+    ]
+    return spark.createDataFrame(
+        rows, "tile_id string, y0 int, x0 int, n_times int, total_chunks int"
+    )

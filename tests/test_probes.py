@@ -19,7 +19,14 @@ TABLES = (
 
 # probes exempt from the SQL oracle: genuinely hash-family / algorithm
 # specific (the driver records a rows-only check; SURVEY §2.11)
-NO_ORACLE_OK = {"x2b_minhash_lsh", "x2c_simhash", "x3b_lsh_topk", "x3c_ivf_topk"}
+NO_ORACLE_OK = {
+    "x2b_minhash_lsh",
+    "x2c_simhash",
+    "x3b_lsh_topk",
+    "x3c_ivf_topk",
+    "x14_media_decode",
+    "x15_mosaic_pipeline",
+}
 
 
 def test_registry_covers_survey_sections():
