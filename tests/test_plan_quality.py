@@ -1,0 +1,69 @@
+"""Physical-plan quality gate: the headline probes must stay free of
+scale anti-patterns (unintended cartesian products, row-at-a-time
+Python UDFs, and runaway shuffle counts) — the same checks
+tools/explain_audit.py applies to the whole registry, enforced in CI
+for the queries the bench times."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tools.explain_audit import CROSS_OK, audit  # noqa: E402
+
+from flytemosaic_spark.probes import all_probes  # noqa: E402
+
+HEADLINE = [
+    "j1_interval_join",
+    "a6_masked_mean_by_key",
+    "a7_median",
+    "j4_anti_join",
+    "w7_topk_per_group",
+    "x1_exact_dedup",
+    "x2_ngram_jaccard",
+    "x3_cosine_topk",
+    "x5_tumbling_window",
+    "x6_sessionize",
+    "x9_quality_score",
+    "j2_lookup_broadcast",
+    "a13_rollup",
+]
+
+
+@pytest.mark.parametrize("name", HEADLINE)
+def test_headline_plan_is_clean(spark, sf_dir, name):
+    p = all_probes()[name]
+    df = p.fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    flags = [
+        f
+        for f in audit(name, buf.getvalue())
+        if not f.startswith(("FULL_WIDTH", "MANY_"))
+    ]
+    assert not flags, f"{name}: {flags}"
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    df = all_probes()["j2_lookup_broadcast"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_range_filter_is_pushed_down(spark, sf_dir):
+    df = all_probes()["p4_range_filter"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [" in plan
+    # the probe's range predicate must actually reach the scan
+    assert "GreaterThan" in plan or "IsNotNull" in plan
