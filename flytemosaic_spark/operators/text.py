@@ -31,6 +31,22 @@ def token_count(text: Column) -> Column:
     return F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(tokens(text)))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs shared by
+# Java regex and RE2 (no lookahead) so the DuckDB oracle is exact:
+# contractions | space+letters | space+digits | space+other | whitespace
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def subword_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: the number of pre-tokenizer matches —
+    the standard cheap proxy for LLM token counts at corpus scale
+    (regexp_count is JVM-side; no tokenizer library in the hot path)."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_PATTERN))
+
+
 def marker_hits(text: Column, lang: str) -> Column:
     """Count of tokens that are stopword markers for ``lang``."""
     toks = tokens(text)

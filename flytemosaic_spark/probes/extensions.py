@@ -398,3 +398,23 @@ def x15_mosaic_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "tile_id string, y0 int, x0 int, n_times int, total_chunks int"
     )
+
+
+@probe(
+    "x7b_subword_tokens",
+    sql=r"""
+        SELECT doc_id,
+               length(regexp_extract_all(text,
+                 '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+               )) AS n_subword
+        FROM documents
+    """,
+    note="BPE-ish pre-tokenizer token count (GPT-2 pattern, no lookahead "
+    "so Java regex and RE2 agree) — the cheap LLM-token-count proxy",
+)
+def x7b_subword_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import subword_token_count
+
+    return T(spark, sf, "documents").select(
+        "doc_id", subword_token_count(F.col("text")).cast("bigint").alias("n_subword")
+    )
