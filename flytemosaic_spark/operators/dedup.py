@@ -215,6 +215,44 @@ def simhash(
     return summed.select("id", sketch.alias("simhash"))
 
 
+def contamination_check(
+    corpus: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every corpus document, how
+    many of its distinct n-gram shingles appear anywhere in the
+    holdout (benchmark/eval) set.
+
+    The holdout's distinct shingle set is broadcast — a benchmark is
+    small by construction — so the whole scan is one broadcast hash
+    join over the exploded corpus plus one per-doc aggregate: a single
+    pass over the corpus, no self-join, no shuffle of corpus text.
+    """
+    from flytemosaic_spark.operators.text import portable_round
+
+    h = (
+        _shingled(holdout, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ex = _shingled(corpus, text_col, id_col, n)
+    per_doc = (
+        ex.join(F.broadcast(h), "shingle", "left")
+        .groupBy("id", "n_sh")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_contaminated"))
+    )
+    return per_doc.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_sh").cast("bigint").alias("n_shingles"),
+        "n_contaminated",
+        portable_round(F.col("n_contaminated") / F.col("n_sh")).alias("contaminated_frac"),
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1,0 +1,74 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Sampling at 100 TB must be reproducible (retries and re-runs must
+select the same rows), stratified (per-language / per-source rates),
+and shuffle-free (a pure filter that Catalyst can push toward the
+scan). All three follow from hashing a stable key into a uniform
+bucket and comparing against a per-stratum threshold — no ``rand()``
+(non-deterministic under task retry), no sort, no state.
+
+The bucket is the first 4 hex chars of md5(key): md5 is chosen over
+``hash()``/``xxhash64`` deliberately — Spark's ``hash`` family is
+process-salted for strings and has no cross-engine twin, while every
+engine agrees on md5 of a decimal string, so splits are auditable
+bit-for-bit from any system (see the DuckDB oracles in probes/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_BUCKETS = 1 << 16  # 4 hex chars -> 65536 uniform buckets
+
+
+def hash_bucket(key: Column) -> Column:
+    """Uniform 16-bit bucket as a 4-char lowercase hex string.
+
+    String comparison against a zero-padded hex threshold is exactly
+    numeric comparison, so thresholds stay sargable string literals.
+    """
+    return F.substring(F.md5(key.cast("string")), 1, 4)
+
+
+def rate_threshold(rate: float) -> str:
+    """Hex threshold t with  P(bucket < t) = floor(rate·65536)/65536."""
+    return format(int(rate * HEX_BUCKETS), "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each stratum at its own rate (e.g. downsample the majority
+    language) with one deterministic filter — no shuffle, no rand()."""
+    thr = F.lit(rate_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(rate_threshold(rate))
+        ).otherwise(thr)
+    return df.where(hash_bucket(F.col(key_col)) < thr)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: tuple[tuple[str, float], ...] = (("test", 0.1), ("valid", 0.1)),
+    default: str = "train",
+) -> DataFrame:
+    """Tag every row with a stable train/valid/test split label via
+    cumulative bucket ranges. Membership depends only on the key, so
+    the split survives re-partitioning, re-ingestion, and engine swaps
+    — the property a contamination audit needs."""
+    bucket = hash_bucket(F.col(key_col))
+    expr = None
+    cum = 0.0
+    for name, frac in splits:
+        cum += frac
+        cond = bucket < F.lit(rate_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    label = expr.otherwise(default) if expr is not None else F.lit(default)
+    return df.withColumn("split", label)

@@ -8,7 +8,7 @@ helpers here also feed the dedup operators.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker sets for the heuristic language ID.
@@ -45,6 +45,94 @@ def subword_token_count(text: Column) -> Column:
     the standard cheap proxy for LLM token counts at corpus scale
     (regexp_count is JVM-side; no tokenizer library in the hot path)."""
     return F.regexp_count(text, F.lit(BPE_PRETOKEN_PATTERN))
+
+
+def portable_round(c: Column, digits: int = 4) -> Column:
+    """Half-up rounding as ``floor(x·10^k + 0.5)/10^k`` — bit-identical
+    between Spark and DuckDB. Spark's ``round()`` rounds the decimal
+    string HALF_UP while DuckDB rounds the binary double, and they
+    disagree at exact .5 boundaries (e.g. ratios with power-of-two
+    denominators: a 32-token document)."""
+    scale = F.lit(float(10**digits))
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: most-frequent-word
+    mass, duplicate-word fraction, duplicate-bigram fraction, and a
+    ``keep`` quality gate — the standard cheap filters for boilerplate
+    and degenerate repetition in web-scale training corpora.
+
+    Scale shape: ``top/dup_word_frac`` go through explode → two-level
+    aggregation, so the shuffle carries one (doc, word, count) row per
+    distinct word with map-side combine; ``dup_bigram_frac`` is pure
+    per-row array math (no shuffle at all). The final join is
+    doc_id-keyed between two aggregates that are already partitioned
+    compatibly.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice("w", i, 2), " "),
+    )
+    row_stats = toks.select("doc_id", bigrams.alias("bg")).select(
+        "doc_id",
+        ((F.size("bg") - F.size(F.array_distinct("bg"))) / F.size("bg")).alias("_dup_bg"),
+    )
+    wc = (
+        toks.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    ws = wc.groupBy("doc_id").agg(
+        (F.max("c") / F.sum("c")).alias("_top_w"),
+        ((F.sum("c") - F.count("*")) / F.sum("c")).alias("_dup_w"),
+    )
+    out = ws.join(row_stats, "doc_id").select(
+        "doc_id",
+        portable_round(F.col("_top_w")).alias("top_word_frac"),
+        portable_round(F.col("_dup_w")).alias("dup_word_frac"),
+        portable_round(F.col("_dup_bg")).alias("dup_bigram_frac"),
+    )
+    return out.withColumn(
+        "keep", (F.col("top_word_frac") <= 0.3) & (F.col("dup_bigram_frac") <= 0.2)
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (tf = raw count, smoothed
+    idf = ln((N+1)/(df+1))).
+
+    Corpus pattern: explode → (doc, word) counts with map-side
+    combine → document-frequency aggregate on word → tf⨝df equi-join
+    on word (both sides come out of aggregates partitioned by their
+    grouping keys, so AQE picks a local shuffle-hash join) → per-doc
+    top-k window. N is one driver-side count (columnar metadata scan),
+    not a cross-joined scalar subquery, keeping the plan a single pass
+    over the exploded tokens. Ranked by the ROUNDED score, then word,
+    so ordering reproduces across engines (raw ln() can differ by
+    1 ulp between libm implementations).
+    """
+    n_docs = df.count()
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    tf = ex.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    scored = tf.join(dfreq, "word").select(
+        "doc_id", "word", portable_round(F.col("tf") * idf).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "word", "tfidf")
+    )
 
 
 def marker_hits(text: Column, lang: str) -> Column:

@@ -401,6 +401,169 @@ def x15_mosaic_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "x16_repetition_stats",
+    sql=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                                  i -> concat_ws(' ', w[i], w[i+1])) AS b
+            FROM toks
+        ),
+        rowstats AS (
+            SELECT doc_id,
+                   (len(b) - len(list_distinct(b))) / len(b) AS dup_bg
+            FROM bg
+        ),
+        wcc AS (
+            SELECT doc_id, unnest(w) AS word FROM toks
+        ),
+        wc AS (
+            SELECT doc_id, word, count(*) AS c FROM wcc GROUP BY 1, 2
+        ),
+        ws AS (
+            SELECT doc_id,
+                   max(c) / sum(c) AS top_w,
+                   (sum(c) - count(*)) / sum(c) AS dup_w
+            FROM wc GROUP BY 1
+        )
+        SELECT doc_id,
+               floor(top_w * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
+               floor(dup_w * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
+               floor(dup_bg * 10000.0 + 0.5) / 10000.0 AS dup_bigram_frac,
+               (floor(top_w * 10000.0 + 0.5) / 10000.0 <= 0.3
+                AND floor(dup_bg * 10000.0 + 0.5) / 10000.0 <= 0.2) AS keep
+        FROM ws JOIN rowstats USING (doc_id)
+    """,
+    note="Gopher-style repetition quality filters: top-word mass, "
+    "duplicate-word and duplicate-bigram fractions + keep gate",
+)
+def x16_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text.repetition_stats(T(spark, sf, "documents"))
+
+
+@probe(
+    "x17_contamination",
+    sql=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 1) + 1),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+                   )) AS shingles
+            FROM toks
+        ),
+        hold AS (
+            SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0
+        ),
+        ex AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM sh WHERE doc_id % 97 <> 0
+        )
+        SELECT ex.doc_id AS doc_id,
+               CAST(ex.n_sh AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN hold.shingle IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_contaminated,
+               floor((CAST(sum(CASE WHEN hold.shingle IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                      / ex.n_sh) * 10000.0 + 0.5) / 10000.0 AS contaminated_frac
+        FROM ex LEFT JOIN hold USING (shingle)
+        GROUP BY ex.doc_id, ex.n_sh
+    """,
+    note="benchmark-contamination scan: 3-gram overlap of each corpus doc "
+    "against the holdout set (doc_id % 97 = 0) via broadcast semi-scan",
+)
+def x17_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.dedup import contamination_check
+
+    docs = T(spark, sf, "documents")
+    return contamination_check(
+        corpus=docs.where(F.col("doc_id") % 97 != 0),
+        holdout=docs.where(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+
+
+@probe(
+    "x18_stratified_sample",
+    sql="""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+              CASE WHEN lang = 'de' THEN '4000'
+                   WHEN lang = 'en' THEN '0ccc'
+                   WHEN lang = 'es' THEN '4000'
+                   WHEN lang = 'fr' THEN '4000'
+                   WHEN lang = 'zh' THEN '4000'
+                   ELSE '0000' END
+    """,
+    note="deterministic stratified downsample (en at 5%, others at 25%) "
+    "via md5 bucket thresholds — reproducible, shuffle-free, rand()-free",
+)
+def x18_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.sampling import stratified_sample
+
+    rates = {"en": 0.05, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.25}
+    return stratified_sample(
+        T(spark, sf, "documents"), rates, strata_col="lang", key_col="doc_id"
+    ).select("doc_id", "lang")
+
+
+@probe(
+    "x19_split_assign",
+    sql="""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999' THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' THEN 'valid'
+                    ELSE 'train' END AS split
+        FROM documents
+    """,
+    note="stable train/valid/test split tags (10/10/80) from md5 bucket "
+    "ranges — survives re-partitioning and engine swaps",
+)
+def x19_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.sampling import split_assign
+
+    return split_assign(T(spark, sf, "documents"), key_col="doc_id").select(
+        "doc_id", "split"
+    )
+
+
+@probe(
+    "x20_tfidf_topk",
+    sql=r"""
+        WITH ex AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+        df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, word,
+                   floor(tf * ln((n_docs + 1.0) / (df + 1.0)) * 10000.0 + 0.5)
+                       / 10000.0 AS tfidf
+            FROM tf JOIN df USING (word) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, word, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, word) AS rank
+            FROM scored
+        )
+        SELECT doc_id, rank, word, tfidf FROM ranked WHERE rank <= 3
+    """,
+    note="top-3 TF-IDF terms per document (smoothed idf); ranked on the "
+    "rounded score so ordering reproduces across engines",
+)
+def x20_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return text.tfidf_topk(T(spark, sf, "documents"), k=3)
+
+
+@probe(
     "x7b_subword_tokens",
     sql=r"""
         SELECT doc_id,
