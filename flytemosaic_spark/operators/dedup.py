@@ -215,6 +215,55 @@ def simhash(
     return summed.select("id", sketch.alias("simhash"))
 
 
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """(node, lbl) labeling of an undirected graph: ``lbl`` = min node
+    id in the node's connected component — the canonical-keeper
+    selection stage that turns near-dup *pairs* into dedup *clusters*.
+
+    Iterative min-label propagation: each round is one equi-join
+    (neighbor labels) + one min-aggregate, converging in O(component
+    diameter) rounds — the right regime for dedup graphs, whose
+    clusters are small and dense. ``localCheckpoint()`` truncates
+    lineage every round so the plan does not grow with iterations, and
+    convergence is detected with an aggregate (a count), never by
+    collecting labels to the driver. For adversarial long-chain graphs
+    swap the propagation step for large-star/small-star (same join +
+    min-agg primitives, O(log n) rounds).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint()
+    # seed with one propagation folded in: lbl = min(self, neighbors)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_mn"))
+        .select(F.col("a").alias("node"), F.least("a", "_mn").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = sym.join(labels.withColumnRenamed("node", "a"), "a").select(
+            F.col("b").alias("node"), "lbl"
+        )
+        new = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        n_changed = (
+            new.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "node")
+            .where(F.col("new_lbl") < F.col("lbl"))
+            .count()
+        )
+        labels = new
+        if n_changed == 0:
+            break
+    return labels
+
+
 def contamination_check(
     corpus: DataFrame,
     holdout: DataFrame,

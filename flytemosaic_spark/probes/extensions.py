@@ -564,6 +564,83 @@ def x20_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "x21_dedup_clusters",
+    sql=_SHINGLE_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    + """,
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
+        FROM ex a JOIN ex b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    good AS (
+        SELECT id_a, id_b FROM pairs
+        WHERE round(n_inter / (n_a + n_b - n_inter), 4) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM good
+        UNION ALL SELECT id_b, id_a FROM good
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+    SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    note="near-dup pairs → dedup clusters via iterative min-label "
+    "connected components (oracle: recursive-CTE reachability closure)",
+)
+def x21_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.dedup import connected_components
+
+    docs = T(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return docs.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster"))
+
+
+@probe(
+    "x22_asof_attribution",
+    sql="""
+        SELECT p.event_id, p.user_id, p.ts,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    note="backward as-of join (purchase → latest prior click per user) "
+    "via union + running last(ignorenulls): ONE shuffle, no range join",
+)
+def x22_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.asof import asof_join
+
+    ev = T(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    res = asof_join(purchases, clicks, keys=["user_id"], ts_col="ts")
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof.event_id").alias("click_id"),
+        F.col("asof.ts").alias("click_ts"),
+    )
+
+
+@probe(
     "x7b_subword_tokens",
     sql=r"""
         SELECT doc_id,
