@@ -32,6 +32,9 @@ HEADLINE = [
     "x5_tumbling_window",
     "x6_sessionize",
     "x9_quality_score",
+    "x16_repetition_stats",
+    "x20_tfidf_topk",
+    "x22_asof_attribution",
 ]
 
 
