@@ -69,6 +69,30 @@ def sessionize_stream(
     )
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the X1 exact dedup: emit each distinct content
+    hash once, dropping re-arrivals across micro-batches.
+
+    ``dropDuplicatesWithinWatermark`` keys state by the 16-byte content
+    hash and evicts entries older than the watermark horizon, so state
+    is bounded by (dedup window × ingest rate), not corpus size — the
+    property that makes continuous-ingest dedup viable where a batch
+    groupBy over the full corpus would not be. Batch DataFrames fall
+    back to plain dropDuplicates (same semantics, full-corpus window),
+    which is how the batch oracle validates the operator."""
+    hashed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    if not docs.isStreaming:
+        return hashed.dropDuplicates(["content_hash"])
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, query_name: str
 ) -> None:

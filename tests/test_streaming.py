@@ -131,3 +131,53 @@ def test_stateful_user_totals_across_batches(spark, events, tmp_path):
     got = {r.user_id: (r.n_events, round(r.total, 4)) for r in latest.collect()}
     exp = {r.user_id: (r.n_events, r.total) for r in want.collect()}
     assert got == exp
+
+
+def test_stream_exact_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Re-arrivals of the same content in a LATER micro-batch are
+    dropped by the content-hash state, and the checkpoint carries that
+    state across restarts of the query."""
+    import datetime as dt
+
+    from flytemosaic_spark.streaming.events import stream_exact_dedup
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "doc_id bigint, text string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            stream_exact_dedup(
+                spark.readStream.schema(schema).parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch([(1, "aaa", t0), (2, "bbb", t0), (3, "aaa", t0)])  # in-batch dup
+    drain()
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+    assert {r.text for r in first.collect()} == {"aaa", "bbb"}
+
+    # second batch: one true re-arrival, one new doc
+    write_batch([(4, "bbb", t0 + dt.timedelta(minutes=5)), (5, "ccc", t0)])
+    drain()
+    assert {r.text for r in spark.read.parquet(out).collect()} == {"aaa", "bbb", "ccc"}
+
+
+def test_stream_exact_dedup_batch_fallback(spark, sf_dir):
+    from flytemosaic_spark.streaming.events import stream_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stream_exact_dedup(docs, ts_col="doc_id")
+    assert out.count() == docs.select("text").distinct().count()
