@@ -160,6 +160,95 @@ def lsh_topk(
     )
 
 
+def kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tol: float = 1e-6,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over an embedding column; returns (assignments,
+    centroids). Assignments: (id, cluster, dist) with dist = squared L2
+    to the final centroid.
+
+    Scale shape: centroids are metadata-sized (k × dim doubles), so
+    they live driver-side and are inlined as literal expressions each
+    round — assignment is a pure map stage (argmin over k literal
+    distances, JVM codegen, no join/window/shuffle of vectors). The
+    mean update posexplodes to (cluster, dim) cells: partial
+    aggregation compresses the shuffle to k·dim rows PER PARTITION
+    regardless of corpus size — the vectors themselves never shuffle.
+    Initial centroids are a deterministic hash-sampled subset (the same
+    seeding IVF uses), so runs are reproducible given a fixed corpus.
+    """
+    import math
+
+    # deterministic pseudo-random seed pick: k rows by hash order —
+    # TakeOrderedAndProject, no full sort, exactly k rows at any scale
+    centroids = [
+        [float(v) for v in r.c]
+        for r in (
+            corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(k)
+            .select(F.col(vec_col).alias("c"))
+            .collect()
+        )
+    ]
+
+    def _dist_array(vec: Column, cents: list[list[float]]) -> Column:
+        """array<struct<dist,cluster>> of squared L2 to each centroid."""
+        entries = []
+        for ci, cent in enumerate(cents):
+            diff = F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in cent]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            )
+            d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+            entries.append(F.struct(d2.alias("dist"), F.lit(ci).alias("cluster")))
+        return F.array(*entries)
+
+    assigned = None
+    for _ in range(max_iter):
+        assigned = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.array_min(_dist_array(F.col(vec_col), centroids)).alias("best"),
+        ).select("id", "vec", F.col("best.cluster").alias("cluster"))
+        cells = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("vec").cast("array<double>"))
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("col").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        for r in cells:
+            new_centroids[r["cluster"]][r["pos"]] = r["s"] / r["n"]
+        shift = max(
+            (
+                math.sqrt(sum((a - b) ** 2 for a, b in zip(old, new)))
+                for old, new in zip(centroids, new_centroids)
+            ),
+            default=0.0,
+        )
+        centroids = new_centroids
+        if shift < tol:
+            break
+
+    final = corpus.select(
+        F.col(id_col).alias("id"),
+        F.array_min(_dist_array(F.col(vec_col), centroids)).alias("best"),
+    ).select(
+        "id",
+        F.col("best.cluster").alias("cluster"),
+        F.col("best.dist").alias("dist"),
+    )
+    return final, centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

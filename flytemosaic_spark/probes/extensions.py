@@ -641,6 +641,26 @@ def x22_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "x23_kmeans_clusters",
+    sql=None,
+    note="Lloyd's k-means over embeddings (iterative; centroids are "
+    "driver-side literals, vectors never shuffle — see operators/"
+    "similarity.py). Iterative float means have no portable SQL oracle; "
+    "convergence/nearest-centroid properties tested in tests/",
+)
+def x23_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    assigned, _ = similarity.kmeans(T(spark, sf, "embeddings"), k=8, max_iter=4)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("dist"), 2).alias("avg_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@probe(
     "x7b_subword_tokens",
     sql=r"""
         SELECT doc_id,

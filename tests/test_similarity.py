@@ -87,3 +87,50 @@ def test_approx_results_are_subsets_of_corpus(spark, emb):
         for r in rows:
             by_q.setdefault(r.q_id, []).append(r.rank)
         assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Three well-separated planted clusters: k-means must recover the
+    partition exactly and report near-zero within-cluster distance."""
+    import numpy as np
+
+    from flytemosaic_spark.operators.similarity import kmeans
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0] * 8, [-10.0] * 8, [10.0] * 4 + [-10.0] * 4])
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append((i, (centers[c] + rng.normal(0, 0.1, 8)).astype("float32").tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    assigned, centroids = kmeans(df, k=3, max_iter=6)
+    got = assigned.collect()
+    assert len(centroids) == 3 and all(len(c) == 8 for c in centroids)
+    # all members of a planted cluster share one label, labels distinct
+    label_of = {}
+    for r in got:
+        label_of.setdefault(r["id"] % 3, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in label_of.values())
+    assert len({next(iter(s)) for s in label_of.values()}) == 3
+    # tight clusters: squared distance bounded by the noise scale
+    assert all(r["dist"] < 1.0 for r in got)
+
+
+def test_kmeans_assignment_is_nearest_centroid(spark):
+    """Every reported (cluster, dist) equals the numpy argmin over the
+    returned centroids — the map stage computes true squared L2."""
+    import numpy as np
+
+    from flytemosaic_spark.operators.similarity import kmeans
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(0, 1, 8).astype("float32").tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    assigned, centroids = kmeans(df, k=4, max_iter=3)
+    C = np.array(centroids)
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    for r in assigned.collect():
+        d2 = ((C - vecs[r["id"]]) ** 2).sum(axis=1)
+        assert r["cluster"] == int(d2.argmin())
+        assert r["dist"] == pytest.approx(float(d2.min()), rel=1e-6)
