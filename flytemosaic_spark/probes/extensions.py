@@ -661,6 +661,82 @@ def x23_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "x24_curation_pipeline",
+    sql=r"""
+        WITH RECURSIVE
+        toks0 AS (
+            SELECT doc_id, text, lang, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                       i -> concat_ws(' ', w[i], w[i+1])) AS b
+            FROM toks0
+        ),
+        rowstats AS (
+            SELECT doc_id, (len(b) - len(list_distinct(b))) / len(b) AS dup_bg FROM bg
+        ),
+        wcc AS (SELECT doc_id, unnest(w) AS word FROM toks0),
+        wc AS (SELECT doc_id, word, count(*) AS c FROM wcc GROUP BY 1, 2),
+        ws AS (SELECT doc_id, max(c) / sum(c) AS top_w FROM wc GROUP BY 1),
+        qual AS (
+            SELECT t.doc_id, t.text, t.lang, t.w
+            FROM toks0 t JOIN ws USING (doc_id) JOIN rowstats USING (doc_id)
+            WHERE floor(top_w * 10000.0 + 0.5) / 10000.0 <= 0.3
+              AND floor(dup_bg * 10000.0 + 0.5) / 10000.0 <= 0.2
+        ),
+        ex_keep AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+        q2 AS (SELECT q.* FROM qual q JOIN ex_keep k USING (doc_id)),
+        sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                       range(1, greatest(len(w) - 4, 1) + 1),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+                   )) AS shingles
+            FROM q2
+        ),
+        exx AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
+            FROM exx a JOIN exx b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4
+        ),
+        good AS (
+            SELECT id_a, id_b FROM pairs
+            WHERE round(n_inter / (n_a + n_b - n_inter), 4) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM good
+            UNION ALL SELECT id_b, id_a FROM good
+        ),
+        reach(node, lbl) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+        surv AS (
+            SELECT q2.doc_id, q2.lang
+            FROM q2 LEFT JOIN comp c ON c.node = q2.doc_id
+            WHERE coalesce(c.cluster, q2.doc_id) = q2.doc_id
+        )
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999' THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' THEN 'valid'
+                    ELSE 'train' END AS split
+        FROM surv
+    """,
+    note="end-to-end curation: repetition quality gate → exact-dedup "
+    "keeper → near-dup component keeper → split tags, one composed "
+    "operator vs one composed oracle",
+)
+def x24_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.curation import curate
+
+    return curate(T(spark, sf, "documents")).select("doc_id", "lang", "split")
+
+
+@probe(
     "x7b_subword_tokens",
     sql=r"""
         SELECT doc_id,

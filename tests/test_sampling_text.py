@@ -125,3 +125,27 @@ def test_stratified_sample_respects_per_stratum_rates(spark):
         stratified_sample(extra, {"en": 0.1}, strata_col="lang", key_col="doc_id").count()
         == 0
     )
+
+
+def test_curate_invariants(spark):
+    """Survivors contain no exact duplicates, no near-dup pair survives
+    whole, every survivor carries a valid split tag."""
+    from flytemosaic_spark.operators.curation import curate
+    from flytemosaic_spark.operators.dedup import ngram_jaccard_pairs
+    from flytemosaic_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = curate(docs)
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert 0 < len(ids) <= docs.count()
+    # exact-dup free
+    assert out.select("text").distinct().count() == len(ids)
+    # near-dup free: no surviving pair at the same threshold
+    surviving_pairs = (
+        ngram_jaccard_pairs(out, threshold=0.5)
+        .where(F.col("id_a").isin(ids) & F.col("id_b").isin(ids))
+        .count()
+    )
+    assert surviving_pairs == 0
+    assert {r["split"] for r in rows} <= {"train", "valid", "test"}
