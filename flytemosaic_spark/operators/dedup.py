@@ -180,6 +180,96 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_signatures_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Engine-portable MinHash: permutation ``i`` hashes a shingle as
+    ``md5(i || ':' || shingle)`` and the signature element is the
+    lexicographic min of those hex strings (= numeric min of the
+    128-bit value, since both engines emit fixed-width lowercase hex).
+
+    The xxhash64 family (:func:`minhash_signatures`) is the fast path
+    — one 64-bit hash vs an md5 per permutation — but xxhash64 exists
+    only inside Spark. This family trades ~3× hash cost for
+    cross-engine reproducibility: signatures (and the LSH pairs built
+    from them) can be recomputed bit-for-bit by DuckDB/Trino/anything,
+    which is what lets the driver's oracle check the whole pipeline
+    rather than a rows-only count.
+    """
+    sh = _shingled(df, text_col, id_col, n)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH over the portable md5 MinHash family: bucket key =
+    ``md5(band slice joined with '|')``, candidates pair inside a
+    bucket, est_jaccard = fraction of agreeing signature positions.
+    Same plan shape as :func:`minhash_lsh_pairs` (explode → equi-join
+    on (band, bucket) → distinct pairs); only the hash family differs,
+    so this variant is the one the DuckDB oracle replays end-to-end.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_md5(df, text_col, id_col, n, num_hashes)
+    banded = sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+    other = banded.select(
+        F.col("id").alias("id_b"),
+        F.col("signature").alias("signature_b"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        banded.join(other, ["band", "bucket"])
+        .where(F.col("id") < F.col("id_b"))
+        .select("id", "id_b", "signature", "signature_b")
+        .dropDuplicates(["id", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("signature", "signature_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return cand.select(
+        F.col("id").alias("id_a"),
+        "id_b",
+        F.round(agree / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
@@ -213,6 +303,58 @@ def simhash(
             ).otherwise(F.lit(0).cast("bigint"))
         )
     return summed.select("id", sketch.alias("simhash"))
+
+
+def simhash_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Engine-portable 64-bit SimHash, emitted as a 16-char hex string.
+
+    Token bits come from md5(token) hex digits (bit ``i`` is nibble
+    ``i//4``'s bit ``i%4``), per-bit ±1 counters aggregate exactly as
+    in :func:`simhash`, and the sketch re-assembles nibble-by-nibble
+    into hex — strings sidestep the signed-bigint overflow at bit 63
+    that a cross-engine integer formulation would hit. Same plan
+    shape as :func:`simhash` (explode → 64 algebraic sums, map-side
+    combine, one shuffled row of 64 longs per doc); only the hash
+    family differs, so the DuckDB oracle replays it bit-for-bit.
+    """
+    hexd = "0123456789abcdef"
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    # one int column per hex digit of md5(tok), then 64 ±1 bit sums
+    digits = toks.select(
+        "id",
+        *[
+            (F.instr(F.lit(hexd), F.substring("h", j + 1, 1)) - 1).alias(f"d{j}")
+            for j in range(16)
+        ],
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col(f"d{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"c{i}")
+        for i in range(64)
+    ]
+    summed = digits.groupBy("id").agg(*bit_sums)
+    nibbles = [
+        sum(
+            F.when(F.col(f"c{4 * j + b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(4)
+        ).alias(f"n{j}")
+        for j in range(16)
+    ]
+    withn = summed.select("id", *nibbles)
+    # Column.substr (not F.substring): the start position is a Column
+    sketch = F.concat(
+        *[F.lit(hexd).substr(F.col(f"n{j}") + 1, F.lit(1)) for j in range(16)]
+    )
+    return withn.select("id", sketch.alias("simhash_hex"))
 
 
 def connected_components(

@@ -1,0 +1,83 @@
+"""Distinct-count sketching with an engine-portable KMV (k-minimum
+values) sketch.
+
+``approx_count_distinct`` (HLL++) is the right call inside one Spark
+job, but its register layout is implementation-specific: no other
+engine reproduces the estimate, so it can't be audited, merged across
+systems, or regression-tested bit-for-bit. The KMV sketch here is the
+portable alternative: hash every value with md5, keep the k smallest
+distinct hashes, estimate N ≈ (k−1)/h₍ₖ₎ where h₍ₖ₎ is the k-th
+minimum mapped into (0,1]. Every engine agrees on md5 of a string, so
+the estimate — not just the error bound — is reproducible anywhere
+(the DuckDB oracle in probes/ recomputes it exactly).
+
+Scale shape: the sketch is a bounded top-k per group — partial
+aggregation applies (each map task keeps its local k minima via the
+sort-agg below), the shuffle carries ≤k hashes per group, and sketches
+merge associatively (union the hash sets, re-take k minima), which is
+what makes it a *sketch* rather than a distinct-count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flytemosaic_spark.operators.text import portable_round
+
+# 15 hex chars = 60 bits: exact in a BIGINT and in a double's 53-bit
+# mantissa... not quite — 60 > 53, but both engines round the SAME
+# integer to the SAME nearest double, so the quotient stays identical.
+_HEX_CHARS = 15
+_HASH_SPACE = float(16**_HEX_CHARS)
+
+
+def _h60(value: Column) -> Column:
+    """60-bit integer hash of a value via md5 — portable across engines
+    (DuckDB twin: ``('0x' || substr(md5(v), 1, 15))::BIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(value.cast("string")), 1, _HEX_CHARS), 16, 10
+    ).cast("bigint")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-count estimate from a k-minimum-values sketch.
+
+    Output: group cols + ``n_exact_capped`` (the sketch size actually
+    kept, = min(k, true distinct)) + ``kmv_estimate`` (the KMV
+    estimator, exact distinct count when the group holds fewer than k
+    distinct values — the sketch degenerates to the truth, which is
+    the behavior you want at the small-group end).
+    """
+    group_cols = group_cols or []
+    hashed = df.select(*group_cols, _h60(F.col(value_col)).alias("_h"))
+    # distinct hashes per group, then k smallest: array_sort+slice keeps
+    # the agg algebraic-ish (collect_set is the partial; the top-k trim
+    # happens once per group post-shuffle; for huge groups swap in a
+    # bounded min-k UDAF — the estimator is unchanged)
+    mins = (
+        hashed.groupBy(*group_cols)
+        .agg(F.collect_set("_h").alias("_hs"))
+        .select(
+            *group_cols,
+            F.slice(F.array_sort("_hs"), 1, k).alias("_mins"),
+            F.size("_hs").alias("_nd"),
+        )
+    )
+    # try_element_at: a group whose values are all NULL yields an empty
+    # set; ANSI element_at would throw on index 0
+    kth = F.try_element_at("_mins", F.size("_mins"))
+    # h mapped into (0,1]: (kth+1)/2^60 — +1 so a zero hash can't divide
+    est = F.when(
+        F.col("_nd") < k, F.col("_nd").cast("double")
+    ).otherwise((F.lit(float(k - 1)) * _HASH_SPACE) / (kth + 1))
+    return mins.select(
+        *group_cols,
+        F.least(F.col("_nd"), F.lit(k)).cast("bigint").alias("n_exact_capped"),
+        portable_round(est).alias("kmv_estimate"),
+    )

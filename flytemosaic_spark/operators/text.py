@@ -135,6 +135,52 @@ def tfidf_topk(
     )
 
 
+def ngram_freq(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 100
+) -> DataFrame:
+    """Corpus-level top-k n-gram frequency table (the heavy-hitters
+    scan behind boilerplate detection and tokenizer vocab audits).
+
+    Scale shape: explode → groupBy(gram) count benefits from map-side
+    partial aggregation (each task pre-counts its grams before the
+    shuffle), and the global top-k is ``orderBy().limit(k)`` which
+    Spark executes as TakeOrderedAndProject — every partition keeps
+    only its local k, so no global sort ever materializes. Ties at the
+    cutoff break deterministically by gram text.
+    """
+    toks = df.select(tokens(F.col(text_col)).alias("w"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("w") - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice("w", i, n), " "),
+    )
+    return (
+        toks.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
+def pattern_scrub(
+    df: DataFrame,
+    text_col: str,
+    pattern: str = "[0-9]+",
+    replacement: str = "<NUM>",
+) -> DataFrame:
+    """Redact every regex match in a text column and count the
+    redactions per row — the PII/number-scrubbing pass of a corpus
+    pipeline. Pure per-row JVM regex (``regexp_replace`` +
+    ``regexp_count``): no shuffle, pipelines into whatever scan or
+    filter precedes it. Patterns must stay inside the RE2 ∩ Java
+    regex subset (no lookahead/backrefs) so scrubbing is reproducible
+    in any engine — same discipline as :data:`BPE_PRETOKEN_PATTERN`.
+    """
+    return df.withColumn(
+        "n_redacted", F.regexp_count(F.col(text_col), F.lit(pattern))
+    ).withColumn("scrubbed", F.regexp_replace(F.col(text_col), pattern, replacement))
+
+
 def marker_hits(text: Column, lang: str) -> Column:
     """Count of tokens that are stopword markers for ``lang``."""
     toks = tokens(text)

@@ -754,3 +754,198 @@ def x7b_subword_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return T(spark, sf, "documents").select(
         "doc_id", subword_token_count(F.col("text")).cast("bigint").alias("n_subword")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable hash-family dedup variants (EXACT-oracle twins of x2b/x2c)
+# ---------------------------------------------------------------------------
+
+@probe(
+    "x2d_minhash_lsh_md5",
+    sql=_SHINGLE_SQL
+    + """,
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    m AS (
+        SELECT doc_id, seed, min(md5(concat(seed, ':', shingle))) AS mh
+        FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+        GROUP BY doc_id, seed
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS s FROM m GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, s, b AS band,
+               md5(array_to_string(list_slice(s, b * 4 + 1, b * 4 + 4), '|')) AS bucket
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.s AS sa, c.s AS sb
+        FROM banded a JOIN banded c USING (band, bucket)
+        WHERE a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 4)
+               AS est_jaccard
+    FROM cand
+    """,
+    note="banded MinHash LSH over the md5 hash family — same plan shape "
+    "as x2b but every stage (signatures, buckets, candidate pairs, "
+    "estimate) is replayed bit-for-bit by the oracle; x2b's xxhash64 "
+    "family stays the single-engine fast path",
+)
+def x2d_minhash_lsh_md5(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs_md5(T(spark, sf, "documents"))
+
+
+def _simhash_md5_oracle() -> str:
+    digits = ", ".join(
+        f"instr('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 AS d{j}"
+        for j in range(16)
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN (d{i // 4} >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS c{i}"
+        for i in range(64)
+    )
+    nibbles = ", ".join(
+        "("
+        + " + ".join(f"CASE WHEN c{4 * j + b} > 0 THEN {1 << b} ELSE 0 END" for b in range(4))
+        + f") AS n{j}"
+        for j in range(16)
+    )
+    sketch = " || ".join(f"substr('0123456789abcdef', n{j} + 1, 1)" for j in range(16))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ),
+        hashed AS (SELECT id, md5(tok) AS h FROM toks),
+        digits AS (SELECT id, {digits} FROM hashed),
+        sums AS (SELECT id, {sums} FROM digits GROUP BY id),
+        nibbles AS (SELECT id, {nibbles} FROM sums)
+        SELECT id, {sketch} AS simhash_hex FROM nibbles
+    """
+
+
+@probe(
+    "x2e_simhash_md5",
+    sql=_simhash_md5_oracle(),
+    note="64-bit SimHash over the md5 hash family, emitted as hex so the "
+    "bit-63 signedness never leaves the engine — oracle replays token "
+    "bits, ±1 counters, and nibble assembly exactly; x2c's xxhash64 "
+    "family stays the single-engine fast path",
+)
+def x2e_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_md5(T(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Training-dataloader surface: packing, corpus stats, scrubbing, sketches
+# ---------------------------------------------------------------------------
+
+@probe(
+    "x25_sequence_pack",
+    sql=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8
+                       AS bucket,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, bucket, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+                       AS cum_incl
+            FROM toks
+        )
+        SELECT doc_id, bucket, n_tokens,
+               CAST(floor((cum_incl - n_tokens) / 256.0) AS BIGINT) AS start_pack,
+               CAST(floor((cum_incl - 1) / 256.0) AS BIGINT) AS end_pack,
+               (cum_incl - n_tokens) % 256 AS pack_offset
+        FROM cum
+    """,
+    note="concat-then-chunk sequence packing into 256-token windows over "
+    "8 md5 buckets — integer window math, one shuffle on the bucket key; "
+    "the no-straddle first-fit variant is property-tested in "
+    "tests/test_packing.py",
+)
+def x25_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.packing import pack_sequences
+
+    out = pack_sequences(T(spark, sf, "documents"), budget=256, n_buckets=8)
+    return out.withColumn("bucket", F.col("bucket").cast("bigint"))
+
+
+@probe(
+    "x26_ngram_freq",
+    sql=r"""
+        WITH toks AS (
+            SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+        ),
+        g AS (
+            SELECT unnest(list_transform(
+                       range(1, greatest(len(w) - 1, 1) + 1),
+                       i -> concat_ws(' ', w[i], w[i+1])
+                   )) AS gram
+            FROM toks
+        )
+        SELECT gram, count(*) AS n_occurrences
+        FROM g GROUP BY gram
+        ORDER BY n_occurrences DESC, gram
+        LIMIT 100
+    """,
+    note="corpus-level top-100 bigram heavy hitters — map-side partial "
+    "counts, global top-k via TakeOrderedAndProject (no global sort)",
+)
+def x26_ngram_freq(spark: SparkSession, sf: str) -> DataFrame:
+    return text.ngram_freq(T(spark, sf, "documents"), n=2, k=100)
+
+
+@probe(
+    "x27_pattern_scrub",
+    sql=r"""
+        SELECT event_id,
+               len(regexp_extract_all(props, '[0-9]+')) AS n_redacted,
+               regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed
+        FROM events
+    """,
+    note="regex scrubbing pass (numbers -> <NUM>) with per-row redaction "
+    "counts — per-row JVM regex, RE2-compatible pattern so any engine "
+    "reproduces the scrub",
+)
+def x27_pattern_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    out = text.pattern_scrub(T(spark, sf, "events"), "props")
+    return out.select(
+        "event_id", F.col("n_redacted").cast("bigint").alias("n_redacted"), "scrubbed"
+    )
+
+
+@probe(
+    "x28_kmv_distinct",
+    sql=r"""
+        WITH d AS (
+            SELECT DISTINCT l_suppkey,
+                   ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM lineitem
+        ),
+        mins AS (
+            SELECT l_suppkey, list_slice(list_sort(list(h)), 1, 64) AS ms,
+                   count(*) AS nd
+            FROM d GROUP BY l_suppkey
+        )
+        SELECT l_suppkey,
+               CAST(least(nd, 64) AS BIGINT) AS n_exact_capped,
+               floor((CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+                           ELSE (63.0 * power(16.0, 15)) / (ms[64] + 1) END)
+                     * 10000.0 + 0.5) / 10000.0 AS kmv_estimate
+        FROM mins
+    """,
+    note="engine-portable KMV distinct sketch (k=64): estimate "
+    "(k-1)/h_(k), exact below k — unlike HLL++ the estimate itself "
+    "reproduces across engines, so sketches can be audited and merged "
+    "outside Spark; error-vs-exact bound tested in tests/test_sketch.py",
+)
+def x28_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(T(spark, sf, "lineitem"), "l_partkey", ["l_suppkey"], k=64)

@@ -570,6 +570,37 @@ def w7_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@probe(
+    "w8_rolling_1h",
+    sql="""
+        SELECT event_id,
+               count(*) OVER w AS n_1h,
+               floor(sum(value) OVER w * 10000.0 + 0.5) / 10000.0 AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    note="time-range rolling window (trailing 1h per user) — RANGE frame "
+    "on integer epoch seconds so both engines bound the frame "
+    "identically; the incremental add/remove accumulation is bit-exact "
+    "vs DuckDB (verified), rounded anyway for hash stability",
+)
+def w8_rolling_1h(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return T(spark, sf, "events").select(
+        "event_id",
+        F.count("*").over(w).alias("n_1h"),
+        portable_round(F.sum("value").over(w)).alias("sum_1h"),
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.6 set operations
 # --------------------------------------------------------------------------
