@@ -35,6 +35,10 @@ HEADLINE = [
     "x16_repetition_stats",
     "x20_tfidf_topk",
     "x22_asof_attribution",
+    "x25_sequence_pack",
+    "x26_ngram_freq",
+    "x28_kmv_distinct",
+    "w8_rolling_1h",
 ]
 
 

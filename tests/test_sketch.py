@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from flytemosaic_spark.operators.sketch import kmv_distinct
+from flytemosaic_spark.operators.sketch import kmv_distinct, kmv_distinct_large
 from flytemosaic_spark.sources.tables import load_table
 
 SF001 = "/root/testdata/sf0.01"
@@ -44,3 +44,16 @@ def test_kmv_error_bound_above_k(spark):
     stats = rel.agg(F.avg("rel").alias("mean"), F.max("rel").alias("mx")).first()
     assert stats["mean"] < 2 * sigma
     assert stats["mx"] < 5 * sigma
+
+
+def test_kmv_large_form_is_bit_identical(spark):
+    """The spill-safe rank formulation reproduces the collect_set form
+    exactly — same estimator, different physical plan."""
+    li = load_table(spark, SF001, "lineitem")
+    a = kmv_distinct(li, "l_partkey", ["l_suppkey"], k=64).orderBy("l_suppkey").collect()
+    b = (
+        kmv_distinct_large(li, "l_partkey", ["l_suppkey"], k=64)
+        .orderBy("l_suppkey")
+        .collect()
+    )
+    assert a == b
