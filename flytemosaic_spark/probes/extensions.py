@@ -949,3 +949,32 @@ def x28_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.sketch import kmv_distinct
 
     return kmv_distinct(T(spark, sf, "lineitem"), "l_partkey", ["l_suppkey"], k=64)
+
+
+@probe(
+    "x29_click_attribution",
+    sql="""
+        WITH c AS (
+            SELECT user_id, ts AS click_ts, event_id AS click_id
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+                   value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id, purchase_id, purchase_ts, click_id, click_ts,
+               purchase_value
+        FROM p JOIN c ON p.user_id = c.user_id
+            AND c.click_ts <= p.purchase_ts
+            AND c.click_ts >= p.purchase_ts - INTERVAL 12 HOURS
+    """,
+    note="purchase-to-click attribution interval join — the batch twin "
+    "of streaming/events.py attribute_purchases (stream-stream join "
+    "with watermark-bounded state); stream-vs-batch equality in "
+    "test_streaming.py",
+)
+def x29_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.streaming.events import attribute_purchases
+
+    return attribute_purchases(T(spark, sf, "events"))

@@ -93,6 +93,58 @@ def stream_exact_dedup(
     )
 
 
+def attribute_purchases(
+    events: DataFrame,
+    window: str = "12 hours",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Stream-stream interval join: every purchase pairs with the same
+    user's clicks from the trailing attribution ``window``.
+
+    Streaming semantics: both sides carry a watermark and the join
+    condition bounds event time on both sides, so Spark can size the
+    join state to (watermark + window) and evict — the unbounded-state
+    trap of stream-stream joins is the missing time bound, not the
+    join itself. On a batch frame the identical plan is a plain
+    interval self-join, which is how the test validates the streaming
+    result row-for-row.
+
+    Scale shape: the state store is keyed by ``user_col``; per-key
+    state holds only that key's events inside the horizon. Skewed keys
+    (bot users) bound the worst case, same mitigation as batch skew —
+    salt or cap per-key fan-in upstream.
+    """
+    c = events.where(F.col("event_type") == "click").select(
+        F.col(user_col).alias("c_user"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col(user_col).alias("p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"interval {window}"))
+    )
+    return p.join(c, cond).select(
+        F.col("p_user").alias(user_col),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "purchase_value",
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, query_name: str
 ) -> None:

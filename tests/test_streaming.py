@@ -175,6 +175,32 @@ def test_stream_exact_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     assert {r.text for r in spark.read.parquet(out).collect()} == {"aaa", "bbb", "ccc"}
 
 
+def test_stream_stream_join_matches_batch(spark, events, tmp_path):
+    """Stream-stream interval join (purchase ← trailing clicks): the
+    streaming result over one drained batch equals the batch interval
+    self-join row-for-row."""
+    from flytemosaic_spark.streaming.events import attribute_purchases
+
+    src = str(tmp_path / "src")
+    events.limit(3000).coalesce(1).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    want = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in attribute_purchases(batch).collect()
+    }
+    assert want, "attribution window produced no pairs — widen it"
+
+    stream = stream_new_files(spark, src, batch.schema)
+    run_available_now(
+        attribute_purchases(stream), str(tmp_path / "ckpt"), "attrib"
+    )
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.sql("select * from attrib").collect()
+    }
+    assert got == want
+
+
 def test_stream_exact_dedup_batch_fallback(spark, sf_dir):
     from flytemosaic_spark.streaming.events import stream_exact_dedup
 
