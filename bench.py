@@ -74,27 +74,30 @@ def main() -> None:
     flagship(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = flagship if name == "flagship" else probes[name].fn
         best = float("inf")
-        for _ in range(2):  # best-of-2: first run pays one-time JIT/codegen
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):  # best-of-2: first run pays one-time JIT/codegen
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # one bad query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -132,12 +132,27 @@ def p7_masked_avg(spark: SparkSession, sf: str) -> DataFrame:
 
 @probe(
     "p8_array_slice",
-    sql="SELECT vec_id, embedding[1:4] AS head4 FROM embeddings",
-    note="band slice ~ array slice (ref glad.py:262)",
+    sql="""
+        SELECT vec_id,
+               len(embedding[1:4]) AS head_len,
+               floor(list_sum(embedding[1:4]) * 10000.0 + 0.5) / 10000.0 AS head_sum
+        FROM embeddings
+    """,
+    note="band slice ~ array slice (ref glad.py:262). The slice itself is "
+    "computed in both engines; the probe projects scalar views of it "
+    "(length + left-to-right sum) because the driver's canonical hasher "
+    "sorts pandas frames and list cells are unhashable (round-1 failure).",
 )
 def p8_array_slice(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    head4 = F.slice("embedding", 1, 4)
     return T(spark, sf, "embeddings").select(
-        "vec_id", F.slice("embedding", 1, 4).alias("head4")
+        "vec_id",
+        F.size(head4).alias("head_len"),
+        portable_round(
+            F.aggregate(head4, F.lit(0.0), lambda acc, x: acc + x)
+        ).alias("head_sum"),
     )
 
 
@@ -664,9 +679,12 @@ def a18_histogram(spark: SparkSession, sf: str) -> DataFrame:
 def w8_rolling_1h(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.text import portable_round
 
+    # events.ts is TIMESTAMP_NTZ; Spark 4 forbids a direct NTZ->BIGINT
+    # cast, so hop through TIMESTAMP (session tz pinned to UTC in
+    # session.py, so this is the same epoch DuckDB's epoch() computes).
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
         .rangeBetween(-3600, 0)
     )
     return T(spark, sf, "events").select(

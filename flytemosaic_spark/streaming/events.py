@@ -22,7 +22,16 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructType, TimestampNTZType
+
+
+def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; parquet event times arrive as
+    TIMESTAMP_NTZ. Session tz is pinned to UTC (session.py), so the
+    cast is value-preserving."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def stream_new_files(
@@ -44,6 +53,7 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Tumbling-window counts+sums; works on both batch and streaming
     DataFrames (same Catalyst plan → the batch result is the oracle)."""
+    events = _as_event_time(events, ts_col)
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window(ts_col, window).alias("w"))
@@ -61,6 +71,7 @@ def sessionize_stream(
 ) -> DataFrame:
     """Session windows per user with a gap timeout — the streaming
     form of the x6 probe (batch gaps-and-islands oracle)."""
+    events = _as_event_time(events, ts_col)
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(user_col, F.session_window(ts_col, gap).alias("sw"))
@@ -85,7 +96,9 @@ def stream_exact_dedup(
     groupBy over the full corpus would not be. Batch DataFrames fall
     back to plain dropDuplicates (same semantics, full-corpus window),
     which is how the batch oracle validates the operator."""
-    hashed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    hashed = _as_event_time(docs, ts_col).withColumn(
+        "content_hash", F.md5(F.col(text_col))
+    )
     if not docs.isStreaming:
         return hashed.dropDuplicates(["content_hash"])
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
@@ -116,6 +129,7 @@ def attribute_purchases(
     (bot users) bound the worst case, same mitigation as batch skew —
     salt or cap per-key fan-in upstream.
     """
+    events = _as_event_time(events, ts_col)
     c = events.where(F.col("event_type") == "click").select(
         F.col(user_col).alias("c_user"),
         F.col(ts_col).alias("click_ts"),
