@@ -13,5 +13,6 @@ from flytemosaic_spark.probes.registry import Probe, all_probes, get_probe, prob
 from flytemosaic_spark.probes import relational  # noqa: E402,F401
 from flytemosaic_spark.probes import scalars  # noqa: E402,F401
 from flytemosaic_spark.probes import extensions  # noqa: E402,F401
+from flytemosaic_spark.probes import advanced  # noqa: E402,F401
 
 __all__ = ["Probe", "all_probes", "get_probe", "probe"]

@@ -1,0 +1,347 @@
+"""Round-2 operator surface: grouping sets, unpivot, conditional and
+arg-max aggregation, distribution window functions, fuzzy matching,
+regex/array/date scalar families, SCD2 history, and non-parquet
+source round-trips.
+
+Same contract as every probe module: the Spark body and the DuckDB
+oracle alias every computed column identically, and float outputs are
+rounded identically on both sides (see scalars.portable_round for the
+.5-boundary rationale).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flytemosaic_spark.probes.registry import T, probe
+
+# --------------------------------------------------------------------------
+# §2.4 aggregation extensions
+# --------------------------------------------------------------------------
+
+
+@probe(
+    "a19_grouping_sets",
+    sql="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """,
+    note="explicit GROUPING SETS — the general form a13 rollup / a14 "
+    "cube specialize; one hash-agg pass expands grouping ids, no "
+    "re-scan per set",
+)
+def a19_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """,
+        o=T(spark, sf, "orders"),
+    )
+
+
+@probe(
+    "a20_unpivot",
+    sql="""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+               l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem
+    """,
+    note="unpivot/melt wide→long (Spark native unpivot; oracle is the "
+    "UNION ALL expansion it desugars to)",
+)
+def a20_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+
+
+@probe(
+    "a21_conditional_agg",
+    sql="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               bool_or(o_orderstatus = 'O') AS any_open,
+               bool_and(o_totalprice > 0) AS all_pos,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'),
+                     2) AS total_f
+        FROM orders GROUP BY o_orderpriority
+    """,
+    note="conditional aggregates: count_if / bool_or / bool_and / "
+    "filtered sum — all partial-aggregatable, map-side combined",
+)
+def a21_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+            F.bool_or(F.col("o_orderstatus") == "O").alias("any_open"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+            F.round(
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+                ),
+                2,
+            ).alias("total_f"),
+        )
+    )
+
+
+@probe(
+    "a22_arg_max",
+    sql="""
+        SELECT c_mktsegment, c_custkey AS top_cust,
+               round(c_acctbal, 2) AS top_bal
+        FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+            FROM customer
+        ) WHERE rn = 1
+    """,
+    note="arg-max per group via max_by with a struct tie-break — a "
+    "single hash-agg (no sort, no window) where the oracle needs a "
+    "per-group window; ties broken by key so re-runs are identical",
+)
+def a22_arg_max(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr(
+                "max_by(c_custkey, struct(c_acctbal, c_custkey))"
+            ).alias("top_cust"),
+            F.round(F.max("c_acctbal"), 2).alias("top_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 window extensions
+# --------------------------------------------------------------------------
+
+
+@probe(
+    "w9_distribution_rank",
+    sql="""
+        SELECT o_orderkey,
+               ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    note="distribution window functions (ntile/percent_rank/cume_dist); "
+    "total order via the unique-key tie-break makes ntile deterministic",
+)
+def w9_distribution_rank(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return T(spark, sf, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 scalar-function extensions
+# --------------------------------------------------------------------------
+
+
+@probe(
+    "f17_fuzzy_pairs",
+    sql="""
+        SELECT a.p_brand AS block, a.p_partkey AS a_key,
+               b.p_partkey AS b_key,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+          AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    note="blocked fuzzy join (operators/fuzzy.py): block on brand, "
+    "length-gap prune, bounded levenshtein refine — the record-linkage "
+    "plan whose pair count is sum(block²), not n²",
+)
+def f17_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    return blocked_fuzzy_pairs(
+        T(spark, sf, "part"),
+        key_col="p_partkey",
+        text_col="p_name",
+        block_col="p_brand",
+        max_dist=2,
+    )
+
+
+@probe(
+    "f18_regexp_extract_all",
+    sql=r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\b(s[a-z]+)\b', 1)) AS n_s,
+               list_extract(regexp_extract_all(text, '\b(s[a-z]+)\b', 1),
+                            1) AS first_s
+        FROM documents
+    """,
+    note="regexp_extract_all over documents; scalar projections "
+    "(count + first match) keep the row hashable for the comparator",
+)
+def f18_regexp_extract_all(spark: SparkSession, sf: str) -> DataFrame:
+    hits = F.regexp_extract_all("text", F.lit(r"\b(s[a-z]+)\b"), 1)
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        F.size(hits).alias("n_s"),
+        F.try_element_at(hits, F.lit(1)).alias("first_s"),
+    )
+
+
+@probe(
+    "f19_array_setops",
+    sql="""
+        SELECT o_orderkey,
+               len(list_intersect(generate_series(1, 1 + o_orderkey % 7),
+                                  generate_series(1 + o_orderkey % 3, 8)))
+                   AS n_both,
+               len(list_distinct(list_concat(
+                       generate_series(1, 1 + o_orderkey % 7),
+                       generate_series(1 + o_orderkey % 3, 8)))) AS n_union,
+               len(list_filter(generate_series(1, 1 + o_orderkey % 7),
+                               x -> NOT list_contains(
+                                   generate_series(1 + o_orderkey % 3, 8),
+                                   x))) AS n_only_a
+        FROM orders
+    """,
+    note="array set algebra (intersect/union/except) — cardinality "
+    "projections because element order differs across engines",
+)
+def f19_array_setops(spark: SparkSession, sf: str) -> DataFrame:
+    a = F.sequence(F.lit(1), 1 + F.col("o_orderkey") % 7)
+    b = F.sequence(1 + F.col("o_orderkey") % 3, F.lit(8))
+    return T(spark, sf, "orders").select(
+        "o_orderkey",
+        F.size(F.array_intersect(a, b)).alias("n_both"),
+        F.size(F.array_union(a, b)).alias("n_union"),
+        F.size(F.array_except(a, b)).alias("n_only_a"),
+    )
+
+
+@probe(
+    "f21_date_arith",
+    sql="""
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                   AS plus3m,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               datediff('day', CAST(o_orderdate AS DATE),
+                        DATE '2002-01-01') AS days_left
+        FROM orders
+    """,
+    note="calendar arithmetic: add_months (end-of-month clamped the "
+    "same way in both engines), last_day, day diff",
+)
+def f21_date_arith(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.to_date("o_orderdate")
+    return T(spark, sf, "orders").select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus3m"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_left"),
+    )
+
+
+# --------------------------------------------------------------------------
+# history / sources
+# --------------------------------------------------------------------------
+
+
+@probe(
+    "x30_scd2",
+    sql="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+            FROM events
+        ), changes AS (
+            SELECT user_id, event_type, ts, event_id FROM ordered
+            WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) IS NULL AS is_current
+        FROM changes
+    """,
+    note="SCD2 history from a change log (operators/scd.py): collapse "
+    "consecutive repeats, close intervals with lead() — one exchange, "
+    "both windows share the sort",
+)
+def x30_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.scd import scd2_from_changes
+
+    return scd2_from_changes(
+        T(spark, sf, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        attr_col="event_type",
+        tie_col="event_id",
+    )
+
+
+def _roundtrip_dir(sf: str, fmt: str) -> str:
+    tag = re.sub(r"\W+", "_", sf.strip("/"))
+    return f"/tmp/flytemosaic_roundtrip_{fmt}_{tag}"
+
+
+_NATION_DDL = "n_nationkey bigint, n_name string, n_regionkey bigint"
+
+
+@probe(
+    "s12_csv_roundtrip",
+    sql="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    note="CSV sink+source round-trip: write the nation table as CSV, "
+    "read it back with an explicit schema — non-parquet source "
+    "coverage proven through the same oracle gate",
+)
+def s12_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    path = _roundtrip_dir(sf, "csv")
+    T(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(_NATION_DDL).option("header", True).csv(path)
+
+
+@probe(
+    "s13_json_roundtrip",
+    sql="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    note="JSON-lines sink+source round-trip with explicit schema",
+)
+def s13_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    path = _roundtrip_dir(sf, "json")
+    T(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").json(path)
+    return spark.read.schema(_NATION_DDL).json(path)
