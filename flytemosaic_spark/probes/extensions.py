@@ -136,6 +136,18 @@ def x3c_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "x3d_pq_topk",
+    sql=None,
+    note="product-quantization ANN (X3 compressed-scan path): corpus "
+    "compressed 32x to codebook indices, ADC scan, exact re-rank; "
+    "recall property-tested in tests/test_similarity.py",
+)
+def x3d_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    return similarity.pq_topk(corpus=emb, queries=emb.where(F.col("vec_id") < 10), k=5)
+
+
+@probe(
     "x4_text_stats",
     sql="""
         SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars

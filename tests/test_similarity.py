@@ -134,3 +134,30 @@ def test_kmeans_assignment_is_nearest_centroid(spark):
         d2 = ((C - vecs[r["id"]]) ** 2).sum(axis=1)
         assert r["cluster"] == int(d2.argmin())
         assert r["dist"] == pytest.approx(float(d2.min()), rel=1e-6)
+
+
+def test_pq_recall_vs_brute_force(spark, emb):
+    from flytemosaic_spark.operators.similarity import pq_topk
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    exact = _topk_sets(brute_force_topk(emb, queries, k=K).collect())
+    approx = _topk_sets(pq_topk(emb, queries, k=K).collect())
+    # ADC shortlist (4x over-fetch) + exact re-rank: high recall
+    assert _recall(approx, exact) >= 0.8
+
+
+def test_pq_reported_sims_are_exact(spark, emb):
+    """Re-ranked sims must equal the brute-force cosine for the same
+    (query, neighbor) pair — PQ approximates the candidate set, never
+    the reported similarity."""
+    from flytemosaic_spark.operators.similarity import pq_topk
+
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = {
+        (r.q_id, r.neighbor_id): r.sim
+        for r in brute_force_topk(emb, queries, k=50).collect()
+    }
+    for r in pq_topk(emb, queries, k=K).collect():
+        key = (r.q_id, r.neighbor_id)
+        if key in exact:
+            assert abs(r.sim - exact[key]) < 1e-9
