@@ -230,3 +230,67 @@ def stateful_user_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def event_type_totals_tws(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-(user, event_type) running counts via Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (SPARK-49564): typed state variables
+    (here a MapState keyed by event_type) live in the RocksDB state
+    store with optional TTL, instead of one opaque state tuple per
+    key. Each micro-batch emits the updated totals for every
+    (user, event_type) seen in that batch.
+
+    Scale shape identical to :func:`stateful_user_totals`: state is
+    partitioned by the grouping key, per-key state is bounded by the
+    user's distinct event types, and the RocksDB provider keeps the
+    working set off-heap — this is the operator shape for
+    billion-key continuous rollups.
+
+    Runtime requirement: the typed-state server protocol is
+    protobuf-based; environments without ``google.protobuf`` can plan
+    but not execute this operator (the test suite importorskips).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_counts: dict[str, int] = {}
+            for pdf in rows:
+                for et, n in pdf.groupby("event_type").size().items():
+                    batch_counts[et] = batch_counts.get(et, 0) + int(n)
+            out = []
+            for et, n in batch_counts.items():
+                prev = (
+                    self._counts.getValue((et,))[0]
+                    if self._counts.containsKey((et,))
+                    else 0
+                )
+                total = prev + n
+                self._counts.updateValue((et,), (total,))
+                out.append((key[0], et, total))
+            yield pd.DataFrame(
+                out, columns=[user_col, "event_type", "n_events"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(user_col).transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType=f"{user_col} long, event_type string, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -207,3 +207,64 @@ def test_stream_exact_dedup_batch_fallback(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = stream_exact_dedup(docs, ts_col="doc_id")
     assert out.count() == docs.select("text").distinct().count()
+
+
+def test_transform_with_state_totals_across_batches(spark, events, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API): MapState
+    accumulates per-(user, event_type) counts across two AvailableNow
+    runs; the last emitted row per pair equals the batch groupBy.
+
+    The state-server protocol needs protobuf at runtime; skip where
+    the container lacks it (the operator itself is plan-only here)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flytemosaic_spark.streaming.events import (
+        event_type_totals_tws,
+        stream_new_files,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    first = events.limit(600)
+    both = events.limit(1000)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (
+            event_type_totals_tws(stream_new_files(spark, src, schema))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    both.exceptAll(first).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    emitted = spark.read.parquet(out)
+    latest = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "event_type").orderBy(
+                    F.desc("n_events")
+                )
+            ),
+        )
+        .where("rn = 1")
+        .select("user_id", "event_type", "n_events")
+    )
+    want = both.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    assert sorted(map(tuple, latest.collect())) == sorted(
+        map(tuple, want.collect())
+    )
