@@ -39,6 +39,10 @@ HEADLINE = [
     "x26_ngram_freq",
     "x28_kmv_distinct",
     "w8_rolling_1h",
+    "a19_grouping_sets",
+    "w9_distribution_rank",
+    "f17_fuzzy_pairs",
+    "x30_scd2",
 ]
 
 

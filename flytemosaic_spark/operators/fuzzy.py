@@ -37,7 +37,13 @@ def blocked_fuzzy_pairs(
 ) -> DataFrame:
     """All unordered pairs within a block whose edit distance is at
     most ``max_dist``. Output: (block, a_key, b_key, dist)."""
-    a = df.select(
+    # A small single-file input would otherwise broadcast-join in ONE
+    # task and serialize the whole O(sum(block²)) refine; spreading the
+    # probe side across the cluster parallelizes it. When the input is
+    # big enough that the join is a shuffle join anyway, this exchange
+    # is subsumed by the join's own.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    a = df.repartition(parallelism).select(
         F.col(block_col).alias("block"),
         F.col(key_col).alias("a_key"),
         F.col(text_col).alias("a_text"),

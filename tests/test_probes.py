@@ -24,6 +24,7 @@ NO_ORACLE_OK = {
     "x2c_simhash",
     "x3b_lsh_topk",
     "x3c_ivf_topk",
+    "x3d_pq_topk",
     "x14_media_decode",
     "x15_mosaic_pipeline",
     "x23_kmeans_clusters",
