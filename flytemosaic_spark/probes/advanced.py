@@ -345,3 +345,81 @@ def s13_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     ).write.mode("overwrite").json(path)
     return spark.read.schema(_NATION_DDL).json(path)
+
+
+@probe(
+    "a24_string_agg",
+    sql="""
+        SELECT c_nationkey,
+               string_agg(c_name, ',' ORDER BY c_name) AS names
+        FROM customer WHERE c_custkey % 100 = 0
+        GROUP BY c_nationkey
+    """,
+    note="ordered string aggregation (listagg): collect_list + "
+    "array_sort + array_join — sort happens per group AFTER the "
+    "hash-agg, so the shuffle carries lists, not a global sort",
+)
+def a24_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "customer")
+        .where(F.col("c_custkey") % 100 == 0)
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "names"
+            )
+        )
+    )
+
+
+@probe(
+    "j8_lateral_topn",
+    sql="""
+        SELECT n_name, c.c_name, round(c.c_acctbal, 2) AS bal
+        FROM nation, LATERAL (
+            SELECT c_name, c_acctbal FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
+    """,
+    note="correlated LATERAL top-n per dimension row; the Spark plan "
+    "decorrelates to one window over the fact side + broadcast dim "
+    "join — no per-row re-execution, unlike a naive nested loop",
+)
+def j8_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    top = (
+        T(spark, sf, "customer")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 2)
+    )
+    return (
+        T(spark, sf, "nation")
+        .join(top, F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("n_name", "c_name", F.round("c_acctbal", 2).alias("bal"))
+    )
+
+
+@probe(
+    "s14_partitioned_write",
+    sql="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    note="hive-partitioned parquet sink + partition-pruned scan: write "
+    "orders partitioned by status, read back filtered — the filter "
+    "must become a PartitionFilter (zero data files of other "
+    "partitions opened), the layout primitive for 100 TB tables",
+)
+def s14_partitioned_write(spark: SparkSession, sf: str) -> DataFrame:
+    path = _roundtrip_dir(sf, "part_orders")
+    T(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )

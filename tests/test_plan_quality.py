@@ -67,3 +67,24 @@ def test_range_filter_is_pushed_down(spark, sf_dir):
     assert "PushedFilters: [" in plan
     # the probe's range predicate must actually reach the scan
     assert "GreaterThan" in plan or "IsNotNull" in plan
+
+
+def test_partitioned_write_scan_prunes_partitions(spark):
+    """s14: the status filter must land in PartitionFilters (directory
+    pruning), not PushedFilters — other partitions' files are never
+    opened."""
+    import contextlib
+    import io
+
+    from flytemosaic_spark.probes import all_probes
+
+    df = all_probes()["s14_partitioned_write"].fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan
