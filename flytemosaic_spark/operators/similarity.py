@@ -381,6 +381,50 @@ def _sq_l2(a: Column, lit_vec: list[float]) -> Column:
     return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _pq_normed_matrix(s: pd.Series) -> np.ndarray:
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _pq_udfs(books_np: list[np.ndarray], d: int):
+    """Arrow-batched encoder (nearest code per subspace) and per-query
+    LUT builder (distance to every codebook entry), closed over the
+    trained codebooks."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def encode_codes(s: pd.Series) -> pd.Series:
+        x = _pq_normed_matrix(s)
+        cols = []
+        for j, cents in enumerate(books_np):
+            sub = x[:, j * d : (j + 1) * d]
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cols.append(d2.argmin(axis=1))
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    @pandas_udf("array<double>")
+    def build_lut(s: pd.Series) -> pd.Series:
+        x = _pq_normed_matrix(s)
+        blocks = []
+        for j, cents in enumerate(books_np):
+            sub = x[:, j * d : (j + 1) * d]
+            blocks.append(((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2))
+        return pd.Series(list(np.concatenate(blocks, axis=1)))
+
+    return encode_codes, build_lut
+
+
+def _adc(m: int, ks: int) -> Column:
+    """Asymmetric distance: sum of m LUT lookups (JVM-side) over the
+    `lut` (query) and `codes` (corpus) columns."""
+    expr = F.lit(0.0)
+    for j in range(m):
+        expr = expr + F.element_at(
+            F.col("lut"), (F.lit(j * ks) + F.element_at(F.col("codes"), j + 1) + 1)
+        )
+    return expr
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -419,36 +463,10 @@ def pq_topk(
     ADC scan, the only O(|q|·|corpus|) stage) stays JVM-side: m
     ``element_at`` lookups per pair.
     """
-    from pyspark.sql.functions import pandas_udf
-
     books = _train_pq_codebooks(corpus, vec_col, id_col, m=m, ks=ks)
     books_np = [np.asarray(b, dtype=np.float64) for b in books]
     d = len(books[0][0])
-
-    def _to_normed_matrix(s: pd.Series) -> np.ndarray:
-        x = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
-        return x / np.linalg.norm(x, axis=1, keepdims=True)
-
-    @pandas_udf("array<int>")
-    def encode_codes(s: pd.Series) -> pd.Series:
-        x = _to_normed_matrix(s)
-        cols = []
-        for j, cents in enumerate(books_np):
-            sub = x[:, j * d : (j + 1) * d]
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            cols.append(d2.argmin(axis=1))
-        codes = np.stack(cols, axis=1)
-        return pd.Series(list(codes))
-
-    @pandas_udf("array<double>")
-    def build_lut(s: pd.Series) -> pd.Series:
-        x = _to_normed_matrix(s)
-        blocks = []
-        for j, cents in enumerate(books_np):
-            sub = x[:, j * d : (j + 1) * d]
-            blocks.append(((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2))
-        lut = np.concatenate(blocks, axis=1)
-        return pd.Series(list(lut))
+    encode_codes, build_lut = _pq_udfs(books_np, d)
 
     enc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -460,17 +478,107 @@ def pq_topk(
         build_lut(F.col(vec_col)).alias("lut"),
     )
 
-    adc = F.lit(0.0)
-    for j in range(m):
-        adc = adc + F.element_at(
-            F.col("lut"), (F.lit(j * ks) + F.element_at(F.col("codes"), j + 1) + 1)
-        )
+    adc = _adc(m, ks)
     w_adc = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     shortlist = (
         F.broadcast(q)
         .crossJoin(enc)
         .where(F.col("q_id") != F.col("neighbor_id"))
         .select("q_id", "q_vec", "neighbor_id", adc.alias("adc"))
+        .withColumn("_r", F.row_number().over(w_adc))
+        .where(F.col("_r") <= rerank_factor * k)
+    )
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(raw, "neighbor_id")
+        .select("q_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    ks: int = 32,
+    rerank_factor: int = 8,
+) -> DataFrame:
+    """IVF-PQ: the composition that serves web-scale ANN — a coarse
+    quantizer prunes which inverted lists each query visits
+    (:func:`ivf_topk`'s shape), and within the visited lists the scan
+    is PQ-compressed asymmetric distance (:func:`pq_topk`'s shape).
+
+    Scale accounting vs either alone: candidate generation is an
+    EQUI-join on centroid_id (≈ nprobe/n_centroids of the corpus per
+    query, shuffled by list id), and each visited row costs m LUT
+    lookups on an ~32x-smaller encoded table; the raw vectors are
+    touched only for the final rerank_factor·k exact re-rank per
+    query. This variant encodes raw (normalized) vectors rather than
+    residuals — residual encoding slots into the same plan by
+    subtracting the assigned centroid inside the encode/LUT UDFs.
+    """
+    books = _train_pq_codebooks(corpus, vec_col, id_col, m=m, ks=ks)
+    books_np = [np.asarray(b, dtype=np.float64) for b in books]
+    d = len(books[0][0])
+    encode_codes, build_lut = _pq_udfs(books_np, d)
+
+    # coarse quantizer: deterministic hash-sampled centroids (ivf_topk)
+    stride = max(1, corpus.count() // n_centroids)
+    centroid_rows = (
+        corpus.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
+        .collect()
+    )
+
+    def _scored_array(vec: Column) -> Column:
+        entries = [
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(v)) for v in r.centroid])).alias(
+                    "csim"
+                ),
+                F.lit(r.centroid_id).alias("centroid_id"),
+            )
+            for r in centroid_rows
+        ]
+        return F.array(*entries)
+
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array_max(_scored_array(F.col(vec_col)))["centroid_id"].alias(
+            "centroid_id"
+        ),
+        encode_codes(F.col(vec_col)).alias("codes"),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        build_lut(F.col(vec_col)).alias("lut"),
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(_scored_array(F.col(vec_col)))),
+                1,
+                nprobe,
+            )["centroid_id"]
+        ).alias("centroid_id"),
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        probed.join(enc, "centroid_id")
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "q_vec", "neighbor_id", _adc(m, ks).alias("adc"))
         .withColumn("_r", F.row_number().over(w_adc))
         .where(F.col("_r") <= rerank_factor * k)
     )

@@ -423,3 +423,32 @@ def s14_partitioned_write(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     )
+
+
+@probe(
+    "w10_gap_fill",
+    sql="""
+        SELECT event_id, user_id,
+               last_value(CASE WHEN event_type = 'view' THEN NULL
+                               ELSE value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled
+        FROM events
+    """,
+    note="forward-fill / LOCF gap filling per key (the timeseries "
+    "staple): last(... ignorenulls) over a running frame — one "
+    "exchange on the key, streaming frame evaluation, no self-join",
+)
+def w10_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    sparse = F.when(F.col("event_type") != "view", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return T(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.last(sparse, ignorenulls=True).over(w).alias("filled"),
+    )

@@ -148,6 +148,20 @@ def x3d_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "x3e_ivf_pq_topk",
+    sql=None,
+    note="IVF-PQ composed ANN (coarse-quantizer list pruning + "
+    "PQ-compressed ADC scan within lists + exact re-rank); recall "
+    "property-tested in tests/test_similarity.py",
+)
+def x3e_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    return similarity.ivf_pq_topk(
+        corpus=emb, queries=emb.where(F.col("vec_id") < 10), k=5
+    )
+
+
+@probe(
     "x4_text_stats",
     sql="""
         SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars

@@ -161,3 +161,13 @@ def test_pq_reported_sims_are_exact(spark, emb):
         key = (r.q_id, r.neighbor_id)
         if key in exact:
             assert abs(r.sim - exact[key]) < 1e-9
+
+
+def test_ivf_pq_recall_vs_brute_force(spark, emb):
+    from flytemosaic_spark.operators.similarity import ivf_pq_topk
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    exact = _topk_sets(brute_force_topk(emb, queries, k=K).collect())
+    approx = _topk_sets(ivf_pq_topk(emb, queries, k=K).collect())
+    # bounded by IVF pruning (nprobe/n_centroids of the corpus seen)
+    assert _recall(approx, exact) >= 0.5

@@ -34,9 +34,10 @@ CROSS_OK = {
     "x3_cosine_topk",
     "x3c_ivf_topk",
     "x3d_pq_topk",
+    "x3e_ivf_pq_topk",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
-PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x13", "s5")
+PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
 
 TABLE_WIDTHS = {
     "lineitem": 16, "orders": 9, "customer": 8, "supplier": 7, "part": 9,
