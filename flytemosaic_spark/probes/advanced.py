@@ -452,3 +452,30 @@ def w10_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.last(sparse, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@probe(
+    "w2b_distributed_cumsum",
+    sql="""
+        SELECT o_orderkey,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   OVER (ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cents
+        FROM orders
+    """,
+    note="scale-path twin of w2: two-pass range-bucketed prefix sum "
+    "(plans/prefix.py) — per-bucket parallel running sums + a "
+    "metadata-scale offset cumsum, no single-partition global sort; "
+    "bit-identical to the oracle's global window on integer values",
+)
+def w2b_distributed_cumsum(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.plans.prefix import distributed_cumsum
+
+    orders = T(spark, sf, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("_cents"),
+    )
+    return distributed_cumsum(
+        orders, "o_orderkey", "_cents", out_col="cum_cents"
+    ).select("o_orderkey", "cum_cents")

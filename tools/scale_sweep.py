@@ -1,0 +1,111 @@
+"""Scale sweep: measure headline operators at 1x / 10x / 100x sf0.01.
+
+The driver testdata tops out at sf0.1 (~600k lineitem rows); to see
+whether each plan's cost actually tracks data size (and not fixed
+overheads, and not superlinearly), this tool replicates the sf0.1
+tables with key-shifted copies up to ~6M lineitem rows and times a
+representative probe per plan family at each scale. Replicas shift
+every join/group key by i*stride so key cardinality grows with data
+(no artificial skew, joins stay 1:N exactly as in the original).
+
+This is a measurement harness, NOT probe input — correctness probes
+always run on the driver's own parquet.
+
+Usage: python tools/scale_sweep.py [max_factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flytemosaic_spark.probes import all_probes  # noqa: E402
+from flytemosaic_spark.session import get_spark  # noqa: E402
+from flytemosaic_spark.sources.tables import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/flytemosaic_scale_sweep"
+
+# (table, key columns to shift per replica)
+SHIFT_KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],
+    "region": [],
+}
+
+PROBES = [
+    "a6_masked_mean_by_key",  # hash-agg
+    "j3_equi_join",  # shuffle join
+    "w2_cumsum",  # window
+    "x1_exact_dedup",  # hash dedup
+    "w7_topk_per_group",  # window top-k
+    "x22_asof_attribution",  # as-of union+window
+]
+
+
+def materialize(spark, factor: int) -> str:
+    out = f"{WORK}/x{factor}"
+    marker = f"{out}/_DONE"
+    if os.path.exists(marker):
+        return out
+    for name, keys in SHIFT_KEYS.items():
+        df = load_table(spark, BASE, name)
+        stride = 10_000_000
+        parts = []
+        for i in range(factor):
+            p = df
+            for k in keys:
+                p = p.withColumn(k, F.col(k) + F.lit(i * stride))
+            parts.append(p)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+    open(marker, "w").close()
+    return out
+
+
+def main() -> None:
+    max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    factors = [f for f in (1, 3, 10) if f <= max_factor]
+    spark = get_spark(
+        "scale-sweep",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    probes = all_probes()
+    dirs = {f: materialize(spark, f) for f in factors}
+    print(f"{'probe':28s} " + " ".join(f"x{f:>2d}(s)" for f in factors))
+    for name in PROBES:
+        times = []
+        for f in factors:
+            fn = probes[name].fn
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, dirs[f]).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            times.append(best)
+        ratio = times[-1] / times[0] if times[0] else float("nan")
+        print(
+            f"{name:28s} "
+            + " ".join(f"{t:6.2f}" for t in times)
+            + f"   x{factors[-1]}/x1 = {ratio:.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
