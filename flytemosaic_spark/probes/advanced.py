@@ -479,3 +479,40 @@ def w2b_distributed_cumsum(spark: SparkSession, sf: str) -> DataFrame:
     return distributed_cumsum(
         orders, "o_orderkey", "_cents", out_col="cum_cents"
     ).select("o_orderkey", "cum_cents")
+
+
+@probe(
+    "x31_udtf_tokens",
+    sql="""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+        )
+        SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, ws[i] AS token
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(ws))) AS i
+        ) g
+    """,
+    note="Python UDTF surface (SURVEY §2.9): an Arrow-optimized "
+    "table function exploding documents into (pos, token) rows via "
+    "SQL LATERAL — the API for custom row-generating logic Spark's "
+    "built-in generators can't express (here equivalent to posexplode, "
+    "which IS how a production tokenizer should run; the probe pins "
+    "the UDTF machinery itself against that oracle)",
+)
+def x31_udtf_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string", useArrow=True)
+    class TokenizeUDTF:
+        def eval(self, text: str):
+            for i, w in enumerate(text.strip().split(" ")):
+                yield i, w
+
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    T(spark, sf, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
