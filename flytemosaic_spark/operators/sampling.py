@@ -72,3 +72,38 @@ def split_assign(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     label = expr.otherwise(default) if expr is not None else F.lit(default)
     return df.withColumn("split", label)
+
+
+def domain_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    total: int,
+) -> DataFrame:
+    """Compose a fixed-size training mix with exact per-domain counts
+    (e.g. 50% en / 30% code / 20% rest of a 10M-doc budget).
+
+    Where :func:`stratified_sample` filters at a *rate* (shuffle-free
+    but approximate counts), curriculum mixing needs exact counts per
+    domain: rank each stratum by the deterministic md5 order (an
+    unbiased uniform permutation, reproducible under retry) and keep
+    the first floor(weight·total) rows. One exchange on the stratum
+    key; the rank is a per-stratum window, so no global sort. Strata
+    missing from ``weights`` are dropped (weight 0).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(key_col)), F.col(key_col)
+    )
+    quota = F.lit(0)
+    for stratum, weight in sorted(weights.items()):
+        quota = F.when(
+            F.col(strata_col) == stratum, F.lit(int(weight * total))
+        ).otherwise(quota)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= quota)
+        .drop("_rn")
+    )

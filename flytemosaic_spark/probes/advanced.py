@@ -516,3 +516,84 @@ def x31_udtf_tokens(spark: SparkSession, sf: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t
         """
     )
+
+
+@probe(
+    "x32_model_score",
+    sql="""
+        SELECT doc_id,
+               floor(
+                   (1.0 / (1.0 + exp(-(
+                       -1.0
+                       + 2.0 * least(len(string_split_regex(trim(text),
+                                                            '\\s+'))
+                               / 100.0, 1.0)
+                       + 1.5 * ((length(text)
+                                 - length(replace(replace(replace(text, '.',
+                                           ''), ',', ''), '!', '')))
+                                / greatest(length(text), 1))
+                   )))) * 10000.0 + 0.5
+               ) / 10000.0 AS score
+        FROM documents
+    """,
+    note="literal-weight model scoring (the fasttext-style quality-"
+    "classifier shape): features as column expressions, sigmoid of "
+    "the dot product — whole-stage-codegen'd scoring at scan "
+    "speed, the pattern for applying any exported linear model "
+    "without a UDF",
+)
+def x32_model_score(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round, token_count
+
+    text = F.col("text")
+    f_len = F.least(token_count(text).cast("double") / 100.0, F.lit(1.0))
+    n_punct = (
+        F.length(text)
+        - F.length(
+            F.replace(
+                F.replace(F.replace(text, F.lit("."), F.lit("")), F.lit(","),
+                          F.lit("")),
+                F.lit("!"),
+                F.lit(""),
+            )
+        )
+    ).cast("double")
+    f_punct = n_punct / F.greatest(F.length(text), F.lit(1)).cast("double")
+    logit = F.lit(-1.0) + 2.0 * f_len + 1.5 * f_punct
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return T(spark, sf, "documents").select(
+        "doc_id", portable_round(score).alias("score")
+    )
+
+
+@probe(
+    "x33_domain_mix",
+    sql="""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4),
+                                doc_id) AS rn
+            FROM documents
+        )
+        SELECT doc_id, lang FROM ranked
+        WHERE (lang = 'en' AND rn <= 100)
+           OR (lang = 'es' AND rn <= 60)
+           OR (lang = 'zh' AND rn <= 40)
+    """,
+    note="curriculum domain mixing with exact per-domain counts "
+    "(operators/sampling.py:domain_mix): deterministic md5-order rank "
+    "per stratum, keep floor(weight*total) — reproducible under "
+    "retry, one exchange, no global sort",
+)
+def x33_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.sampling import domain_mix
+
+    return domain_mix(
+        T(spark, sf, "documents").select("doc_id", "lang"),
+        weights={"en": 0.5, "es": 0.3, "zh": 0.2},
+        strata_col="lang",
+        key_col="doc_id",
+        total=200,
+    )
