@@ -597,3 +597,28 @@ def x33_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
         key_col="doc_id",
         total=200,
     )
+
+
+@probe(
+    "j9_null_safe_join",
+    sql="""
+        SELECT coalesce(a.k, '<null>') AS key, count(*) AS n_pairs
+        FROM (SELECT nullif(lang, 'zh') AS k FROM documents) a
+        JOIN (SELECT nullif(lang, 'zh') AS k FROM documents) b
+          ON a.k IS NOT DISTINCT FROM b.k
+        GROUP BY coalesce(a.k, '<null>')
+    """,
+    note="null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other — still a hash join (the null-safe comparator "
+    "is a join key transform, not a theta join)",
+)
+def j9_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents").select(
+        F.nullif("lang", F.lit("zh")).alias("k")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, F.col("a.k").eqNullSafe(F.col("b.k")))
+        .groupBy(F.coalesce(F.col("a.k"), F.lit("<null>")).alias("key"))
+        .agg(F.count("*").alias("n_pairs"))
+    )

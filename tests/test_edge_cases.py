@@ -1,0 +1,75 @@
+"""Degenerate-input robustness for the round-2 operators: empty
+frames, single rows, quota overrun, zero thresholds. Operators that
+work at 100 TB must also not blow up at 0 rows — empty partitions and
+empty groups are routine at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flytemosaic_spark.operators.fuzzy import blocked_fuzzy_pairs
+from flytemosaic_spark.operators.sampling import domain_mix
+from flytemosaic_spark.operators.scd import scd2_from_changes
+from flytemosaic_spark.plans.prefix import distributed_cumsum
+
+
+def _empty_like(spark, schema_ddl):
+    return spark.createDataFrame([], schema_ddl)
+
+
+def test_fuzzy_empty_and_exact_zero(spark):
+    empty = _empty_like(spark, "k long, t string, b string")
+    assert blocked_fuzzy_pairs(empty, "k", "t", "b", 2).count() == 0
+
+    df = spark.createDataFrame(
+        [(1, "same", "x"), (2, "same", "x"), (3, "diff!", "x")],
+        "k long, t string, b string",
+    )
+    rows = blocked_fuzzy_pairs(df, "k", "t", "b", 0).collect()
+    assert [(r.a_key, r.b_key, r.dist) for r in rows] == [(1, 2, 0)]
+
+
+def test_scd2_single_event_and_empty(spark):
+    empty = _empty_like(spark, "u long, ts timestamp, a string, e long")
+    assert scd2_from_changes(empty, "u", "ts", "a", "e").count() == 0
+
+    one = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", "on", 1)],
+        "u long, ts string, a string, e long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = scd2_from_changes(one, "u", "ts", "a", "e").collect()
+    assert len(rows) == 1
+    assert rows[0].is_current and rows[0].valid_to is None
+
+
+def test_domain_mix_quota_exceeds_stratum(spark):
+    """A weight asking for more rows than the stratum has yields the
+    whole stratum, never an error or duplicates."""
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh") for i in range(10)], "id long, lang string"
+    )
+    out = domain_mix(df, {"en": 1.0}, "lang", "id", total=1000).collect()
+    assert sorted(r.id for r in out) == [1, 3, 5, 7, 9]
+
+
+def test_domain_mix_unlisted_stratum_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "fr")], "id long, lang string"
+    )
+    out = domain_mix(df, {"en": 1.0}, "lang", "id", total=10).collect()
+    assert [r.lang for r in out] == ["en"]
+
+
+def test_distributed_cumsum_empty_single_and_one_bucket(spark):
+    empty = _empty_like(spark, "k long, v long")
+    assert distributed_cumsum(empty, "k", "v").count() == 0
+
+    one = spark.createDataFrame([(5, 42)], "k long, v long")
+    rows = distributed_cumsum(one, "k", "v").collect()
+    assert rows[0].cumsum == 42
+
+    # constant key: every row lands in one bucket; running sum must
+    # still be correct (tie order via tie_cols)
+    same = spark.createDataFrame([(1, i, 1) for i in range(100)], "k long, t long, v long")
+    got = distributed_cumsum(same, "k", "v", tie_cols=("t",), n_buckets=8).collect()
+    assert sorted(r.cumsum for r in got) == list(range(1, 101))
