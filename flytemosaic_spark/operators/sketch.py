@@ -122,3 +122,63 @@ def kmv_distinct_large(
         F.least(F.col("_nd"), F.lit(k)).cast("bigint").alias("n_exact_capped"),
         portable_round(est).alias("kmv_estimate"),
     )
+
+
+def kmv_state(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """The mergeable sketch state: per group, the (≤k) smallest
+    distinct 60-bit hashes, sorted. This is the column you persist in
+    an incremental rollup (see operators/incremental.py:merge_rollup):
+    per-partition states merge associatively and the estimate
+    finalizes from the state alone — no rescan of history."""
+    group_cols = group_cols or []
+    hashed = df.select(*group_cols, _h60(F.col(value_col)).alias("_h"))
+    return (
+        hashed.groupBy(*group_cols)
+        .agg(F.collect_set("_h").alias("_hs"))
+        .select(
+            *group_cols, F.slice(F.array_sort("_hs"), 1, k).alias("_mins")
+        )
+    )
+
+
+def kmv_merge_states(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Associative merge: union both sides' minima per group, dedupe,
+    keep the k smallest. A group truncated at k on either side still
+    merges correctly — its k minima dominate the union's low end."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols)
+        .agg(F.flatten(F.collect_list("_mins")).alias("_all"))
+        .select(
+            *group_cols,
+            F.slice(F.array_sort(F.array_distinct("_all")), 1, k).alias(
+                "_mins"
+            ),
+        )
+    )
+
+
+def kmv_finalize(states: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Estimate from the state alone. A state with fewer than k minima
+    holds EVERY distinct hash seen (truncation only happens at k), so
+    its size is the exact distinct count; otherwise (k-1)/h_(k)."""
+    kth = F.try_element_at("_mins", F.size("_mins"))
+    nd = F.size("_mins")
+    est = F.when(nd < k, nd.cast("double")).otherwise(
+        (F.lit(float(k - 1)) * _HASH_SPACE) / (kth + 1)
+    )
+    return states.select(
+        *group_cols,
+        nd.cast("bigint").alias("n_exact_capped"),
+        portable_round(est).alias("kmv_estimate"),
+    )

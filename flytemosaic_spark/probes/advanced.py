@@ -622,3 +622,42 @@ def j9_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("a.k"), F.lit("<null>")).alias("key"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@probe(
+    "x34_incremental_rollup",
+    sql="""
+        SELECT o_custkey, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total_r,
+               round(min(o_totalprice), 2) AS mn_r,
+               round(max(o_totalprice), 2) AS mx_r
+        FROM orders GROUP BY o_custkey
+    """,
+    note="incremental rollup maintenance (operators/incremental.py:"
+    "merge_rollup): the aggregate of pre-1997 history is MERGED with "
+    "the aggregate of the 1997+ delta — algebraic partial-state "
+    "combine, never rescanning history; the oracle is the full "
+    "recompute the merge must equal",
+)
+def x34_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.incremental import (
+        merge_rollup,
+        rollup_state,
+    )
+
+    orders = T(spark, sf, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    hist = rollup_state(
+        orders.where(F.col("o_orderdate") < cutoff), ["o_custkey"], "o_totalprice"
+    )
+    delta = rollup_state(
+        orders.where(F.col("o_orderdate") >= cutoff), ["o_custkey"], "o_totalprice"
+    )
+    merged = merge_rollup(hist, delta, ["o_custkey"])
+    return merged.select(
+        "o_custkey",
+        "n",
+        F.round("total", 2).alias("total_r"),
+        F.round("mn", 2).alias("mn_r"),
+        F.round("mx", 2).alias("mx_r"),
+    )

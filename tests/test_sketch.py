@@ -57,3 +57,29 @@ def test_kmv_large_form_is_bit_identical(spark):
         .collect()
     )
     assert a == b
+
+
+def test_kmv_merge_equals_direct(spark):
+    """Sketching two halves and merging must give the exact same
+    estimate as sketching everything at once — the property that makes
+    the sketch usable in incremental rollups and partial aggregation."""
+    from flytemosaic_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_finalize,
+        kmv_merge_states,
+        kmv_state,
+    )
+    from flytemosaic_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    cut = F.lit("1997-06-01").cast("timestamp")
+    sa = kmv_state(li.where(F.col("l_shipdate") < cut), "l_partkey", ["l_suppkey"])
+    sb = kmv_state(li.where(F.col("l_shipdate") >= cut), "l_partkey", ["l_suppkey"])
+    merged = kmv_finalize(
+        kmv_merge_states(sa, sb, ["l_suppkey"]), ["l_suppkey"]
+    )
+    direct = kmv_distinct(li, "l_partkey", ["l_suppkey"])
+    got = {r.l_suppkey: (r.n_exact_capped, r.kmv_estimate) for r in merged.collect()}
+    want = {r.l_suppkey: (r.n_exact_capped, r.kmv_estimate) for r in direct.collect()}
+    assert got == want
