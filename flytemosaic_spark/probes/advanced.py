@@ -661,3 +661,58 @@ def x34_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.round("mn", 2).alias("mn_r"),
         F.round("mx", 2).alias("mx_r"),
     )
+
+
+@probe(
+    "a25_multi_distinct",
+    sql="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS nd_part,
+               count(DISTINCT l_suppkey) AS nd_supp,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    note="multiple DISTINCT aggregates in one pass — Catalyst expands "
+    "rows per distinct set (Expand) then two-phase aggregates; one "
+    "scan, not one scan per distinct column",
+)
+def a25_multi_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@probe(
+    "x35_sliding_window",
+    sql="""
+        WITH buckets AS (
+            SELECT ts, value,
+                   time_bucket(INTERVAL '5 minutes', ts)
+                       - INTERVAL (g.i * 5) MINUTE AS w_start
+            FROM events, LATERAL (
+                SELECT unnest(generate_series(0, 1)) AS i
+            ) g
+            WHERE ts < time_bucket(INTERVAL '5 minutes', ts)
+                       - INTERVAL (g.i * 5) MINUTE + INTERVAL 10 MINUTE
+        )
+        SELECT w_start AS bucket, count(*) AS n,
+               round(sum(value), 2) AS total
+        FROM buckets GROUP BY w_start
+    """,
+    note="sliding (hopping) event windows — 10-minute window, 5-minute "
+    "hop: each event lands in window/hop buckets (Spark expands, then "
+    "a plain hash-agg; identical plan shape streams with a watermark)",
+)
+def x35_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("bucket"), "n", "total")
+    )
