@@ -716,3 +716,49 @@ def x35_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .select(F.col("w.start").alias("bucket"), "n", "total")
     )
+
+
+@probe(
+    "x36_snapshot_diff",
+    sql="""
+        WITH old AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 97 <> 0
+        ),
+        new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 31 = 0
+                        THEN o_totalprice + 1.0 ELSE o_totalprice END
+                       AS o_totalprice
+            FROM orders WHERE o_orderkey % 89 <> 0
+        )
+        SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+               CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                    WHEN new.o_orderkey IS NULL THEN 'removed'
+                    WHEN old.o_totalprice <> new.o_totalprice THEN 'changed'
+               END AS change
+        FROM old FULL OUTER JOIN new USING (o_orderkey)
+        WHERE CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                   WHEN new.o_orderkey IS NULL THEN 'removed'
+                   WHEN old.o_totalprice <> new.o_totalprice THEN 'changed'
+              END IS NOT NULL
+    """,
+    note="snapshot diff / reconciliation (operators/diff.py): one "
+    "full-outer join on the key with scan-side row digests — the join "
+    "carries (key, hash), never payloads; deterministic synthetic old/"
+    "new derived from orders so the oracle replays the same diff",
+)
+def x36_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.diff import snapshot_diff
+
+    orders = T(spark, sf, "orders")
+    old = orders.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])

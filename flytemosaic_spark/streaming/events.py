@@ -50,13 +50,18 @@ def windowed_event_counts(
     window: str = "10 minutes",
     watermark: str = "30 minutes",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts+sums; works on both batch and streaming
-    DataFrames (same Catalyst plan → the batch result is the oracle)."""
+    """Tumbling (or, with ``slide``, hopping) window counts+sums;
+    works on both batch and streaming DataFrames (same Catalyst plan →
+    the batch result is the oracle)."""
     events = _as_event_time(events, ts_col)
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
     return (
-        src.groupBy(F.window(ts_col, window).alias("w"))
+        src.groupBy(win.alias("w"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .select(F.col("w.start").alias("bucket"), "n", "total")
     )

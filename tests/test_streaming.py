@@ -268,3 +268,26 @@ def test_transform_with_state_totals_across_batches(spark, events, tmp_path):
     assert sorted(map(tuple, latest.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_sliding_window_stream_matches_batch(spark, events, tmp_path):
+    """Hopping windows (10 min / 5 min hop): the streaming result over
+    a drained file source equals the identical batch plan."""
+    src = str(tmp_path / "src")
+    events.limit(2000).coalesce(1).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    want = {
+        (str(r.bucket), r.n, r.total)
+        for r in windowed_event_counts(batch, slide="5 minutes").collect()
+    }
+    stream = stream_new_files(spark, src, batch.schema)
+    run_available_now(
+        windowed_event_counts(stream, slide="5 minutes"),
+        str(tmp_path / "ckpt"),
+        "slide_counts",
+    )
+    got = {
+        (str(r.bucket), r.n, r.total)
+        for r in spark.sql("select * from slide_counts").collect()
+    }
+    assert got == want
