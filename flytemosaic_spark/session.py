@@ -51,4 +51,8 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    from flytemosaic_spark.shipping import ship_package
+
+    ship_package(spark)
+    return spark

@@ -27,6 +27,9 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from flytemosaic_spark.shipping import ship_package
+
+    ship_package(spark)  # workers must import this package (pandas UDFs)
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
