@@ -171,3 +171,23 @@ def test_ivf_pq_recall_vs_brute_force(spark, emb):
     approx = _topk_sets(ivf_pq_topk(emb, queries, k=K).collect())
     # bounded by IVF pruning (nprobe/n_centroids of the corpus seen)
     assert _recall(approx, exact) >= 0.5
+
+
+def test_persisted_pq_index_matches_inline(spark, emb, tmp_path):
+    """build-once/query-many: results from the persisted index equal
+    the inline pq_topk run with the same parameters (same codebook
+    training order, same encode, same re-rank)."""
+    from flytemosaic_spark.operators.similarity import (
+        build_pq_index,
+        pq_index_topk,
+        pq_topk,
+    )
+
+    queries = emb.where(F.col("vec_id") < 5)
+    idx = str(tmp_path / "pq_index")
+    build_pq_index(emb, idx)
+    got = sorted(
+        map(tuple, pq_index_topk(spark, idx, emb, queries, k=K).collect())
+    )
+    want = sorted(map(tuple, pq_topk(emb, queries, k=K).collect()))
+    assert got == want
