@@ -762,3 +762,56 @@ def x36_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
     )
     return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
+_BOX_A_SQL = """
+    SELECT p_partkey AS a_id,
+           CAST(p_partkey * 37 % 1000 AS DOUBLE) AS minx,
+           CAST(p_partkey * 61 % 1000 AS DOUBLE) AS miny,
+           CAST(p_partkey * 37 % 1000 + 1 + p_partkey % 20 AS DOUBLE) AS maxx,
+           CAST(p_partkey * 61 % 1000 + 1 + p_partkey % 15 AS DOUBLE) AS maxy
+    FROM part
+"""
+_BOX_B_SQL = """
+    SELECT s_suppkey AS b_id,
+           CAST(s_suppkey * 53 % 1000 AS DOUBLE) AS minx,
+           CAST(s_suppkey * 29 % 1000 AS DOUBLE) AS miny,
+           CAST(s_suppkey * 53 % 1000 + 1 + s_suppkey % 40 AS DOUBLE) AS maxx,
+           CAST(s_suppkey * 29 % 1000 + 1 + s_suppkey % 35 AS DOUBLE) AS maxy
+    FROM supplier
+"""
+
+
+@probe(
+    "j10_grid_spatial_join",
+    sql=f"""
+        WITH a AS ({_BOX_A_SQL}), b AS ({_BOX_B_SQL})
+        SELECT a_id, b_id FROM a JOIN b
+          ON a.minx <= b.maxx AND b.minx <= a.maxx
+         AND a.miny <= b.maxy AND b.miny <= a.maxy
+    """,
+    note="grid-binned bbox join (operators/spatial.py): boxes explode "
+    "to covered grid cells, candidates meet via an EQUI-join on the "
+    "cell, exact overlap refines, owner-cell filter dedupes without a "
+    "distinct — the scalable form of J1's spatial intersects (oracle "
+    "is the naive theta join it must equal); deterministic synthetic "
+    "boxes derived from part/supplier keys",
+)
+def j10_grid_spatial_join(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.spatial import grid_bbox_join
+
+    def boxes(df: DataFrame, key: str, mx: int, my: int, wx: int, wy: int, out: str):
+        k = F.col(key)
+        minx = (k * mx % 1000).cast("double")
+        miny = (k * my % 1000).cast("double")
+        return df.select(
+            k.alias(out),
+            minx.alias("minx"),
+            miny.alias("miny"),
+            (minx + 1 + k % wx).cast("double").alias("maxx"),
+            (miny + 1 + k % wy).cast("double").alias("maxy"),
+        )
+
+    a = boxes(T(spark, sf, "part"), "p_partkey", 37, 61, 20, 15, "a_id")
+    b = boxes(T(spark, sf, "supplier"), "s_suppkey", 53, 29, 40, 35, "b_id")
+    return grid_bbox_join(a, b, cell=64.0)

@@ -73,3 +73,47 @@ def test_distributed_cumsum_empty_single_and_one_bucket(spark):
     same = spark.createDataFrame([(1, i, 1) for i in range(100)], "k long, t long, v long")
     got = distributed_cumsum(same, "k", "v", tie_cols=("t",), n_buckets=8).collect()
     assert sorted(r.cumsum for r in got) == list(range(1, 101))
+
+
+def test_grid_bbox_join_equals_naive_theta_join(spark):
+    """Property: the binned equi-join plan must produce exactly the
+    naive theta join's pairs — including boxes spanning MANY grid
+    cells (cell much smaller than some boxes) and boundary touches."""
+    import random
+
+    from flytemosaic_spark.operators.spatial import grid_bbox_join
+
+    rng = random.Random(42)
+
+    def boxes(n, wmax):
+        rows = []
+        for i in range(n):
+            x, y = rng.uniform(0, 100), rng.uniform(0, 100)
+            rows.append(
+                (i, x, y, x + rng.uniform(0, wmax), y + rng.uniform(0, wmax))
+            )
+        return spark.createDataFrame(
+            rows, "id long, minx double, miny double, maxx double, maxy double"
+        )
+
+    a = boxes(80, 30.0)  # boxes up to 30 wide vs cell 5 -> many cells
+    b = boxes(60, 10.0)
+    got = {
+        (r.a_id, r.b_id)
+        for r in grid_bbox_join(
+            a.withColumnRenamed("id", "a_id"),
+            b.withColumnRenamed("id", "b_id"),
+            cell=5.0,
+        ).collect()
+    }
+    want = set()
+    for ra in a.collect():
+        for rb in b.collect():
+            if (
+                ra.minx <= rb.maxx
+                and rb.minx <= ra.maxx
+                and ra.miny <= rb.maxy
+                and rb.miny <= ra.maxy
+            ):
+                want.add((ra.id, rb.id))
+    assert got == want
