@@ -815,3 +815,23 @@ def j10_grid_spatial_join(spark: SparkSession, sf: str) -> DataFrame:
     a = boxes(T(spark, sf, "part"), "p_partkey", 37, 61, 20, 15, "a_id")
     b = boxes(T(spark, sf, "supplier"), "s_suppkey", 53, 29, 40, 35, "b_id")
     return grid_bbox_join(a, b, cell=64.0)
+
+
+@probe(
+    "x37_quantile_sketch",
+    sql=None,
+    note="portable mergeable quantile sketch (operators/qsketch.py): "
+    "fixed-bin histogram state (vector-add merge, any engine can "
+    "finalize) — error bounded by one bin width and merge==direct "
+    "bit-exact, both property-tested in tests/test_qsketch.py; "
+    "the approximate counterpart of the exact a7/a16 quantiles",
+)
+def x37_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.qsketch import (
+        quantile_sketch_estimate,
+        quantile_sketch_state,
+    )
+
+    li = T(spark, sf, "lineitem")
+    st = quantile_sketch_state(li, "l_extendedprice", ["l_returnflag"])
+    return quantile_sketch_estimate(st, ["l_returnflag"], 0.5)
