@@ -69,7 +69,7 @@ def quantile_sketch_state(
         "mx",
         F.transform(
             F.sequence(F.lit(0), F.lit(bins - 1)),
-            lambda i: F.coalesce(F.element_at("_m", i + 1), F.lit(0)),
+            lambda i: F.coalesce(F.element_at("_m", i), F.lit(0)),  # map key = bin id, NOT 1-based position
         ).alias("counts"),
     )
 

@@ -819,12 +819,52 @@ def j10_grid_spatial_join(spark: SparkSession, sf: str) -> DataFrame:
 
 @probe(
     "x37_quantile_sketch",
-    sql=None,
+    sql="""
+        WITH b AS (
+            SELECT l_returnflag,
+                   min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+                   max(CAST(l_extendedprice AS DOUBLE)) AS mx
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        binned AS (
+            SELECT l.l_returnflag,
+                   least(greatest(CAST(floor(
+                       (CAST(l_extendedprice AS DOUBLE) - mn)
+                       / (CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END)
+                       * 128) AS INT), 0), 127) AS bin
+            FROM lineitem l JOIN b USING (l_returnflag)
+        ),
+        hist AS (
+            SELECT l_returnflag, bin, count(*) AS c
+            FROM binned GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT l_returnflag, bin,
+                   sum(c) OVER (PARTITION BY l_returnflag
+                                ORDER BY bin) AS cum,
+                   sum(c) OVER (PARTITION BY l_returnflag) AS n
+            FROM hist
+        ),
+        sel AS (
+            SELECT l_returnflag, CAST(min(bin) AS BIGINT) AS bin0,
+                   min(n) AS n
+            FROM cum WHERE CAST(cum AS DOUBLE) > 0.5 * (n - 1)
+            GROUP BY l_returnflag
+        )
+        SELECT s.l_returnflag, CAST(s.n AS BIGINT) AS n,
+               least(greatest(
+                   b.mn + (CAST(s.bin0 AS DOUBLE) + 1.0 - 0.5)
+                       * ((CASE WHEN b.mx > b.mn THEN b.mx - b.mn
+                           ELSE 1.0 END) / 128.0),
+                   b.mn), b.mx) AS q_est
+        FROM sel s JOIN b USING (l_returnflag)
+    """,
     note="portable mergeable quantile sketch (operators/qsketch.py): "
     "fixed-bin histogram state (vector-add merge, any engine can "
-    "finalize) — error bounded by one bin width and merge==direct "
-    "bit-exact, both property-tested in tests/test_qsketch.py; "
-    "the approximate counterpart of the exact a7/a16 quantiles",
+    "finalize) — the oracle REPLAYS the whole estimator in SQL "
+    "(binning, cumulative walk, midpoint interpolation) and the "
+    "result hash-matches bit-for-bit; error-vs-exact bound and "
+    "merge==direct are property-tested in tests/test_qsketch.py",
 )
 def x37_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.qsketch import (

@@ -26,7 +26,6 @@ NO_ORACLE_OK = {
     "x3c_ivf_topk",
     "x3d_pq_topk",
     "x3e_ivf_pq_topk",
-    "x37_quantile_sketch",
     "x14_media_decode",
     "x15_mosaic_pipeline",
     "x23_kmeans_clusters",
