@@ -43,6 +43,10 @@ HEADLINE = [
     "w9_distribution_rank",
     "f17_fuzzy_pairs",
     "x30_scd2",
+    "x33_domain_mix",
+    "x34_incremental_rollup",
+    "x36_snapshot_diff",
+    "j10_grid_spatial_join",
 ]
 
 

@@ -875,3 +875,28 @@ def x37_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     li = T(spark, sf, "lineitem")
     st = quantile_sketch_state(li, "l_extendedprice", ["l_returnflag"])
     return quantile_sketch_estimate(st, ["l_returnflag"], 0.5)
+
+
+@probe(
+    "f22_string_ops",
+    sql="""
+        SELECT c_custkey, upper(c_name) AS u, lower(c_mktsegment) AS l,
+               reverse(c_name) AS r,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+               translate(c_name, '#0', '_x') AS tr,
+               ascii(c_name) AS first_code
+        FROM customer
+    """,
+    note="string-function surface batch: upper/lower/reverse/lpad/"
+    "translate/ascii — all JVM expressions inside one codegen stage",
+)
+def f22_string_ops(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("u"),
+        F.lower("c_mktsegment").alias("l"),
+        F.reverse("c_name").alias("r"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.translate("c_name", "#0", "_x").alias("tr"),
+        F.ascii("c_name").alias("first_code"),
+    )
