@@ -900,3 +900,52 @@ def f22_string_ops(spark: SparkSession, sf: str) -> DataFrame:
         F.translate("c_name", "#0", "_x").alias("tr"),
         F.ascii("c_name").alias("first_code"),
     )
+
+
+@probe(
+    "f23_from_json_typed",
+    sql="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) * 2
+                   AS k_doubled
+        FROM events
+    """,
+    note="typed JSON parsing: from_json with a declared schema (vs "
+    "f15's string extraction) — the parsed struct is a real column, "
+    "downstream arithmetic stays JVM-typed",
+)
+def f23_from_json_typed(spark: SparkSession, sf: str) -> DataFrame:
+    parsed = F.from_json("props", "k bigint")
+    return T(spark, sf, "events").select(
+        "event_id",
+        parsed["k"].alias("k"),
+        (parsed["k"] * 2).alias("k_doubled"),
+    )
+
+
+@probe(
+    "f24_date_series",
+    sql="""
+        SELECT o_orderkey,
+               CAST(unnest(generate_series(CAST(o_orderdate AS DATE),
+                    CAST(o_orderdate AS DATE) + INTERVAL 3 DAY,
+                    INTERVAL 1 DAY)) AS DATE) AS d
+        FROM orders WHERE o_orderkey % 50 = 0
+    """,
+    note="date-typed interval expansion: explode(sequence(date, "
+    "date+3d, 1d)) — the date-grid twin of j7's integer periods "
+    "(reference temporal grid, glad.py:163-186)",
+)
+def f24_date_series(spark: SparkSession, sf: str) -> DataFrame:
+    d0 = F.to_date("o_orderdate")
+    return (
+        T(spark, sf, "orders")
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.explode(
+                F.sequence(d0, F.date_add(d0, 3), F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )

@@ -52,6 +52,10 @@ PROBES = [
     "x1_exact_dedup",  # hash dedup
     "w7_topk_per_group",  # window top-k
     "x22_asof_attribution",  # as-of union+window
+    "x20_tfidf_topk",  # explode + two-level agg + join + window
+    "f17_fuzzy_pairs",  # blocked fuzzy refine
+    "x30_scd2",  # two shared-sort windows
+    "j10_grid_spatial_join",  # cell-binned equi join
 ]
 
 
