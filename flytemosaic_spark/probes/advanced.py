@@ -949,3 +949,26 @@ def f24_date_series(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("d"),
         )
     )
+
+
+@probe(
+    "f25_try_ops",
+    sql="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice / nullif(l_discount, 0.0) AS ratio,
+               try_cast(l_returnflag AS BIGINT) AS flag_num
+        FROM lineitem
+    """,
+    note="ANSI-mode safety surface: try_divide / try_cast return NULL "
+    "where strict ANSI evaluation would fail the job — the error-"
+    "quarantine idiom for dirty data at scale (Spark 4 runs ANSI ON)",
+)
+def f25_try_ops(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", "l_discount").alias("ratio"),
+        F.try_to_number("l_returnflag", F.lit("999")).cast("bigint").alias(
+            "flag_num"
+        ),
+    )
