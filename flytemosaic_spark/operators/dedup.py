@@ -473,3 +473,52 @@ def embedding_neardup_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(sim, 4).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+def shared_substring_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Substring-level duplicate detection: pairs of documents sharing
+    at least one ``window``-char span, found by hashing character
+    windows every ``stride`` chars (stride ≤ window/2 guarantees any
+    shared span of ≥ window+stride chars produces an aligned common
+    window on both sides).
+
+    This catches the case word-shingle Jaccard misses: a long copied
+    PASSAGE inside otherwise-different documents (boilerplate,
+    licenses, quoted text) barely moves document-level similarity but
+    is exactly what substring dedup of training corpora targets.
+
+    Scale shape: the window hashes are an inverted index — explode →
+    distinct → self-equi-join on the hash — so cost is (docs ×
+    windows/doc) rows and the join only meets actual collisions, the
+    same candidate-generation shape as MinHash-LSH (X2) with the
+    hash being content-exact instead of similarity-preserving.
+    Output: (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    pos = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(text_col) - (window - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    hashes = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                pos,
+                lambda p: F.md5(F.col(text_col).substr(p, F.lit(window))),
+            )
+        ).alias("h"),
+    ).dropDuplicates(["_id", "h"])
+    a = hashes.select(F.col("_id").alias("id_a"), "h")
+    b = hashes.select(F.col("_id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )

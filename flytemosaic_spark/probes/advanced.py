@@ -972,3 +972,28 @@ def f25_try_ops(spark: SparkSession, sf: str) -> DataFrame:
             "flag_num"
         ),
     )
+
+
+@probe(
+    "x38_substring_dedup",
+    sql="""
+        WITH w AS (
+            SELECT doc_id, md5(substr(text, p, 40)) AS h
+            FROM documents, LATERAL (
+                SELECT unnest(generate_series(
+                    1, greatest(length(text) - 39, 1), 20)) AS p
+            ) g
+        ), dd AS (SELECT DISTINCT doc_id, h FROM w)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM dd a JOIN dd b USING (h)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    """,
+    note="substring-level dedup (operators/dedup.py:"
+    "shared_substring_pairs): hashed character windows as an inverted "
+    "index — catches copied PASSAGES that document-level shingle "
+    "similarity misses; md5 windows replay exactly in the oracle",
+)
+def x38_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.dedup import shared_substring_pairs
+
+    return shared_substring_pairs(T(spark, sf, "documents"))
