@@ -513,12 +513,30 @@ def shared_substring_pairs(
                 lambda p: F.md5(F.col(text_col).substr(p, F.lit(window))),
             )
         ).alias("h"),
-    ).dropDuplicates(["_id", "h"])
-    a = hashes.select(F.col("_id").alias("id_a"), "h")
-    b = hashes.select(F.col("_id").alias("id_b"), "h")
+    )
+    # inverted-index buckets, pairs generated inside each bucket: two
+    # shuffles total (by hash, then by pair) — a self-join formulation
+    # costs 4x the exchanges. collect_set also dedupes repeated
+    # windows within a doc. Hot buckets (a window shared by MANY docs)
+    # are inherent to the semantics — that window IS corpus
+    # boilerplate; cap or pre-scrub upstream if a bucket outgrows a
+    # task.
+    buckets = (
+        hashes.groupBy("h")
+        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "h")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
     )

@@ -997,3 +997,65 @@ def x38_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.dedup import shared_substring_pairs
 
     return shared_substring_pairs(T(spark, sf, "documents"))
+
+
+@probe(
+    "x39_boilerplate_scrub",
+    sql=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS w,
+                   text
+            FROM documents
+        ),
+        grams AS (
+            SELECT concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(w) - 2, 1)))
+                    AS i
+            ) x
+        ),
+        top1 AS (
+            SELECT g FROM grams GROUP BY g ORDER BY count(*) DESC, g LIMIT 1
+        )
+        SELECT d.doc_id, t.g AS phrase,
+               CAST((length(d.text) - length(replace(d.text, t.g, '')))
+                    / length(t.g) AS BIGINT) AS n_hits,
+               length(replace(d.text, t.g, '')) AS scrubbed_len
+        FROM documents d CROSS JOIN top1 t
+    """,
+    note="corpus-level boilerplate removal: heavy-hitter phrase mining "
+    "(x26's TakeOrderedAndProject) feeds a broadcast scalar into a "
+    "per-row scrub — the two-phase corpus-stat -> row-transform "
+    "composition every curation pipeline runs; one corpus pass per "
+    "phase, no per-row Python",
+)
+def x39_boilerplate_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    docs = T(spark, sf, "documents")
+    w = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice(w, i, 3), " "),
+    )
+    top1 = (
+        docs.select(F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("g"))
+        .limit(1)
+        .select("g")
+    )
+    stripped = F.replace(F.col("text"), F.col("g"))
+    return (
+        docs.crossJoin(F.broadcast(top1))
+        .select(
+            "doc_id",
+            F.col("g").alias("phrase"),
+            (
+                (F.length("text") - F.length(stripped)) / F.length("g")
+            ).cast("bigint").alias("n_hits"),
+            F.length(stripped).alias("scrubbed_len"),
+        )
+    )

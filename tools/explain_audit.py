@@ -35,6 +35,7 @@ CROSS_OK = {
     "x3c_ivf_topk",
     "x3d_pq_topk",
     "x3e_ivf_pq_topk",
+    "x39_boilerplate_scrub",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
