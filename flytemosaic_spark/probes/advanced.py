@@ -1059,3 +1059,32 @@ def x39_boilerplate_scrub(spark: SparkSession, sf: str) -> DataFrame:
             F.length(stripped).alias("scrubbed_len"),
         )
     )
+
+
+@probe(
+    "w11_value_window",
+    sql="""
+        SELECT o_orderkey,
+               first_value(o_orderkey) OVER w AS first_k,
+               last_value(o_orderkey) OVER w AS last_k,
+               nth_value(o_orderkey, 2) OVER w AS second_k
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    note="value window functions (first/last/nth over an explicit "
+    "running frame) — deterministic via the unique-key tie-break",
+)
+def w11_value_window(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return T(spark, sf, "orders").select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_k"),
+        F.last("o_orderkey").over(w).alias("last_k"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_k"),
+    )
