@@ -1088,3 +1088,89 @@ def w11_value_window(spark: SparkSession, sf: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_k"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_k"),
     )
+
+
+@probe(
+    "x40_funnel",
+    sql="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts >= v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t_buy
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click_after_view,
+               (SELECT count(*) FROM p) AS n_buy_after_click
+    """,
+    note="ordered funnel (view -> click -> purchase): each stage is an "
+    "aggregate of the previous stage's users with a time bound — "
+    "three passes, each a groupBy + semi-shaped join, no window over "
+    "the whole event stream",
+)
+def x40_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+
+    def stage(etype: str, prev: DataFrame | None, prev_ts: str) -> DataFrame:
+        src = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            src = src.join(prev, "user_id").where(F.col("ts") >= F.col(prev_ts))
+        return src.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    v = stage("view", None, "")
+    c = stage("click", v, "t_view")
+    p = stage("purchase", c, "t_click")
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_buy_after_click")))
+    )
+
+
+@probe(
+    "x41_retention_cohorts",
+    sql="""
+        WITH first_seen AS (
+            SELECT user_id,
+                   date_trunc('week', CAST(min(ts) AS DATE)) AS cohort
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort,
+                   date_trunc('week', CAST(e.ts AS DATE)) AS week
+            FROM events e JOIN first_seen f USING (user_id)
+        )
+        SELECT CAST(cohort AS DATE) AS cohort, CAST(week AS DATE) AS week,
+               count(*) AS n_active
+        FROM activity GROUP BY 1, 2
+    """,
+    note="retention cohort matrix: cohort = first-seen week per user "
+    "(one agg), activity = distinct (user, week) joined back to the "
+    "cohort — counts per (cohort, week); the cohort table is "
+    "user-cardinality, broadcast when small, co-partitioned when not",
+)
+def x41_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.to_date(F.min("ts"))).cast("date").alias("cohort")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "week").agg(F.count("*").alias("n_active"))
