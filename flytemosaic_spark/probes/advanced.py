@@ -1174,3 +1174,127 @@ def x41_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return activity.groupBy("cohort", "week").agg(F.count("*").alias("n_active"))
+
+
+@probe(
+    "w12_linear_interpolate",
+    sql="""
+        WITH s AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE value END AS v
+            FROM events
+        ),
+        w AS (
+            SELECT *,
+                last_value(v IGNORE NULLS) OVER wp AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+                    OVER wp AS pt,
+                first_value(v IGNORE NULLS) OVER wf AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+                    OVER wf AS nt
+            FROM s
+            WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id,
+               floor((CASE
+                   WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                       pv + (nv - pv)
+                       * (CAST(epoch_ms(ts) - epoch_ms(pt) AS DOUBLE)
+                          / CAST(epoch_ms(nt) - epoch_ms(pt) AS DOUBLE))
+               END) * 10000.0 + 0.5) / 10000.0 AS filled
+        FROM w
+    """,
+    note="linear interpolation of gaps per key (the telemetry repair "
+    "beyond w10's LOCF): previous/next known value+time via "
+    "ignore-nulls frames — two windows sharing one sort, no self-"
+    "join; edges (no neighbor) stay NULL",
+)
+def w12_linear_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    base = T(spark, sf, "events").select(
+        "event_id", "user_id", "ts", v.alias("v"), ms.alias("ms")
+    )
+    order = [F.col("ts"), F.col("event_id")]
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    known_ms = F.when(F.col("v").isNotNull(), F.col("ms"))
+    w = base.select(
+        "event_id",
+        "v",
+        "ms",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_ms, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_ms, ignorenulls=True).over(wf).alias("nt"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("ms") - F.col("pt")).cast("double")
+        / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+    )
+    return w.select("event_id", portable_round(filled).alias("filled"))
+
+
+@probe(
+    "x42_data_quality",
+    sql="""
+        SELECT 'not_null(o_custkey)' AS check,
+               count(*) FILTER (WHERE o_custkey IS NULL) AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'accepted_values(o_orderstatus)',
+               count(*) FILTER (WHERE o_orderstatus IS NULL
+                   OR o_orderstatus NOT IN ('O', 'F', 'P'))
+        FROM orders
+        UNION ALL
+        SELECT 'in_range(o_totalprice)',
+               count(*) FILTER (WHERE o_totalprice IS NULL
+                   OR o_totalprice < 0 OR o_totalprice > 1000000)
+        FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               coalesce(sum(n - 1), 0)
+        FROM (SELECT o_orderkey, count(*) AS n FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'references(o_custkey)', count(*)
+        FROM orders o WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    note="declarative data-quality suite (operators/quality.py): all "
+    "expression checks compile into ONE scan's aggregates (count_if, "
+    "map-side combined); uniqueness and FK checks add one groupBy and "
+    "one broadcast anti-join — the dbt-test shape at scan cost",
+)
+def x42_data_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators import quality as Q
+
+    orders = T(spark, sf, "orders")
+    return Q.run_checks(
+        orders,
+        scan_checks=[
+            Q.not_null("o_custkey"),
+            Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            Q.in_range("o_totalprice", 0, 1000000),
+        ],
+        unique_cols=["o_orderkey"],
+        fk=("o_custkey", T(spark, sf, "customer"), "c_custkey"),
+    )
