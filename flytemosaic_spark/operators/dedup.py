@@ -540,3 +540,61 @@ def shared_substring_pairs(
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup: containment(a in b) = |A∩B| / |A| — the
+    subset-duplicate detector Jaccard misses (a short doc fully
+    embedded in a long one barely moves |A∩B|/|A∪B| but has
+    containment ≈ 1). Emits DIRECTED pairs (id_a contained-in id_b,
+    a ≠ b, containment ≥ threshold); same inverted-index plan as
+    :func:`ngram_jaccard_pairs`."""
+    a = _shingled(df, text_col, id_col, n)
+    b = a.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_sh_b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id") != F.col("id_b"))
+        .groupBy(F.col("id").alias("id_a"), F.col("id_b"), F.col("n_sh").alias("n_a"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    cont = F.col("n_inter") / F.col("n_a")
+    return inter.select(
+        "id_a", "id_b", F.round(cont, 4).alias("containment")
+    ).where(F.col("containment") >= threshold)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct n-grams whose
+    FIRST corpus occurrence (by ascending id) is this document — the
+    contribution score dedup-aware sampling ranks by (a doc whose
+    grams all appeared earlier adds nothing; keep the novel ones).
+
+    Plan: distinct (gram, id) → min(id) per gram (partial-agg
+    compresses the shuffle to gram cardinality) → join back on the
+    gram → per-doc novel fraction. Two exchanges; the gram table is
+    the corpus vocabulary, shared with x26's heavy hitters.
+    """
+    g = _shingled(df, text_col, id_col, n).select(
+        F.col("id"), F.col("n_sh"), F.col("shingle")
+    )
+    first = g.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    return (
+        g.join(first, "shingle")
+        .groupBy("id", "n_sh")
+        .agg(F.count_if(F.col("first_id") == F.col("id")).alias("n_novel"))
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.col("n_novel") / F.col("n_sh"), 4).alias("novelty"),
+        )
+    )

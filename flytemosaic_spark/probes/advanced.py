@@ -1298,3 +1298,70 @@ def x42_data_quality(spark: SparkSession, sf: str) -> DataFrame:
         unique_cols=["o_orderkey"],
         fk=("o_custkey", T(spark, sf, "customer"), "c_custkey"),
     )
+
+
+_SHINGLE3_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 4, 1) + 1),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+               )) AS shingles
+        FROM toks
+    ),
+    ex AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+        FROM sh
+    )
+"""
+
+
+@probe(
+    "x43_containment",
+    sql=_SHINGLE3_SQL
+    + """
+    , pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
+               count(*) AS n_inter
+        FROM ex a JOIN ex b USING (shingle)
+        WHERE a.doc_id <> b.doc_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT id_a, id_b, round(n_inter / n_a, 4) AS containment
+    FROM pairs WHERE round(n_inter / n_a, 4) >= 0.8
+    """,
+    note="asymmetric containment dedup (|A∩B|/|A|): catches a short "
+    "doc fully embedded in a longer one, which symmetric Jaccard "
+    "misses; directed pairs, same inverted-index plan as x2",
+)
+def x43_containment(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(T(spark, sf, "documents"), threshold=0.8)
+
+
+@probe(
+    "x44_ngram_novelty",
+    sql=_SHINGLE3_SQL
+    + """
+    , first AS (
+        SELECT shingle, min(doc_id) AS first_id FROM ex GROUP BY shingle
+    )
+    SELECT e.doc_id,
+           round(count(*) FILTER (WHERE f.first_id = e.doc_id)
+                 / any_value(e.n_sh), 4) AS novelty
+    FROM ex e JOIN first f USING (shingle)
+    GROUP BY e.doc_id
+    """,
+    note="per-doc n-gram novelty (fraction of shingles first seen in "
+    "this doc, by id order) — the contribution score dedup-aware "
+    "sampling ranks by; gram-table shuffle compressed by partial agg",
+)
+def x44_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(T(spark, sf, "documents"), n=5)
