@@ -1365,3 +1365,78 @@ def x44_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.dedup import ngram_novelty
 
     return ngram_novelty(T(spark, sf, "documents"), n=5)
+
+
+@probe(
+    "x45_unigram_logprob",
+    sql=r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+                AS word
+            FROM documents
+        ),
+        freq AS (
+            SELECT word, count(*) AS c FROM toks GROUP BY word
+        ),
+        tot AS (SELECT sum(c) AS n FROM freq)
+        SELECT t.doc_id,
+               floor(avg(ln(f.c / tot.n)) * 10000.0 + 0.5) / 10000.0
+                   AS avg_logprob
+        FROM toks t JOIN freq f USING (word) CROSS JOIN tot
+        GROUP BY t.doc_id
+    """,
+    note="unigram LM scoring (the KenLM-style perplexity proxy for "
+    "quality filtering): corpus word frequencies -> per-token log-"
+    "prob join -> per-doc average; the vocabulary aggregate is the "
+    "only corpus-wide state and it is broadcast-sized",
+)
+def x45_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round, tokens
+
+    toks = T(spark, sf, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    freq = toks.groupBy("word").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            portable_round(
+                F.avg(F.log(F.col("c") / F.col("n")))
+            ).alias("avg_logprob")
+        )
+    )
+
+
+@probe(
+    "j11_star_join",
+    sql="""
+        SELECT r_name, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    note="star join: fact x three broadcast dimensions in one stage — "
+    "the canonical warehouse shape; every dim join is broadcast so "
+    "the fact table never shuffles until the final rollup",
+)
+def j11_star_join(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
