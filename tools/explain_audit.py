@@ -36,6 +36,8 @@ CROSS_OK = {
     "x3d_pq_topk",
     "x3e_ivf_pq_topk",
     "x39_boilerplate_scrub",
+    "x40_funnel",
+    "x45_unigram_logprob",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
