@@ -1440,3 +1440,47 @@ def j11_star_join(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@probe(
+    "x46_entity_resolution",
+    sql="""
+        WITH RECURSIVE good AS (
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+              AND levenshtein(a.p_name, b.p_name) <= 2
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM good
+            UNION ALL SELECT id_b, id_a FROM good
+        ),
+        reach(node, lbl) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS canonical FROM reach GROUP BY node)
+        SELECT p.p_partkey, coalesce(c.canonical, p.p_partkey) AS canonical
+        FROM part p LEFT JOIN comp c ON c.node = p.p_partkey
+    """,
+    note="entity resolution / golden-record assignment: blocked fuzzy "
+    "edges (f17) -> iterative min-label connected components (x21's "
+    "machinery) -> canonical id per record; oracle = recursive-CTE "
+    "reachability closure over the same edges",
+)
+def x46_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.dedup import connected_components
+    from flytemosaic_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    part = T(spark, sf, "part")
+    edges = blocked_fuzzy_pairs(part, "p_partkey", "p_name", "p_brand", 2)
+    comp = connected_components(edges, src="a_key", dst="b_key")
+    return (
+        part.select("p_partkey")
+        .join(comp.withColumnRenamed("node", "p_partkey"), "p_partkey", "left")
+        .select(
+            "p_partkey", F.coalesce("lbl", "p_partkey").alias("canonical")
+        )
+    )
