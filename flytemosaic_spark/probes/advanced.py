@@ -1484,3 +1484,75 @@ def x46_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
             "p_partkey", F.coalesce("lbl", "p_partkey").alias("canonical")
         )
     )
+
+
+@probe(
+    "x47_event_transitions",
+    sql="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS next_type
+            FROM events
+        )
+        SELECT event_type, next_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+    note="behavioral transition matrix (Markov counts of event_type -> "
+    "next event_type per user): one lead() over the per-user sort + a "
+    "pair rollup — the feature extraction behind session modeling",
+)
+def x47_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        T(spark, sf, "events")
+        .select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@probe(
+    "x48_profile_card",
+    sql="""
+        SELECT 'o_custkey' AS col,
+               count(*) AS n,
+               count(*) FILTER (WHERE o_custkey IS NULL) AS n_null,
+               count(DISTINCT o_custkey) AS n_distinct,
+               CAST(min(o_custkey) AS DOUBLE) AS mn,
+               CAST(max(o_custkey) AS DOUBLE) AS mx
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*),
+               count(*) FILTER (WHERE o_totalprice IS NULL),
+               count(DISTINCT o_totalprice),
+               round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+        FROM orders
+    """,
+    note="dataset profile card (per-column null/distinct/min/max): the "
+    "stats summary every ingestion gate records — one scan per the "
+    "multi-distinct Expand, no per-column passes",
+)
+def x48_profile_card(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    k = o.agg(
+        F.lit("o_custkey").alias("col"),
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_custkey").isNull()).alias("n_null"),
+        F.countDistinct("o_custkey").alias("n_distinct"),
+        F.min("o_custkey").cast("double").alias("mn"),
+        F.max("o_custkey").cast("double").alias("mx"),
+    )
+    p = o.agg(
+        F.lit("o_totalprice").alias("col"),
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_totalprice").isNull()).alias("n_null"),
+        F.countDistinct("o_totalprice").alias("n_distinct"),
+        F.round(F.min("o_totalprice"), 2).alias("mn"),
+        F.round(F.max("o_totalprice"), 2).alias("mx"),
+    )
+    return k.unionByName(p)
