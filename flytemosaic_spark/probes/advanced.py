@@ -1556,3 +1556,75 @@ def x48_profile_card(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("mx"),
     )
     return k.unionByName(p)
+
+
+@probe(
+    "x49_pmi_bigrams",
+    sql=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        uni AS (
+            SELECT word, count(*) AS c FROM (
+                SELECT unnest(w) AS word FROM toks) GROUP BY word
+        ),
+        tot AS (SELECT sum(c) AS n FROM uni),
+        bi AS (
+            SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c_ab
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(w) - 1, 1)))
+                    AS i
+            ) g
+            WHERE i + 1 <= len(w)
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT w1, w2, c_ab,
+                   floor(ln((c_ab * tot.n) / (a.c * b.c)) * 10000.0 + 0.5)
+                       / 10000.0 AS pmi
+            FROM bi JOIN uni a ON a.word = w1
+                    JOIN uni b ON b.word = w2
+                    CROSS JOIN tot
+            WHERE c_ab >= 5
+        )
+        SELECT w1, w2, c_ab, pmi FROM scored
+    """,
+    note="pointwise mutual information over adjacent bigrams (the "
+    "collocation/phrase-mining statistic): unigram + bigram counts "
+    "(both map-side combined) -> broadcast join -> PMI; min-count "
+    "cut keeps the output the interesting tail",
+)
+def x49_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round, tokens
+
+    docs = T(spark, sf, "documents").select(tokens(F.col("text")).alias("w"))
+    uni = docs.select(F.explode("w").alias("word")).groupBy("word").agg(
+        F.count("*").alias("c")
+    )
+    total = uni.agg(F.sum("c").alias("n"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at("w", i).alias("w1"),
+            F.try_element_at("w", i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        docs.select(F.explode(grams).alias("g"))
+        .where(F.col("g.w2").isNotNull())
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    a = uni.select(F.col("word").alias("w1"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("word").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab") * F.col("n")) / (F.col("c_a") * F.col("c_b"))
+    )
+    return (
+        bi.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "c_ab", portable_round(pmi).alias("pmi"))
+    )
