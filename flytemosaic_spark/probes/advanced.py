@@ -1628,3 +1628,28 @@ def x49_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("w1", "w2", "c_ab", portable_round(pmi).alias("pmi"))
     )
+
+
+@probe(
+    "x50_salted_agg",
+    sql="""
+        SELECT l_suppkey, count(*) AS n,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY l_suppkey
+    """,
+    note="salted two-phase aggregation (operators/skew.py): the skewed-"
+    "key groupBy spread over 32 salts then merged — results identical "
+    "to the plain groupBy (the oracle), which is the point: salting "
+    "changes the exchange topology, never the algebra",
+)
+def x50_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.skew import salted_agg
+
+    return salted_agg(
+        T(spark, sf, "lineitem"),
+        ["l_suppkey"],
+        {
+            "n": (F.count("*"), F.sum("n")),
+            "total_qty": (F.sum("l_quantity"), F.round(F.sum("total_qty"), 2)),
+        },
+    )
