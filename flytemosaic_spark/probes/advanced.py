@@ -1653,3 +1653,37 @@ def x50_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
             "total_qty": (F.sum("l_quantity"), F.round(F.sum("total_qty"), 2)),
         },
     )
+
+
+@probe(
+    "u5_intersect_all",
+    sql="""
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier
+    """,
+    note="bag-semantics INTERSECT ALL (duplicates preserved up to the "
+    "min multiplicity) — a different operator from u2's set intersect: "
+    "Spark plans a multiplicity-tracking aggregate, not a semi join",
+)
+def u5_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersectAll(s)
+
+
+@probe(
+    "u6_except_all",
+    sql="""
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier
+    """,
+    note="bag-semantics EXCEPT ALL (each left occurrence cancels one "
+    "right occurrence) — the multiplicity subtraction u3's set except "
+    "cannot express",
+)
+def u6_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.exceptAll(s)
