@@ -299,3 +299,59 @@ def event_type_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def upsert_sink(
+    table_path: str,
+    key_cols: list[str],
+):
+    """A ``foreachBatch`` body applying each micro-batch as a MERGE
+    upsert into a parquet table — the production sink pattern when the
+    target must hold CURRENT state, not an append log.
+
+    foreachBatch gives exactly-once-per-batch-id semantics: on retry
+    the same batch_id re-applies, and because MERGE is idempotent for
+    a fixed (base, updates) pair, the table converges. The write goes
+    through a temp directory + rename-style overwrite (read fully
+    before overwrite, since the source of the merge is the table
+    itself).
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(upsert_sink("/path/tbl", ["user_id"]))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    """
+    import os
+
+    from flytemosaic_spark.operators.merge import merge_upsert
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # latest row per key within the batch (ts + a tie-break when
+        # present) so one batch with two updates converges too
+        dedup_cols = [c for c in ("ts", "event_id") if c in batch_df.columns]
+        if dedup_cols:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(*key_cols).orderBy(
+                *[F.desc(c) for c in dedup_cols]
+            )
+            batch_df = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if os.path.exists(table_path):
+            base = spark.read.parquet(table_path)
+            merged = merge_upsert(base, batch_df, key_cols).drop("_action")
+            # materialize before overwriting the input of the merge
+            rows = merged.collect() if merged.isStreaming is False else None
+            spark.createDataFrame(rows, merged.schema).write.mode(
+                "overwrite"
+            ).parquet(table_path)
+        else:
+            batch_df.write.mode("overwrite").parquet(table_path)
+
+    return apply

@@ -291,3 +291,49 @@ def test_sliding_window_stream_matches_batch(spark, events, tmp_path):
         for r in spark.sql("select * from slide_counts").collect()
     }
     assert got == want
+
+
+def test_foreach_batch_upsert_sink_converges(spark, events, tmp_path):
+    """foreachBatch + MERGE: after two AvailableNow drains the table
+    holds exactly the LATEST row per user — the streaming CDC-apply
+    pattern (append log in, current state out)."""
+    from pyspark.sql import functions as F
+
+    from flytemosaic_spark.streaming.events import stream_new_files, upsert_sink
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "tbl")
+    first = events.limit(600)
+    both = events.limit(1000)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (
+            stream_new_files(spark, src, schema)
+            .writeStream.foreachBatch(upsert_sink(tbl, ["user_id"]))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    both.exceptAll(first).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {
+        r.user_id: (str(r.ts), r.event_id)
+        for r in spark.read.parquet(tbl).collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        r.user_id: (str(r.ts), r.event_id)
+        for r in both.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert got == want
