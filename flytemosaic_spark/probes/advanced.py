@@ -1687,3 +1687,90 @@ def u6_except_all(spark: SparkSession, sf: str) -> DataFrame:
     c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
     s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
     return c.exceptAll(s)
+
+
+@probe(
+    "x51_cluster_keeper",
+    sql="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(w) - 4, 1) + 1),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                                      w[i+4])
+                   )) AS shingles
+            FROM toks
+        ),
+        ex AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM sh
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
+            FROM ex a JOIN ex b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        good AS (
+            SELECT id_a, id_b FROM pairs
+            WHERE round(n_inter / (n_a + n_b - n_inter), 4) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM good
+            UNION ALL SELECT id_b, id_a FROM good
+        ),
+        reach(node, lbl) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+        member AS (
+            SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+                   d.n_chars
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        )
+        SELECT cluster, doc_id AS keeper, n_chars AS keeper_chars
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY cluster
+                ORDER BY n_chars DESC, doc_id) AS rn
+            FROM member
+        ) WHERE rn = 1
+    """,
+    note="quality-weighted keeper per duplicate cluster: connected "
+    "components (x21) + arg-max on a quality signal (longest doc, "
+    "id tie-break) — the 'which duplicate survives' policy curation "
+    "pipelines actually need (min-id keepers discard the best copy)",
+)
+def x51_cluster_keeper(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators import dedup
+    from flytemosaic_spark.operators.dedup import connected_components
+
+    docs = T(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    member = (
+        docs.select("doc_id", "n_chars")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("lbl", "doc_id").alias("cluster"),
+        )
+    )
+    return (
+        member.groupBy("cluster")
+        .agg(
+            F.expr(
+                "max_by(doc_id, struct(n_chars, -doc_id))"
+            ).alias("keeper"),
+            F.max(F.struct("n_chars", (-F.col("doc_id")).alias("neg")))[
+                "n_chars"
+            ].alias("keeper_chars"),
+        )
+    )
