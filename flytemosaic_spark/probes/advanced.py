@@ -1774,3 +1774,53 @@ def x51_cluster_keeper(spark: SparkSession, sf: str) -> DataFrame:
             ].alias("keeper_chars"),
         )
     )
+
+
+@probe(
+    "x52_windowed_distinct",
+    sql="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY bucket
+    """,
+    note="distinct users per tumbling hour (the DAU/WAU shape): "
+    "window bucket + distinct aggregate in one pass; the KMV sketch "
+    "(x28) is the drop-in when per-window distinct state outgrows "
+    "memory",
+)
+def x52_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("bucket"), "n_users", "n_events")
+    )
+
+
+@probe(
+    "a28_weighted_avg",
+    sql="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                   AS wavg_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    note="weighted mean per group — two partial-aggregatable sums, one "
+    "division at finalize; never a UDF or a two-pass plan",
+)
+def a28_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                4,
+            ).alias("wavg_price")
+        )
+    )
