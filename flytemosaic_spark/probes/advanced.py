@@ -1824,3 +1824,63 @@ def a28_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("wavg_price")
         )
     )
+
+
+@probe(
+    "x53_per_class_examples",
+    sql="""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4),
+                                doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 8
+    """,
+    note="exactly-k-per-class sampling (few-shot / eval-set building): "
+    "deterministic md5-order rank per class, k kept — reservoir-"
+    "sampling semantics without randomness, reproducible under retry",
+)
+def x53_per_class_examples(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.sampling import hash_bucket
+
+    w = Window.partitionBy("lang").orderBy(
+        hash_bucket(F.col("doc_id")), F.col("doc_id")
+    )
+    return (
+        T(spark, sf, "documents")
+        .select("doc_id", "lang")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 8)
+        .drop("_rn")
+    )
+
+
+@probe(
+    "x54_class_weights",
+    sql="""
+        WITH c AS (SELECT lang, count(*) AS n_class FROM documents
+                   GROUP BY lang),
+        t AS (SELECT sum(n_class) AS n_total, count(*) AS k FROM c)
+        SELECT lang, n_class,
+               floor((CAST(n_total AS DOUBLE) / (k * n_class)) * 10000.0
+                     + 0.5) / 10000.0 AS weight
+        FROM c CROSS JOIN t
+    """,
+    note="inverse-frequency class weights (n_total / (k * n_class), "
+    "the sklearn 'balanced' formula): one aggregate + a broadcast "
+    "scalar — the loss-reweighting table for imbalanced training data",
+)
+def x54_class_weights(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    c = T(spark, sf, "documents").groupBy("lang").agg(
+        F.count("*").alias("n_class")
+    )
+    t = c.agg(
+        F.sum("n_class").alias("n_total"), F.count("*").alias("k")
+    )
+    w = F.col("n_total").cast("double") / (F.col("k") * F.col("n_class"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang", "n_class", portable_round(w).alias("weight")
+    )
