@@ -1884,3 +1884,37 @@ def x54_class_weights(spark: SparkSession, sf: str) -> DataFrame:
     return c.crossJoin(F.broadcast(t)).select(
         "lang", "n_class", portable_round(w).alias("weight")
     )
+
+
+@probe(
+    "x55_normalized_dedup",
+    sql="""
+        WITH norm AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+            FROM documents
+        )
+        SELECT h AS norm_hash, min(doc_id) AS keeper, count(*) AS n_copies
+        FROM norm GROUP BY h
+    """,
+    note="normalization-invariant exact dedup: lowercase, strip "
+    "punctuation, collapse whitespace, then content-hash — catches "
+    "the case/punctuation variants byte-exact dedup (x1) misses, "
+    "still one hash-groupBy (Spark regexp_replace is global; the "
+    "oracle needs DuckDB's 'g' flag)",
+)
+def x55_normalized_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", " "),
+            r" +",
+            " ",
+        )
+    )
+    return (
+        T(spark, sf, "documents")
+        .select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
