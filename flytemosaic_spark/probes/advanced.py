@@ -1918,3 +1918,62 @@ def x55_normalized_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("norm_hash")
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
     )
+
+
+@probe(
+    "w13_moving_avg",
+    sql="""
+        SELECT event_id,
+               floor(avg(value) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                   * 10000.0 + 0.5) / 10000.0 AS smooth
+        FROM events
+    """,
+    note="centered moving average (±2 rows) — the smoothing frame "
+    "shape (w2 is running, w8 is trailing-by-time; this is the "
+    "symmetric third)",
+)
+def w13_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    return T(spark, sf, "events").select(
+        "event_id", portable_round(F.avg("value").over(w)).alias("smooth")
+    )
+
+
+@probe(
+    "x56_zscore_anomalies",
+    sql="""
+        WITH stats AS (
+            SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id,
+               floor(((e.value - s.mu) / s.sd) * 10000.0 + 0.5) / 10000.0
+                   AS z
+        FROM events e JOIN stats s USING (user_id)
+        WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 2.5
+    """,
+    note="per-key z-score anomaly flags: one stats aggregate joined "
+    "back to the stream (broadcast at dimension scale, co-partitioned "
+    "otherwise) — the telemetry outlier gate",
+)
+def x56_zscore_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    ev = T(spark, sf, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(stats, "user_id")
+        .where((F.col("sd") > 0) & (F.abs(z) > 2.5))
+        .select("event_id", portable_round(z).alias("z"))
+    )
