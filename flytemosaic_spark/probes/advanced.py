@@ -1977,3 +1977,74 @@ def x56_zscore_anomalies(spark: SparkSession, sf: str) -> DataFrame:
         .where((F.col("sd") > 0) & (F.abs(z) > 2.5))
         .select("event_id", portable_round(z).alias("z"))
     )
+
+
+@probe(
+    "x57_ohlc",
+    sql="""
+        WITH b AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+                   ts, event_id, value
+            FROM events
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY bucket
+                       ORDER BY ts, event_id) AS rn_open,
+                   row_number() OVER (PARTITION BY bucket
+                       ORDER BY ts DESC, event_id DESC) AS rn_close
+            FROM b
+        )
+        SELECT bucket,
+               round(min(CASE WHEN rn_open = 1 THEN value END), 2) AS open,
+               round(max(value), 2) AS high,
+               round(min(value), 2) AS low,
+               round(min(CASE WHEN rn_close = 1 THEN value END), 2) AS close,
+               count(*) AS n
+        FROM r GROUP BY bucket
+    """,
+    note="hourly OHLC bars: open/close via min_by/max_by on a "
+    "(ts, id) struct — one hash-agg, no window, where the oracle "
+    "needs two row_number passes; the financial-rollup shape",
+)
+def x57_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.round(
+                F.expr("min_by(value, struct(ts, event_id))"), 2
+            ).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(
+                F.expr("max_by(value, struct(ts, event_id))"), 2
+            ).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("w.start").alias("bucket"), "open", "high", "low",
+                "close", "n")
+    )
+
+
+@probe(
+    "x58_histogram2d",
+    sql="""
+        SELECT CAST(floor(c_acctbal / 2000) AS BIGINT) AS bx,
+               CAST(floor(c_nationkey / 5) AS BIGINT) AS by,
+               count(*) AS n
+        FROM customer GROUP BY 1, 2
+    """,
+    note="2-D histogram (heatmap bins) over two columns — one "
+    "hash-agg on the composite bin key; the density-report twin of "
+    "a18's 1-D binning",
+)
+def x58_histogram2d(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "customer")
+        .groupBy(
+            F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bx"),
+            F.floor(F.col("c_nationkey") / 5).cast("bigint").alias("by"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
