@@ -2048,3 +2048,61 @@ def x58_histogram2d(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+@probe(
+    "j12_left_outer",
+    sql="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c LEFT OUTER JOIN (
+            SELECT * FROM orders WHERE o_totalprice > 450000
+        ) o ON o.o_custkey = c.c_custkey
+    """,
+    note="left outer join with an unmatched majority (nulls "
+    "preserved) — the explicit outer-join probe the inner/semi/anti "
+    "family (j3/j4/j5) does not cover",
+)
+def j12_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").where(F.col("o_totalprice") > 450000)
+    return c.join(o, o.o_custkey == c.c_custkey, "left_outer").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@probe(
+    "x59_interevent_gaps",
+    sql="""
+        WITH g AS (
+            SELECT event_type,
+                   epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+            FROM events
+        )
+        SELECT event_type,
+               count(gap_ms) AS n_gaps,
+               CAST(min(gap_ms) AS BIGINT) AS min_ms,
+               floor(quantile_cont(gap_ms, 0.5) * 10000.0 + 0.5) / 10000.0
+                   AS median_ms
+        FROM g WHERE gap_ms IS NOT NULL GROUP BY event_type
+    """,
+    note="inter-event think-time distribution: per-user lag diff in "
+    "ms, rolled up per event type with an exact median — the arrival-"
+    "process stats behind session-gap and rate-limit tuning",
+)
+def x59_interevent_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gaps = T(spark, sf, "events").select(
+        "event_type",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    ).where(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_ms").alias("n_gaps"),
+        F.min("gap_ms").cast("bigint").alias("min_ms"),
+        portable_round(
+            F.percentile("gap_ms", F.lit(0.5))
+        ).alias("median_ms"),
+    )
