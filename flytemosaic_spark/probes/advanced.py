@@ -2106,3 +2106,124 @@ def x59_interevent_gaps(spark: SparkSession, sf: str) -> DataFrame:
             F.percentile("gap_ms", F.lit(0.5))
         ).alias("median_ms"),
     )
+
+
+@probe(
+    "x60_share_of_total",
+    sql="""
+        WITH n AS (
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name, revenue,
+               floor(revenue / sum(revenue) OVER () * 10000.0 + 0.5)
+                   / 10000.0 AS share
+        FROM n
+    """,
+    note="percent-of-total contribution: the whole-frame window runs "
+    "over the ALREADY-aggregated (dimension-sized) rows, so the "
+    "single-partition window is metadata-scale by construction",
+)
+def x60_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "revenue",
+        portable_round(F.col("revenue") / F.sum("revenue").over(w)).alias(
+            "share"
+        ),
+    )
+
+
+@probe(
+    "x61_mom_growth",
+    sql="""
+        WITH m AS (
+            SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                   AS DATE) AS month,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue,
+               floor((revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month)
+                     * 10000.0 + 0.5) / 10000.0 AS mom
+        FROM m
+    """,
+    note="period-over-period growth: monthly rollup (data-scale agg) "
+    "then lag over the month axis — the window input is months, not "
+    "rows, so the global order is metadata-scale",
+)
+def x61_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    m = (
+        T(spark, sf, "orders")
+        .groupBy(
+            F.date_trunc("month", F.to_date("o_orderdate"))
+            .cast("date")
+            .alias("month")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        portable_round((F.col("revenue") - prev) / prev).alias("mom"),
+    )
+
+
+@probe(
+    "x62_user_growth",
+    sql="""
+        WITH f AS (
+            SELECT user_id,
+                   CAST(date_trunc('month', CAST(min(ts) AS DATE)) AS DATE)
+                       AS cohort
+            FROM events GROUP BY user_id
+        ),
+        m AS (SELECT cohort, count(*) AS new_users FROM f GROUP BY cohort)
+        SELECT cohort, new_users,
+               sum(new_users) OVER (ORDER BY cohort
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS total_users
+        FROM m
+    """,
+    note="cumulative user growth curve: first-seen month per user "
+    "(one agg), monthly new-user counts, running total over the "
+    "month axis — the ubiquitous growth chart, window input is "
+    "months so the global order costs nothing",
+)
+def x62_user_growth(spark: SparkSession, sf: str) -> DataFrame:
+    f = (
+        T(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("month", F.to_date(F.min("ts")))
+            .cast("date")
+            .alias("cohort")
+        )
+    )
+    m = f.groupBy("cohort").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("cohort").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return m.select(
+        "cohort", "new_users", F.sum("new_users").over(w).alias("total_users")
+    )
