@@ -2227,3 +2227,69 @@ def x62_user_growth(spark: SparkSession, sf: str) -> DataFrame:
     return m.select(
         "cohort", "new_users", F.sum("new_users").over(w).alias("total_users")
     )
+
+
+@probe(
+    "x63_skew_report",
+    sql="""
+        WITH k AS (
+            SELECT l_suppkey, count(*) AS n FROM lineitem
+            GROUP BY l_suppkey
+        )
+        SELECT count(*) AS n_keys,
+               CAST(max(n) AS BIGINT) AS max_rows,
+               floor(avg(n) * 10000.0 + 0.5) / 10000.0 AS avg_rows,
+               floor(max(n) / avg(n) * 10000.0 + 0.5) / 10000.0
+                   AS skew_factor
+        FROM k
+    """,
+    note="partition-skew diagnostics: per-key cardinality rollup -> "
+    "max/avg skew factor — the report that tells you whether a key "
+    "needs salting (operators/skew.py) before the real job runs",
+)
+def x63_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    k = T(spark, sf, "lineitem").groupBy("l_suppkey").agg(
+        F.count("*").alias("n")
+    )
+    return k.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_rows"),
+        portable_round(F.avg("n")).alias("avg_rows"),
+        portable_round(F.max("n") / F.avg("n")).alias("skew_factor"),
+    )
+
+
+@probe(
+    "x64_column_entropy",
+    sql="""
+        WITH c AS (
+            SELECT o_orderpriority AS v, count(*) AS n FROM orders
+            GROUP BY 1
+        ),
+        t AS (SELECT sum(n) AS total FROM c)
+        SELECT floor(-sum((n / total) * ln(n / total)) * 10000.0 + 0.5)
+                   / 10000.0 AS entropy,
+               count(*) AS n_values
+        FROM c CROSS JOIN t
+    """,
+    note="Shannon entropy of a categorical column (profile-card "
+    "depth): value histogram + one fold — flags near-constant or "
+    "near-unique columns before they become bad partition keys",
+)
+def x64_column_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    c = T(spark, sf, "orders").groupBy("o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            portable_round(-F.sum(p * F.log(p))).alias("entropy"),
+            F.count("*").alias("n_values"),
+        )
+    )

@@ -40,6 +40,7 @@ CROSS_OK = {
     "x45_unigram_logprob",
     "x49_pmi_bigrams",
     "x54_class_weights",
+    "x64_column_entropy",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
