@@ -2293,3 +2293,26 @@ def x64_column_entropy(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_values"),
         )
     )
+
+
+@probe(
+    "w14_dense_rank",
+    sql="""
+        SELECT l_orderkey, l_linenumber,
+               dense_rank() OVER (PARTITION BY l_returnflag
+                   ORDER BY CAST(l_quantity AS BIGINT) DESC) AS drnk
+        FROM lineitem
+    """,
+    note="dense_rank over a tied ordering (no gaps after ties — the "
+    "behavior rank() in w5 cannot express); tie-heavy integer "
+    "quantities make the distinction observable",
+)
+def w14_dense_rank(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc(F.col("l_quantity").cast("bigint"))
+    )
+    return T(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
