@@ -2316,3 +2316,101 @@ def w14_dense_rank(spark: SparkSession, sf: str) -> DataFrame:
         "l_linenumber",
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
     )
+
+
+@probe(
+    "x65_retention_rate",
+    sql="""
+        WITH first_seen AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', CAST(min(ts) AS DATE)) AS DATE)
+                       AS cohort
+            FROM events GROUP BY user_id
+        ),
+        size_ AS (
+            SELECT cohort, count(*) AS cohort_size FROM first_seen
+            GROUP BY cohort
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort,
+                   CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE)
+                       AS week
+            FROM events e JOIN first_seen f USING (user_id)
+        ),
+        counts AS (
+            SELECT cohort, week, count(*) AS n_active FROM activity
+            GROUP BY cohort, week
+        )
+        SELECT c.cohort, c.week, c.n_active,
+               floor(c.n_active / CAST(s.cohort_size AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS retention
+        FROM counts c JOIN size_ s USING (cohort)
+    """,
+    note="normalized retention rates (x41's matrix / cohort size): "
+    "the cohort-size table is cohort-cardinality, broadcast back",
+)
+def x65_retention_rate(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    ev = T(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.to_date(F.min("ts"))).cast("date").alias("cohort")
+    )
+    size = first_seen.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+        )
+        .distinct()
+    )
+    counts = activity.groupBy("cohort", "week").agg(
+        F.count("*").alias("n_active")
+    )
+    return counts.join(F.broadcast(size), "cohort").select(
+        "cohort",
+        "week",
+        "n_active",
+        portable_round(
+            F.col("n_active") / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )
+
+
+@probe(
+    "x66_ab_lift",
+    sql="""
+        WITH assigned AS (
+            SELECT value,
+                   CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                        < '8000' THEN 'A' ELSE 'B' END AS arm
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT arm, count(*) AS n,
+               floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS mean_value,
+               floor(stddev_samp(value) * 10000.0 + 0.5) / 10000.0
+                   AS sd_value
+        FROM assigned GROUP BY arm
+    """,
+    note="A/B experiment readout on the deterministic md5-bucket "
+    "assignment (x19's machinery): per-arm mean/sd of the success "
+    "metric — assignment reproducible under retry, never rand()",
+)
+def x66_ab_lift(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.sampling import hash_bucket
+    from flytemosaic_spark.operators.text import portable_round
+
+    arm = F.when(hash_bucket(F.col("user_id")) < "8000", "A").otherwise("B")
+    return (
+        T(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("value", arm.alias("arm"))
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n"),
+            portable_round(F.avg("value")).alias("mean_value"),
+            portable_round(F.stddev_samp("value")).alias("sd_value"),
+        )
+    )
