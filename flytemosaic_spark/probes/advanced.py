@@ -2414,3 +2414,75 @@ def x66_ab_lift(spark: SparkSession, sf: str) -> DataFrame:
             portable_round(F.stddev_samp("value")).alias("sd_value"),
         )
     )
+
+
+@probe(
+    "x67_first_touch",
+    sql="""
+        WITH c AS (
+            SELECT user_id, ts AS click_ts, event_id AS click_id
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase'
+        ),
+        joined AS (
+            SELECT p.user_id, purchase_id, click_id,
+                   row_number() OVER (PARTITION BY purchase_id
+                       ORDER BY click_ts, click_id) AS rn
+            FROM p JOIN c ON p.user_id = c.user_id
+                AND c.click_ts <= p.purchase_ts
+                AND c.click_ts >= p.purchase_ts - INTERVAL 12 HOURS
+        )
+        SELECT user_id, purchase_id, click_id FROM joined WHERE rn = 1
+    """,
+    note="FIRST-touch attribution (earliest click in the window) — "
+    "the marketing counterpart of x22/x29's last-touch as-of; the "
+    "interval join is shared, only the pick rule changes",
+)
+def x67_first_touch(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.streaming.events import attribute_purchases
+
+    pairs = attribute_purchases(T(spark, sf, "events"))
+    w = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "purchase_id", "click_id")
+    )
+
+
+@probe(
+    "x68_value_deciles",
+    sql="""
+        WITH d AS (
+            SELECT o_totalprice,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS decile
+            FROM orders
+        )
+        SELECT decile, count(*) AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi,
+               round(sum(o_totalprice), 2) AS total
+        FROM d GROUP BY decile
+    """,
+    note="decile table (the value-distribution report): ntile over "
+    "the total order then a rollup — at 100 TB swap the exact ntile "
+    "for quantile-sketch boundaries (x37) + a bucket join, same "
+    "output contract",
+)
+def x68_value_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        T(spark, sf, "orders")
+        .select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
