@@ -2486,3 +2486,87 @@ def x68_value_deciles(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@probe(
+    "x69_length_buckets",
+    sql=r"""
+        WITH n AS (
+            SELECT CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END
+                   AS n_tok
+            FROM documents
+        )
+        SELECT CAST(floor(n_tok / 16) AS BIGINT) AS bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM n GROUP BY 1
+    """,
+    note="token-length distribution buckets (the dataloader-planning "
+    "report feeding x25's packing: how many docs per length band, "
+    "how many tokens they carry)",
+)
+def x69_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import token_count
+
+    n = token_count(F.col("text"))
+    return (
+        T(spark, sf, "documents")
+        .select(F.floor(n / 16).cast("bigint").alias("bucket"), n.alias("n"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@probe(
+    "x70_langid_confusion",
+    sql=r"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, lang,
+                   len(list_filter(w, t -> t IN ('the','and','of','a','to',
+                       'in','is'))) AS h_en,
+                   len(list_filter(w, t -> t IN ('le','la','les','et','de',
+                       'un','est'))) AS h_fr,
+                   len(list_filter(w, t -> t IN ('der','die','das','und',
+                       'ist','ein'))) AS h_de,
+                   len(list_filter(w, t -> t IN ('el','la','los','y','de',
+                       'es','un'))) AS h_es
+            FROM toks
+        ),
+        pred AS (
+            SELECT lang,
+                   CASE WHEN greatest(h_en, h_fr, h_de, h_es) = 0 THEN 'und'
+                        WHEN h_en = greatest(h_en, h_fr, h_de, h_es)
+                            THEN 'en'
+                        WHEN h_fr = greatest(h_en, h_fr, h_de, h_es)
+                            THEN 'fr'
+                        WHEN h_de = greatest(h_en, h_fr, h_de, h_es)
+                            THEN 'de'
+                        ELSE 'es' END AS lang_pred
+            FROM hits
+        )
+        SELECT lang, lang_pred, count(*) AS n
+        FROM pred GROUP BY lang, lang_pred
+    """,
+    note="classifier-evaluation confusion matrix: the x8 heuristic's "
+    "predictions rolled up against the labeled lang column — the "
+    "eval-against-labels shape every heuristic gate needs before "
+    "it filters a corpus",
+)
+def x70_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import lang_id
+
+    return (
+        T(spark, sf, "documents")
+        .select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
