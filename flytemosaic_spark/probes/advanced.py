@@ -2570,3 +2570,41 @@ def x70_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
     )
+
+
+@probe(
+    "x71_trending",
+    sql="""
+        WITH c AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT bucket, event_type, n FROM (
+            SELECT *, row_number() OVER (PARTITION BY bucket
+                ORDER BY n DESC, event_type) AS rn
+            FROM c
+        ) WHERE rn <= 2
+    """,
+    note="trending-per-window (top-k event types per hour): window "
+    "counts then a rank over the (bucket, type) AGGREGATE — the "
+    "window's input is already bucket-cardinality, so the per-bucket "
+    "sort is tiny no matter the event volume",
+)
+def x71_trending(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        T(spark, sf, "events")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n")
+    )
+    rank_w = Window.partitionBy("bucket").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        c.withColumn("_rn", F.row_number().over(rank_w))
+        .where(F.col("_rn") <= 2)
+        .drop("_rn")
+    )
