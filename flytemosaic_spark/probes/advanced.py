@@ -1868,8 +1868,10 @@ def x53_per_class_examples(spark: SparkSession, sf: str) -> DataFrame:
         FROM c CROSS JOIN t
     """,
     note="inverse-frequency class weights (n_total / (k * n_class), "
-    "the sklearn 'balanced' formula): one aggregate + a broadcast "
-    "scalar — the loss-reweighting table for imbalanced training data",
+    "the sklearn 'balanced' formula): one scan + one hash-agg, then "
+    "the global sums come from a whole-frame window over the "
+    "class-cardinality rows (metadata-scale by construction) — the "
+    "loss-reweighting table for imbalanced training data",
 )
 def x54_class_weights(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.text import portable_round
@@ -1877,13 +1879,13 @@ def x54_class_weights(spark: SparkSession, sf: str) -> DataFrame:
     c = T(spark, sf, "documents").groupBy("lang").agg(
         F.count("*").alias("n_class")
     )
-    t = c.agg(
-        F.sum("n_class").alias("n_total"), F.count("*").alias("k")
-    )
-    w = F.col("n_total").cast("double") / (F.col("k") * F.col("n_class"))
-    return c.crossJoin(F.broadcast(t)).select(
-        "lang", "n_class", portable_round(w).alias("weight")
-    )
+    # global totals via a window over the (few) class rows: the fact
+    # table is scanned ONCE; the agg+crossJoin form scans it twice
+    wall = Window.partitionBy()
+    n_total = F.sum("n_class").over(wall)
+    k = F.count("*").over(wall)
+    w = n_total.cast("double") / (k * F.col("n_class"))
+    return c.select("lang", "n_class", portable_round(w).alias("weight"))
 
 
 @probe(
@@ -2276,7 +2278,9 @@ def x63_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     """,
     note="Shannon entropy of a categorical column (profile-card "
     "depth): value histogram + one fold — flags near-constant or "
-    "near-unique columns before they become bad partition keys",
+    "near-unique columns before they become bad partition keys; the "
+    "normalizing total comes from a window over the histogram rows, "
+    "so the fact table is scanned once",
 )
 def x64_column_entropy(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.text import portable_round
@@ -2284,14 +2288,10 @@ def x64_column_entropy(spark: SparkSession, sf: str) -> DataFrame:
     c = T(spark, sf, "orders").groupBy("o_orderpriority").agg(
         F.count("*").alias("n")
     )
-    t = c.agg(F.sum("n").alias("total"))
-    p = F.col("n") / F.col("total")
-    return (
-        c.crossJoin(F.broadcast(t))
-        .agg(
-            portable_round(-F.sum(p * F.log(p))).alias("entropy"),
-            F.count("*").alias("n_values"),
-        )
+    p = F.col("n") / F.sum("n").over(Window.partitionBy())
+    return c.select(p.alias("_p")).agg(
+        portable_round(-F.sum(F.col("_p") * F.log("_p"))).alias("entropy"),
+        F.count("*").alias("n_values"),
     )
 
 
@@ -2347,35 +2347,38 @@ def w14_dense_rank(spark: SparkSession, sf: str) -> DataFrame:
         FROM counts c JOIN size_ s USING (cohort)
     """,
     note="normalized retention rates (x41's matrix / cohort size): "
-    "the cohort-size table is cohort-cardinality, broadcast back",
+    "single-scan form — cohort = min(ts) window per user (no agg+join "
+    "back), and cohort_size is recovered from the counts themselves "
+    "(every user is active in their own cohort week by construction, "
+    "so n_active at week==cohort IS the cohort size); one fact scan, "
+    "no second aggregate branch",
 )
 def x65_retention_rate(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.text import portable_round
 
     ev = T(spark, sf, "events")
-    first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.to_date(F.min("ts"))).cast("date").alias("cohort")
-    )
-    size = first_seen.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
-    activity = (
-        ev.join(first_seen, "user_id")
-        .select(
-            "user_id",
-            "cohort",
-            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
-        )
-        .distinct()
-    )
+    week = lambda c: F.date_trunc("week", F.to_date(c)).cast("date")  # noqa: E731
+    w_user = Window.partitionBy("user_id")
+    activity = ev.select(
+        "user_id",
+        week(F.min("ts").over(w_user)).alias("cohort"),
+        week("ts").alias("week"),
+    ).distinct()
     counts = activity.groupBy("cohort", "week").agg(
         F.count("*").alias("n_active")
     )
-    return counts.join(F.broadcast(size), "cohort").select(
+    # cohort_size = n_active of the cohort's own first week
+    w_cohort = Window.partitionBy("cohort")
+    size = F.max(
+        F.when(F.col("week") == F.col("cohort"), F.col("n_active"))
+    ).over(w_cohort)
+    return counts.select(
         "cohort",
         "week",
         "n_active",
-        portable_round(
-            F.col("n_active") / F.col("cohort_size").cast("double")
-        ).alias("retention"),
+        portable_round(F.col("n_active") / size.cast("double")).alias(
+            "retention"
+        ),
     )
 
 
