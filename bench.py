@@ -47,6 +47,8 @@ HEADLINE = [
     "x34_incremental_rollup",
     "x36_snapshot_diff",
     "j10_grid_spatial_join",
+    "x74_pagerank",
+    "x77_bm25",
 ]
 
 

@@ -1,0 +1,71 @@
+"""Iterative graph propagation (PageRank) as repeated join+agg passes.
+
+The reference has no graph operator; connected components (the other
+iterative graph op this engine ships) lives in ``operators/dedup.py``.
+PageRank is the weighted-propagation complement: instead of a min-label
+fixpoint it redistributes mass along edges each round, which is the
+shape of influence scoring, spam-rank, and citation weighting over a
+web-crawl corpus — a standard curation signal for training data
+(e.g. CommonCrawl page quality).
+
+Scale shape: each iteration is one shuffle join (edges ⨝ ranks on src,
+both sides hash-partitioned on the same key, so AQE converts later
+iterations to local joins when edges are pre-partitioned) plus one
+hash aggregation on dst. Rank state is one row per node — node-scale,
+not edge-scale — and the edge list is cached once and reused across
+iterations. Iteration count is fixed and small (driver-side loop over
+a declarative plan; no per-row driver work).
+
+Determinism: every iteration's rank is rounded half-up at 1e-10 so the
+result is reproducible bit-for-bit across engines and across summation
+orders (float sums are order-dependent; the true cross-engine
+discrepancy is ~1e-15, far below the rounding grain). The DuckDB
+oracle in probes/curation.py replays the same unrolled iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# rounding grain applied to each iteration's rank vector
+_ITER_DIGITS = 10
+
+
+def _round_at(c, digits: int):
+    scale = F.lit(float(10**digits))
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list, ``iterations`` rounds from a
+    uniform start. Nodes are the distinct sources (a symmetric edge
+    list — the co-occurrence construction in probes — makes every node
+    both a source and a sink, so no dangling-mass correction is
+    needed). Returns (node, pagerank) with pagerank rounded at 1e-10.
+    """
+    e = edges.select(src, dst).distinct()
+    deg = e.groupBy(src).agg(F.count("*").alias("out_deg"))
+    e = e.join(deg, src).cache()
+    n_nodes = deg.count()  # node-scale scalar, computed once
+    base = F.lit((1.0 - damping) / n_nodes)
+    ranks = deg.select(F.col(src).alias("node"), F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e[src] == ranks.node)
+            .groupBy(dst)
+            .agg(F.sum(F.col("pr") / F.col("out_deg")).alias("_in"))
+        )
+        ranks = contribs.select(
+            F.col(dst).alias("node"),
+            _round_at(base + F.lit(damping) * F.col("_in"), _ITER_DIGITS).alias(
+                "pr"
+            ),
+        )
+    return ranks.select("node", F.col("pr").alias("pagerank"))

@@ -96,3 +96,34 @@ def run_checks(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Clip a metric to its per-group [lower, upper] quantiles — the
+    standard outlier-robust normalization before averaging a noisy
+    signal (revenue, latency, score).
+
+    Physical shape: the quantile table is group-cardinality (one exact
+    interpolated-percentile aggregate), broadcast back onto the fact
+    rows — no re-shuffle of the fact table by group, which matters
+    when one group dominates (the same skew that makes a window over
+    partitionBy(group) a straggler at 100 TB). Swap F.percentile for
+    percentile_approx when group cardinality explodes; the plan is
+    unchanged.
+    """
+    q = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(lower)).alias("_q_lo"),
+        F.percentile(value_col, F.lit(upper)).alias("_q_hi"),
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_q_lo")), F.col("_q_hi"))
+    return (
+        df.join(F.broadcast(q), group_cols)
+        .withColumn("_clipped", clipped)
+        .drop("_q_lo", "_q_hi")
+    )

@@ -53,6 +53,24 @@ def stratified_sample(
     return df.where(hash_bucket(F.col(key_col)) < thr)
 
 
+def split_label(
+    key: Column,
+    splits: tuple[tuple[str, float], ...] = (("test", 0.1), ("valid", 0.1)),
+    default: str = "train",
+) -> Column:
+    """The split label as a pure column expression of the key — usable
+    on any column (e.g. both sides of a near-dup pair in a leakage
+    audit), not just a designated key column."""
+    bucket = hash_bucket(key)
+    expr = None
+    cum = 0.0
+    for name, frac in splits:
+        cum += frac
+        cond = bucket < F.lit(rate_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(default) if expr is not None else F.lit(default)
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,
@@ -63,15 +81,7 @@ def split_assign(
     cumulative bucket ranges. Membership depends only on the key, so
     the split survives re-partitioning, re-ingestion, and engine swaps
     — the property a contamination audit needs."""
-    bucket = hash_bucket(F.col(key_col))
-    expr = None
-    cum = 0.0
-    for name, frac in splits:
-        cum += frac
-        cond = bucket < F.lit(rate_threshold(cum))
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    label = expr.otherwise(default) if expr is not None else F.lit(default)
-    return df.withColumn("split", label)
+    return df.withColumn("split", split_label(F.col(key_col), splits, default))
 
 
 def domain_mix(
@@ -107,3 +117,23 @@ def domain_mix(
         .where(F.col("_rn") <= quota)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep a row with
+    probability ``weight`` (clamped to [0,1]), decided purely by the
+    key's hash — so the sample is reproducible under retries,
+    re-partitioning, and engine swaps, unlike ``rand() < w``.
+
+    This is importance sampling for corpus curation (e.g. keep long /
+    high-quality documents proportionally more often): a pure filter,
+    no shuffle, pushed toward the scan by Catalyst.
+    """
+    u = F.conv(hash_bucket(F.col(key_col)), 16, 10).cast("int") / F.lit(
+        float(HEX_BUCKETS)
+    )
+    return df.where(u < F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0)))

@@ -682,3 +682,37 @@ def pq_index_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "neighbor_id", "sim")
     )
+
+
+def standard_scale_long(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension standardization (z = (x − μ_d)/σ_d) of an
+    embedding column, in long form (id, dim, zval) — the feature-
+    scaling pass before distance-based retrieval or clustering treats
+    all dimensions equally.
+
+    Physical shape: posexplode once; the per-dimension moment table is
+    dimension-cardinality (64 rows for a 64-d embedding) regardless of
+    corpus size, so it broadcasts back onto the exploded rows — never
+    a window partitioned by dim, which would funnel the whole corpus
+    through |dims| partitions. Moments are rounded at 1e-6 before the
+    division so the z-values reproduce bit-for-bit across engines
+    (mean/stddev summation order differs; true discrepancy ~1e-15).
+    """
+    from flytemosaic_spark.operators.text import portable_round
+
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim0", "val"),
+    ).select(id_col, (F.col("dim0") + 1).alias("dim"), "val")
+    moments = ex.groupBy("dim").agg(
+        portable_round(F.avg("val"), 6).alias("_mu"),
+        portable_round(F.stddev_pop("val"), 6).alias("_sigma"),
+    )
+    z = (F.col("val") - F.col("_mu")) / F.col("_sigma")
+    return ex.join(F.broadcast(moments), "dim").select(
+        id_col, "dim", portable_round(z).alias("zval")
+    )

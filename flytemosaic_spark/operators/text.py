@@ -284,3 +284,61 @@ def profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "quality",
         fingerprint_from_tokens(F.col("_toks")).alias("fp"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms — the retrieval scorer a curation pipeline uses to surface
+    domain-relevant documents (tf saturation + length normalization,
+    which raw TF-IDF in :func:`tfidf_topk` lacks).
+
+    One pass over the exploded tokens feeds all three statistics:
+    document length (groupBy doc), term frequency for the query terms
+    only (the IN filter prunes the heavy aggregate to query-term rows
+    before the shuffle), and document frequency (an aggregate over the
+    tf table, term-cardinality). N and avgdl are one scalar row,
+    broadcast; df is term-cardinality, broadcast. avgdl is rounded at
+    1e-6 so the score is engine-reproducible (see probes/curation.py
+    for the DuckDB twin). Returns (doc_id, n_terms_hit, bm25) for
+    documents matching at least one term.
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    )
+    dl = ex.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        portable_round(F.avg("dl"), 6).alias("avgdl"),
+    )
+    tf = (
+        ex.where(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") * (F.lit(k1) + 1.0) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            portable_round(F.sum(idf * norm)).alias("bm25"),
+        )
+    )
