@@ -268,3 +268,174 @@ def x77_bm25(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_scores(
         T(spark, sf, "documents"), terms=["hash", "merge", "scan"]
     )
+
+
+@probe(
+    "x78_source_overlap",
+    sql=r"""
+        WITH toks AS (
+            SELECT source, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT source,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(w) - 4, 1) + 1),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+                   ))) AS shingle
+            FROM toks
+        ),
+        ex AS (SELECT DISTINCT source, shingle FROM sh),
+        sizes AS (SELECT source, count(*) AS n_sh FROM ex GROUP BY source),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+            FROM ex a JOIN ex b USING (shingle)
+            WHERE a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, n_inter,
+               floor(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = src_a
+        JOIN sizes sb ON sb.source = src_b
+    """,
+    note="corpus-level overlap between sources (Jaccard of distinct "
+    "5-gram shingle sets per source pair): the which-feeds-duplicate "
+    "signal that decides whether two crawl snapshots should even be "
+    "co-ingested; same inverted-index shape as x2 but aggregated to "
+    "source pairs, so the output is |sources|^2 no matter the corpus",
+)
+def x78_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round, shingles_from_tokens, tokens
+
+    docs = T(spark, sf, "documents")
+    ex = (
+        docs.select(
+            "source", tokens(F.col("text")).alias("toks")
+        )
+        .select("source", F.explode(shingles_from_tokens(F.col("toks"), 5)).alias("shingle"))
+        .distinct()
+    )
+    sizes = ex.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("_nb"))
+    jac = F.col("n_inter") / (F.col("_na") + F.col("_nb") - F.col("n_inter")).cast(
+        "double"
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "n_inter", portable_round(jac).alias("jaccard")
+        )
+    )
+
+
+@probe(
+    "x79_dup_rate_by_source",
+    sql="""
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_unique,
+               floor((CAST(1.0 AS DOUBLE)
+                      - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE))
+                     * 10000.0 + 0.5) / 10000.0 AS dup_rate
+        FROM documents GROUP BY source
+    """,
+    note="per-source duplication-rate report (x1's exact dedup rolled "
+    "up to the feed level): one hash-distinct aggregate per source — "
+    "the ingest-quality dashboard number that decides which feed gets "
+    "dedup budget first",
+)
+def x79_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    agg = (
+        T(spark, sf, "documents")
+        .select("source", F.md5("text").alias("_h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("_h").alias("n_unique"),
+        )
+    )
+    rate = F.lit(1.0) - F.col("n_unique") / F.col("n_docs").cast("double")
+    return agg.select(
+        "source", "n_docs", "n_unique", portable_round(rate).alias("dup_rate")
+    )
+
+
+@probe(
+    "x80_perplexity_buckets",
+    sql=r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+                AS word
+            FROM documents
+        ),
+        freq AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+        tot AS (SELECT sum(c) AS n FROM freq),
+        lp AS (
+            SELECT t.doc_id,
+                   floor(avg(ln(f.c / tot.n)) * 10000.0 + 0.5) / 10000.0
+                       AS avg_logprob
+            FROM toks t JOIN freq f USING (word) CROSS JOIN tot
+            GROUP BY t.doc_id
+        ),
+        thr AS (
+            SELECT quantile_cont(avg_logprob, CAST(0.67 AS DOUBLE)) AS p67,
+                   quantile_cont(avg_logprob, CAST(0.33 AS DOUBLE)) AS p33
+            FROM lp
+        )
+        SELECT doc_id, avg_logprob,
+               CASE WHEN avg_logprob >= p67 THEN 'head'
+                    WHEN avg_logprob >= p33 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM lp CROSS JOIN thr
+    """,
+    note="CCNet-style perplexity bucketing: the unigram-LM score (x45) "
+    "cut at its corpus terciles into head/middle/tail — the standard "
+    "quality-tiering that decides which third of a crawl gets "
+    "sampled hardest; thresholds are one percentile aggregate "
+    "(2 scalars) broadcast back, never a global ntile sort",
+)
+def x80_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round, tokens
+
+    toks = T(spark, sf, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    freq = toks.groupBy("word").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    lp = (
+        toks.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            portable_round(F.avg(F.log(F.col("c") / F.col("n")))).alias(
+                "avg_logprob"
+            )
+        )
+    )
+    thr = lp.agg(
+        F.percentile("avg_logprob", F.lit(0.67)).alias("p67"),
+        F.percentile("avg_logprob", F.lit(0.33)).alias("p33"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.col("p67"), "head")
+        .when(F.col("avg_logprob") >= F.col("p33"), "middle")
+        .otherwise("tail")
+    )
+    return lp.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "avg_logprob", bucket.alias("bucket")
+    )

@@ -111,6 +111,29 @@ def stream_exact_dedup(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the CURRENT contents of the static side — Structured Streaming
+    re-evaluates the static relation per batch, so a refreshed
+    dimension is picked up without restarting the query. (A path-based
+    parquet relation caches its file listing; announce a rewrite with
+    ``spark.catalog.refreshByPath``. Catalog-managed / Delta tables
+    refresh transparently.)
+
+    The static side is broadcast — stream-static joins cannot shuffle
+    the unbounded side by the join key without unbounded state, and a
+    dimension small enough to refresh per batch is small enough to
+    broadcast. Stateless: no watermark needed, any output mode. Works
+    identically on a batch DataFrame (same plan → batch twin is the
+    oracle, see test_streaming.py)."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def attribute_purchases(
     events: DataFrame,
     window: str = "12 hours",

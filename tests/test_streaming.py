@@ -337,3 +337,63 @@ def test_foreach_batch_upsert_sink_converges(spark, events, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_enrich_stream_static_join_matches_batch_and_sees_dim_refresh(
+    spark, events, tmp_path
+):
+    """Stream-static broadcast enrichment: (1) the streaming result
+    equals the batch twin; (2) a dimension refreshed on disk between
+    micro-batch runs is picked up without restarting the query."""
+    import pyspark.sql.functions as F
+
+    from flytemosaic_spark.streaming.events import enrich_stream
+
+    src = str(tmp_path / "src")
+    dim_dir = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    events.limit(600).coalesce(1).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    schema = batch.schema
+
+    users = events.select("user_id").distinct()
+    users.withColumn("tier", F.lit("bronze")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dim_dir)
+
+    def drain():
+        # the static frame is rebuilt per run: a path-based parquet
+        # relation snapshots its file listing at creation, so each
+        # AvailableNow cycle re-reads the dimension's current state
+        # (an always-on query would use a catalog/Delta table instead)
+        dim = spark.read.parquet(dim_dir)
+        q = (
+            enrich_stream(stream_new_files(spark, src, schema), dim, "user_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 600
+    assert got.where(F.col("tier") == "bronze").count() == 600
+    # batch twin: same operator on the batch frame gives the same rows
+    want = enrich_stream(batch, spark.read.parquet(dim_dir), "user_id")
+    assert got.select(*want.columns).exceptAll(want).count() == 0
+
+    # refresh the dimension on disk, append new facts: the SAME query
+    # definition and checkpoint join the new batch against the NEW
+    # dimension contents
+    users.withColumn("tier", F.lit("gold")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dim_dir)
+    events.limit(300).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 600 + 300
+    assert got2.where(F.col("tier") == "gold").count() == 300
