@@ -49,6 +49,9 @@ HEADLINE = [
     "j10_grid_spatial_join",
     "x74_pagerank",
     "x77_bm25",
+    "q01_pricing_summary",
+    "q05_local_supplier_volume",
+    "q18_large_volume_customer",
 ]
 
 

@@ -41,6 +41,10 @@ CROSS_OK = {
     "x49_pmi_bigrams",
     "x54_class_weights",
     "x64_column_entropy",
+    # 1-row scalar-statistics broadcast (N/avgdl, tercile thresholds):
+    # same shape as x45 — linear in corpus, constant broadcast side
+    "x77_bm25",
+    "x80_perplexity_buckets",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
