@@ -439,3 +439,28 @@ def x80_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return lp.crossJoin(F.broadcast(thr)).select(
         "doc_id", "avg_logprob", bucket.alias("bucket")
     )
+
+
+@probe(
+    "x81_bloom_antijoin",
+    sql="""
+        SELECT o_orderkey FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey)
+    """,
+    note="J4's incremental anti-join under the Bloom-prefilter "
+    "physical strategy (operators/bloom.py): definite misses pass a "
+    "broadcast bit-array filter shuffle-free, only maybe-present "
+    "survivors reach the exact anti-join — same NOT EXISTS oracle as "
+    "j4_anti_join because the filter cannot change membership (no "
+    "false negatives); the big side's shuffle disappears at 100 TB",
+)
+def x81_bloom_antijoin(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.bloom import bloom_anti_join
+
+    return bloom_anti_join(
+        T(spark, sf, "orders"),
+        T(spark, sf, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+    ).select("o_orderkey")
