@@ -59,14 +59,16 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     ]
 
 
-def build_bloom(keys: DataFrame, key_col: str, m_bits: int, k: int = 3) -> list[int]:
-    """Aggregate the existing-key set into Bloom words (little driver
-    state: m_bits/64 longs, e.g. 2^21 bits -> 256 KiB). One shuffle on
-    the word index, whose cardinality is m/64 regardless of key count."""
+def build_bloom_df(keys: DataFrame, key_col: str, m_bits: int, k: int = 3) -> DataFrame:
+    """Aggregate the existing-key set into a (w, bits) word table —
+    cardinality m/64 regardless of key count, one shuffle on the word
+    index. This is the distributed form; collect it with
+    :func:`build_bloom` only when the literal-array apply path is in
+    play (small m)."""
     if m_bits % _WORD:
         raise ValueError("m_bits must be a multiple of 64")
     pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("p")
-    packed = (
+    return (
         keys.select(pos)
         .select(
             F.floor(F.col("p") / _WORD).cast("int").alias("w"),
@@ -74,11 +76,19 @@ def build_bloom(keys: DataFrame, key_col: str, m_bits: int, k: int = 3) -> list[
         )
         .groupBy("w")
         .agg(F.bit_or("b").alias("bits"))
-        .collect()
     )
+
+
+def build_bloom(keys: DataFrame, key_col: str, m_bits: int, k: int = 3) -> list[int]:
+    """Driver-side Bloom words (m_bits/64 longs, e.g. 2^19 bits ->
+    64 KiB). Arrow-collected; for filters past ~2^19 bits prefer the
+    join apply path (:func:`bloom_anti_join` switches automatically —
+    a py4j array literal of 10^5+ elements is converted element-wise
+    and dominates the job)."""
+    pdf = build_bloom_df(keys, key_col, m_bits, k).toPandas()
     words = [0] * (m_bits // _WORD)
-    for r in packed:
-        words[r["w"]] = r["bits"]
+    for w, b in zip(pdf["w"], pdf["bits"]):
+        words[int(w)] = int(b)
     return words
 
 
@@ -98,6 +108,43 @@ def _next_pow2(n: int) -> int:
     return 1 << max(16, (n - 1).bit_length())
 
 
+# above this, the word table rides a broadcast join instead of an
+# array literal (py4j converts list literals element-wise — a 2^18-word
+# literal costs more than the query)
+_MAX_LITERAL_WORDS = 1 << 13
+
+
+def _with_maybe_flag(
+    big: DataFrame, words_df: DataFrame, big_key: str, m_bits: int, k: int
+) -> DataFrame:
+    """Tag rows with the Bloom verdict via k broadcast left-joins on
+    the word index — the apply path for large filters: the word table
+    is m/64 rows, the big side is never shuffled (broadcast hash
+    joins), and no driver materialization happens at all."""
+    out = big
+    verdict = None
+    bit_cols = []
+    for i, pos in enumerate(_positions(F.col(big_key), m_bits, k)):
+        w_col, b_col = f"_bw{i}", f"_bb{i}"
+        probe = words_df.select(
+            F.col("w").alias(w_col), F.col("bits").alias(b_col)
+        )
+        out = (
+            out.withColumn(w_col + "_idx", F.floor(pos / _WORD).cast("int"))
+            .join(
+                F.broadcast(probe),
+                F.col(w_col + "_idx") == F.col(w_col),
+                "left",
+            )
+            .drop(w_col, w_col + "_idx")
+        )
+        bit = _one_shl((pos % _WORD).cast("int"))
+        hit = F.coalesce(F.col(b_col), F.lit(0)).bitwiseAND(bit) != 0
+        verdict = hit if verdict is None else (verdict & hit)
+        bit_cols.append(b_col)
+    return out.withColumn("_bloom_maybe", verdict).drop(*bit_cols)
+
+
 def bloom_anti_join(
     big: DataFrame,
     existing: DataFrame,
@@ -109,7 +156,8 @@ def bloom_anti_join(
     """``big`` rows whose key is NOT in ``existing`` — bit-identical to
     ``big.join(existing, ..., "left_anti")``, but only the Bloom-maybe
     survivors are shuffled; the definite misses stream straight through
-    a scan-side filter.
+    a scan-side filter (small filters) or broadcast word-table joins
+    (large filters).
 
     ``m_bits`` defaults to ~10 bits per existing key (k=3 -> ~2.5%
     false-positive rate), sized from one count of the existing keys.
@@ -117,10 +165,17 @@ def bloom_anti_join(
     keys = existing.select(F.col(existing_key).alias("_k")).distinct()
     if m_bits is None:
         m_bits = _next_pow2(10 * max(keys.count(), 1))
-    words = build_bloom(keys, "_k", m_bits, k)
-    maybe = might_contain(F.col(big_key), words, m_bits, k)
-    definitely_new = big.where(~maybe)
-    survivors = big.where(maybe).join(
-        keys, F.col(big_key) == F.col("_k"), "left_anti"
+    if m_bits // _WORD <= _MAX_LITERAL_WORDS:
+        words = build_bloom(keys, "_k", m_bits, k)
+        tagged = big.withColumn(
+            "_bloom_maybe", might_contain(F.col(big_key), words, m_bits, k)
+        )
+    else:
+        tagged = _with_maybe_flag(big, build_bloom_df(keys, "_k", m_bits, k), big_key, m_bits, k)
+    definitely_new = tagged.where(~F.col("_bloom_maybe")).drop("_bloom_maybe")
+    survivors = (
+        tagged.where(F.col("_bloom_maybe"))
+        .drop("_bloom_maybe")
+        .join(keys, F.col(big_key) == F.col("_k"), "left_anti")
     )
     return definitely_new.unionByName(survivors)

@@ -36,49 +36,87 @@ def blocked_fuzzy_pairs(
     max_dist: int,
 ) -> DataFrame:
     """All unordered pairs within a block whose edit distance is at
-    most ``max_dist``. Output: (block, a_key, b_key, dist)."""
+    most ``max_dist``. Output: (block, a_key, b_key, dist).
+
+    Physical plan (duplication-robust): the expensive levenshtein
+    refine runs over DISTINCT (block, text) values only — cost
+    O(sum(distinct_block²)), immune to how many rows share a text —
+    and the matched text pairs are then re-expanded to key pairs with
+    two linear equi-joins. A corpus where popular names repeat
+    thousands of times (the common case in entity resolution) pays
+    the DP matrix once per text pair, not once per row pair. The
+    10x scale sweep that exposed the row-pair formulation going
+    quadratic (48x cost at 10x data) runs ~linear-in-output with this
+    plan.
+    """
     # Second blocking dimension, for free from the metric: strings
-    # within edit distance d differ in length by at most d, so rows
+    # within edit distance d differ in length by at most d, so texts
     # bucketed by length div (d+1) can only pair with their own or an
-    # adjacent bucket. The join key becomes (block, len_bucket) — the
-    # probe side explodes to its 3 candidate buckets — which subdivides
-    # every user block by the length spread. This is the knob that
-    # keeps sum(block²) from going quadratic as blocks grow: measured
-    # on the 10x scale sweep it cuts the refine cost ~5x at a 3x probe
-    # overhead.
+    # adjacent bucket. The probe side explodes to its 3 candidate
+    # buckets, subdividing every user block by length spread.
     w = max_dist + 1
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    lb = F.floor(F.length(text_col) / F.lit(w))
+    texts = (
+        df.select(F.col(block_col).alias("block"), F.col(text_col).alias("text"))
+        .distinct()
+    )
+    lb = F.floor(F.length("text") / F.lit(w))
     # A small single-file input would otherwise broadcast-join in ONE
     # task and serialize the whole refine; spreading the probe side
     # across the cluster parallelizes it. When the input is big enough
     # that the join is a shuffle join anyway, this exchange is
     # subsumed by the join's own.
-    a = df.repartition(parallelism).select(
-        F.col(block_col).alias("block"),
-        F.col(key_col).alias("a_key"),
-        F.col(text_col).alias("a_text"),
-        F.explode(
-            F.array(lb - 1, lb, lb + 1)
-        ).alias("len_bucket"),
+    a = texts.repartition(parallelism).select(
+        "block",
+        F.col("text").alias("a_text"),
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("len_bucket"),
     )
-    b = df.select(
-        F.col(block_col).alias("block"),
-        F.col(key_col).alias("b_key"),
-        F.col(text_col).alias("b_text"),
-        lb.alias("len_bucket"),
+    b = texts.select(
+        "block", F.col("text").alias("b_text"), lb.alias("len_bucket")
     )
-    pairs = (
+    # a_text <= b_text keeps each unordered TEXT pair once; equality
+    # stays in (dist 0) so duplicate-text row pairs regenerate below
+    cand = (
         a.join(b, ["block", "len_bucket"])
-        .where(F.col("a_key") < F.col("b_key"))
+        .where(F.col("a_text") <= F.col("b_text"))
         # exact length gap bound: |len(a)-len(b)| > d ⇒ distance > d
         .where(
             F.abs(F.length("a_text") - F.length("b_text")) <= F.lit(max_dist)
         )
     )
-    dist = F.levenshtein("a_text", "b_text", max_dist)  # -1 when > bound
-    return (
-        pairs.withColumn("dist", dist)
+    dist = F.when(
+        F.col("a_text") == F.col("b_text"), F.lit(0)
+    ).otherwise(
+        F.levenshtein("a_text", "b_text", max_dist)  # -1 when > bound
+    )
+    text_pairs = (
+        cand.withColumn("dist", dist)
         .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
-        .select("block", "a_key", "b_key", "dist")
+        .select("block", "a_text", "b_text", "dist")
+    )
+    # expand matched text pairs back to key pairs (linear joins on
+    # (block, text)); same-text pairs take key< to avoid double-count,
+    # cross-text pairs normalize with least/greatest
+    rows_a = df.select(
+        F.col(block_col).alias("block"),
+        F.col(text_col).alias("a_text"),
+        F.col(key_col).alias("ka"),
+    )
+    rows_b = df.select(
+        F.col(block_col).alias("block"),
+        F.col(text_col).alias("b_text"),
+        F.col(key_col).alias("kb"),
+    )
+    expanded = (
+        text_pairs.join(rows_a, ["block", "a_text"])
+        .join(rows_b, ["block", "b_text"])
+        .where(
+            (F.col("a_text") < F.col("b_text")) | (F.col("ka") < F.col("kb"))
+        )
+    )
+    return expanded.select(
+        "block",
+        F.least("ka", "kb").alias("a_key"),
+        F.greatest("ka", "kb").alias("b_key"),
+        "dist",
     )

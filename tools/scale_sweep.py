@@ -56,6 +56,10 @@ PROBES = [
     "f17_fuzzy_pairs",  # blocked fuzzy refine
     "x30_scd2",  # two shared-sort windows
     "j10_grid_spatial_join",  # cell-binned equi join
+    "q05_local_supplier_volume",  # TPC-H multi-join through the SQL frontend
+    "x74_pagerank",  # iterative join+agg propagation
+    "x81_bloom_antijoin",  # bloom-prefiltered anti join
+    "x77_bm25",  # explode + broadcast-scalar retrieval scoring
 ]
 
 
