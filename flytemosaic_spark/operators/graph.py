@@ -37,6 +37,12 @@ def _round_at(c, digits: int):
     return F.floor(c * scale + F.lit(0.5)) / scale
 
 
+# node tables (degrees, ranks) up to this many rows are broadcast so
+# iteration joins never shuffle the edge list; bigger graphs fall back
+# to shuffle joins against an edge list pre-partitioned on src once.
+_BROADCAST_NODE_LIMIT = 2_000_000
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -49,16 +55,41 @@ def pagerank(
     list — the co-occurrence construction in probes — makes every node
     both a source and a sink, so no dangling-mass correction is
     needed). Returns (node, pagerank) with pagerank rounded at 1e-10.
+
+    Physical shape: the distinct edge list is materialized to cache
+    exactly once (degree counts and the node count both read the
+    cache, not the raw edge construction). Rank/degree state is one
+    row per node; while the node table fits the broadcast limit each
+    iteration is a broadcast hash join on the cached edges plus one
+    partial-aggregated shuffle of node-scale partials — the edge list
+    itself is never shuffled. Past the limit the edge list is
+    hash-partitioned on src at cache time so only the node-scale rank
+    table moves per iteration.
     """
-    e = edges.select(src, dst).distinct()
-    deg = e.groupBy(src).agg(F.count("*").alias("out_deg"))
-    e = e.join(deg, src).cache()
-    n_nodes = deg.count()  # node-scale scalar, computed once
+    e0 = edges.select(src, dst).distinct()
+    deg = e0.groupBy(src).agg(F.count("*").alias("out_deg"))
+    # Cache the edge list with out_deg attached — the one edge-scale
+    # table every iteration scans. Node count is then a cheap cached
+    # read, not a second edge construction.
+    e = e0.join(deg, src).cache()
+    n_nodes = e.select(src).distinct().count()  # materializes the cache
+    small = n_nodes <= _BROADCAST_NODE_LIMIT
+    if not small:
+        # re-cache hash-partitioned on src so iteration joins shuffle
+        # only the node-scale rank table, never the edges
+        e.unpersist()
+        e = e0.join(deg, src).repartition(F.col(src)).cache()
     base = F.lit((1.0 - damping) / n_nodes)
-    ranks = deg.select(F.col(src).alias("node"), F.lit(1.0 / n_nodes).alias("pr"))
+    # initial ranks read the cached edge table, not the raw edge plan
+    ranks = (
+        e.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("pr", F.lit(1.0 / n_nodes))
+    )
     for _ in range(iterations):
+        rank_side = F.broadcast(ranks) if small else ranks
         contribs = (
-            e.join(ranks, e[src] == ranks.node)
+            e.join(rank_side, F.col(src) == F.col("node"))
             .groupBy(dst)
             .agg(F.sum(F.col("pr") / F.col("out_deg")).alias("_in"))
         )
