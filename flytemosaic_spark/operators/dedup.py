@@ -598,3 +598,81 @@ def ngram_novelty(
             F.round(F.col("n_novel") / F.col("n_sh"), 4).alias("novelty"),
         )
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    set_col: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact set-Jaccard self-join with prefix filtering
+    (PPJoin-style) over an array column of set elements (tokens,
+    shingles, …): each document only probes the index with its first
+    ``L - ceil(t*L) + 1`` elements under a global rarest-first order
+    — any pair at Jaccard >= t MUST share a prefix element
+    (lossless), so the candidate space shrinks by orders of magnitude
+    versus the full inverted-index join while the result stays
+    bit-identical to brute force.
+
+    Scale shape: element frequencies are vocabulary-scale (a groupBy,
+    no global sort — the order key IS (frequency, element), no dense
+    rank needed); candidate generation explodes only prefix elements
+    (rare by construction, so buckets stay small where a full
+    inverted index has its hottest buckets); verification re-joins
+    the two sorted element arrays per surviving candidate pair.
+    Length filter ``t*La <= Lb <= La/t`` prunes before verification.
+    Returns (id_a, id_b, jaccard) for pairs with Jaccard >= t.
+    """
+    from flytemosaic_spark.operators.text import portable_round
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        df.repartition(parallelism, F.col(id_col))
+        .select(F.col(id_col).alias("id"), F.explode(
+            F.array_distinct(F.col(set_col))).alias("token"))
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("tok_df"))
+    ordered = tok.join(freq, "token")
+    sets = (
+        ordered.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("tok_df", "token"))).alias("_o"))
+        .select(
+            "id",
+            F.col("_o.token").alias("toks"),
+            F.size("_o").alias("set_len"),
+        )
+    )
+    t = F.lit(float(threshold))
+    prefix_len = F.col("set_len") - F.ceil(t * F.col("set_len")) + F.lit(1)
+    pref = sets.select(
+        "id",
+        "set_len",
+        F.explode(F.slice("toks", F.lit(1), prefix_len.cast("int"))).alias("token"),
+    )
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("set_len").alias("la"), "token"
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("set_len").alias("lb"), "token"
+    )
+    cand = (
+        a.join(b, "token")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("lb") >= F.ceil(t * F.col("la")))
+            & (F.col("lb") <= F.floor(F.col("la") / t))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jacc = inter / (F.size("toks_a") + F.size("toks_b") - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jacc >= t)
+        .select("id_a", "id_b", portable_round(jacc).alias("jaccard"))
+    )

@@ -15,6 +15,7 @@ from flytemosaic_spark.probes import scalars  # noqa: E402,F401
 from flytemosaic_spark.probes import extensions  # noqa: E402,F401
 from flytemosaic_spark.probes import advanced  # noqa: E402,F401
 from flytemosaic_spark.probes import curation  # noqa: E402,F401
+from flytemosaic_spark.probes import roundtwo  # noqa: E402,F401
 from flytemosaic_spark.probes import tpch  # noqa: E402,F401
 
 __all__ = ["Probe", "all_probes", "get_probe", "probe"]

@@ -1,0 +1,269 @@
+"""Round-2 additions: interval algebra, graph analytics beyond
+propagation, prefix-filtered set-similarity join, count-min heavy
+hitters, rank fusion, and time-throttled dedup.
+
+Each pairs a Spark DataFrame builder with a bit-exact DuckDB oracle
+(see probes/__init__ docstring for the comparison contract). Float
+literals in oracles are CAST to DOUBLE so both engines do the same
+IEEE arithmetic; order-sensitive float results use the shared
+``floor(x*10^k + 0.5)/10^k`` portable rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flytemosaic_spark.probes.extensions import _SHINGLE_SQL
+from flytemosaic_spark.probes.registry import T, probe
+
+
+@probe(
+    "x82_interval_merge",
+    sql="""
+        WITH iv AS (
+            SELECT user_id, event_id, ts AS s,
+                   ts + INTERVAL 12 HOUR AS e
+            FROM events
+        ),
+        fl AS (
+            SELECT user_id, event_id, s, e,
+                   CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+            FROM (SELECT user_id, event_id, s, e,
+                         max(e) OVER (PARTITION BY user_id
+                                      ORDER BY s, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pme
+                  FROM iv)
+        ),
+        isl AS (
+            SELECT user_id, s, e,
+                   sum(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS island
+            FROM fl
+        )
+        SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+               count(*) AS n_merged
+        FROM isl GROUP BY user_id, island
+    """,
+    note="gaps-and-islands interval merge (operators/intervals.py): "
+    "each event opens a 12h activity interval; overlapping intervals "
+    "per user collapse into coverage islands. One shuffle on user_id, "
+    "one per-partition sort shared by both window passes, O(1) state "
+    "per key — no global sort at any size",
+)
+def x82_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.intervals import merge_intervals
+
+    iv = T(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("e"),
+    )
+    return merge_intervals(
+        iv, key_cols=["user_id"], start_col="s", end_col="e",
+        tiebreak_col="event_id",
+    )
+
+
+@probe(
+    "x83_triangle_count",
+    sql="""
+        WITH e0 AS (
+            SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                            greatest(a.l_suppkey, b.l_suppkey) AS v
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_suppkey <> b.l_suppkey
+        )
+        SELECT count(*) AS n_triangles
+        FROM e0 ab
+        JOIN e0 ac ON ab.u = ac.u AND ab.v < ac.v
+        JOIN e0 bc ON bc.u = ab.v AND bc.v = ac.v
+    """,
+    note="triangle counting over the supplier co-occurrence graph "
+    "(operators/graph.py:triangle_count): degree-ordered orientation "
+    "bounds every node's wedge fan-out by O(sqrt(E)) — skew-immune "
+    "where the oracle's naive u<v<w join is quadratic in the hottest "
+    "node's degree; each triangle is counted exactly once",
+)
+def x83_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.graph import triangle_count
+
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
+@probe(
+    "x84_prefix_setsim_join",
+    sql=_SHINGLE_SQL
+    + """,
+    ex AS (SELECT doc_id, len(shingles) AS L, unnest(shingles) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.L AS la, b.L AS lb, count(*) AS n_inter
+        FROM ex a JOIN ex b USING (s)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    j AS (SELECT id_a, id_b,
+                 CAST(n_inter AS DOUBLE) / (la + lb - n_inter) AS jc
+          FROM pairs)
+    SELECT id_a, id_b,
+           floor(jc * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM j WHERE jc >= 0.5
+    """,
+    note="prefix-filtered exact set-similarity self-join "
+    "(operators/dedup.py:prefix_jaccard_pairs, PPJoin-style): under a "
+    "global rarest-shingle-first order a doc only probes the index "
+    "with its first L-ceil(t*L)+1 shingles — lossless for Jaccard>=t, "
+    "so candidates collapse versus the oracle's full inverted-index "
+    "join (whose hottest bucket is the corpus' most common shingle); "
+    "plus the t*La<=Lb<=La/t length prune before verification",
+)
+def x84_prefix_setsim_join(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.dedup import prefix_jaccard_pairs
+    from flytemosaic_spark.operators.text import shingles_from_tokens, tokens
+
+    sets = (
+        T(spark, sf, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", shingles_from_tokens(F.col("_toks"), 5).alias("sh"))
+    )
+    return prefix_jaccard_pairs(sets, set_col="sh", id_col="doc_id",
+                                threshold=0.5)
+
+
+@probe(
+    "x85_cms_heavy_hitters",
+    sql="""
+        WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        st AS (
+            SELECT d,
+                   substr(md5(concat(d, ':', CAST(user_id AS VARCHAR))), 1, 2)
+                       AS slot,
+                   count(*) AS cnt
+            FROM events CROSS JOIN ds
+            GROUP BY 1, 2
+        ),
+        keys AS (SELECT DISTINCT user_id FROM events),
+        est AS (
+            SELECT user_id, min(cnt) AS est
+            FROM (SELECT k.user_id, ds.d,
+                         substr(md5(concat(ds.d, ':',
+                             CAST(k.user_id AS VARCHAR))), 1, 2) AS slot
+                  FROM keys k CROSS JOIN ds) p
+            JOIN st USING (d, slot)
+            GROUP BY 1
+        ),
+        tot AS (SELECT count(*) AS n FROM events)
+        SELECT user_id, est FROM est, tot
+        WHERE est >= n / 150.0
+    """,
+    note="count-min-sketch heavy hitters (operators/cms.py): "
+    "frequency state is 4x256 counters regardless of key cardinality "
+    "— built with one map-side-combined groupBy whose shuffle is "
+    "O(partitions x 1024) rows, never data-scale; estimates broadcast "
+    "the sketch and take min over depth. Portable md5-slot family so "
+    "the oracle replays the whole estimator; heavy = est >= |events|/150",
+)
+def x85_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.cms import cms_build, cms_estimate
+
+    ev = T(spark, sf, "events")
+    state = cms_build(ev, "user_id")
+    est = cms_estimate(ev, state, "user_id")
+    total = ev.agg(F.count("*").alias("n"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .where(F.col("est") >= F.col("n") / F.lit(150.0))
+        .select("user_id", "est")
+    )
+
+
+@probe(
+    "x86_rrf_fusion",
+    sql="""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n_tok
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id) AS ra,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_tok DESC, doc_id) AS rb
+            FROM t
+        )
+        SELECT doc_id, lang,
+               floor((CAST(1.0 AS DOUBLE) / (60 + ra)
+                      + CAST(1.0 AS DOUBLE) / (60 + rb)) * 100000000.0
+                     + 0.5) / 100000000.0 AS rrf
+        FROM r
+    """,
+    note="reciprocal rank fusion (k=60) of two retrieval orderings "
+    "(length rank + token-count rank) per language — the standard "
+    "hybrid-search combiner (BM25 x dense retrieval shape). Ranks "
+    "partition by lang so no global sort; both ranks share one "
+    "shuffle; doc_id tie-break makes the fusion deterministic",
+)
+def x86_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round, token_count
+
+    t = T(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars", token_count(F.col("text")).alias("n_tok")
+    )
+    wa = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wb = Window.partitionBy("lang").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    ra, rb = F.row_number().over(wa), F.row_number().over(wb)
+    rrf = F.lit(1.0) / (F.lit(60) + ra) + F.lit(1.0) / (F.lit(60) + rb)
+    return t.select(
+        "doc_id", "lang", portable_round(rrf, 8).alias("rrf")
+    )
+
+
+@probe(
+    "x87_throttle_dedup",
+    sql="""
+        WITH l AS (
+            SELECT event_id, user_id, event_type, ts,
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS pts
+            FROM events
+        )
+        SELECT event_id, user_id, event_type, ts
+        FROM l
+        WHERE pts IS NULL OR ts > pts + INTERVAL 600 SECOND
+    """,
+    note="time-throttled dedup: keep an event only if the previous "
+    "event of the same (user, type) is more than 10 minutes older — "
+    "the crawl/telemetry rate-limit dedup that content hashing cannot "
+    "express. One lag window per (user_id, event_type) partition, "
+    "timestamp comparison only (no epoch casts)",
+)
+def x87_throttle_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    pts = F.lag("ts").over(w)
+    return (
+        T(spark, sf, "events")
+        .select("event_id", "user_id", "event_type", "ts", pts.alias("_pts"))
+        .where(
+            F.col("_pts").isNull()
+            | (F.col("ts") > F.col("_pts") + F.expr("INTERVAL 600 SECONDS"))
+        )
+        .drop("_pts")
+    )

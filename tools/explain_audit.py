@@ -45,6 +45,7 @@ CROSS_OK = {
     # same shape as x45 — linear in corpus, constant broadcast side
     "x77_bm25",
     "x80_perplexity_buckets",
+    "x85_cms_heavy_hitters",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
