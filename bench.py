@@ -49,6 +49,9 @@ HEADLINE = [
     "j10_grid_spatial_join",
     "x74_pagerank",
     "x77_bm25",
+    "x82_interval_merge",
+    "x84_prefix_setsim_join",
+    "x85_cms_heavy_hitters",
     "q01_pricing_summary",
     "q05_local_supplier_volume",
     "q18_large_volume_customer",
@@ -92,7 +95,7 @@ def main() -> None:
         fn = flagship if name == "flagship" else probes[name].fn
         best = float("inf")
         try:
-            for _ in range(2):  # best-of-2: first run pays one-time JIT/codegen
+            for _ in range(3):  # best-of-3: early runs pay one-time JIT/codegen
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
