@@ -716,3 +716,53 @@ def standard_scale_long(
     return ex.join(F.broadcast(moments), "dim").select(
         id_col, "dim", portable_round(z).alias("zval")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Hard-negative mining: per query, the top-k most similar corpus
+    vectors carrying a DIFFERENT label (contrastive-training negatives
+    that the model is most likely to confuse).
+
+    Same physical shape as :func:`brute_force_topk` — broadcast query
+    side, one narrow corpus scan — but the cross-label predicate is
+    applied below the ranking window, so same-label rows never enter
+    the per-query sort. At scale the same predicate composes with the
+    IVF/PQ candidate generators (filter the candidate list, then
+    re-rank).
+    """
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.repartition(parallelism).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_label") != F.col("n_label"))
+        .select("q_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "sim")
+    )

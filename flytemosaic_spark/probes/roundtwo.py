@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flytemosaic_spark.probes.curation import _SPLIT_CASE
 from flytemosaic_spark.probes.extensions import _SHINGLE_SQL
 from flytemosaic_spark.probes.registry import T, probe
 
@@ -267,3 +268,148 @@ def x87_throttle_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .drop("_pts")
     )
+
+
+@probe(
+    "x88_hard_negatives",
+    sql="""
+        WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, label AS n_label,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        scored AS (
+            SELECT q_id, neighbor_id,
+                   round(list_cosine_similarity(qv, cv), 4) AS sim
+            FROM q CROSS JOIN c WHERE q_label <> n_label
+        ),
+        ranked AS (
+            SELECT q_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT q_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 3
+    """,
+    note="hard-negative mining for contrastive training: per query the "
+    "top-3 most-similar vectors with a DIFFERENT label — the x3 "
+    "broadcast brute-force scan with a cross-label predicate pushed "
+    "below ranking (cheaper than rank-then-filter: wrong-label rows "
+    "never enter the window); at scale the same predicate composes "
+    "with the IVF/PQ paths",
+)
+def x88_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.similarity import hard_negatives
+
+    emb = T(spark, sf, "embeddings")
+    return hard_negatives(
+        corpus=emb, queries=emb.where(F.col("vec_id") < 20), k=3,
+        label_col="label",
+    )
+
+
+@probe(
+    "x89_epoch_upsample",
+    sql="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   1 + (CAST(substr(source, 4) AS INT) % 3) AS n_epochs
+            FROM documents
+        )
+        SELECT doc_id, source, ep.copy_idx,
+               md5(concat(CAST(doc_id AS VARCHAR), '#',
+                          CAST(ep.copy_idx AS VARCHAR))) AS shuffle_key
+        FROM w, unnest(range(1, n_epochs + 1)) AS ep(copy_idx)
+    """,
+    note="epoch-aware domain upsampling (data-mixing stage): each doc "
+    "is replicated per its source's epoch weight, and every copy gets "
+    "an md5 shuffle key so repeats scatter across the training order "
+    "instead of sitting adjacent — explode is map-side (no shuffle); "
+    "the later sort by shuffle_key is the one range exchange",
+)
+def x89_epoch_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    n_epochs = F.lit(1) + (
+        F.substring(F.col("source"), 4, 10).cast("int") % 3
+    )
+    return (
+        T(spark, sf, "documents")
+        .select("doc_id", "source", n_epochs.alias("n_epochs"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_epochs"))).alias("copy_idx"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("copy_idx").cast("bigint").alias("copy_idx"),
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col("doc_id").cast("string"),
+                    F.col("copy_idx").cast("string"),
+                )
+            ).alias("shuffle_key"),
+        )
+    )
+
+
+@probe(
+    "x90_group_split",
+    sql=_SHINGLE_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    + """,
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+           FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
+        FROM ex a JOIN ex b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    good AS (
+        SELECT id_a, id_b FROM pairs
+        WHERE round(n_inter / (n_a + n_b - n_inter), 4) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM good
+        UNION ALL SELECT id_b, id_a FROM good
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+    lab AS (
+        SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster,
+           """
+    + _SPLIT_CASE.format(c="cluster")
+    + """ AS split
+    FROM lab
+    """,
+    note="leakage-safe split assignment: near-dup connected components "
+    "first (x21's min-label fixpoint), then the split hash is taken on "
+    "the CLUSTER id, so every near-duplicate lands in the same split — "
+    "the group-aware form of x19 that closes the x72 leakage channel "
+    "by construction. Split stays a pure hash expression: no "
+    "shuffle beyond the component computation itself",
+)
+def x90_group_split(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators import dedup
+    from flytemosaic_spark.operators.dedup import connected_components
+    from flytemosaic_spark.operators.sampling import split_label
+
+    docs = T(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    lab = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster"))
+    )
+    return lab.withColumn("split", split_label(F.col("cluster")))

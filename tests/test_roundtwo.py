@@ -185,3 +185,39 @@ def test_cms_state_is_bounded(spark):
     assert state.count() <= 4 * 256
     total = state.groupBy("d").agg(F.sum("cnt").alias("s")).collect()
     assert all(r.s == 20000 for r in total)  # each row preserves mass
+
+
+# ---------------------------------------------------------- hard negatives
+def test_hard_negatives_cross_label_and_matches_bruteforce(spark):
+    import random
+
+    from flytemosaic_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negatives,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(80)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = emb.where(F.col("vec_id") < 6)
+    got = hard_negatives(emb, queries, k=4).collect()
+    labels = {r[0]: r[2] for r in rows}
+    for r in got:
+        assert labels[r.q_id] != labels[r.neighbor_id]
+    # equals: filter the full ranking to cross-label pairs, re-rank, cut k
+    full = brute_force_topk(emb, queries, k=len(rows)).collect()
+    want = {}
+    for r in sorted(full, key=lambda r: (r.q_id, r.rank)):
+        if labels[r.q_id] != labels[r.neighbor_id]:
+            lst = want.setdefault(r.q_id, [])
+            if len(lst) < 4:
+                lst.append((r.neighbor_id, r.sim))
+    got_m = {}
+    for r in got:
+        got_m.setdefault(r.q_id, []).append((r.neighbor_id, r.sim))
+    for qid in want:
+        assert sorted(got_m[qid]) == sorted(want[qid])

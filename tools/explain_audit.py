@@ -46,6 +46,8 @@ CROSS_OK = {
     "x77_bm25",
     "x80_perplexity_buckets",
     "x85_cms_heavy_hitters",
+    # broadcast brute-force ANN scan with cross-label predicate (x3 shape)
+    "x88_hard_negatives",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")

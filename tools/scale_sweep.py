@@ -60,6 +60,9 @@ PROBES = [
     "x74_pagerank",  # iterative join+agg propagation
     "x81_bloom_antijoin",  # bloom-prefiltered anti join
     "x77_bm25",  # explode + broadcast-scalar retrieval scoring
+    "x82_interval_merge",  # gaps-and-islands shared-sort windows
+    "x85_cms_heavy_hitters",  # bounded-state sketch build + broadcast probe
+    "x87_throttle_dedup",  # lag-window rate-limit dedup
 ]
 
 
