@@ -413,3 +413,234 @@ def x90_group_split(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster"))
     )
     return lab.withColumn("split", split_label(F.col("cluster")))
+
+
+@probe(
+    "x91_bigram_logprob",
+    sql=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        uni AS (
+            SELECT word, count(*) AS c FROM (
+                SELECT unnest(w) AS word FROM toks) GROUP BY word
+        ),
+        tot AS (SELECT sum(c) AS n FROM uni),
+        big AS (
+            SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(w) - 1, 1)))
+                    AS i
+            ) g
+            WHERE i + 1 <= len(w)
+        ),
+        bic AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2)
+        SELECT big.doc_id,
+               floor(avg(ln(CAST(0.7 AS DOUBLE) * bic.c_ab / a.c
+                            + CAST(0.3 AS DOUBLE) * b.c / tot.n))
+                     * 10000.0 + 0.5) / 10000.0 AS avg_logprob
+        FROM big
+        JOIN bic USING (w1, w2)
+        JOIN uni a ON a.word = big.w1
+        JOIN uni b ON b.word = big.w2
+        CROSS JOIN tot
+        GROUP BY big.doc_id
+    """,
+    note="interpolated bigram LM scoring (0.7 * p(w2|w1) + 0.3 * "
+    "unigram backoff) — the next step up from x45's unigram perplexity "
+    "proxy for quality filtering; corpus n-gram tables are "
+    "vocabulary-scale aggregates joined back to the doc-scale bigram "
+    "stream (broadcast here; at 100 TB the bigram table outgrows "
+    "broadcast and becomes a co-partitioned shuffle join on (w1,w2))",
+)
+def x91_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round, tokens
+
+    docs = T(spark, sf, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    uni = (
+        docs.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at("w", i).alias("w1"),
+            F.try_element_at("w", i + 1).alias("w2"),
+        ),
+    )
+    big = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .where(F.col("g.w2").isNotNull())
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    bic = big.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    a = uni.select(F.col("word").alias("w1"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("word").alias("w2"), F.col("c").alias("c_b"))
+    p = (
+        F.lit(0.7) * F.col("c_ab") / F.col("c_a")
+        + F.lit(0.3) * F.col("c_b") / F.col("n")
+    )
+    return (
+        big.join(F.broadcast(bic), ["w1", "w2"])
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(portable_round(F.avg(F.log(p))).alias("avg_logprob"))
+    )
+
+
+@probe(
+    "x92_psi_drift",
+    sql="""
+        WITH ref AS (SELECT value FROM events
+                     WHERE ts < TIMESTAMP '2024-01-16'),
+        cur AS (SELECT value FROM events
+                WHERE ts >= TIMESTAMP '2024-01-16'),
+        th AS (SELECT quantile_cont(value, 0.2) AS t1,
+                      quantile_cont(value, 0.4) AS t2,
+                      quantile_cont(value, 0.6) AS t3,
+                      quantile_cont(value, 0.8) AS t4
+               FROM ref),
+        rb AS (SELECT CASE WHEN value < t1 THEN 0 WHEN value < t2 THEN 1
+                           WHEN value < t3 THEN 2 WHEN value < t4 THEN 3
+                           ELSE 4 END AS bin, count(*) AS c
+               FROM ref CROSS JOIN th GROUP BY 1),
+        cb AS (SELECT CASE WHEN value < t1 THEN 0 WHEN value < t2 THEN 1
+                           WHEN value < t3 THEN 2 WHEN value < t4 THEN 3
+                           ELSE 4 END AS bin, count(*) AS c
+               FROM cur CROSS JOIN th GROUP BY 1),
+        rt AS (SELECT sum(c) AS n FROM rb),
+        ct AS (SELECT sum(c) AS n FROM cb)
+        SELECT rb.bin,
+               floor(CAST(rb.c AS DOUBLE) / rt.n * 1000000.0 + 0.5)
+                   / 1000000.0 AS p_ref,
+               floor(CAST(cb.c AS DOUBLE) / ct.n * 1000000.0 + 0.5)
+                   / 1000000.0 AS p_cur,
+               floor((CAST(rb.c AS DOUBLE) / rt.n
+                      - CAST(cb.c AS DOUBLE) / ct.n)
+                     * ln((CAST(rb.c AS DOUBLE) / rt.n)
+                          / (CAST(cb.c AS DOUBLE) / ct.n))
+                     * 1000000.0 + 0.5) / 1000000.0 AS psi_term
+        FROM rb JOIN cb USING (bin) CROSS JOIN rt CROSS JOIN ct
+    """,
+    note="population-stability-index drift report between the first and "
+    "second half of the event stream: bin edges are exact quintiles of "
+    "the REFERENCE window (Spark percentile == DuckDB quantile_cont, "
+    "bit-exact per a16), a 4-scalar broadcast; each side then bins in "
+    "one scan. Per-bin PSI terms are emitted (their sum is the PSI) so "
+    "no cross-bin float summation order is involved",
+)
+def x92_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    ev = T(spark, sf, "events")
+    split = F.lit("2024-01-16").cast("timestamp_ntz")
+    ref = ev.where(F.col("ts") < split).select("value")
+    cur = ev.where(F.col("ts") >= split).select("value")
+    th = ref.agg(
+        F.percentile("value", F.lit(0.2)).alias("t1"),
+        F.percentile("value", F.lit(0.4)).alias("t2"),
+        F.percentile("value", F.lit(0.6)).alias("t3"),
+        F.percentile("value", F.lit(0.8)).alias("t4"),
+    )
+    bin_expr = (
+        F.when(F.col("value") < F.col("t1"), 0)
+        .when(F.col("value") < F.col("t2"), 1)
+        .when(F.col("value") < F.col("t3"), 2)
+        .when(F.col("value") < F.col("t4"), 3)
+        .otherwise(4)
+    )
+
+    def binned(side):
+        return (
+            side.crossJoin(F.broadcast(th))
+            .groupBy(bin_expr.alias("bin"))
+            .agg(F.count("*").alias("c"))
+        )
+
+    rb, cb = binned(ref), binned(cur)
+    rt = rb.agg(F.sum("c").alias("rn"))
+    ct = cb.agg(F.sum("c").alias("cn"))
+    p = F.col("rc").cast("double") / F.col("rn")
+    q = F.col("cc").cast("double") / F.col("cn")
+    return (
+        rb.withColumnRenamed("c", "rc")
+        .join(cb.withColumnRenamed("c", "cc"), "bin")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "bin",
+            portable_round(p, 6).alias("p_ref"),
+            portable_round(q, 6).alias("p_cur"),
+            portable_round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )
+
+
+@probe(
+    "x93_mi_features",
+    sql="""
+        WITH ex AS (
+            SELECT vec_id, label, u.d AS dim,
+                   CAST(u.v AS DOUBLE) >= 0 AS pos
+            FROM (SELECT vec_id, label,
+                         unnest(list_transform(range(1, len(embedding) + 1),
+                             i -> {'d': i, 'v': embedding[i]})) AS u
+                  FROM embeddings)
+        ),
+        joint AS (SELECT dim, pos, label, count(*) AS c
+                  FROM ex GROUP BY 1, 2, 3),
+        ms AS (SELECT dim, pos, sum(c) AS cs FROM joint GROUP BY 1, 2),
+        ml AS (SELECT label, count(*) AS cl FROM embeddings GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM embeddings)
+        SELECT joint.dim,
+               floor(sum((CAST(c AS DOUBLE) / n.n)
+                         * ln(CAST(c AS DOUBLE) * n.n
+                              / (CAST(cs AS DOUBLE) * cl)))
+                     * 10000.0 + 0.5) / 10000.0 AS mi
+        FROM joint
+        JOIN ms USING (dim, pos)
+        JOIN ml USING (label)
+        CROSS JOIN n
+        GROUP BY joint.dim
+    """,
+    note="mutual information between each embedding dimension's sign "
+    "and the class label — the feature-selection screen. The explode "
+    "is map-side; all downstream state is (dims x 2 x labels) "
+    "aggregate cells joined to broadcast marginals, so cost is one "
+    "pass over the vectors regardless of corpus size; per-dim MI sums "
+    "20 cells (drift ~1e-16, rounded at 1e-4)",
+)
+def x93_mi_features(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    emb = T(spark, sf, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("dim"),
+        (F.col("v").cast("double") >= 0).alias("pos"),
+    )
+    joint = ex.groupBy("dim", "pos", "label").agg(F.count("*").alias("c"))
+    ms = joint.groupBy("dim", "pos").agg(F.sum("c").alias("cs"))
+    ml = emb.groupBy("label").agg(F.count("*").alias("cl"))
+    n = emb.agg(F.count("*").alias("n"))
+    term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        F.col("c").cast("double") * F.col("n")
+        / (F.col("cs").cast("double") * F.col("cl"))
+    )
+    return (
+        joint.join(F.broadcast(ms), ["dim", "pos"])
+        .join(F.broadcast(ml), "label")
+        .crossJoin(F.broadcast(n))
+        .groupBy("dim")
+        .agg(portable_round(F.sum(term)).alias("mi"))
+    )

@@ -48,6 +48,10 @@ CROSS_OK = {
     "x85_cms_heavy_hitters",
     # broadcast brute-force ANN scan with cross-label predicate (x3 shape)
     "x88_hard_negatives",
+    # 1-row / 4-scalar broadcast statistics (x45/x80 shape)
+    "x91_bigram_logprob",
+    "x92_psi_drift",
+    "x93_mi_features",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
