@@ -644,3 +644,65 @@ def x93_mi_features(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("dim")
         .agg(portable_round(F.sum(term)).alias("mi"))
     )
+
+
+@probe(
+    "x94_cdc_apply",
+    sql="""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderstatus, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC,
+                                               o_orderkey DESC) AS rn
+            FROM orders
+        ),
+        last_op AS (
+            SELECT o_custkey,
+                   CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+                   o_totalprice AS val
+            FROM ranked WHERE rn = 1
+        )
+        SELECT c.c_custkey,
+               CASE WHEN l.op = 'U' THEN round(l.val, 2)
+                    ELSE round(c.c_acctbal, 2) END AS acctbal,
+               CASE WHEN l.op IS NULL THEN 'base' ELSE 'cdc' END AS src
+        FROM customer c
+        LEFT JOIN last_op l ON l.o_custkey = c.c_custkey
+        WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+    note="CDC log application: compact the change log to the last "
+    "operation per key (one hash arg-max, no full-log sort), then one "
+    "left join applies upserts and tombstones to the base snapshot — "
+    "the Debezium/Delta CDF consume pattern. The log is compacted "
+    "BEFORE touching the base, so the join is key-cardinality-scale "
+    "on the build side no matter how long the log is",
+)
+def x94_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    last = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.when(F.col("o_orderstatus") == "F", "D")
+                    .otherwise("U")
+                    .alias("op"),
+                    F.col("o_totalprice").alias("val"),
+                ),
+                F.struct("o_orderdate", "o_orderkey"),
+            ).alias("l")
+        )
+        .select("o_custkey", F.col("l.op").alias("op"), F.col("l.val").alias("val"))
+    )
+    c = T(spark, sf, "customer")
+    return (
+        c.join(last, c.c_custkey == last.o_custkey, "left")
+        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            F.when(F.col("op") == "U", F.round("val", 2))
+            .otherwise(F.round("c_acctbal", 2))
+            .alias("acctbal"),
+            F.when(F.col("op").isNull(), "base").otherwise("cdc").alias("src"),
+        )
+    )

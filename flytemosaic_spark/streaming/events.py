@@ -324,6 +324,109 @@ def event_type_totals_tws(
     )
 
 
+def throttle_dedup_stream_gs(
+    events: DataFrame,
+    gap_seconds: int = 600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """:func:`throttle_dedup_stream` on the ``applyInPandasWithState``
+    API (GroupState tuple instead of typed state variables) — same
+    O(1)-per-key last-seen-timestamp state and the same batch-twin
+    semantics; shipped on both stateful APIs because the typed-state
+    protocol needs protobuf at runtime while GroupState runs
+    everywhere Spark 4 runs.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts_col, "event_id"]
+        )
+        ts_us = pdf[ts_col].astype("int64") // 1_000
+        prev = ts_us.shift(1)
+        if last is not None:
+            prev.iloc[0] = last
+        keep = prev.isna() | (ts_us - prev > gap_us)
+        state.update((int(ts_us.iloc[-1]),))
+        out = pdf.loc[keep, ["event_id", ts_col]].copy()
+        out.insert(1, "user_id", key[0])
+        out.insert(2, "event_type", key[1])
+        yield out
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_id long, user_id long, event_type string, "
+            f"{ts_col} timestamp"
+        ),
+        stateStructType="last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def throttle_dedup_stream(
+    events: DataFrame,
+    gap_seconds: int = 600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of probe x87 (time-throttled dedup): emit an
+    event only if it is more than ``gap_seconds`` after the previous
+    event of the same (user_id, event_type). State per key is ONE
+    timestamp (the last seen event time) in the typed state store —
+    O(1) regardless of stream length, the cheapest possible stateful
+    dedup (contrast ``stream_exact_dedup``, whose content-hash state
+    grows with the watermark horizon).
+
+    Matches the batch lag-window semantics exactly when events arrive
+    in event-time order per key (rows are sorted within each
+    micro-batch; cross-batch order is the ingest contract, as for any
+    lag-based stream operator).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Throttle(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # epoch microseconds of the last SEEN event for this key
+            self._last = handle.getValueState("last_us", "last_us long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            gap_us = gap_seconds * 1_000_000
+            last = self._last.get()[0] if self._last.exists() else None
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+                [ts_col, "event_id"]
+            )
+            ts_us = pdf[ts_col].astype("int64") // 1_000
+            prev = ts_us.shift(1)
+            if last is not None:
+                prev.iloc[0] = last
+            keep = prev.isna() | (ts_us - prev > gap_us)
+            self._last.update((int(ts_us.iloc[-1]),))
+            out = pdf.loc[keep, ["event_id", ts_col]].copy()
+            out.insert(1, "user_id", key[0])
+            out.insert(2, "event_type", key[1])
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id", "event_type").transformWithStateInPandas(
+        statefulProcessor=Throttle(),
+        outputStructType=(
+            "event_id long, user_id long, event_type string, "
+            f"{ts_col} timestamp"
+        ),
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def upsert_sink(
     table_path: str,
     key_cols: list[str],

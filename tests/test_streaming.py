@@ -397,3 +397,59 @@ def test_enrich_stream_static_join_matches_batch_and_sees_dim_refresh(
     got2 = spark.read.parquet(out)
     assert got2.count() == 600 + 300
     assert got2.where(F.col("tier") == "gold").count() == 300
+
+
+def test_throttle_dedup_stream_matches_batch(spark, events, tmp_path):
+    """Typed-state throttle dedup: draining two time-ordered batches
+    through transformWithStateInPandas equals the batch lag-window
+    plan (probe x87) over the union — the last-seen timestamp state
+    carries the gap rule across the batch boundary."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flytemosaic_spark.streaming.events import (
+        stream_new_files,
+        throttle_dedup_stream_gs,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ev = events.limit(1500).select("event_id", "user_id", "event_type", "ts")
+    mid = F.lit("2024-01-16").cast("timestamp_ntz")
+    first = ev.where(F.col("ts") <= mid)
+    second = ev.where(F.col("ts") > mid)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (
+            throttle_dedup_stream_gs(stream_new_files(spark, src, schema))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    second.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = sorted(
+        r.event_id for r in spark.read.parquet(out).select("event_id").collect()
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    want = sorted(
+        r.event_id
+        for r in ev.withColumn("_p", F.lag("ts").over(w))
+        .where(
+            F.col("_p").isNull()
+            | (F.col("ts") > F.col("_p") + F.expr("INTERVAL 600 SECONDS"))
+        )
+        .select("event_id")
+        .collect()
+    )
+    assert got == want
