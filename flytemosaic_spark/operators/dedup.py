@@ -631,6 +631,11 @@ def prefix_jaccard_pairs(
         df.repartition(parallelism, F.col(id_col))
         .select(F.col(id_col).alias("id"), F.explode(
             F.array_distinct(F.col(set_col))).alias("token"))
+        # the exploded element stream feeds both the frequency table
+        # and the ordered join; caching computes the (expensive) set
+        # construction once instead of twice (MEMORY_AND_DISK, spills
+        # at scale rather than recomputing)
+        .cache()
     )
     freq = tok.groupBy("token").agg(F.count("*").alias("tok_df"))
     ordered = tok.join(freq, "token")
@@ -642,6 +647,8 @@ def prefix_jaccard_pairs(
             F.col("_o.token").alias("toks"),
             F.size("_o").alias("set_len"),
         )
+        # scanned three times: prefix explode + both verification sides
+        .cache()
     )
     t = F.lit(float(threshold))
     prefix_len = F.col("set_len") - F.ceil(t * F.col("set_len")) + F.lit(1)
