@@ -706,3 +706,117 @@ def x94_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
             F.when(F.col("op").isNull(), "base").otherwise("cdc").alias("src"),
         )
     )
+
+
+@probe(
+    "x95_priority_sample",
+    sql="""
+        WITH u AS (
+            SELECT o_orderkey, o_totalprice,
+                   list_sum(list_transform(range(1, 9),
+                       i -> (strpos('0123456789abcdef',
+                                substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                       i, 1)) - 1)
+                            * power(16, 8 - i)))
+                       / 4294967296.0 AS u
+            FROM orders
+        ),
+        pr AS (
+            SELECT o_orderkey, o_totalprice,
+                   floor(ln(u) / o_totalprice * 10000000000.0 + 0.5)
+                       / 10000000000.0 AS priority
+            FROM u
+        )
+        SELECT o_orderkey, o_totalprice, priority
+        FROM pr ORDER BY priority DESC, o_orderkey LIMIT 100
+    """,
+    note="weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-ES): per-row priority ln(u)/w with u a deterministic md5 "
+    "uniform — the top-k by priority IS a weighted sample, rand()-free "
+    "and so stable under retries. Physically a TakeOrderedAndProject "
+    "(per-partition top-k partials, never a global sort); priority is "
+    "rounded at 1e-10 with an id tie-break so the k-th boundary is "
+    "reproducible across engines",
+)
+def x95_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    o = T(spark, sf, "orders")
+    uval = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    priority = portable_round(F.log(uval) / F.col("o_totalprice"), 10)
+    return (
+        o.select("o_orderkey", "o_totalprice", priority.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@probe(
+    "x96_cov_matrix",
+    sql="""
+        WITH cells AS (
+            SELECT di.i AS di, dj.i AS dj,
+                   CAST(embedding[di.i] AS DOUBLE)
+                       * CAST(embedding[dj.i] AS DOUBLE) AS vv,
+                   CAST(embedding[di.i] AS DOUBLE) AS vi,
+                   CAST(embedding[dj.i] AS DOUBLE) AS vj
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, 65)) AS i) di,
+                 LATERAL (SELECT unnest(range(1, 65)) AS i) dj
+            WHERE dj.i >= di.i
+        )
+        SELECT di, dj,
+               floor((sum(vv) / count(*)
+                      - (sum(vi) / count(*)) * (sum(vj) / count(*)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cov
+        FROM cells GROUP BY di, dj
+    """,
+    note="embedding covariance matrix (PCA / whitening prep): the "
+    "upper triangle of the dims x dims Gram-style aggregate in ONE "
+    "pass — per row a map-side flatten of dim-pair products, then a "
+    "hash-agg whose state is dims^2 cells regardless of corpus size "
+    "(the vectors themselves never shuffle); 6-digit portable "
+    "rounding absorbs cross-engine summation order",
+)
+def x96_cov_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    emb = T(spark, sf, "embeddings")
+    n_dim = 64
+    idx = F.sequence(F.lit(1), F.lit(n_dim))
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.filter(
+                F.transform(
+                    idx,
+                    lambda j: F.struct(
+                        i.alias("di"),
+                        j.alias("dj"),
+                        (
+                            F.element_at("embedding", i).cast("double")
+                            * F.element_at("embedding", j).cast("double")
+                        ).alias("vv"),
+                        F.element_at("embedding", i).cast("double").alias("vi"),
+                        F.element_at("embedding", j).cast("double").alias("vj"),
+                    ),
+                ),
+                lambda s: s["dj"] >= s["di"],
+            ),
+        )
+    )
+    cells = emb.select(F.explode(pairs).alias("c")).select(
+        "c.di", "c.dj", "c.vv", "c.vi", "c.vj"
+    )
+    cov = (
+        F.sum("vv") / F.count("*")
+        - (F.sum("vi") / F.count("*")) * (F.sum("vj") / F.count("*"))
+    )
+    return (
+        cells.groupBy("di", "dj")
+        .agg(portable_round(cov, 6).alias("cov"))
+    )
