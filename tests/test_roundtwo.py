@@ -221,3 +221,16 @@ def test_hard_negatives_cross_label_and_matches_bruteforce(spark):
         got_m.setdefault(r.q_id, []).append((r.neighbor_id, r.sim))
     for qid in want:
         assert sorted(got_m[qid]) == sorted(want[qid])
+
+
+# ------------------------------------------------------------- empty inputs
+def test_new_operators_tolerate_empty_input(spark):
+    empty_iv = _iv(spark, []).limit(0)
+    assert merge_intervals(empty_iv, ["k"], "s", "e", "rid").count() == 0
+    assert (
+        triangle_count(_edges(spark, [(1, 2)])).collect()[0].n_triangles == 0
+    )
+    empty_sets = _sets_df(spark, {}).limit(0)
+    assert prefix_jaccard_pairs(empty_sets, "els", "doc_id", 0.5).count() == 0
+    empty_keys = spark.range(0).select(F.col("id").alias("k"))
+    assert cms_build(empty_keys, "k").count() == 0
