@@ -820,3 +820,71 @@ def x96_cov_matrix(spark: SparkSession, sf: str) -> DataFrame:
         cells.groupBy("di", "dj")
         .agg(portable_round(cov, 6).alias("cov"))
     )
+
+
+@probe(
+    "x97_multitouch_attribution",
+    sql="""
+        WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+              FROM events WHERE event_type = 'click'),
+        pairs AS (
+            SELECT p.p_id, c.c_id, p.user_id
+            FROM p JOIN c ON p.user_id = c.user_id
+            WHERE c.c_ts < p.p_ts
+              AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+        )
+        SELECT p_id, c_id, user_id,
+               floor(CAST(1.0 AS DOUBLE)
+                     / count(*) OVER (PARTITION BY p_id)
+                     * 1000000.0 + 0.5) / 1000000.0 AS weight
+        FROM pairs
+    """,
+    note="linear multi-touch attribution: every click in the 7 days "
+    "before a purchase shares the credit equally (1/n) — completes "
+    "the attribution family (x22/x29 last-touch, x67 first-touch). "
+    "Physically the time-range theta join becomes an equi-join on "
+    "(user, 7-day bucket) with the purchase side probing two adjacent "
+    "buckets (j1/j10's binning trick) — fan-out bounded by bucket "
+    "occupancy, no per-user cross product; the weight window "
+    "partitions by purchase id",
+)
+def x97_multitouch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    ev = T(spark, sf, "events")
+    week = 7 * 86400
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            F.array(
+                F.floor(epoch / week).cast("long"),
+                F.floor(epoch / week).cast("long") - 1,
+            )
+        ).alias("bucket"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.floor(epoch / week).cast("long").alias("bucket"),
+    )
+    pairs = (
+        p.join(c, (p.user_id == c.c_user) & (p.bucket == c.bucket))
+        .where(
+            (F.col("c_ts") < F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("p_id", "c_id", "user_id")
+    )
+    w = Window.partitionBy("p_id")
+    return pairs.select(
+        "p_id",
+        "c_id",
+        "user_id",
+        portable_round(F.lit(1.0) / F.count("*").over(w), 6).alias("weight"),
+    )
