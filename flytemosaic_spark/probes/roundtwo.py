@@ -888,3 +888,57 @@ def x97_multitouch_attribution(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         portable_round(F.lit(1.0) / F.count("*").over(w), 6).alias("weight"),
     )
+
+
+@probe(
+    "x98_series_similarity",
+    sql="""
+        WITH base AS (
+            SELECT user_id AS key, CAST(ts AS DATE) AS d, value AS v
+            FROM events
+        ),
+        d0 AS (SELECT min(d) AS d0 FROM base),
+        daily AS (
+            SELECT key, date_diff('day', d0, d) + 1 AS day, sum(v) AS v
+            FROM base CROSS JOIN d0
+            WHERE date_diff('day', d0, d) + 1 <= 30
+            GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT k.key, g.day
+            FROM (SELECT DISTINCT key FROM daily) k,
+                 (SELECT unnest(range(1, 31)) AS day) g
+        ),
+        dense AS (
+            SELECT grid.key, grid.day, coalesce(daily.v, 0.0) AS v
+            FROM grid LEFT JOIN daily USING (key, day)
+        ),
+        mom AS (SELECT key, avg(v) AS mu, stddev_pop(v) AS sd
+                FROM dense GROUP BY 1),
+        z AS (SELECT dense.key, day, (v - mu) / sd AS z
+              FROM dense JOIN mom USING (key) WHERE sd > 0),
+        ms AS (SELECT day, avg(v) AS v FROM dense GROUP BY 1),
+        qm AS (SELECT avg(v) AS mu, stddev_pop(v) AS sd FROM ms),
+        qz AS (SELECT day, (v - mu) / sd AS qz FROM ms CROSS JOIN qm),
+        dist AS (
+            SELECT key,
+                   floor(sum((z - qz) * (z - qz)) * 1000000.0 + 0.5)
+                       / 1000000.0 AS dist
+            FROM z JOIN qz USING (day) GROUP BY key
+        )
+        SELECT key AS user_id, dist
+        FROM dist ORDER BY dist, key LIMIT 10
+    """,
+    note="time-series similarity search (operators/timeseries.py — the "
+    "EDBT'19 distributed-series-similarity shape from PAPERS.md): "
+    "per-user daily series densified to a fixed 30-day grid "
+    "(|keys| x |grid| rows, never data-scale), z-normalized via "
+    "per-key moment joins, squared-Euclidean distance to the "
+    "broadcast z-normalized corpus-mean series, top-k via "
+    "per-partition partials. Per-key state is the grid length, so "
+    "the plan is flat in key cardinality",
+)
+def x98_series_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.timeseries import topk_similar_to_mean
+
+    return topk_similar_to_mean(T(spark, sf, "events"), k=10, n_days=30)
