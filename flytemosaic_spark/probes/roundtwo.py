@@ -942,3 +942,51 @@ def x98_series_similarity(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.timeseries import topk_similar_to_mean
 
     return topk_similar_to_mean(T(spark, sf, "events"), k=10, n_days=30)
+
+
+@probe(
+    "x99_trimmed_mean_udaf",
+    sql="""
+        WITH ranked AS (
+            SELECT l_returnflag, l_quantity,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_quantity) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0
+                   AS trimmed_mean
+        FROM ranked
+        WHERE rn > floor(n * 0.05) AND rn <= n - floor(n * 0.05)
+        GROUP BY l_returnflag
+    """,
+    note="5% two-sided trimmed mean per group via a GROUPED_AGG pandas "
+    "UDF — the one UDF flavor the rest of the engine does not already "
+    "exercise (scalar pandas UDFs, grouped-map, map-in-pandas, UDTF, "
+    "stateful processors are all elsewhere): Arrow ships each group's "
+    "column once, numpy sorts in-process. The oracle replays the trim "
+    "with rank arithmetic (values sorted ascending; ties broken by "
+    "position, which the value-sort makes deterministic)",
+)
+def x99_trimmed_mean_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from flytemosaic_spark.operators.text import portable_round
+
+    # functionType passed explicitly: `from __future__ import
+    # annotations` stringifies type hints, which defeats the
+    # hint-based eval-type inference
+    def _tm(v):
+        arr = np.sort(v.to_numpy())
+        cut = int(np.floor(len(arr) * 0.05))
+        return float(arr[cut: len(arr) - cut].mean())
+
+    trimmed_mean = pandas_udf(_tm, "double", PandasUDFType.GROUPED_AGG)
+
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(portable_round(trimmed_mean("l_quantity")).alias("trimmed_mean"))
+    )
