@@ -453,3 +453,58 @@ def test_throttle_dedup_stream_matches_batch(spark, events, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_streaming_pipeline_end_to_end(spark, events, tmp_path):
+    """Composition capstone: file-stream ingest -> stateful throttle
+    dedup -> MERGE upsert sink holding each (user, type)'s latest kept
+    event. Drained twice with time-ordered batches; the final table
+    equals the batch plan (lag-window dedup + arg-max) over the union."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flytemosaic_spark.streaming.events import (
+        stream_new_files,
+        throttle_dedup_stream_gs,
+        upsert_sink,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "tbl")
+    ev = events.limit(1200).select("event_id", "user_id", "event_type", "ts")
+    mid = F.lit("2024-01-16").cast("timestamp_ntz")
+    ev.where(F.col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (
+            throttle_dedup_stream_gs(stream_new_files(spark, src, schema))
+            .writeStream.foreachBatch(
+                upsert_sink(tbl, ["user_id", "event_type"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    ev.where(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(tbl)
+            .select("user_id", "event_type", "event_id").collect())
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    kept = ev.withColumn("_p", F.lag("ts").over(w)).where(
+        F.col("_p").isNull()
+        | (F.col("ts") > F.col("_p") + F.expr("INTERVAL 600 SECONDS"))
+    )
+    want = sorted(
+        map(tuple, kept.groupBy("user_id", "event_type")
+            .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id"))
+            .collect())
+    )
+    assert got == want
