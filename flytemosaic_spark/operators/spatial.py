@@ -80,3 +80,64 @@ def grid_bbox_join(
         == F.floor(F.greatest("a_miny", "b_miny") / F.lit(cell)).cast("long")
     )
     return j.where(overlap & owner).select("a_id", "b_id")
+
+
+def zonal_stats(
+    pixels: DataFrame,
+    zones: DataFrame,
+    cell: float,
+    value_col: str = "value",
+) -> DataFrame:
+    """Zonal statistics: aggregate point/pixel values within each
+    zone's bbox (count / mean / min / max). ``pixels`` carries
+    (x, y, value), ``zones`` carries (zone_id, minx, miny, maxx,
+    maxy). A pixel inside several overlapping zones contributes to
+    each.
+
+    The classic raster x vector-zone reduction (the zonal form of the
+    reference's per-tile composite, glad.py:259-282 aggregates within
+    a tile footprint). Physically the same theta→equi rewrite as
+    :func:`grid_bbox_join`: each pixel bins to exactly ONE grid cell
+    (points need no owner-cell dedupe), zones explode to the cells
+    their box covers, and the join key is the cell — so the pairing
+    cost is bucket occupancy, never |pixels| x |zones|; the aggregate
+    is partial (map-side) per (zone, cell) before the final combine.
+    Exact polygon zones compose by refining the bbox matches with
+    ``functions.geometry.rect_intersects_polygon``-style tests.
+    """
+    px = pixels.select(
+        "x",
+        "y",
+        F.col(value_col).alias("_v"),
+        F.floor(F.col("x") / F.lit(cell)).cast("long").alias("cx"),
+        F.floor(F.col("y") / F.lit(cell)).cast("long").alias("cy"),
+    )
+    zn = zones.select(
+        "zone_id",
+        "minx",
+        "miny",
+        "maxx",
+        "maxy",
+        F.explode(_cells(F.col("minx"), F.col("maxx"), cell)).alias("cx"),
+        F.col("miny").alias("_ymin"),
+        F.col("maxy").alias("_ymax"),
+    ).select(
+        "*", F.explode(_cells(F.col("_ymin"), F.col("_ymax"), cell)).alias("cy")
+    ).drop("_ymin", "_ymax")
+    inside = (
+        (F.col("x") >= F.col("minx"))
+        & (F.col("x") <= F.col("maxx"))
+        & (F.col("y") >= F.col("miny"))
+        & (F.col("y") <= F.col("maxy"))
+    )
+    return (
+        px.join(zn, ["cx", "cy"])
+        .where(inside)
+        .groupBy("zone_id")
+        .agg(
+            F.count("*").alias("n_pixels"),
+            F.avg("_v").alias("mean_value"),
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+        )
+    )

@@ -990,3 +990,63 @@ def x99_trimmed_mean_udaf(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(portable_round(trimmed_mean("l_quantity")).alias("trimmed_mean"))
     )
+
+
+@probe(
+    "x100_zonal_stats",
+    sql="""
+        WITH px AS (
+            SELECT CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y,
+                   CAST(embedding[3] AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        zones(zone_id, minx, miny, maxx, maxy) AS (
+            VALUES (0, -2.0, -2.0, 0.0, 0.0),
+                   (1, 0.0, -2.0, 2.0, 0.0),
+                   (2, -2.0, 0.0, 0.0, 2.0),
+                   (3, 0.0, 0.0, 2.0, 2.0),
+                   (4, -0.5, -0.5, 0.5, 0.5)
+        )
+        SELECT zone_id, count(*) AS n_pixels,
+               floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+               min(v) AS min_value, max(v) AS max_value
+        FROM px JOIN zones
+          ON x >= minx AND x <= maxx AND y >= miny AND y <= maxy
+        GROUP BY zone_id
+    """,
+    note="zonal statistics (operators/spatial.py:zonal_stats — the "
+    "zonal form of the reference's per-tile composite aggregate, "
+    "glad.py:259-282): embedding dims 1/2 as point coordinates, dim 3 "
+    "as the value, five literal zones incl. an overlapping center "
+    "zone. The theta containment join runs as the grid-cell equi-join "
+    "(each point bins to ONE cell; zones explode to covered cells) so "
+    "pairing cost is bucket occupancy, never |points| x |zones|",
+)
+def x100_zonal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.spatial import zonal_stats
+    from flytemosaic_spark.operators.text import portable_round
+
+    px = T(spark, sf, "embeddings").select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+        F.element_at("embedding", 3).cast("double").alias("value"),
+    )
+    zones = spark.createDataFrame(
+        [
+            (0, -2.0, -2.0, 0.0, 0.0),
+            (1, 0.0, -2.0, 2.0, 0.0),
+            (2, -2.0, 0.0, 0.0, 2.0),
+            (3, 0.0, 0.0, 2.0, 2.0),
+            (4, -0.5, -0.5, 0.5, 0.5),
+        ],
+        "zone_id long, minx double, miny double, maxx double, maxy double",
+    )
+    out = zonal_stats(px, zones, cell=0.5)
+    return out.select(
+        "zone_id",
+        "n_pixels",
+        portable_round(F.col("mean_value"), 6).alias("mean_value"),
+        "min_value",
+        "max_value",
+    )

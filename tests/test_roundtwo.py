@@ -234,3 +234,51 @@ def test_new_operators_tolerate_empty_input(spark):
     assert prefix_jaccard_pairs(empty_sets, "els", "doc_id", 0.5).count() == 0
     empty_keys = spark.range(0).select(F.col("id").alias("k"))
     assert cms_build(empty_keys, "k").count() == 0
+
+
+# ------------------------------------------------------------- zonal stats
+def test_zonal_stats_vs_bruteforce(spark):
+    import random
+
+    from flytemosaic_spark.operators.spatial import zonal_stats
+
+    rng = random.Random(11)
+    pts = [
+        (rng.uniform(0, 100), rng.uniform(0, 100), rng.uniform(-5, 5))
+        for _ in range(400)
+    ]
+    boxes = []
+    for zid in range(12):
+        x0, y0 = rng.uniform(0, 90), rng.uniform(0, 90)
+        boxes.append((zid, x0, y0, x0 + rng.uniform(5, 30), y0 + rng.uniform(5, 30)))
+    px = spark.createDataFrame(pts, "x double, y double, value double")
+    zn = spark.createDataFrame(
+        boxes, "zone_id long, minx double, miny double, maxx double, maxy double"
+    )
+    got = {
+        r.zone_id: (r.n_pixels, r.mean_value, r.min_value, r.max_value)
+        for r in zonal_stats(px, zn, cell=10.0).collect()
+    }
+    for zid, x0, y0, x1, y1 in boxes:
+        vs = [v for x, y, v in pts if x0 <= x <= x1 and y0 <= y <= y1]
+        if not vs:
+            assert zid not in got
+            continue
+        n, mean, lo, hi = got[zid]
+        assert n == len(vs)
+        assert abs(mean - sum(vs) / len(vs)) < 1e-9
+        assert lo == min(vs) and hi == max(vs)
+
+
+def test_zonal_stats_overlapping_zones_double_count(spark):
+    from flytemosaic_spark.operators.spatial import zonal_stats
+
+    px = spark.createDataFrame(
+        [(5.0, 5.0, 2.0)], "x double, y double, value double"
+    )
+    zn = spark.createDataFrame(
+        [(1, 0.0, 0.0, 10.0, 10.0), (2, 4.0, 4.0, 6.0, 6.0)],
+        "zone_id long, minx double, miny double, maxx double, maxy double",
+    )
+    got = {r.zone_id: r.n_pixels for r in zonal_stats(px, zn, 3.0).collect()}
+    assert got == {1: 1, 2: 1}
