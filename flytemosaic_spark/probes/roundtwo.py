@@ -1050,3 +1050,58 @@ def x100_zonal_stats(spark: SparkSession, sf: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@probe(
+    "x101_exp_smoothing",
+    sql="""
+        WITH base AS (
+            SELECT user_id AS key, CAST(ts AS DATE) AS d, value AS v
+            FROM events
+        ),
+        d0 AS (SELECT min(d) AS d0 FROM base),
+        daily AS (
+            SELECT key, date_diff('day', d0, d) + 1 AS day, sum(v) AS v
+            FROM base CROSS JOIN d0
+            WHERE date_diff('day', d0, d) + 1 <= 30
+            GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT k.key, g.day
+            FROM (SELECT DISTINCT key FROM daily) k,
+                 (SELECT unnest(range(1, 31)) AS day) g
+        ),
+        dense AS (
+            SELECT grid.key, grid.day, coalesce(daily.v, 0.0) AS v
+            FROM grid LEFT JOIN daily USING (key, day)
+        )
+        SELECT key AS user_id,
+               floor(sum(CASE WHEN day = 1
+                              THEN power(0.7, 29) * v
+                              ELSE 0.3 * power(0.7, 30 - day) * v END)
+                     * 1000000.0 + 0.5) / 1000000.0 AS smoothed
+        FROM dense GROUP BY key
+    """,
+    note="exponential smoothing (SES, alpha=0.3) of each user's daily "
+    "series, evaluated in CLOSED FORM — s_T unrolls to a power-"
+    "weighted sum, so the sequential fold becomes one partial-"
+    "aggregated groupBy over the dense grid (reusing "
+    "operators/timeseries.daily_series): no per-key iteration, no "
+    "collect_list, state is one accumulator per key. The smoothed "
+    "level IS the next-period forecast",
+)
+def x101_exp_smoothing(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+    from flytemosaic_spark.operators.timeseries import daily_series
+
+    alpha, n_days = 0.3, 30
+    dense = daily_series(T(spark, sf, "events"), n_days=n_days)
+    weight = F.when(
+        F.col("day") == 1, F.pow(F.lit(1 - alpha), F.lit(n_days - 1))
+    ).otherwise(
+        F.lit(alpha) * F.pow(F.lit(1 - alpha), F.lit(n_days) - F.col("day"))
+    )
+    return (
+        dense.groupBy(F.col("key").alias("user_id"))
+        .agg(portable_round(F.sum(weight * F.col("v")), 6).alias("smoothed"))
+    )
