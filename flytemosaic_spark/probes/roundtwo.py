@@ -1105,3 +1105,127 @@ def x101_exp_smoothing(spark: SparkSession, sf: str) -> DataFrame:
         dense.groupBy(F.col("key").alias("user_id"))
         .agg(portable_round(F.sum(weight * F.col("v")), 6).alias("smoothed"))
     )
+
+
+@probe(
+    "x102_target_encoding",
+    sql="""
+        WITH joined AS (
+            SELECT c.c_mktsegment AS seg, o.o_totalprice AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        prior AS (SELECT avg(y) AS mu FROM joined),
+        enc AS (
+            SELECT seg, count(*) AS n, sum(y) AS s FROM joined GROUP BY seg
+        )
+        SELECT seg,
+               n AS n_orders,
+               floor((s + mu * 20.0) / (n + 20.0) * 10000.0 + 0.5)
+                   / 10000.0 AS encoded
+        FROM enc CROSS JOIN prior
+    """,
+    note="smoothed target encoding (the leakage-prone categorical "
+    "feature done right at corpus scale): per-category Bayesian-"
+    "smoothed target mean (sum + mu*m)/(n + m), m=20 — two partial "
+    "aggregates and a 1-row broadcast prior, so the encoding table is "
+    "category-cardinality-scale and joins back as a broadcast "
+    "dimension at feature-apply time",
+)
+def x102_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round
+
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("y"))
+    prior = joined.agg(F.avg("y").alias("mu"))
+    enc = joined.groupBy("seg").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    )
+    m = F.lit(20.0)
+    return (
+        enc.crossJoin(F.broadcast(prior))
+        .select(
+            "seg",
+            F.col("n").alias("n_orders"),
+            portable_round(
+                (F.col("s") + F.col("mu") * m) / (F.col("n") + m)
+            ).alias("encoded"),
+        )
+    )
+
+
+@probe(
+    "x103_negative_sampling",
+    sql="""
+        WITH e0 AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+            FROM lineitem
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM e0),
+        rng AS (SELECT max(dst) + 1 AS n FROM e0),
+        cand AS (
+            SELECT node AS src,
+                   CAST(list_sum(list_transform(range(1, 9),
+                       j -> (strpos('0123456789abcdef',
+                                substr(md5(concat(CAST(node AS VARCHAR), '#',
+                                                  CAST(k.k AS VARCHAR))),
+                                       j, 1)) - 1)
+                            * power(16, 8 - j))) AS BIGINT) % n AS dst
+            FROM nodes CROSS JOIN rng
+            CROSS JOIN (SELECT unnest(range(0, 8)) AS k) k
+        ),
+        neg AS (
+            SELECT DISTINCT c.src, c.dst
+            FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM e0
+                              WHERE e0.src = c.src AND e0.dst = c.dst)
+        )
+        SELECT src, dst FROM neg
+    """,
+    note="deterministic negative sampling for link-prediction / graph-"
+    "embedding training over the sparse supplier-part bipartite graph: "
+    "per supplier, 8 md5-derived pseudo-random part endpoints, then "
+    "one anti-join "
+    "against the real edge list filters accidental positives. "
+    "rand()-free so the sample is identical under retries; candidate "
+    "generation is map-side explode, the anti-join is the only "
+    "shuffle (Bloom-prefilterable via operators/bloom.py at scale)",
+)
+def x103_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    e0 = (
+        T(spark, sf, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    nodes = e0.select(F.col("src").alias("node")).distinct()
+    rng = e0.agg((F.max("dst") + 1).alias("n"))
+    hval = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#", F.col("node").cast("string"), F.col("k").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand = (
+        nodes.crossJoin(F.broadcast(rng))
+        .select(
+            F.col("node").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
+            F.col("n"),
+        )
+        .withColumnRenamed("src", "node")
+        .select(F.col("node").alias("src"), (hval % F.col("n")).alias("dst"))
+        .distinct()
+    )
+    return cand.join(e0, ["src", "dst"], "left_anti")
