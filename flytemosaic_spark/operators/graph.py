@@ -102,12 +102,12 @@ def pagerank(
     return ranks.select("node", F.col("pr").alias("pagerank"))
 
 
-def triangle_count(
+def enumerate_triangles(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
-    """Count triangles in the undirected graph of ``edges`` (self-loops
-    and duplicate/reverse edges ignored). Returns one row
-    ``(n_triangles)``.
+    """Enumerate each triangle of the undirected graph of ``edges``
+    exactly once as (a, b1, b2) (self-loops and duplicate/reverse
+    edges ignored).
 
     Scale shape: the classic degree-ordered orientation — every
     undirected edge is directed from its lower-(degree, id) endpoint
@@ -158,7 +158,58 @@ def triangle_count(
     closure = oriented.select(
         F.col("a").alias("b1"), F.col("b").alias("b2")
     )
+    return wedges.join(closure, ["b1", "b2"]).select("a", "b1", "b2")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Total triangle count — see :func:`enumerate_triangles`."""
+    return enumerate_triangles(edges, src, dst).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient:
+    ``triangles_at(v) / C(deg(v), 2)`` for nodes with degree >= 2.
+    Triangle participation comes from exploding each enumerated
+    triangle's three corners (edge-scale aggregate, each triangle
+    counted once per corner); degrees from the symmetric adjacency.
+    Returns (node, deg, n_tri, cc) with cc left unrounded — callers
+    round per their portability contract.
+    """
+    tris = enumerate_triangles(edges, src, dst)
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b1").alias("node")))
+        .unionAll(tris.select(F.col("b2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    und = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
     return (
-        wedges.join(closure, ["b1", "b2"])
-        .agg(F.count("*").alias("n_triangles"))
+        deg.where(F.col("deg") >= 2)
+        .join(corners, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            (
+                F.coalesce("n_tri", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1) / 2)
+            ).alias("cc"),
+        )
     )

@@ -1229,3 +1229,65 @@ def x103_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return cand.join(e0, ["src", "dst"], "left_anti")
+
+
+@probe(
+    "x104_clustering_coeff",
+    sql="""
+        WITH e0 AS (
+            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                            greatest(a.l_partkey, b.l_partkey) AS v
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey
+        ),
+        tri AS (
+            SELECT ab.u AS a, ab.v AS b1, ac.v AS b2
+            FROM e0 ab
+            JOIN e0 ac ON ab.u = ac.u AND ab.v < ac.v
+            JOIN e0 bc ON bc.u = ab.v AND bc.v = ac.v
+        ),
+        corners AS (
+            SELECT node, count(*) AS n_tri FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b1 FROM tri
+                UNION ALL SELECT b2 FROM tri
+            ) GROUP BY node
+        ),
+        deg AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+            ) GROUP BY node
+        )
+        SELECT d.node, d.deg,
+               coalesce(c.n_tri, 0) AS n_tri,
+               floor(coalesce(c.n_tri, 0)
+                     / (d.deg * (d.deg - 1) / 2.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS cc
+        FROM deg d LEFT JOIN corners c USING (node)
+        WHERE d.deg >= 2
+    """,
+    note="per-node local clustering coefficient over the part "
+    "co-occurrence graph (graph.py:clustering_coefficient): triangle "
+    "participation from exploding each enumerated triangle's three "
+    "corners — the enumeration reuses the degree-ordered orientation, "
+    "so the wedge fan-out stays O(sqrt E) per node while the oracle's "
+    "naive triple join is quadratic in the hottest degree",
+)
+def x104_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.graph import clustering_coefficient
+    from flytemosaic_spark.operators.text import portable_round
+
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    out = clustering_coefficient(edges)
+    return out.select(
+        "node", "deg", "n_tri", portable_round(F.col("cc"), 6).alias("cc")
+    )

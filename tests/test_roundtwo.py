@@ -282,3 +282,21 @@ def test_zonal_stats_overlapping_zones_double_count(spark):
     )
     got = {r.zone_id: r.n_pixels for r in zonal_stats(px, zn, 3.0).collect()}
     assert got == {1: 1, 2: 1}
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from flytemosaic_spark.operators.graph import clustering_coefficient
+
+    # K4 minus one edge (1-3): nodes 0,2 see 1 triangle of C(3,2)=3
+    # possible; nodes 1,3 have deg 2 with their single wedge closed
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3)]
+    got = {
+        r.node: (r.deg, r.n_tri, round(r.cc, 6))
+        for r in clustering_coefficient(_edges(spark, pairs)).collect()
+    }
+    assert got == {
+        0: (3, 2, round(2 / 3, 6)),
+        1: (2, 1, 1.0),
+        2: (3, 2, round(2 / 3, 6)),
+        3: (2, 1, 1.0),
+    }
