@@ -1291,3 +1291,52 @@ def x104_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "node", "deg", "n_tri", portable_round(F.col("cc"), 6).alias("cc")
     )
+
+
+@probe(
+    "x105_rag_chunking",
+    sql=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, w, unnest(range(1, greatest(len(w), 1) + 1, 24))
+                AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+               len(w[s:least(s + 31, len(w))]) AS n_tokens,
+               md5(array_to_string(w[s:least(s + 31, len(w))], ' '))
+                   AS chunk_hash
+        FROM starts
+    """,
+    note="RAG ingestion chunking: overlapping 32-token windows with a "
+    "24-token stride (8-token overlap) per document — the retrieval "
+    "twin of x25's training-sequence packing. Pure array math "
+    "(sequence of starts -> slice -> explode), map-side only: no "
+    "shuffle until whatever downstream indexes the chunks; chunk "
+    "content hashed so the probe output stays narrow",
+)
+def x105_rag_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    size, stride = 32, 24
+    docs = T(spark, sf, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(stride)
+    )
+    return (
+        docs.select("doc_id", "w", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / stride).cast("bigint").alias("chunk_idx"),
+            F.size(F.slice("w", F.col("s"), F.lit(size))).alias("n_tokens"),
+            F.md5(
+                F.array_join(F.slice("w", F.col("s"), F.lit(size)), " ")
+            ).alias("chunk_hash"),
+        )
+    )
