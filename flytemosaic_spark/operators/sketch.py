@@ -182,3 +182,89 @@ def kmv_finalize(states: DataFrame, group_cols: list[str], k: int = 64) -> DataF
         nd.cast("bigint").alias("n_exact_capped"),
         portable_round(est).alias("kmv_estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (portable md5 flavor)
+# --------------------------------------------------------------------------
+#
+# m=256 registers from the low 8 bits of the 60-bit md5 hash; the
+# remaining 52 bits are the rank field. Register state is kept in
+# LONG FORM — (group, reg, minbits) rows, where minbits is the
+# minimum bit-length of the rank field (equivalently 53 - max rho):
+# mergeable with a plain min() aggregate, spills like any table, and
+# every stage replays in ANSI SQL (DuckDB twin uses the same md5
+# slots), unlike HLL++'s engine-private hash. The estimator sums
+# 2^minbits per register AS INTEGERS (units of 2^-53), so Z is exact
+# bigint on both engines and the only float op is the final divide.
+
+HLL_M = 256
+_P53 = 9007199254740992  # 2**53
+
+
+def hll_state(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    m: int = HLL_M,
+) -> DataFrame:
+    """Mergeable HLL register state: (group cols, reg, minbits)."""
+    group_cols = group_cols or []
+    hashed = df.select(*group_cols, _h60(F.col(value_col)).alias("_h"))
+    w = F.expr(f"_h div {m}")
+    bits = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    return (
+        hashed.select(
+            *group_cols, (F.col("_h") % m).alias("reg"), bits.alias("_b")
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.min("_b").alias("minbits"))
+    )
+
+
+def hll_merge_states(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Associative merge: per (group, reg) the smaller minbits wins
+    (smaller bit-length = larger rho = the HLL max-rho rule)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "reg")
+        .agg(F.min("minbits").alias("minbits"))
+    )
+
+
+def hll_finalize(
+    states: DataFrame, group_cols: list[str], m: int = HLL_M
+) -> DataFrame:
+    """Cardinality estimate from register state alone.
+
+    raw = alpha_m * m^2 / Z with Z summed in integer units of 2^-53;
+    linear-counting correction below 2.5m when empty registers exist
+    (both branches are closed-form, so the branch choice is identical
+    across engines)."""
+    z = states.groupBy(*group_cols).agg(
+        F.count("*").alias("_nreg"),
+        F.sum(F.pow(F.lit(2.0), F.col("minbits")).cast("long")).alias("_terms"),
+    )
+    z_int = (F.lit(m) - F.col("_nreg")) * F.lit(_P53) + F.col("_terms")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    raw = alpha * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(_P53)) / z_int
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("_nreg") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("_nreg"))),
+    ).otherwise(raw)
+    return z.select(
+        *group_cols, portable_round(corrected).alias("hll_estimate")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    m: int = HLL_M,
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate (state -> finalize)."""
+    group_cols = group_cols or []
+    return hll_finalize(hll_state(df, value_col, group_cols, m), group_cols, m)

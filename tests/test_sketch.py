@@ -83,3 +83,66 @@ def test_kmv_merge_equals_direct(spark):
     got = {r.l_suppkey: (r.n_exact_capped, r.kmv_estimate) for r in merged.collect()}
     want = {r.l_suppkey: (r.n_exact_capped, r.kmv_estimate) for r in direct.collect()}
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (portable md5 flavor)
+# --------------------------------------------------------------------------
+
+
+def test_hll_error_bound(spark):
+    """HLL theory: σ ≈ 1.04/sqrt(m) = 6.5% at m=256. The 5 priority
+    groups (~1300 distinct custkeys each) must all land within 4σ and
+    average within 2σ."""
+    from flytemosaic_spark.operators.sketch import hll_distinct
+
+    o = load_table(spark, SF001, "orders")
+    est = hll_distinct(o, "o_custkey", ["o_orderpriority"])
+    truth = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("nd")
+    )
+    sigma = 1.04 / (256**0.5)
+    rel = est.join(truth, "o_orderpriority").select(
+        (F.abs(F.col("hll_estimate") - F.col("nd")) / F.col("nd")).alias("rel")
+    )
+    stats = rel.agg(F.avg("rel").alias("mean"), F.max("rel").alias("mx")).first()
+    assert stats["mean"] < 2 * sigma
+    assert stats["mx"] < 4 * sigma
+
+
+def test_hll_merge_equals_direct(spark):
+    """Merging per-half register states then finalizing reproduces the
+    one-pass estimate bit-identically (the state is a min-lattice)."""
+    from flytemosaic_spark.operators.sketch import (
+        hll_distinct,
+        hll_finalize,
+        hll_merge_states,
+        hll_state,
+    )
+
+    o = load_table(spark, SF001, "orders").cache()
+    lo = o.where(F.col("o_orderkey") % 2 == 0)
+    hi = o.where(F.col("o_orderkey") % 2 == 1)
+    merged = hll_finalize(
+        hll_merge_states(
+            hll_state(lo, "o_custkey", ["o_orderpriority"]),
+            hll_state(hi, "o_custkey", ["o_orderpriority"]),
+            ["o_orderpriority"],
+        ),
+        ["o_orderpriority"],
+    )
+    direct = hll_distinct(o, "o_custkey", ["o_orderpriority"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    o.unpersist()
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities take the linear-counting branch and stay
+    within a few percent (25 distinct regions/nations)."""
+    from flytemosaic_spark.operators.sketch import hll_distinct
+
+    n = load_table(spark, SF001, "nation")
+    est = hll_distinct(n, "n_nationkey").first()["hll_estimate"]
+    assert abs(est - 25) / 25 < 0.1

@@ -52,6 +52,14 @@ CROSS_OK = {
     "x91_bigram_logprob",
     "x92_psi_drift",
     "x93_mi_features",
+    # dense-grid anchor date / query series / scalar prior: 1-row (or
+    # constant-width) broadcast crossJoins inside timeseries.daily_series,
+    # topk_similar_to_mean, the target-encoding prior, and the
+    # negative-sampling candidate range — constant broadcast side
+    "x98_series_similarity",
+    "x101_exp_smoothing",
+    "x102_target_encoding",
+    "x103_negative_sampling",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
