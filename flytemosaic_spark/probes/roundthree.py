@@ -192,3 +192,267 @@ def x111_acf(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("acf"),
         )
     )
+
+
+@probe(
+    "x112_khop_reach",
+    sql="""
+        WITH pw AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+            FROM lineitem a
+            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        e AS (SELECT u, v FROM pw WHERE w >= 2),
+        sym AS (SELECT u AS node, v AS nb FROM e
+                UNION ALL SELECT v, u FROM e),
+        two AS (
+            SELECT s1.node, s2.nb
+            FROM sym s1 JOIN sym s2 ON s1.nb = s2.node
+            WHERE s2.nb <> s1.node
+        ),
+        reach AS (
+            SELECT DISTINCT node, nb FROM
+                (SELECT node, nb FROM sym UNION ALL SELECT node, nb FROM two)
+        )
+        SELECT r.node AS l_partkey,
+               d.n_1hop, count(*) AS n_2hop
+        FROM reach r
+        JOIN (SELECT node, count(*) AS n_1hop FROM sym GROUP BY node) d
+          ON r.node = d.node
+        GROUP BY r.node, d.n_1hop
+    """,
+    note="2-hop neighborhood size per node on the strong-tie "
+    "co-purchase graph (part pairs sharing >= 2 orders — the weight "
+    "threshold keeps the graph sparse BY CONSTRUCTION, so the wedge "
+    "self-join stays near-linear instead of going quadratic on a "
+    "dense co-occurrence graph; the same thresholding is how a "
+    "100 TB co-occurrence expansion stays tractable). One basket "
+    "self-join, one wedge join, one distinct",
+)
+def x112_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    sym = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    two = s1.join(s2, F.col("s1.nb") == F.col("s2.node")).where(
+        F.col("s2.nb") != F.col("s1.node")
+    ).select(F.col("s1.node").alias("node"), F.col("s2.nb").alias("nb"))
+    reach = sym.unionAll(two).distinct()
+    deg = sym.groupBy("node").agg(F.count("*").alias("n_1hop"))
+    return (
+        reach.groupBy("node")
+        .agg(F.count("*").alias("n_2hop"))
+        .join(deg, "node")
+        .select(F.col("node").alias("l_partkey"), "n_1hop", "n_2hop")
+    )
+
+
+@probe(
+    "x113_cooccur_topk",
+    sql="""
+        WITH pw AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+            FROM lineitem a
+            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        sym AS (SELECT u, v, w FROM pw UNION ALL SELECT v, u, w FROM pw),
+        f AS (SELECT l_partkey AS item, count(DISTINCT l_orderkey) AS nf
+              FROM lineitem GROUP BY 1),
+        sc AS (
+            SELECT sym.u, sym.v,
+                   floor((sym.w / sqrt(CAST(fu.nf * fv.nf AS DOUBLE)))
+                         * 1000000 + 0.5) / 1000000 AS cos_sim
+            FROM sym
+            JOIN f fu ON sym.u = fu.item
+            JOIN f fv ON sym.v = fv.item
+        ),
+        rk AS (
+            SELECT u, v, cos_sim,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY cos_sim DESC, v) AS rnk
+            FROM sc
+        )
+        SELECT u AS l_partkey, CAST(rnk AS BIGINT) AS rnk,
+               v AS co_partkey, cos_sim
+        FROM rk WHERE rnk <= 3
+    """,
+    note="item-item collaborative-filtering candidates: cosine "
+    "similarity over basket co-occurrence counts (w_ij / "
+    "sqrt(f_i f_j)), top-3 per item. Pair generation is bounded by "
+    "basket size (per-order self-join), counts and frequencies stay "
+    "integer until one final division, and the ranking window is "
+    "partitioned per item — ties broken on the rounded score plus "
+    "item id so the cutoff is engine-portable",
+)
+def x113_cooccur_topk(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pw = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    sym = pw.unionAll(pw.select(F.col("v"), F.col("u"), F.col("w")))
+    f = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.countDistinct("l_orderkey").alias("nf")
+    )
+    fu = f.select(F.col("item").alias("u"), F.col("nf").alias("nfu"))
+    fv = f.select(F.col("item").alias("v"), F.col("nf").alias("nfv"))
+    sc = sym.join(fu, "u").join(fv, "v").select(
+        "u",
+        "v",
+        portable_round(
+            F.col("w") / F.sqrt((F.col("nfu") * F.col("nfv")).cast("double")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w_rank = Window.partitionBy("u").orderBy(
+        F.col("cos_sim").desc(), F.col("v")
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("u").alias("l_partkey"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("v").alias("co_partkey"),
+            "cos_sim",
+        )
+    )
+
+
+@probe(
+    "x114_feature_hashing",
+    sql="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(w), 1, 15))::BIGINT AS hh
+            FROM toks
+        )
+        SELECT doc_id, hh % 64 AS dim,
+               sum(CASE WHEN (hh // 64) % 2 = 1 THEN 1 ELSE -1 END) AS weight
+        FROM h GROUP BY 1, 2
+    """,
+    note="hashing-trick featurization (signed 64-bucket token counts, "
+    "the Weinberger et al. feature-hashing scheme): md5 slot + sign "
+    "bit per token, one map-side explode + one hash aggregate — "
+    "feature width is fixed regardless of vocabulary, so no "
+    "vocabulary table, no second pass, no shuffle beyond the "
+    "(doc, dim) aggregate; all-integer state",
+)
+def x114_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    t = T(spark, sf, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    h = t.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("hh"),
+    )
+    sign = F.when(F.expr("(hh div 64) % 2") == 1, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        h.groupBy("doc_id", (F.col("hh") % 64).alias("dim"))
+        .agg(F.sum(sign).alias("weight"))
+    )
+
+
+@probe(
+    "x115_random_projection",
+    sql="""
+        WITH comp AS (
+            SELECT vec_id, j.j,
+                   CAST(floor(CAST(embedding[j.j] AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS qv
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+        ),
+        signs AS (
+            SELECT d.d, j.j,
+                   CASE WHEN ('0x' || substr(md5(d.d || '_' || j.j), 1, 15))
+                             ::BIGINT % 2 = 1
+                        THEN 1 ELSE -1 END AS sgn
+            FROM (SELECT unnest(range(0, 8)) AS d) d
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+        )
+        SELECT vec_id, signs.d AS dim,
+               floor((sum(sgn * qv) / 1000000.0 / sqrt(8.0))
+                     * 1000000 + 0.5) / 1000000 AS value
+        FROM comp JOIN signs ON comp.j = signs.j
+        GROUP BY 1, 2
+    """,
+    note="Johnson-Lindenstrauss random projection 64d -> 8d with a "
+    "deterministic md5 +/-1 sign matrix (the Achlioptas sparse-JL "
+    "scheme): components quantized to integer micro-units once so "
+    "the per-output-dim sums are exact in any accumulation order; "
+    "the 8x64 sign matrix is a broadcast literal-scale table, the "
+    "explode is map-side, and output is |vectors| x 8 rows — the "
+    "cheap front-end that makes downstream LSH/clustering 8x "
+    "narrower at 100 TB",
+)
+def x115_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("j"),
+        F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qv"),
+    )
+    dims = spark.range(0, 8).select(F.col("id").alias("d"))
+    js = spark.range(1, 65).select(F.col("id").alias("j"))
+    signs = dims.crossJoin(js).select(
+        "d",
+        "j",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.col("d"), F.col("j"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        comp.join(F.broadcast(signs), "j")
+        .groupBy("vec_id", F.col("d").alias("dim"))
+        .agg(
+            portable_round(
+                F.sum(F.col("sgn") * F.col("qv"))
+                / F.lit(1000000.0)
+                / F.sqrt(F.lit(8.0)),
+                6,
+            ).alias("value")
+        )
+    )
