@@ -766,3 +766,114 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "neighbor_id", "sim")
     )
+
+
+def pca_power_component(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_dim: int = 64,
+    iterations: int = 3,
+) -> DataFrame:
+    """Top principal component by power iteration over the covariance
+    matrix, fully declarative and engine-portable.
+
+    Determinism: components quantize once to integer micro-units
+    (floor(v*1e6+0.5)), so every covariance moment is an EXACT integer
+    sum on any engine/partitioning; the covariance cell is then a
+    fixed sequence of IEEE ops on exact integers — bit-identical
+    everywhere, no rounding grain needed. Each iteration's mat-vec and
+    normalized vector round half-up at 1e-10 (the pagerank idiom) so
+    the 64-term float sums can't drift across engines.
+
+    Scale shape: the dims x dims moment aggregate is ONE pass over the
+    vectors (map-side dim-pair flatten, hash-agg state = dims^2 cells
+    regardless of corpus size — the x96_cov_matrix plan); iterations
+    then run on the cached dims^2 table with a broadcast dims-row
+    vector, so per-iteration cost is independent of the corpus.
+    Returns (dim, loading, eigenvalue).
+    """
+    idx = F.sequence(F.lit(1), F.lit(n_dim))
+    qv = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * 1000000 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                idx,
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at("_qv", i) * F.element_at("_qv", j)
+                    ).alias("pp"),
+                ),
+            ),
+        )
+    )
+    cells = (
+        emb.select(qv.alias("_qv"))
+        .select(F.explode(pairs).alias("c"))
+        .select("c.i", "c.j", "c.pp")
+    )
+    second = cells.groupBy("i", "j").agg(
+        F.sum("pp").alias("s"), F.count("*").alias("n")
+    )
+    first = (
+        emb.select(F.posexplode(qv).alias("p0", "q"))
+        .select((F.col("p0") + 1).alias("d"), "q")
+        .groupBy("d")
+        .agg(F.sum("q").alias("m"))
+    )
+    mi = first.select(F.col("d").alias("i"), F.col("m").alias("m_i"))
+    mj = first.select(F.col("d").alias("j"), F.col("m").alias("m_j"))
+    cov = (
+        second.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("s") / F.col("n")
+                    - (F.col("m_i") / F.col("n")) * (F.col("m_j") / F.col("n"))
+                )
+                / F.lit(1.0e12)
+            ).alias("c"),
+        )
+        .cache()
+    )
+
+    def _round10(c: Column) -> Column:
+        return F.floor(c * F.lit(1.0e10) + F.lit(0.5)) / F.lit(1.0e10)
+
+    spark = emb.sparkSession
+    v = spark.range(1, n_dim + 1).select(
+        F.col("id").cast("int").alias("j"), F.lit(0.125).alias("v")
+    )
+    eig = None
+    for _ in range(iterations):
+        u = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(_round10(F.sum(F.col("c") * F.col("v"))).alias("u"))
+            # dims-row state; eager truncation keeps each broadcast
+            # below from re-executing the previous iterations' chains
+            .localCheckpoint()
+        )
+        nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"),
+            _round10(F.col("u") / F.col("nrm")).alias("v"),
+        )
+        eig = nrm
+    from flytemosaic_spark.operators.text import portable_round
+
+    return v.crossJoin(F.broadcast(eig)).select(
+        F.col("j").cast("bigint").alias("dim"),
+        F.col("v").alias("loading"),
+        portable_round(F.col("nrm"), 6).alias("eigenvalue"),
+    )

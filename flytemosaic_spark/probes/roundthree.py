@@ -456,3 +456,66 @@ def x115_random_projection(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("value")
         )
     )
+
+
+@probe(
+    "x116_pca_power",
+    sql="""
+        WITH q AS (
+            SELECT list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                 AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT i.i AS i, j.i AS j, qv[i.i] * qv[j.i] AS pp
+            FROM q,
+                 LATERAL (SELECT unnest(range(1, 65)) AS i) i,
+                 LATERAL (SELECT unnest(range(1, 65)) AS i) j
+        ),
+        second AS (SELECT i, j, sum(pp) AS s, count(*) AS n
+                   FROM cells GROUP BY i, j),
+        firstm AS (
+            SELECT d.d AS d, sum(qv[d.d]) AS m
+            FROM q, LATERAL (SELECT unnest(range(1, 65)) AS d) d
+            GROUP BY d.d
+        ),
+        cov AS (
+            SELECT s2.i, s2.j,
+                   (s / n - (mi.m / n) * (mj.m / n)) / 1e12 AS c
+            FROM second s2
+            JOIN firstm mi ON s2.i = mi.d
+            JOIN firstm mj ON s2.j = mj.d
+        ),
+        u1 AS (SELECT i, floor(sum(c * 0.125) * 1e10 + 0.5) / 1e10 AS u
+               FROM cov GROUP BY i),
+        n1 AS (SELECT sqrt(sum(u * u)) AS nrm FROM u1),
+        v1 AS (SELECT i AS j, floor(u / nrm * 1e10 + 0.5) / 1e10 AS v
+               FROM u1 CROSS JOIN n1),
+        u2 AS (SELECT cov.i, floor(sum(c * v1.v) * 1e10 + 0.5) / 1e10 AS u
+               FROM cov JOIN v1 ON cov.j = v1.j GROUP BY cov.i),
+        n2 AS (SELECT sqrt(sum(u * u)) AS nrm FROM u2),
+        v2 AS (SELECT i AS j, floor(u / nrm * 1e10 + 0.5) / 1e10 AS v
+               FROM u2 CROSS JOIN n2),
+        u3 AS (SELECT cov.i, floor(sum(c * v2.v) * 1e10 + 0.5) / 1e10 AS u
+               FROM cov JOIN v2 ON cov.j = v2.j GROUP BY cov.i),
+        n3 AS (SELECT sqrt(sum(u * u)) AS nrm FROM u3),
+        v3 AS (SELECT i AS j, floor(u / nrm * 1e10 + 0.5) / 1e10 AS v
+               FROM u3 CROSS JOIN n3)
+        SELECT CAST(v3.j AS BIGINT) AS dim, v3.v AS loading,
+               floor(n3.nrm * 1000000 + 0.5) / 1000000 AS eigenvalue
+        FROM v3 CROSS JOIN n3
+    """,
+    note="top principal component by 3 power iterations "
+    "(operators/similarity.py:pca_power_component): covariance from "
+    "integer micro-unit moments (bit-exact on any engine — no "
+    "rounding grain in the matrix itself), then each mat-vec and "
+    "normalized vector rounds half-up at 1e-10 (the pagerank idiom). "
+    "The dims^2 moment table is one pass over the vectors and is "
+    "cached once; per-iteration cost is a dims^2-row join against a "
+    "broadcast dims-row vector — independent of corpus size",
+)
+def x116_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.similarity import pca_power_component
+
+    return pca_power_component(T(spark, sf, "embeddings"))

@@ -60,6 +60,8 @@ CROSS_OK = {
     "x101_exp_smoothing",
     "x102_target_encoding",
     "x103_negative_sampling",
+    # power-iteration norm: 1-row broadcast crossJoin per iteration
+    "x116_pca_power",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
