@@ -55,6 +55,9 @@ HEADLINE = [
     "q01_pricing_summary",
     "q05_local_supplier_volume",
     "q18_large_volume_customer",
+    "x106_roc_auc",
+    "x110_cusum_anomaly",
+    "x113_cooccur_topk",
 ]
 
 

@@ -160,3 +160,48 @@ def embed_media(media: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def extract_patches(media: DataFrame, patch: int = 4) -> DataFrame:
+    """ViT-style patch pooling: decode each payload, split the image
+    into non-overlapping ``patch`` x ``patch`` tiles and emit one row
+    per tile with its mean and max over all channels — the patch-
+    embedding front end of a vision transformer, minus the learned
+    projection (which is a matmul over these pooled tiles).
+
+    Long-form output (media_id, py, px, mean_px, max_px) so downstream
+    joins/apis stay columnar; images whose sides are not multiples of
+    ``patch`` are cropped to the largest covered grid, matching the
+    common ViT preprocessing contract.
+    """
+    schema = "media_id long, py int, px int, mean_px double, max_px int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = _decode_payload(bytes(payload))
+                h, w, c = arr.shape
+                gh, gw = h // patch, w // patch
+                tiles = (
+                    arr[: gh * patch, : gw * patch]
+                    .reshape(gh, patch, gw, patch, c)
+                    .astype(np.float64)
+                )
+                means = tiles.mean(axis=(1, 3, 4))
+                maxes = tiles.max(axis=(1, 3, 4)).astype(np.int64)
+                py, px = np.meshgrid(range(gh), range(gw), indexing="ij")
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": int(mid),
+                            "py": py.ravel().astype("int32"),
+                            "px": px.ravel().astype("int32"),
+                            "mean_px": means.ravel(),
+                            "max_px": maxes.ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)

@@ -519,3 +519,461 @@ def x116_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.similarity import pca_power_component
 
     return pca_power_component(T(spark, sf, "embeddings"))
+
+
+@probe(
+    "x117_seasonal_backtest",
+    sql="""
+        WITH base AS (
+            SELECT user_id AS key, CAST(ts AS DATE) AS d,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+            FROM events
+        ),
+        d0 AS (SELECT min(d) AS d0 FROM base),
+        daily AS (
+            SELECT key, date_diff('day', d0, d) + 1 AS day, sum(v) AS v
+            FROM base CROSS JOIN d0
+            WHERE date_diff('day', d0, d) + 1 <= 30
+            GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT k.key, g.day
+            FROM (SELECT DISTINCT key FROM daily) k,
+                 (SELECT unnest(range(1, 31)) AS day) g
+        ),
+        dense AS (
+            SELECT grid.key, grid.day, coalesce(daily.v, 0) AS v
+            FROM grid LEFT JOIN daily USING (key, day)
+        ),
+        bt AS (
+            SELECT a.key, a.v AS actual, f.v AS forecast
+            FROM dense a JOIN dense f
+              ON a.key = f.key AND f.day = a.day - 7
+            WHERE a.day >= 8
+        ),
+        agg AS (
+            SELECT key, sum(abs(forecast - actual)) AS sae,
+                   sum(forecast - actual) AS se, sum(actual) AS sa
+            FROM bt GROUP BY key
+        )
+        SELECT key AS user_id,
+               floor((sae / sa) * 1000000 + 0.5) / 1000000 AS wape,
+               floor((se / sa) * 1000000 + 0.5) / 1000000 AS bias
+        FROM agg WHERE sa > 0
+    """,
+    note="seasonal-naive forecast backtest: predict each day by the "
+    "same weekday last week over the dense 30-day grid, score per "
+    "user with WAPE (sum-abs-error / sum-actual — robust to zero "
+    "days, unlike MAPE) and signed bias. Error sums stay integer "
+    "cents, so the only float op is the final ratio; the lag-7 "
+    "'join' is a per-key self-join on the fixed grid — state per key "
+    "is the grid length",
+)
+def x117_seasonal_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.timeseries import daily_series
+
+    ev = T(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
+    )
+    dense = daily_series(ev, "user_id", "ts", "vc").select(
+        "key", "day", F.col("v").cast("bigint").alias("v")
+    )
+    a, f = dense.alias("a"), dense.alias("f")
+    bt = (
+        a.join(
+            f,
+            (F.col("a.key") == F.col("f.key"))
+            & (F.col("f.day") == F.col("a.day") - 7),
+        )
+        .where(F.col("a.day") >= 8)
+        .select(
+            F.col("a.key").alias("key"),
+            F.col("a.v").alias("actual"),
+            F.col("f.v").alias("forecast"),
+        )
+    )
+    agg = bt.groupBy("key").agg(
+        F.sum(F.abs(F.col("forecast") - F.col("actual"))).alias("sae"),
+        F.sum(F.col("forecast") - F.col("actual")).alias("se"),
+        F.sum("actual").alias("sa"),
+    )
+    return agg.where(F.col("sa") > 0).select(
+        F.col("key").alias("user_id"),
+        portable_round(F.col("sae") / F.col("sa"), 6).alias("wape"),
+        portable_round(F.col("se") / F.col("sa"), 6).alias("bias"),
+    )
+
+
+@probe(
+    "x118_chi2_features",
+    sql="""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   list_distinct(string_split_regex(trim(text), '\\s+')) AS ws
+            FROM documents
+        ),
+        tot AS (SELECT count(*) AS n, sum(y) AS npos FROM d),
+        tok AS (
+            SELECT unnest(ws) AS w, y FROM d
+        ),
+        cnt AS (
+            SELECT w, count(*) AS m, sum(y) AS n11
+            FROM tok GROUP BY w HAVING count(*) >= 5
+        ),
+        chi AS (
+            SELECT w,
+                   CAST(n AS DOUBLE)
+                       * CAST(n11 * (n - npos - (m - n11))
+                              - (m - n11) * (npos - n11) AS DOUBLE)
+                       * CAST(n11 * (n - npos - (m - n11))
+                              - (m - n11) * (npos - n11) AS DOUBLE)
+                       / (CAST(m * (n - m) AS DOUBLE)
+                          * CAST(npos * (n - npos) AS DOUBLE)) AS chi2
+            FROM cnt CROSS JOIN tot
+        )
+        SELECT w AS token,
+               floor(chi2 * 10000 + 0.5) / 10000 AS chi2
+        FROM chi
+        ORDER BY chi2 DESC, token LIMIT 50
+    """,
+    note="chi-squared feature screen: token presence vs the language "
+    "label (the classical alternative to x93's mutual information). "
+    "Contingency cells are integer counts from ONE distinct-token "
+    "explode + hash-agg; the statistic is computed in exact-integer "
+    "cross products cast to double at fixed points, so both engines "
+    "agree bit-exactly; top-50 by rounded score via "
+    "TakeOrderedAndProject — no global sort materialization",
+)
+def x118_chi2_features(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+        F.array_distinct(tokens(F.col("text"))).alias("ws"),
+    )
+    tot = d.agg(F.count("*").alias("n"), F.sum("y").alias("npos"))
+    cnt = (
+        d.select(F.explode("ws").alias("w"), "y")
+        .groupBy("w")
+        .agg(F.count("*").alias("m"), F.sum("y").alias("n11"))
+        .where(F.col("m") >= 5)
+    )
+    n, npos, m, n11 = F.col("n"), F.col("npos"), F.col("m"), F.col("n11")
+    det = n11 * (n - npos - (m - n11)) - (m - n11) * (npos - n11)
+    chi2 = (
+        n.cast("double")
+        * det.cast("double")
+        * det.cast("double")
+        / ((m * (n - m)).cast("double") * (npos * (n - npos)).cast("double"))
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").alias("token"),
+            portable_round(chi2, 4).alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), "token")
+        .limit(50)
+    )
+
+
+# NDCG position discounts 1/log2(rank+1) as double literals — decimal
+# literals parse to the identical nearest double on both engines, so
+# no transcendental is evaluated at query time.
+_NDCG_DISCOUNT = "CASE rnk WHEN 1 THEN 1.0 WHEN 2 THEN 0.6309297535714575 ELSE 0.5 END"
+
+
+@probe(
+    "x119_ndcg",
+    sql=f"""
+        WITH pw AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+            FROM lineitem a
+            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        sym AS (SELECT u, v, w FROM pw UNION ALL SELECT v, u, w FROM pw),
+        f AS (SELECT l_partkey AS item, count(DISTINCT l_orderkey) AS nf
+              FROM lineitem GROUP BY 1),
+        sc AS (
+            SELECT sym.u, sym.v, sym.w,
+                   floor((sym.w / sqrt(CAST(fu.nf * fv.nf AS DOUBLE)))
+                         * 1000000 + 0.5) / 1000000 AS cos_sim
+            FROM sym
+            JOIN f fu ON sym.u = fu.item
+            JOIN f fv ON sym.v = fv.item
+        ),
+        by_model AS (
+            SELECT u, w, row_number() OVER (PARTITION BY u
+                ORDER BY cos_sim DESC, v) AS rnk
+            FROM sc
+        ),
+        by_ideal AS (
+            SELECT u, w, row_number() OVER (PARTITION BY u
+                ORDER BY w DESC, v) AS rnk
+            FROM sc
+        ),
+        dcg AS (
+            SELECT u, sum(w * ({_NDCG_DISCOUNT})) AS dcg
+            FROM by_model WHERE rnk <= 3 GROUP BY u
+        ),
+        idcg AS (
+            SELECT u, sum(w * ({_NDCG_DISCOUNT})) AS idcg
+            FROM by_ideal WHERE rnk <= 3 GROUP BY u
+        )
+        SELECT dcg.u AS l_partkey,
+               floor((dcg / idcg) * 1000000 + 0.5) / 1000000 AS ndcg
+        FROM dcg JOIN idcg ON dcg.u = idcg.u
+    """,
+    note="NDCG@3 ranking quality of the cosine co-occurrence ranking "
+    "(x113) against raw co-purchase weight as graded relevance: "
+    "model-ranked DCG over ideal-ranked IDCG per item. Position "
+    "discounts are double LITERALS (no query-time transcendental, so "
+    "no libm ulp divergence); gains are integer weights times a "
+    "3-term discount sum — both ranking windows are partitioned per "
+    "item and share the scored-pair aggregate",
+)
+def x119_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pw = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    sym = pw.unionAll(pw.select(F.col("v"), F.col("u"), F.col("w")))
+    f = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.countDistinct("l_orderkey").alias("nf")
+    )
+    fu = f.select(F.col("item").alias("u"), F.col("nf").alias("nfu"))
+    fv = f.select(F.col("item").alias("v"), F.col("nf").alias("nfv"))
+    sc = sym.join(fu, "u").join(fv, "v").select(
+        "u",
+        "v",
+        "w",
+        portable_round(
+            F.col("w") / F.sqrt((F.col("nfu") * F.col("nfv")).cast("double")),
+            6,
+        ).alias("cos_sim"),
+    ).cache()
+    disc = F.expr(_NDCG_DISCOUNT)
+    w_model = Window.partitionBy("u").orderBy(F.col("cos_sim").desc(), "v")
+    w_ideal = Window.partitionBy("u").orderBy(F.col("w").desc(), "v")
+    dcg = (
+        sc.withColumn("rnk", F.row_number().over(w_model))
+        .where(F.col("rnk") <= 3)
+        .groupBy("u")
+        .agg(F.sum(F.col("w") * disc).alias("dcg"))
+    )
+    idcg = (
+        sc.withColumn("rnk", F.row_number().over(w_ideal))
+        .where(F.col("rnk") <= 3)
+        .groupBy("u")
+        .agg(F.sum(F.col("w") * disc).alias("idcg"))
+    )
+    return dcg.join(idcg, "u").select(
+        F.col("u").alias("l_partkey"),
+        portable_round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+@probe(
+    "x120_mlm_masking",
+    sql="""
+        WITH toks AS (
+            SELECT doc_id, p.p AS pos, ws[p.p] AS w, len(ws) AS n
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS ws
+                  FROM documents),
+                 LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS p) p
+        ),
+        h AS (
+            SELECT doc_id, pos, w, n,
+                   ('0x' || substr(md5(doc_id || ':' || pos), 1, 15))::BIGINT
+                       AS hh
+            FROM toks
+        ),
+        dec AS (
+            SELECT doc_id, pos, w, n, hh % 100 < 15 AS masked,
+                   (hh // 100) % 10 AS branch,
+                   1 + ((hh // 1000) % n) AS rep_pos
+            FROM h
+        )
+        SELECT d.doc_id, d.pos,
+               CASE WHEN NOT d.masked THEN d.w
+                    WHEN d.branch <= 7 THEN '[MASK]'
+                    WHEN d.branch = 8 THEN r.w
+                    ELSE d.w END AS input_token,
+               CASE WHEN d.masked THEN d.w END AS label
+        FROM dec d
+        JOIN dec r ON d.doc_id = r.doc_id AND r.pos = d.rep_pos
+    """,
+    note="deterministic BERT-style MLM masking: 15% of positions "
+    "selected by md5(doc:pos), split 80/10/10 into [MASK] / random "
+    "in-document replacement / keep — retry-stable (no rand()), "
+    "map-side except one per-document positional self-join for the "
+    "random-replacement branch; label column carries the original "
+    "token only at masked positions",
+)
+def x120_mlm_masking(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    toks = (
+        T(spark, sf, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").alias("n"),
+            F.posexplode("ws").alias("p0", "w"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "w", "n")
+    )
+    hh = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    dec = toks.withColumn("hh", hh).select(
+        "doc_id",
+        "pos",
+        "w",
+        (F.col("hh") % 100 < 15).alias("masked"),
+        F.expr("(hh div 100) % 10").cast("bigint").alias("branch"),
+        (F.lit(1) + (F.expr("hh div 1000").cast("bigint") % F.col("n"))).alias(
+            "rep_pos"
+        ),
+    )
+    d, r = dec.alias("d"), dec.alias("r")
+    return d.join(
+        r,
+        (F.col("d.doc_id") == F.col("r.doc_id"))
+        & (F.col("r.pos") == F.col("d.rep_pos")),
+    ).select(
+        F.col("d.doc_id").alias("doc_id"),
+        F.col("d.pos").alias("pos"),
+        F.when(~F.col("d.masked"), F.col("d.w"))
+        .when(F.col("d.branch") <= 7, F.lit("[MASK]"))
+        .when(F.col("d.branch") == 8, F.col("r.w"))
+        .otherwise(F.col("d.w"))
+        .alias("input_token"),
+        F.when(F.col("d.masked"), F.col("d.w")).alias("label"),
+    )
+
+
+@probe(
+    "x121_curriculum_order",
+    sql="""
+        WITH d AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS difficulty,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT AS h
+            FROM documents
+        )
+        SELECT doc_id, CAST(difficulty AS BIGINT) AS difficulty,
+               row_number() OVER (ORDER BY difficulty, h, doc_id)
+                   AS curriculum_rank
+        FROM d
+    """,
+    note="curriculum training order (easy-to-hard by token count, "
+    "md5 tie-scatter so equal-length docs interleave deterministically) "
+    "as an EXACT global rank with no single-partition sort: per-bucket "
+    "row_number windows (partitioned) plus an exclusive prefix of "
+    "bucket counts — the oracle's global ORDER BY replayed with "
+    "bounded per-task state, the same decomposition as "
+    "plans/prefix.py. This is how a 100 TB corpus gets a total "
+    "training order",
+)
+def x121_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("difficulty"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    b = d.withColumn("bucket", F.expr("difficulty div 50"))
+    counts = b.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("difficulty", "h", "doc_id")
+    return (
+        b.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "difficulty",
+            (F.col("off") + F.col("rn")).alias("curriculum_rank"),
+        )
+    )
+
+
+@probe(
+    "x122_patch_pooling",
+    sql="""
+        WITH px AS (
+            SELECT doc_id, i.i AS i,
+                   ('0x' || substr(md5(doc_id || ':' || i.i), 1, 15))::BIGINT
+                       % 256 AS p
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0, 256)) AS i) i
+        ),
+        tiles AS (
+            SELECT doc_id,
+                   (i // 16) // 4 AS py, (i % 16) // 4 AS px_idx, p
+            FROM px
+        )
+        SELECT doc_id, CAST(py AS BIGINT) AS py,
+               CAST(px_idx AS BIGINT) AS px,
+               sum(p) / count(*) AS mean_px,
+               CAST(max(p) AS BIGINT) AS max_px
+        FROM tiles GROUP BY 1, 2, 3
+    """,
+    note="declarative twin of operators/multimodal.py:extract_patches "
+    "(ViT patch pooling) on a deterministic md5 16x16 image per doc: "
+    "patch-grid indexing is integer division on the pixel index, "
+    "pooling is an integer hash-agg, one division at the end. The "
+    "REAL binary-payload path (numpy reshape pooling over "
+    "mapInPandas) is equivalence-tested in tests/test_multimodal.py; "
+    "this probe oracle-checks the pooling math end-to-end",
+)
+def x122_patch_pooling(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(255))).alias("i")
+    )
+    p = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("i"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 256
+    )
+    tiles = d.select(
+        "doc_id",
+        F.expr("(i div 16) div 4").alias("py"),
+        F.expr("(i % 16) div 4").alias("px"),
+        p.alias("p"),
+    )
+    return tiles.groupBy("doc_id", "py", "px").agg(
+        (F.sum("p") / F.count("*")).alias("mean_px"),
+        F.max("p").alias("max_px"),
+    )

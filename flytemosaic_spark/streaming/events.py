@@ -427,6 +427,61 @@ def throttle_dedup_stream(
     )
 
 
+def cusum_stream_gs(
+    events: DataFrame,
+    allowance_cents: int = 6000,
+    threshold_cents: int = 30000,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of probe x110 (CUSUM change detection): per
+    user, S_t = max(0, S_(t-1) + d_t) with d_t = cents(value) -
+    allowance, flagged when S_t exceeds the threshold.
+
+    State per key is TWO integers — the last prefix sum and the
+    running minimum of prefixes (incl. the empty prefix) — because
+    S_t = P_t - min(0, min_(j<=t) P_j); both carry across micro-batch
+    boundaries, so draining N batches equals the batch closed-form
+    plan over the union (equality-tested in test_streaming.py).
+    All state integer cents: no float drift can accumulate across an
+    unbounded stream.
+    """
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        last_p, min_p = state.get if state.exists else (0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts_col, "event_id"]
+        )
+        d = (
+            np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+            - allowance_cents
+        )
+        p = d.cumsum() + last_p
+        m = np.minimum(np.minimum.accumulate(p), min_p)
+        s = p - np.minimum(m, 0)
+        state.update((int(p[-1]), int(m[-1])))
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": key[0],
+                "cusum": np.floor((s / 100.0) * 10000 + 0.5) / 10000,
+                "is_anomaly": (s > threshold_cents).astype("int64"),
+            }
+        )
+        yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_id long, user_id long, cusum double, is_anomaly long"
+        ),
+        stateStructType="last_p long, min_p long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def upsert_sink(
     table_path: str,
     key_cols: list[str],

@@ -57,3 +57,34 @@ def test_embed_deterministic(spark):
     assert a == b
     assert all(len(v) == 8 for v in a.values())
     assert np.std([v[0] for v in a.values()]) > 0  # not all identical
+
+
+def test_extract_patches_matches_numpy(spark):
+    """Patch pooling over the binary payload path equals direct numpy
+    reshape pooling on the decoded arrays."""
+    import numpy as np
+
+    from flytemosaic_spark.operators.multimodal import (
+        _decode_payload,
+        extract_patches,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=8).cache()
+    got = {
+        (r.media_id, r.py, r.px): (r.mean_px, r.max_px)
+        for r in extract_patches(media, patch=4).collect()
+    }
+    for row in media.collect():
+        arr = _decode_payload(bytes(row.payload))
+        h, w, c = arr.shape
+        gh, gw = h // 4, w // 4
+        tiles = arr[: gh * 4, : gw * 4].reshape(gh, 4, gw, 4, c).astype(float)
+        means = tiles.mean(axis=(1, 3, 4))
+        maxes = tiles.max(axis=(1, 3, 4))
+        for py in range(gh):
+            for px in range(gw):
+                m, mx = got[(row.media_id, py, px)]
+                assert abs(m - means[py, px]) < 1e-12
+                assert mx == int(maxes[py, px])
+    media.unpersist()

@@ -508,3 +508,77 @@ def test_streaming_pipeline_end_to_end(spark, events, tmp_path):
             .collect())
     )
     assert got == want
+
+
+def test_cusum_stream_matches_batch(spark, events, tmp_path):
+    """Streaming CUSUM: draining two time-ordered batches through
+    applyInPandasWithState equals the batch closed-form plan (probe
+    x110) over the union — the (last prefix, min prefix) integer
+    state carries S_t across the batch boundary exactly."""
+    from pyspark.sql import functions as F
+
+    from flytemosaic_spark.streaming.events import (
+        cusum_stream_gs,
+        stream_new_files,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ev = events.limit(1500).select("event_id", "user_id", "ts", "value")
+    mid = F.lit("2024-01-16").cast("timestamp_ntz")
+    first = ev.where(F.col("ts") <= mid)
+    second = ev.where(F.col("ts") > mid)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (
+            cusum_stream_gs(stream_new_files(spark, src, schema))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    second.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {
+        r.event_id: (r.cusum, r.is_anomaly)
+        for r in spark.read.parquet(out).collect()
+    }
+    # the batch plan (probe x110 shape) over exactly the same 1500 events
+    from pyspark.sql.window import Window
+
+    from flytemosaic_spark.operators.text import portable_round
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") - 6000
+        ).alias("d"),
+    )
+    p = s.select("user_id", "event_id", "ts", F.sum("d").over(w).alias("pre"))
+    floor_min = F.least(F.lit(0).cast("bigint"), F.min("pre").over(w))
+    cusum_c = F.col("pre") - floor_min
+    want = {
+        r.event_id: (r.cusum, r.is_anomaly)
+        for r in p.select(
+            "event_id",
+            portable_round(cusum_c / F.lit(100.0), 4).alias("cusum"),
+            (cusum_c > 30000).cast("bigint").alias("is_anomaly"),
+        ).collect()
+    }
+    assert got == want

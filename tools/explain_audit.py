@@ -62,6 +62,9 @@ CROSS_OK = {
     "x103_negative_sampling",
     # power-iteration norm: 1-row broadcast crossJoin per iteration
     "x116_pca_power",
+    # dense-grid anchor date (x98 shape) / 1-row corpus totals
+    "x117_seasonal_backtest",
+    "x118_chi2_features",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")

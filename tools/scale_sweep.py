@@ -63,6 +63,10 @@ PROBES = [
     "x82_interval_merge",  # gaps-and-islands shared-sort windows
     "x85_cms_heavy_hitters",  # bounded-state sketch build + broadcast probe
     "x87_throttle_dedup",  # lag-window rate-limit dedup
+    "x106_roc_auc",  # rank-sum metric via distributed prefix cumsum
+    "x110_cusum_anomaly",  # shared-sort prefix-sum/prefix-min windows
+    "x113_cooccur_topk",  # basket-bounded pair agg + per-item window
+    "x121_curriculum_order",  # global rank via bucket prefix decomposition
 ]
 
 
