@@ -977,3 +977,78 @@ def x122_patch_pooling(spark: SparkSession, sf: str) -> DataFrame:
         (F.sum("p") / F.count("*")).alias("mean_px"),
         F.max("p").alias("max_px"),
     )
+
+
+# one BPE pair-count round in SQL, parameterized by the input seq CTE
+def _bpe_round_sql(seq: str, p: str, b: str, nxt: str) -> str:
+    return f"""
+        {p} AS (
+            SELECT sy.a[i.i] AS left_sym, sy.a[i.i + 1] AS right_sym,
+                   sum(sy.c) AS pair_count
+            FROM (SELECT c, list_filter(string_split(s, '\u00b7'),
+                                        x -> x <> '') AS a
+                  FROM {seq}) sy,
+                 LATERAL (SELECT unnest(range(1, len(sy.a))) AS i) i
+            GROUP BY 1, 2
+        ),
+        {b} AS (
+            SELECT left_sym, right_sym, pair_count FROM {p}
+            ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+        ),
+        {nxt} AS (
+            SELECT c,
+                   replace(s,
+                           '\u00b7' || left_sym || '\u00b7\u00b7'
+                               || right_sym || '\u00b7',
+                           '\u00b7' || left_sym || right_sym || '\u00b7') AS s
+            FROM {seq} CROSS JOIN {b}
+        )"""
+
+
+_BPE_SQL = (
+    """
+        WITH words AS (
+            SELECT w, count(*) AS c FROM (
+                SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+                FROM documents)
+            WHERE w <> '' GROUP BY w
+        ),
+        seq0 AS (
+            SELECT c,
+                   regexp_replace(w, '(.)', '·\\1·', 'g') AS s
+            FROM words
+        ),"""
+    + _bpe_round_sql("seq0", "p1", "b1", "seq1")
+    + ","
+    + _bpe_round_sql("seq1", "p2", "b2", "seq2")
+    + ","
+    + _bpe_round_sql("seq2", "p3", "b3", "seq3")
+    + """
+        SELECT CAST(1 AS BIGINT) AS round, left_sym, right_sym,
+               CAST(pair_count AS BIGINT) AS pair_count FROM b1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), left_sym, right_sym,
+               CAST(pair_count AS BIGINT) FROM b2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), left_sym, right_sym,
+               CAST(pair_count AS BIGINT) FROM b3
+    """
+)
+
+
+@probe(
+    "x123_bpe_merges",
+    sql=_BPE_SQL,
+    note="BPE tokenizer induction (operators/bpe.py): 3 merge rounds "
+    "learned over the corpus — each round one adjacent-pair explode + "
+    "weighted hash-agg + 1-row broadcast argmax + map-side string "
+    "replace (left-to-right non-overlapping in both engines = BPE's "
+    "greedy application order). State is the DISTINCT-word table "
+    "(vocabulary-scale, counts folded in at the first aggregate), so "
+    "round cost is flat in corpus size; rounds are checkpointed so "
+    "round k+1 never re-executes round k",
+)
+def x123_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(T(spark, sf, "documents"))
