@@ -274,3 +274,85 @@ def x109_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return exact.join(F.broadcast(est), "o_orderpriority").select(
         "o_orderpriority", "n_exact", "hll_estimate"
     )
+
+
+@probe(
+    "x124_knn_accuracy",
+    sql="""
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+                          label AS true_label
+                   FROM embeddings),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                     label FROM embeddings),
+        scored AS (
+            SELECT q_id, true_label, neighbor_id, c.label,
+                   round(list_cosine_similarity(qv, cv), 4) AS sim
+            FROM q CROSS JOIN c WHERE q_id <> neighbor_id
+        ),
+        ranked AS (
+            SELECT q_id, true_label, label,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM scored
+        ),
+        votes AS (
+            SELECT q_id, true_label, label, count(*) AS nv
+            FROM ranked WHERE rnk <= 5 GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT q_id, true_label, label AS pred_label,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY nv DESC, label) AS vr
+            FROM votes
+        )
+        SELECT true_label AS label, count(*) AS n,
+               sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                   AS n_correct,
+               floor((sum(CASE WHEN pred_label = true_label
+                               THEN 1 ELSE 0 END) / count(*))
+                     * 1000000 + 0.5) / 1000000 AS accuracy
+        FROM pred WHERE vr = 1
+        GROUP BY true_label
+    """,
+    note="5-NN leave-one-out classification accuracy per label over "
+    "the exact cosine top-k (x3's broadcast-scan plan): majority vote "
+    "with (count desc, label) tie-break, integer correct-counts, one "
+    "final division — the intrinsic-quality readout for an embedding "
+    "column before it is trusted for near-dup or retrieval work",
+)
+def x124_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.similarity import brute_force_topk
+
+    emb = T(spark, sf, "embeddings")
+    labels = emb.select("vec_id", "label")
+    topk = brute_force_topk(corpus=emb, queries=emb, k=5)
+    votes = (
+        topk.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .groupBy("q_id", "label")
+        .agg(F.count("*").alias("nv"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("nv").desc(), "label")
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w))
+        .where(F.col("vr") == 1)
+        .select("q_id", F.col("label").alias("pred_label"))
+    )
+    joined = pred.join(
+        F.broadcast(
+            labels.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("label").alias("true_label"),
+            )
+        ),
+        "q_id",
+    )
+    correct = F.sum(
+        (F.col("pred_label") == F.col("true_label")).cast("bigint")
+    )
+    return joined.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").alias("n"),
+        correct.alias("n_correct"),
+        portable_round(correct / F.count("*"), 6).alias("accuracy"),
+    )
