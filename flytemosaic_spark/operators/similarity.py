@@ -865,9 +865,16 @@ def pca_power_component(
             .localCheckpoint()
         )
         nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+        # zero-variance input => norm 0: keep the zero vector instead
+        # of dividing (ANSI mode throws on x/0). Branch is on a value
+        # identical across engines, so the oracle's CASE matches.
         v = u.crossJoin(F.broadcast(nrm)).select(
             F.col("i").alias("j"),
-            _round10(F.col("u") / F.col("nrm")).alias("v"),
+            F.when(
+                F.col("nrm") > 0, _round10(F.col("u") / F.col("nrm"))
+            )
+            .otherwise(F.lit(0.0))
+            .alias("v"),
         )
         eig = nrm
     from flytemosaic_spark.operators.text import portable_round

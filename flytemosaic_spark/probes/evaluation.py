@@ -356,3 +356,21 @@ def x124_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
         correct.alias("n_correct"),
         portable_round(correct / F.count("*"), 6).alias("accuracy"),
     )
+
+
+@probe(
+    "s15_orc_roundtrip",
+    sql="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    note="ORC sink+source round-trip (the third columnar format after "
+    "parquet and the CSV/JSON text sources, still with predicate "
+    "pushdown + column pruning from Spark's native ORC reader) — "
+    "proven through the same oracle gate as s12/s13",
+)
+def s15_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.probes.advanced import _NATION_DDL, _roundtrip_dir
+
+    path = _roundtrip_dir(sf, "orc")
+    T(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").orc(path)
+    return spark.read.schema(_NATION_DDL).orc(path)

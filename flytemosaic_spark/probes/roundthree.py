@@ -490,17 +490,26 @@ def x115_random_projection(spark: SparkSession, sf: str) -> DataFrame:
         u1 AS (SELECT i, floor(sum(c * 0.125) * 1e10 + 0.5) / 1e10 AS u
                FROM cov GROUP BY i),
         n1 AS (SELECT sqrt(sum(u * u)) AS nrm FROM u1),
-        v1 AS (SELECT i AS j, floor(u / nrm * 1e10 + 0.5) / 1e10 AS v
+        v1 AS (SELECT i AS j,
+                      CASE WHEN nrm > 0
+                           THEN floor(u / nrm * 1e10 + 0.5) / 1e10
+                           ELSE 0.0 END AS v
                FROM u1 CROSS JOIN n1),
         u2 AS (SELECT cov.i, floor(sum(c * v1.v) * 1e10 + 0.5) / 1e10 AS u
                FROM cov JOIN v1 ON cov.j = v1.j GROUP BY cov.i),
         n2 AS (SELECT sqrt(sum(u * u)) AS nrm FROM u2),
-        v2 AS (SELECT i AS j, floor(u / nrm * 1e10 + 0.5) / 1e10 AS v
+        v2 AS (SELECT i AS j,
+                      CASE WHEN nrm > 0
+                           THEN floor(u / nrm * 1e10 + 0.5) / 1e10
+                           ELSE 0.0 END AS v
                FROM u2 CROSS JOIN n2),
         u3 AS (SELECT cov.i, floor(sum(c * v2.v) * 1e10 + 0.5) / 1e10 AS u
                FROM cov JOIN v2 ON cov.j = v2.j GROUP BY cov.i),
         n3 AS (SELECT sqrt(sum(u * u)) AS nrm FROM u3),
-        v3 AS (SELECT i AS j, floor(u / nrm * 1e10 + 0.5) / 1e10 AS v
+        v3 AS (SELECT i AS j,
+                      CASE WHEN nrm > 0
+                           THEN floor(u / nrm * 1e10 + 0.5) / 1e10
+                           ELSE 0.0 END AS v
                FROM u3 CROSS JOIN n3)
         SELECT CAST(v3.j AS BIGINT) AS dim, v3.v AS loading,
                floor(n3.nrm * 1000000 + 0.5) / 1000000 AS eigenvalue

@@ -117,3 +117,62 @@ def test_grid_bbox_join_equals_naive_theta_join(spark):
             ):
                 want.add((ra.id, rb.id))
     assert got == want
+
+
+def test_hll_empty_and_single(spark):
+    """HLL on an empty frame: grouped form yields no rows; the global
+    form follows SQL global-agg semantics (one row, null estimate).
+    A single value estimates ~1 via linear counting."""
+    from flytemosaic_spark.operators.sketch import hll_distinct
+
+    empty = _empty_like(spark, "v string")
+    assert hll_distinct(empty, "v", ["v"]).count() == 0
+    assert hll_distinct(empty, "v").first()["hll_estimate"] is None
+
+    one = spark.createDataFrame([("x",)], "v string")
+    est = hll_distinct(one, "v").first()["hll_estimate"]
+    assert abs(est - 1.0) < 0.01
+
+
+def test_bpe_degenerate_corpora(spark):
+    """Single-char words have no pairs — the learner returns no merges
+    instead of failing; an empty corpus likewise."""
+    from flytemosaic_spark.operators.bpe import learn_bpe_merges
+
+    empty = _empty_like(spark, "text string")
+    assert learn_bpe_merges(empty, rounds=2).count() == 0
+
+    chars = spark.createDataFrame([("a b c",)], "text string")
+    assert learn_bpe_merges(chars, rounds=2).count() == 0
+
+
+def test_pca_constant_vectors(spark):
+    """Zero-variance input: covariance is all zeros, the iteration
+    stays finite (norm 0 -> division guarded by rounding to null/nan
+    is acceptable only if it doesn't throw) — assert no exception and
+    64 output rows."""
+    from flytemosaic_spark.operators.similarity import pca_power_component
+
+    const = spark.createDataFrame(
+        [([0.5] * 64,) for _ in range(4)], "embedding array<float>"
+    )
+    rows = pca_power_component(const).collect()
+    assert len(rows) == 64
+
+
+def test_extract_patches_crops_odd_sizes(spark):
+    """A 10x6 image with patch 4 crops to the covered 2x1 patch grid."""
+    import struct
+
+    from flytemosaic_spark.operators.multimodal import (
+        _MAGIC,
+        extract_patches,
+    )
+
+    w, h, c = 10, 6, 1
+    payload = _MAGIC + struct.pack("<iiB", w, h, c) + bytes(range(w * h))
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = extract_patches(media, patch=4).collect()
+    assert {(r.py, r.px) for r in rows} == {(0, 0), (0, 1)}
