@@ -50,11 +50,10 @@ def _pair_counts(seq: DataFrame) -> DataFrame:
     )
 
 
-def learn_bpe_merges(
-    docs: DataFrame, text_col: str = "text", rounds: int = 3
-) -> DataFrame:
-    """Learn ``rounds`` BPE merges; returns (round, left_sym,
-    right_sym, pair_count) — the merge table a tokenizer applies in order."""
+def _merge_rounds(docs: DataFrame, text_col: str, rounds: int):
+    """Run the merge loop; returns (per-round argmax frames, final
+    symbol-sequence frame) so learning and application share one
+    implementation."""
     from flytemosaic_spark.operators.text import tokens
 
     words = (
@@ -89,7 +88,37 @@ def learn_bpe_merges(
             .select("c", F.replace("s", find, repl).alias("s"))
             .localCheckpoint()
         )
+    return merges, seq
+
+
+def learn_bpe_merges(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """Learn ``rounds`` BPE merges; returns (round, left_sym,
+    right_sym, pair_count) — the merge table a tokenizer applies in
+    order."""
+    merges, _ = _merge_rounds(docs, text_col, rounds)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.select("round", "left_sym", "right_sym", "pair_count")
+
+
+def bpe_vocab_counts(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3, k: int = 20
+) -> DataFrame:
+    """APPLY the learned merges: segment the corpus with the final
+    merge state and count symbol usage — the vocab-coverage readout
+    that decides whether the learned vocabulary is worth shipping.
+    Top-k by corpus frequency with symbol tie-break (deterministic
+    cutoff), via TakeOrderedAndProject — no global sort."""
+    _, seq = _merge_rounds(docs, text_col, rounds)
+    syms = seq.select(
+        "c", F.explode(F.filter(F.split("s", SEP), lambda x: x != "")).alias("sym")
+    )
+    return (
+        syms.groupBy("sym")
+        .agg(F.sum("c").alias("n_tokens"))
+        .orderBy(F.col("n_tokens").desc(), "sym")
+        .limit(k)
+    )

@@ -1061,3 +1061,123 @@ def x123_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.bpe import learn_bpe_merges
 
     return learn_bpe_merges(T(spark, sf, "documents"))
+
+
+_BPE_SEG_SQL = (
+    _BPE_SQL.split("SELECT CAST(1 AS BIGINT)")[0]
+    + """
+        SELECT sy.sym, CAST(sum(sy.c) AS BIGINT) AS n_tokens
+        FROM (SELECT c, unnest(list_filter(string_split(s, '·'),
+                                           x -> x <> '')) AS sym
+              FROM seq3) sy
+        GROUP BY sy.sym
+        ORDER BY n_tokens DESC, sym LIMIT 20
+    """
+)
+
+
+@probe(
+    "x125_bpe_segment",
+    sql=_BPE_SEG_SQL,
+    note="APPLY the learned BPE merges (x123): segment the corpus with "
+    "the final merge state and report the top-20 vocabulary symbols by "
+    "usage — the train->apply loop closed. Deterministic cutoff "
+    "(count desc, symbol) via TakeOrderedAndProject; the oracle "
+    "replays all three merge rounds and the segmentation",
+)
+def x125_bpe_segment(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.bpe import bpe_vocab_counts
+
+    return bpe_vocab_counts(T(spark, sf, "documents"))
+
+
+@probe(
+    "x126_preference_pairs",
+    sql="""
+        WITH base AS (
+            SELECT doc_id, source,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n,
+                   CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+                        ELSE len(list_filter(
+                                 string_split_regex(trim(text), '\\s+'),
+                                 t -> t IN ('the','and','of','a','to','in','is')))
+                   END AS stops,
+                   text
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, source,
+                   floor((
+                       least(CAST(n AS DOUBLE) / 100.0, 1.0) * 0.5
+                       + least((stops / CAST(greatest(n, 1) AS DOUBLE)) * 5.0,
+                               1.0) * 0.3
+                       + (1.0 - least(((length(text)
+                            - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                            / CAST(greatest(length(text), 1) AS DOUBLE))
+                            * 10.0, 1.0)) * 0.2
+                   ) * 10000 + 0.5) / 10000.0 AS quality
+            FROM base
+        ),
+        ranked AS (
+            SELECT source, doc_id, quality,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY quality DESC, doc_id) AS r_best,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY quality ASC, doc_id) AS r_worst
+            FROM q
+        )
+        SELECT b.source, b.doc_id AS chosen_doc, w.doc_id AS rejected_doc,
+               b.quality AS chosen_q, w.quality AS rejected_q,
+               floor((b.quality - w.quality) * 10000 + 0.5) / 10000 AS gap
+        FROM (SELECT * FROM ranked WHERE r_best = 1) b
+        JOIN (SELECT * FROM ranked WHERE r_worst = 1) w USING (source)
+    """,
+    note="preference-pair mining (the DPO/RLHF data shape): per source, "
+    "pair the highest-quality document (chosen) with the lowest "
+    "(rejected) on the shared x9 quality score — two rankings over ONE "
+    "per-source sort-ready aggregate, deterministic (rounded score + "
+    "doc-id tie-break), integer-free gap computed from the two rounded "
+    "scores identically on both engines",
+)
+def x126_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators import text as T_
+
+    q = F.floor(
+        T_.quality_score(F.col("text")) * 10000 + F.lit(0.5)
+    ).cast("double") / F.lit(10000.0)
+    scored = T(spark, sf, "documents").select(
+        "doc_id", "source", q.alias("quality")
+    )
+    w_best = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    w_worst = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), "doc_id"
+    )
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "quality",
+        F.row_number().over(w_best).alias("r_best"),
+        F.row_number().over(w_worst).alias("r_worst"),
+    )
+    best = ranked.where(F.col("r_best") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("quality").alias("chosen_q"),
+    )
+    worst = ranked.where(F.col("r_worst") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("quality").alias("rejected_q"),
+    )
+    return best.join(worst, "source").select(
+        "source",
+        "chosen_doc",
+        "rejected_doc",
+        "chosen_q",
+        "rejected_q",
+        portable_round(F.col("chosen_q") - F.col("rejected_q"), 4).alias("gap"),
+    )

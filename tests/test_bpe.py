@@ -45,3 +45,19 @@ def test_bpe_tie_break_is_lexicographic(spark):
     learned table is deterministic under retries/partitioning."""
     got = _merges(spark, ["xy zw"], rounds=1)
     assert (got[0][1], got[0][2]) == ("x", "y")
+
+
+def test_bpe_segment_counts(spark):
+    """Applying the learned merges re-segments the corpus: after the
+    ('l','o') and ('lo','w') merges, 'low' is one symbol counted per
+    occurrence."""
+    from flytemosaic_spark.operators.bpe import bpe_vocab_counts
+
+    df = spark.createDataFrame(
+        [("low low low lower",), ("lowest low",)], "text string"
+    )
+    counts = {
+        r.sym: r.n_tokens for r in bpe_vocab_counts(df, rounds=2).collect()
+    }
+    assert counts["low"] == 6  # every word starts with the merged 'low'
+    assert "l" not in counts and "lo" not in counts
