@@ -1,0 +1,53 @@
+"""Model-evaluation metrics as reusable operators (probe twins live in
+probes/evaluation.py). All metrics keep integer state until one final
+division — see the probes module docstring for the portability
+contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flytemosaic_spark.operators.text import portable_round
+
+
+def roc_auc(
+    scored: DataFrame, score_col: str, label_col: str, n_buckets: int | None = None
+) -> DataFrame:
+    """Exact tie-corrected ROC AUC via the Mann-Whitney rank sum.
+
+    ``score_col`` must be numeric (it is the rank order); ``label_col``
+    is 0/1. Average ranks are accumulated in integer HALF-RANK units
+    (2*cum_before + n + 1), so the statistic is an exact bigint sum on
+    any engine and any partitioning; the exclusive rank cumsum runs
+    through :func:`plans.prefix.distributed_cumsum` — bounded per-task
+    state at any score cardinality, never a single-partition window.
+    Returns one row: (n_pos, n_neg, auc).
+    """
+    from flytemosaic_spark.plans.prefix import distributed_cumsum
+
+    v = (
+        scored.select(
+            F.col(score_col).alias("sc"),
+            F.col(label_col).cast("bigint").alias("y"),
+        )
+        .groupBy("sc")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("np"))
+    )
+    r = distributed_cumsum(v, "sc", "n", out_col="cum", n_buckets=n_buckets)
+    rp2 = F.col("np") * (2 * (F.col("cum") - F.col("n")) + F.col("n") + F.lit(1))
+    t = r.agg(
+        F.sum(rp2).alias("rp2"),
+        F.sum("np").alias("npos"),
+        F.sum(F.col("n") - F.col("np")).alias("nneg"),
+    )
+    return t.select(
+        F.col("npos").alias("n_pos"),
+        F.col("nneg").alias("n_neg"),
+        portable_round(
+            (F.col("rp2") - F.col("npos") * (F.col("npos") + 1))
+            / (F.lit(2.0) * F.col("npos") * F.col("nneg")),
+            6,
+        ).alias("auc"),
+    )

@@ -74,31 +74,13 @@ def _scored_orders(spark: SparkSession, sf: str) -> DataFrame:
     "any score cardinality, no single-partition window",
 )
 def x106_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
-    from flytemosaic_spark.plans.prefix import distributed_cumsum
+    from flytemosaic_spark.operators.metrics import roc_auc
 
     s = T(spark, sf, "orders").select(
         F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("sc"),
         (F.col("o_orderstatus") == "F").cast("bigint").alias("y"),
     )
-    v = s.groupBy("sc").agg(F.count("*").alias("n"), F.sum("y").alias("np"))
-    r = distributed_cumsum(v, "sc", "n", out_col="cum")
-    rp2 = F.col("np") * (
-        2 * (F.col("cum") - F.col("n")) + F.col("n") + F.lit(1)
-    )
-    t = r.agg(
-        F.sum(rp2).alias("rp2"),
-        F.sum("np").alias("npos"),
-        F.sum(F.col("n") - F.col("np")).alias("nneg"),
-    )
-    return t.select(
-        F.col("npos").alias("n_pos"),
-        F.col("nneg").alias("n_neg"),
-        portable_round(
-            (F.col("rp2") - F.col("npos") * (F.col("npos") + 1))
-            / (F.lit(2.0) * F.col("npos") * F.col("nneg")),
-            6,
-        ).alias("auc"),
-    )
+    return roc_auc(s, "sc", "y")
 
 
 @probe(

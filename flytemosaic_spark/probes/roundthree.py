@@ -1181,3 +1181,106 @@ def x126_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "rejected_q",
         portable_round(F.col("chosen_q") - F.col("rejected_q"), 4).alias("gap"),
     )
+
+
+@probe(
+    "x127_phrase_search",
+    sql="""
+        WITH p AS (
+            SELECT doc_id, i.i AS pos, ws[i.i] AS tok
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS ws
+                  FROM documents),
+                 LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) i
+            WHERE ws[i.i] IN ('table', 'hash')
+        )
+        SELECT a.doc_id, count(*) AS n_hits,
+               CAST(min(a.pos) AS BIGINT) AS first_pos
+        FROM p a
+        JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.tok = 'table' AND b.tok = 'hash'
+        GROUP BY a.doc_id
+    """,
+    note="positional-index phrase search (the IR primitive behind "
+    "exact-phrase retrieval): postings (doc, pos, token) filtered to "
+    "the phrase's terms BEFORE the adjacency self-join on "
+    "(doc, pos+1), so the join touches only candidate postings — at "
+    "100 TB the posting list is the selective index, never the "
+    "corpus. Integer positions, integer hit counts",
+)
+def x127_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    p = (
+        T(spark, sf, "documents")
+        .select("doc_id", F.posexplode(tokens(F.col("text"))).alias("p0", "tok"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+        .where(F.col("tok").isin("table", "hash"))
+    )
+    a = p.where(F.col("tok") == "table").alias("a")
+    b = p.where(F.col("tok") == "hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min(F.col("a.pos")).cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+@probe(
+    "x128_robust_scale",
+    sql="""
+        WITH med AS (
+            SELECT lang, quantile_cont(n_chars, 0.5) AS m
+            FROM documents GROUP BY lang
+        ),
+        mad AS (
+            SELECT d.lang,
+                   quantile_cont(abs(d.n_chars - med.m), 0.5) AS mad
+            FROM documents d JOIN med USING (lang)
+            GROUP BY d.lang
+        )
+        SELECT d.doc_id, d.lang,
+               floor(((d.n_chars - med.m) / (mad.mad * 1.4826))
+                     * 1000000 + 0.5) / 1000000 AS robust_z
+        FROM documents d
+        JOIN med USING (lang) JOIN mad USING (lang)
+        WHERE mad.mad > 0
+    """,
+    note="robust z-score (median/MAD — the outlier-resistant scaler "
+    "that x75's mean/std z-score is not): two exact-percentile "
+    "aggregates per group (Spark percentile and DuckDB quantile_cont "
+    "share (n-1)p interpolation, bit-exact — the a16 contract), "
+    "group-scale stat tables broadcast back; 1.4826 consistency "
+    "constant as a literal",
+)
+def x128_robust_scale(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    med = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("m")
+    )
+    with_m = d.join(F.broadcast(med), "lang")
+    mad = with_m.groupBy("lang").agg(
+        F.percentile(F.abs(F.col("n_chars") - F.col("m")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    return (
+        with_m.join(F.broadcast(mad), "lang")
+        .where(F.col("mad") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            portable_round(
+                (F.col("n_chars") - F.col("m"))
+                / (F.col("mad") * F.lit(1.4826)),
+                6,
+            ).alias("robust_z"),
+        )
+    )

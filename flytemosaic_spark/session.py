@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
+        # console progress bars interleave \r fragments into tool
+        # output lines (scale_sweep timings were eaten by log filters)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )

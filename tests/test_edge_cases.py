@@ -176,3 +176,28 @@ def test_extract_patches_crops_odd_sizes(spark):
     )
     rows = extract_patches(media, patch=4).collect()
     assert {(r.py, r.px) for r in rows} == {(0, 0), (0, 1)}
+
+
+def test_roc_auc_hand_computed(spark):
+    """AUC against hand-computed values: perfect separation -> 1.0;
+    a known tie pattern -> the tie-corrected formula's value."""
+    from flytemosaic_spark.operators.metrics import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "s long, y long"
+    )
+    r = roc_auc(perfect, "s", "y").first()
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 1.0)
+
+    inverted = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 0), (4, 0)], "s long, y long"
+    )
+    assert roc_auc(inverted, "s", "y").first().auc == 0.0
+
+    # scores: 1(y=0), 1(y=1), 2(y=0), 2(y=1) — all ties:
+    # avg ranks 1.5, 1.5, 3.5, 3.5; rank-sum pos = 5.0;
+    # AUC = (5 - 2*3/2) / (2*2) = 0.5
+    ties = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0), (2, 1)], "s long, y long"
+    )
+    assert roc_auc(ties, "s", "y").first().auc == 0.5
