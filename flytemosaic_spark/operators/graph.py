@@ -213,3 +213,58 @@ def clustering_coefficient(
             ).alias("cc"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    init_mod: int = 10,
+) -> DataFrame:
+    """Synchronous majority-label propagation (LPA community detection)
+    over a directed edge list: each round every node adopts the label
+    most frequent among its in-neighbors, ties broken by the smallest
+    label. Initial label is ``node % init_mod`` (a deterministic shard
+    label, so majorities exist from round one — the classic own-id
+    start degenerates to min-label components, which
+    ``operators/dedup.py`` already covers).
+
+    All-integer state, so rounds are bit-reproducible on any engine —
+    the DuckDB oracle unrolls the same iterations.
+
+    Scale shape: label state is one (node, lbl) row per node. Each
+    round is one join of the cached edge list against the node-scale
+    label table (broadcast under ``_BROADCAST_NODE_LIMIT``, else the
+    edges are pre-partitioned on src once and only labels shuffle),
+    one hash aggregation on (dst, lbl) — partial map-side combine
+    bounds it — and one per-node window whose partition size is at
+    most the number of distinct labels (<= init_mod), never the degree.
+    """
+    e = edges.select(src, dst).distinct().cache()
+    n_nodes = e.select(F.col(src).alias("node")).distinct().count()
+    small = n_nodes <= _BROADCAST_NODE_LIMIT
+    if not small:
+        e.unpersist()
+        e = edges.select(src, dst).distinct().repartition(F.col(src)).cache()
+    labels = (
+        e.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node") % F.lit(init_mod))
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iterations):
+        lab_side = F.broadcast(labels) if small else labels
+        counts = (
+            e.join(lab_side, F.col(src) == F.col("node"))
+            .groupBy(F.col(dst).alias("_n"), "lbl")
+            .agg(F.count("*").alias("_c"))
+        )
+        w = Window.partitionBy("_n").orderBy(F.desc("_c"), F.asc("lbl"))
+        labels = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(F.col("_n").alias("node"), "lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -1,0 +1,93 @@
+"""Declarative in-engine model training: logistic-style regression by
+unrolled gradient-descent rounds.
+
+The reference has no trainer; its model surface is apply-only (the
+engine's x32 scores a literal-weight linear model). This closes the
+loop: fit those weights INSIDE the engine with a fixed number of
+full-batch gradient steps, each step one scan + one 1-row aggregate —
+the same driver-side-loop-over-declarative-plans idiom as
+``graph.pagerank`` and ``similarity.pca_power_component``.
+
+Portability: the standard sigmoid needs exp(), whose last-ulp
+behavior differs across libms, so the link is the *fast sigmoid*
+s(z) = 0.5 + z / (2·(1+|z|)) — pure +,*,/,abs IEEE ops, bit-identical
+on any engine. Per-row gradient contributions quantize to integer
+nano-units BEFORE the sum (order-independent exact bigint), weights
+round half-up at 1e-9 per step, so a DuckDB oracle can replay the
+whole trajectory exactly.
+
+Scale shape: each step is one scan of the cached feature table, one
+map-side-combined 1-row aggregate, one broadcast of the 1-row weight
+table back. Step count is fixed and small; nothing corpus-scale ever
+sits on the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_GRAIN = 1.0e9
+
+
+def _round9(c: Column) -> Column:
+    return F.floor(c * F.lit(_GRAIN) + F.lit(0.5)) / F.lit(_GRAIN)
+
+
+def fast_sigmoid(z: Column) -> Column:
+    """s(z) = 0.5 + z / (2·(1+|z|)) — a (0,1) squashing link built only
+    from IEEE-exact ops (no exp), so training replays bit-identically
+    across engines."""
+    return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+
+
+def logreg_train_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    lr: float = 0.05,
+    iterations: int = 3,
+) -> DataFrame:
+    """Full-batch gradient descent for a logistic-style linear model
+    (fast-sigmoid link, squared-error-free logistic residual
+    r = s(w·x) − y). Weights start at zero; an implicit bias term is
+    always appended. Returns ONE row: n plus one rounded weight per
+    feature (``w_<col>``) and ``w_bias``.
+    """
+    names = list(feature_cols) + ["_bias"]
+    feats = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.lit(1.0).alias("_bias"),
+        F.col(label_col).cast("double").alias("_y"),
+    ).cache()
+    weights = {c: 0.0 for c in names}
+    n = None
+    for _ in range(iterations):
+        z = None
+        for c in names:
+            term = F.lit(weights[c]) * F.col(c)
+            z = term if z is None else z + term
+        r = fast_sigmoid(z) - F.col("_y")
+        aggs = [F.count("*").alias("_n")] + [
+            F.sum(
+                F.floor(r * F.col(c) * F.lit(_GRAIN) + F.lit(0.5)).cast("bigint")
+            ).alias(f"_g_{c}")
+            for c in names
+        ]
+        row = feats.agg(*aggs).first()
+        n = row["_n"]
+        for c in names:
+            # float(g) first: replays SQL's CAST(g AS DOUBLE)/1e9 —
+            # python's int/float true division rounds the exact
+            # rational instead and can differ past 2^53
+            step = lr * ((float(row[f"_g_{c}"]) / _GRAIN) / n)
+            w = weights[c] - step
+            weights[c] = math.floor(w * _GRAIN + 0.5) / _GRAIN
+    spark = df.sparkSession
+    out_cols = [F.lit(n).cast("bigint").alias("n")] + [
+        F.lit(weights[c]).alias(f"w_{c}" if c != "_bias" else "w_bias")
+        for c in names
+    ]
+    return spark.range(1).select(*out_cols)

@@ -1,0 +1,478 @@
+"""Round-5 probes: semantic dedup, mixture weighting, tokenizer
+fertility, community detection, session path mining, int8 embedding
+quantization, and packing efficiency — the next ring of
+training-data-pipeline operators around the existing dedup / ANN /
+packing / graph families.
+
+Portability recipe (same as the rest of the suite): integer state
+wherever sums cross rows (micro-unit quantization before any
+order-sensitive float sum), cosine similarities rounded at 1e-4
+before thresholds/ranking (the proven x3 recipe), md5 for anything
+pseudo-random.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flytemosaic_spark.operators.text import portable_round, token_count
+from flytemosaic_spark.probes.registry import T, probe
+
+# ---------------------------------------------------------------------------
+# x129 — semantic dedup (SemDeDup shape): coarse cluster, then exact
+# pairwise cosine only WITHIN clusters
+# ---------------------------------------------------------------------------
+
+_SEM_ANCHORS = 8
+_SEM_THRESHOLD = 0.30
+
+
+@probe(
+    "x129_semdedup",
+    sql=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        a AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < {_SEM_ANCHORS}),
+        scored AS (
+            SELECT e.vec_id, a.aid,
+                   round(list_cosine_similarity(e.v, a.av), 4) AS sim
+            FROM e CROSS JOIN a
+        ),
+        asg AS (
+            SELECT vec_id, aid AS cluster_id
+            FROM (SELECT vec_id, aid,
+                         row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, aid) AS rk
+                  FROM scored)
+            WHERE rk = 1
+        ),
+        m AS (SELECT e.vec_id, asg.cluster_id, e.v
+              FROM e JOIN asg USING (vec_id)),
+        dup AS (
+            SELECT x.cluster_id, y.vec_id AS dropped
+            FROM m x JOIN m y
+              ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+            WHERE round(list_cosine_similarity(x.v, y.v), 4) >= {_SEM_THRESHOLD}
+        ),
+        cs AS (SELECT cluster_id, count(*) AS n_members FROM m GROUP BY 1),
+        ds AS (SELECT cluster_id, count(*) AS n_dup_pairs,
+                      count(DISTINCT dropped) AS n_dropped
+               FROM dup GROUP BY 1)
+        SELECT cs.cluster_id, cs.n_members,
+               coalesce(ds.n_dup_pairs, 0) AS n_dup_pairs,
+               coalesce(ds.n_dropped, 0) AS n_dropped
+        FROM cs LEFT JOIN ds USING (cluster_id)
+    """,
+    note="semantic dedup (SemDeDup shape): assign every vector to its "
+    "nearest of k deterministic anchor centroids (broadcast, "
+    "node-scale), then run the exact pairwise cosine ONLY within "
+    "clusters — the quadratic pair join is bounded by the largest "
+    "cluster block instead of the corpus; keep-lowest-id drop rule "
+    "(a member is dropped if any lower-id cluster-mate is >= 0.30 "
+    "cosine). At 100 TB the anchor count grows with the corpus so "
+    "blocks stay bounded; sims rounded at 1e-4 before the threshold "
+    "so both engines gate identically",
+)
+def x129_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.similarity import dot, norm
+
+    emb = T(spark, sf, "embeddings").select("vec_id", "embedding")
+    par = spark.sparkContext.defaultParallelism
+    anchors = emb.where(F.col("vec_id") < _SEM_ANCHORS).select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("a_vec"),
+        norm(F.col("embedding")).alias("a_norm"),
+    )
+    v = emb.repartition(par).select(
+        "vec_id",
+        F.col("embedding").alias("c_vec"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    sim = F.round(
+        dot(F.col("c_vec"), F.col("a_vec")) / (F.col("c_norm") * F.col("a_norm")), 4
+    )
+    scored = v.crossJoin(F.broadcast(anchors)).select(
+        "vec_id", "aid", sim.alias("sim")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("aid"))
+    asg = (
+        scored.withColumn("_rk", F.row_number().over(wa))
+        .where(F.col("_rk") == 1)
+        .select("vec_id", F.col("aid").alias("cluster_id"))
+    )
+    members = emb.join(asg, "vec_id").select(
+        "vec_id",
+        "cluster_id",
+        F.col("embedding").alias("m_vec"),
+        norm(F.col("embedding")).alias("m_norm"),
+    )
+    x = members.alias("x")
+    y = members.alias("y")
+    pair_sim = F.round(
+        dot(F.col("x.m_vec"), F.col("y.m_vec"))
+        / (F.col("x.m_norm") * F.col("y.m_norm")),
+        4,
+    )
+    dup = (
+        x.join(y, F.col("x.cluster_id") == F.col("y.cluster_id"))
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .where(pair_sim >= F.lit(_SEM_THRESHOLD))
+        .select(F.col("x.cluster_id").alias("cluster_id"), F.col("y.vec_id").alias("dropped"))
+    )
+    cs = members.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    ds = dup.groupBy("cluster_id").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("dropped").alias("n_dropped"),
+    )
+    return cs.join(ds, "cluster_id", "left").select(
+        "cluster_id",
+        "n_members",
+        F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x130 — temperature-based source mixture weights
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x130_temperature_mix",
+    sql="""
+        WITH g AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(floor(sqrt(count(*)) * 1000000.0 + 0.5) AS BIGINT) AS wq
+            FROM documents GROUP BY source
+        ),
+        t AS (SELECT sum(wq) AS total_wq FROM g)
+        SELECT source, n_docs,
+               floor(CAST(wq AS DOUBLE) / total_wq * 1000000.0 + 0.5) / 1000000.0
+                   AS mix_weight
+        FROM g CROSS JOIN t
+    """,
+    note="temperature-based mixture weighting (p_s ∝ n_s^0.5, the "
+    "multilingual/multi-source rebalancing rule; sqrt is "
+    "correctly-rounded IEEE so alpha=0.5 is portable): per-source "
+    "counts quantized to integer micro-units BEFORE the normalizing "
+    "sum, so the only float op is one final division — the weight "
+    "table is source-cardinality and broadcasts into any sampler",
+)
+def x130_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        T(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.floor(F.sqrt(F.count("*")) * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("_wq"),
+        )
+    )
+    t = g.agg(F.sum("_wq").alias("_total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        portable_round(F.col("_wq").cast("double") / F.col("_total"), 6).alias(
+            "mix_weight"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x131 — tokenizer fertility / compression-rate readout
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x131_tokenizer_fertility",
+    sql=r"""
+        WITH d AS (
+            SELECT lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens,
+                   length(text) AS n_chars,
+                   strlen(text) AS n_bytes
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               sum(n_tokens) AS total_tokens,
+               floor(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens) * 1000000.0
+                     + 0.5) / 1000000.0 AS chars_per_token,
+               floor(CAST(sum(n_bytes) AS DOUBLE) / sum(n_tokens) * 1000000.0
+                     + 0.5) / 1000000.0 AS bytes_per_token
+        FROM d GROUP BY lang
+    """,
+    note="tokenizer fertility per language: chars/token and bytes/token "
+    "of the whitespace tokenizer — the compression-rate readout that "
+    "decides vocab allocation across languages; all-integer sums, two "
+    "final divisions",
+)
+def x131_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select(
+        "lang",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        portable_round(
+            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+        ).alias("chars_per_token"),
+        portable_round(
+            F.sum("n_bytes").cast("double") / F.sum("n_tokens"), 6
+        ).alias("bytes_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x132 — majority-label propagation (LPA community detection)
+# ---------------------------------------------------------------------------
+
+_LPA_ITER = """
+        {next} AS (
+            SELECT node, lbl FROM (
+                SELECT e.dst AS node, p.lbl,
+                       row_number() OVER (PARTITION BY e.dst
+                           ORDER BY count(*) DESC, p.lbl) AS rk
+                FROM e JOIN {prev} p ON e.src = p.node
+                GROUP BY e.dst, p.lbl
+            ) WHERE rk = 1
+        )"""
+
+
+@probe(
+    "x132_label_propagation",
+    sql="""
+        WITH e AS (
+            SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_suppkey <> b.l_suppkey
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src % 10 AS lbl FROM e),"""
+    + _LPA_ITER.format(next="l1", prev="l0")
+    + ","
+    + _LPA_ITER.format(next="l2", prev="l1")
+    + """
+        SELECT node AS suppkey, lbl AS community FROM l2
+    """,
+    note="majority-label propagation (LPA community detection, 2 "
+    "synchronous rounds) over the supplier co-occurrence graph, "
+    "initial label node%10, ties to the smallest label — all-integer "
+    "state so rounds replay bit-identically; each round is one join "
+    "of the cached edges against the node-scale label table "
+    "(broadcast under the 2M-node gate), one (dst,lbl) hash-agg with "
+    "map-side combine, and a per-node window bounded by |labels|, "
+    "never by degree",
+)
+def x132_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.graph import label_propagation
+
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    out = label_propagation(edges, iterations=2, init_mod=10)
+    return out.select(F.col("node").alias("suppkey"), "community")
+
+
+# ---------------------------------------------------------------------------
+# x133 — top-k session event-type paths
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x133_session_paths",
+    sql="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM marked
+        ),
+        numbered AS (
+            SELECT user_id, sess_id, event_type,
+                   row_number() OVER (PARTITION BY user_id, sess_id
+                       ORDER BY ts, event_id) AS pos
+            FROM sess
+        ),
+        paths AS (
+            SELECT string_agg(event_type, '>' ORDER BY pos) AS path
+            FROM numbered WHERE pos <= 5
+            GROUP BY user_id, sess_id
+        )
+        SELECT path, count(*) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 20
+    """,
+    note="top-20 session journeys: 30-minute-gap sessions (the x6 "
+    "construction), each session reduced to its first-5 event-type "
+    "path, global heavy hitters via TakeOrderedAndProject — no global "
+    "sort; Spark builds the path with array_sort over (ts,event_id) "
+    "structs so the within-session order is deterministic under ties",
+)
+def x133_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(
+                    F.slice("evs", 1, 5), lambda s: s["event_type"]
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        sessions.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x134 — int8 scalar quantization of the embedding column
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x134_int8_quantization",
+    sql="""
+        WITH ex AS (
+            SELECT u.i AS dim, u.v AS val FROM (
+                SELECT list_transform(range(1, len(embedding) + 1),
+                           i -> {'i': i, 'v': CAST(embedding[i] AS DOUBLE)})
+                           AS us
+                FROM embeddings), unnest(us) AS t(u)
+        ),
+        mm AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM ex GROUP BY dim),
+        q AS (
+            SELECT ex.dim,
+                   abs(ex.val - (mn + floor((ex.val - mn) * 255.0 / (mx - mn)
+                                            + 0.5) * (mx - mn) / 255.0)) AS err
+            FROM ex JOIN mm USING (dim)
+        ),
+        iq AS (SELECT dim, CAST(floor(err * 1e9 + 0.5) AS BIGINT) AS erru FROM q)
+        SELECT dim, count(*) AS n,
+               floor(CAST(sum(erru) AS DOUBLE) / count(*) / 1000.0 + 0.5)
+                   / 1000000.0 AS avg_abs_err_u,
+               floor(CAST(max(erru) AS DOUBLE) / 1000.0 + 0.5) / 1000000.0
+                   AS max_abs_err_u
+        FROM iq GROUP BY dim
+    """,
+    note="int8 scalar quantization readout: per-dimension min/max "
+    "(exact, order-independent) define the 255-level grid; each "
+    "element's reconstruction error is quantized to integer "
+    "nano-units BEFORE the per-dim sums so avg/max replay exactly — "
+    "the 4x-memory-compression feasibility check an ANN index runs "
+    "before switching its vectors to int8; the min/max table is "
+    "dims-cardinality and broadcasts back onto the exploded rows",
+)
+def x134_int8_quantization(spark: SparkSession, sf: str) -> DataFrame:
+    ex = T(spark, sf, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val")
+    ).select((F.col("dim0") + 1).alias("dim"), "val")
+    mm = ex.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    step = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    code = F.floor((F.col("val") - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn")) + F.lit(0.5))
+    err = F.abs(F.col("val") - (F.col("mn") + code * step))
+    iq = ex.join(F.broadcast(mm), "dim").select(
+        "dim", F.floor(err * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("erru")
+    )
+    return iq.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        (
+            F.floor(F.sum("erru").cast("double") / F.count("*") / F.lit(1000.0) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("avg_abs_err_u"),
+        (
+            F.floor(F.max("erru").cast("double") / F.lit(1000.0) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("max_abs_err_u"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x135 — packing efficiency readout over the x25 packer
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x135_packing_efficiency",
+    sql=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8
+                       AS bucket,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens
+            FROM documents
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               count(*) AS n_docs,
+               sum(n_tokens) AS total_tokens,
+               CAST(floor((sum(n_tokens) - 1) / 256.0) + 1 AS BIGINT) AS n_packs,
+               floor(CAST(sum(n_tokens) AS DOUBLE)
+                     / ((floor((sum(n_tokens) - 1) / 256.0) + 1) * 256.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS fill_ratio
+        FROM toks GROUP BY bucket
+    """,
+    note="packing-efficiency readout of the x25 concat-then-chunk "
+    "packer: per bucket, how full the 256-token packs run (the "
+    "padding-waste number a dataloader watches); pure integer "
+    "aggregate over the same md5 bucket assignment, one final "
+    "division",
+)
+def x135_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(T(spark, sf, "documents"), budget=256, n_buckets=8)
+    g = packed.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.floor((F.sum("n_tokens") - 1) / F.lit(256.0)) + 1)
+        .cast("bigint")
+        .alias("n_packs"),
+    )
+    return g.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        "n_packs",
+        portable_round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_packs") * F.lit(256.0)),
+            6,
+        ).alias("fill_ratio"),
+    )

@@ -65,6 +65,9 @@ CROSS_OK = {
     # dense-grid anchor date (x98 shape) / 1-row corpus totals
     "x117_seasonal_backtest",
     "x118_chi2_features",
+    # constant-size anchor set broadcast (x3 shape) / 1-row weight total
+    "x129_semdedup",
+    "x130_temperature_mix",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
