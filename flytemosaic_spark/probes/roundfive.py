@@ -476,3 +476,266 @@ def x135_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("fill_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x136 — in-engine logistic-regression training (unrolled GD)
+# ---------------------------------------------------------------------------
+
+_LR_FEATS = """
+            SELECT o_totalprice / 1000000.0 AS price_m,
+                   CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+                        THEN 1.0 ELSE 0.0 END AS urgent,
+                   1.0 AS _bias,
+                   CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+            FROM orders"""
+
+# one GD step: residual r = fast_sigmoid(z) - y with z from the previous
+# weights; per-row contributions quantized to integer nano-units before
+# the sum; new weight = round9(w - lr * ((g/1e9)/n))
+_LR_STEP = """
+        g{k} AS (
+            SELECT count(*) AS n,
+                   sum(CAST(floor(r * price_m * 1e9 + 0.5) AS BIGINT)) AS g1,
+                   sum(CAST(floor(r * urgent * 1e9 + 0.5) AS BIGINT)) AS g2,
+                   sum(CAST(floor(r * _bias * 1e9 + 0.5) AS BIGINT)) AS g3
+            FROM (
+                SELECT price_m, urgent, _bias, y,
+                       (0.5 + z / (2.0 * (1.0 + abs(z)))) - y AS r
+                FROM (SELECT d.*, wp.w1 * price_m + wp.w2 * urgent
+                                 + wp.w3 * _bias AS z
+                      FROM d CROSS JOIN w{p} wp)
+            )
+        ),
+        w{k} AS (
+            SELECT floor((wp.w1 - 0.05 * ((CAST(g1 AS DOUBLE) / 1e9) / gg.n))
+                         * 1e9 + 0.5) / 1e9 AS w1,
+                   floor((wp.w2 - 0.05 * ((CAST(g2 AS DOUBLE) / 1e9) / gg.n))
+                         * 1e9 + 0.5) / 1e9 AS w2,
+                   floor((wp.w3 - 0.05 * ((CAST(g3 AS DOUBLE) / 1e9) / gg.n))
+                         * 1e9 + 0.5) / 1e9 AS w3,
+                   gg.n AS n
+            FROM g{k} gg CROSS JOIN w{p} wp
+        )"""
+
+
+@probe(
+    "x136_logreg_train",
+    sql="WITH d AS ("
+    + _LR_FEATS
+    + """),
+        w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),"""
+    + _LR_STEP.format(k=1, p=0)
+    + ","
+    + _LR_STEP.format(k=2, p=1)
+    + ","
+    + _LR_STEP.format(k=3, p=2)
+    + """
+        SELECT n, w1 AS w_price_m, w2 AS w_urgent, w3 AS w_bias FROM w3
+    """,
+    note="in-engine model training: 3 full-batch gradient-descent steps "
+    "of a logistic-style linear model (operators/linear.py). The link "
+    "is the fast sigmoid 0.5 + z/(2(1+|z|)) — pure IEEE ops, no exp, "
+    "so the whole trajectory replays bit-identically; per-row gradient "
+    "contributions quantize to integer nano-units before the sum "
+    "(order-independent), weights round at 1e-9 per step. Each step = "
+    "one scan of the cached feature table + one 1-row aggregate — "
+    "corpus never moves, weights are the only cross-step state",
+)
+def x136_logreg_train(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.linear import logreg_train_gd
+
+    d = T(spark, sf, "orders").select(
+        (F.col("o_totalprice") / F.lit(1000000.0)).alias("price_m"),
+        F.substring("o_orderpriority", 1, 1)
+        .isin("1", "2")
+        .cast("double")
+        .alias("urgent"),
+        (F.col("o_orderstatus") == "F").cast("double").alias("y"),
+    )
+    return logreg_train_gd(
+        d, ["price_m", "urgent"], label_col="y", lr=0.05, iterations=3
+    ).select(
+        "n",
+        F.col("w_price_m"),
+        F.col("w_urgent"),
+        "w_bias",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x137 — skip-gram (center, context) pair mining
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x137_skipgram_pairs",
+    sql=r"""
+        WITH toks AS (
+            SELECT CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(text), '\s+') END AS w
+            FROM documents
+        ),
+        fw AS (
+            SELECT unnest(flatten(list_transform(w, (x, i) ->
+                       list_transform(w[i+1:i+2],
+                                      c -> {'center': x, 'context': c}))))
+                   AS p
+            FROM toks
+        ),
+        sym AS (
+            SELECT p.center AS center, p.context AS context FROM fw
+            UNION ALL
+            SELECT p.context, p.center FROM fw
+        )
+        SELECT center, context, count(*) AS n_pairs
+        FROM sym GROUP BY center, context
+        ORDER BY n_pairs DESC, center, context
+        LIMIT 50
+    """,
+    note="skip-gram (center, context) pair mining, window 2 — the "
+    "word2vec / embedding-pretraining corpus pass. Pairs are generated "
+    "MAP-SIDE from each token array (index lambda + slice of the next "
+    "two tokens, then symmetrized) — no positional self-join, no "
+    "shuffle until the final count; top-50 via TakeOrderedAndProject",
+)
+def x137_skipgram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    w = F.when(F.trim(F.col("text")) == "", F.array().cast("array<string>")).otherwise(
+        tokens(F.col("text"))
+    )
+    # 2-arg higher-order lambda: second argument is the 0-based index;
+    # slice() is 1-based, so (i+2, 2) = the next two tokens after i
+    fw = (
+        T(spark, sf, "documents")
+        .select(w.alias("w"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "w",
+                        lambda x, i: F.transform(
+                            F.slice("w", i + F.lit(2), 2),
+                            lambda c: F.struct(
+                                x.alias("center"), c.alias("context")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.center", "p.context")
+    )
+    sym = fw.unionAll(
+        fw.select(F.col("context").alias("center"), F.col("center").alias("context"))
+    )
+    return (
+        sym.groupBy("center", "context")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("center"), F.asc("context"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x138 — grid-density clustering (DBSCAN-lite on dense cells)
+# ---------------------------------------------------------------------------
+
+_DB_CELL = 0.1
+_DB_MINPTS = 8
+# cell id encoding shared by both engines: (cx+2e6)*4e6 + (cy+2e6)
+_DB_ENC = "(cx + 2000000) * 4000000 + (cy + 2000000)"
+
+
+@probe(
+    "x138_grid_density_clusters",
+    sql=f"""
+        WITH RECURSIVE p AS (
+            SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / {_DB_CELL}) AS BIGINT)
+                       AS cx,
+                   CAST(floor(CAST(embedding[2] AS DOUBLE) / {_DB_CELL}) AS BIGINT)
+                       AS cy
+            FROM embeddings
+        ),
+        dense AS (
+            SELECT cx, cy, {_DB_ENC} AS cell, count(*) AS n_pts
+            FROM p GROUP BY cx, cy
+            HAVING count(*) >= {_DB_MINPTS}
+        ),
+        edges AS (
+            SELECT a.cell AS a, b.cell AS b
+            FROM dense a JOIN dense b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+             AND a.cell <> b.cell
+        ),
+        reach(node, lbl) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+        SELECT coalesce(c.cluster, d.cell) AS cluster_id,
+               count(*) AS n_cells, sum(d.n_pts) AS n_points
+        FROM dense d LEFT JOIN comp c ON c.node = d.cell
+        GROUP BY 1
+    """,
+    note="grid-density clustering (DBSCAN-lite): bin the first two "
+    "embedding dims into 0.1 cells, keep cells with >= 8 points "
+    "(density core), connect 8-neighbor dense cells, label components "
+    "with the iterative min-label operator (oracle: recursive-CTE "
+    "closure). The neighbor join runs on the CELL table (corpus "
+    "already aggregated away) and the 9-way adjacency is an equi-join "
+    "on shifted cell keys at scale — the quadratic never touches "
+    "points",
+)
+def x138_grid_density_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.dedup import connected_components
+
+    e = F.col("embedding").cast("array<double>")
+    p = T(spark, sf, "embeddings").select(
+        F.floor(F.try_element_at(e, F.lit(1)) / F.lit(_DB_CELL))
+        .cast("bigint")
+        .alias("cx"),
+        F.floor(F.try_element_at(e, F.lit(2)) / F.lit(_DB_CELL))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    enc = (F.col("cx") + F.lit(2000000)) * F.lit(4000000) + (
+        F.col("cy") + F.lit(2000000)
+    )
+    dense = (
+        p.groupBy("cx", "cy")
+        .agg(F.count("*").alias("n_pts"))
+        .where(F.col("n_pts") >= _DB_MINPTS)
+        .withColumn("cell", enc)
+    )
+    # 9-way adjacency as an equi-join: explode each dense cell to its
+    # 3x3 neighbor keys, join back on the encoded key — never a theta
+    # join over the cell table
+    offs = F.expr(
+        "explode(array(-1,0,1)) as dx"
+    )
+    neigh = (
+        dense.select("cx", "cy", "cell")
+        .select("cx", "cy", "cell", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dx"))
+        .select("cx", "cy", "cell", "dx", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dy"))
+        .where((F.col("dx") != 0) | (F.col("dy") != 0))
+        .select(
+            F.col("cell").alias("a"),
+            (
+                (F.col("cx") + F.col("dx") + F.lit(2000000)) * F.lit(4000000)
+                + (F.col("cy") + F.col("dy") + F.lit(2000000))
+            ).alias("nkey"),
+        )
+    )
+    edges = neigh.join(
+        dense.select(F.col("cell").alias("nkey"), F.lit(1).alias("_hit")),
+        "nkey",
+    ).select("a", F.col("nkey").alias("b"))
+    comp = connected_components(edges, src="a", dst="b")
+    return (
+        dense.join(comp.withColumnRenamed("node", "cell"), "cell", "left")
+        .groupBy(F.coalesce("lbl", "cell").alias("cluster_id"))
+        .agg(F.count("*").alias("n_cells"), F.sum("n_pts").alias("n_points"))
+    )

@@ -92,3 +92,70 @@ def test_packing_efficiency_bounds(spark):
         assert 0.0 < r["fill_ratio"] <= 1.0
         # n_packs is exactly ceil(total/256)
         assert r["n_packs"] == -(-r["total_tokens"] // 256)
+
+
+def test_logreg_learns_separating_sign(spark):
+    from flytemosaic_spark.operators.linear import logreg_train_gd
+
+    # y = 1 iff x > 0: gradient descent must push w_x positive and
+    # keep the bias near zero on a balanced sample
+    rows = [(float(x), 1.0 if x > 0 else 0.0) for x in range(-50, 50) if x != 0]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = logreg_train_gd(df, ["x"], label_col="y", lr=0.1, iterations=5).first()
+    assert out["w_x"] > 0.0
+    assert abs(out["w_bias"]) < abs(out["w_x"])
+
+
+def test_logreg_deterministic_across_partitionings(spark):
+    from flytemosaic_spark.operators.linear import logreg_train_gd
+
+    rows = [(float(x % 7) - 3.0, float(x % 2)) for x in range(200)]
+    a = logreg_train_gd(
+        spark.createDataFrame(rows, ["x", "y"]).repartition(1), ["x"]
+    ).first()
+    b = logreg_train_gd(
+        spark.createDataFrame(rows, ["x", "y"]).repartition(13), ["x"]
+    ).first()
+    assert a == b  # integer-quantized gradients are order-independent
+
+
+def test_skipgram_pairs_window2(spark):
+    from flytemosaic_spark.probes.registry import all_probes
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame([(1, "a b c", "en", "s", 5)],
+                                 "doc_id long, text string, lang string, source string, n_chars long")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = all_probes()["x137_skipgram_pairs"].fn(spark, d).collect()
+    got = {(r["center"], r["context"]): r["n_pairs"] for r in out}
+    # forward pairs (a,b),(a,c),(b,c) symmetrized
+    assert got == {
+        ("a", "b"): 1, ("b", "a"): 1,
+        ("a", "c"): 1, ("c", "a"): 1,
+        ("b", "c"): 1, ("c", "b"): 1,
+    }
+
+
+def test_grid_density_recovers_planted_blobs(spark):
+    from flytemosaic_spark.probes.registry import all_probes
+    import tempfile, os
+
+    # blob A: two ADJACENT dense cells (16 pts each) -> one merged
+    # cluster of 32; blob B: one dense cell of 20, far away; 4 noise
+    # points in cells below minPts disappear
+    rows = (
+        [(i, [0.05, 0.05] + [0.0] * 62, 0) for i in range(16)]
+        + [(100 + i, [0.15, 0.05] + [0.0] * 62, 0) for i in range(16)]
+        + [(200 + i, [3.05, 3.05] + [0.0] * 62, 0) for i in range(20)]
+        + [(900 + i, [5.0 + i, -5.0 - i] + [0.0] * 62, 0) for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = all_probes()["x138_grid_density_clusters"].fn(spark, d).collect()
+    by_pts = sorted((r["n_points"], r["n_cells"]) for r in out)
+    assert by_pts == [(20, 1), (32, 2)]
