@@ -739,3 +739,225 @@ def x138_grid_density_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.coalesce("lbl", "cell").alias("cluster_id"))
         .agg(F.count("*").alias("n_cells"), F.sum("n_pts").alias("n_points"))
     )
+
+
+# ---------------------------------------------------------------------------
+# x139 — sparse TF-IDF document similarity via inverted-index join
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x139_tfidf_docsim",
+    sql=r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents WHERE trim(text) <> ''
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        w AS (
+            SELECT doc_id, term,
+                   CAST(floor(tf / sqrt(CAST(df AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS wq
+            FROM tf JOIN dft USING (term)
+        ),
+        n2 AS (SELECT doc_id, sum(wq * wq) AS n2 FROM w GROUP BY 1),
+        q AS (SELECT doc_id AS q_id, term, wq AS wq_q FROM w WHERE doc_id < 5),
+        dots AS (
+            SELECT q.q_id, w.doc_id AS neighbor_id, sum(q.wq_q * w.wq) AS dot
+            FROM q JOIN w USING (term)
+            WHERE q.q_id <> w.doc_id
+            GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT d.q_id, d.neighbor_id,
+                   floor(d.dot / (sqrt(CAST(nq.n2 AS DOUBLE))
+                                  * sqrt(CAST(nc.n2 AS DOUBLE)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS sim
+            FROM dots d
+            JOIN n2 nq ON nq.doc_id = d.q_id
+            JOIN n2 nc ON nc.doc_id = d.neighbor_id
+        )
+        SELECT q_id, rnk, neighbor_id, sim FROM (
+            SELECT q_id, neighbor_id, sim,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM sims)
+        WHERE rnk <= 3
+    """,
+    note="lexical document similarity via the inverted index: TF-IDF-ish "
+    "weights (tf/sqrt(df) — sqrt is IEEE-exact so the idf damping is "
+    "portable) quantized to integer micro-units, pair dot products as "
+    "an equi-join ON TERM (candidates must share a term — never a "
+    "cross join), norms exact integer sums, one final float division; "
+    "the sparse/lexical complement of x3's dense ANN. At scale the "
+    "high-df stop terms get pruned from the index (the df table is "
+    "where that knob lives)",
+)
+def x139_tfidf_docsim(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    docs = T(spark, sf, "documents").where(F.trim(F.col("text")) != "")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = tf.join(F.broadcast(dft), "term").select(
+        "doc_id",
+        "term",
+        F.floor(
+            F.col("tf") / F.sqrt(F.col("df").cast("double")) * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("wq"),
+    )
+    n2 = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
+    q = w.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"), "term", F.col("wq").alias("wq_q")
+    )
+    dots = (
+        w.join(F.broadcast(q), "term")
+        .where(F.col("q_id") != F.col("doc_id"))
+        .groupBy("q_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("wq_q") * F.col("wq")).alias("dot"))
+    )
+    nq = n2.select(F.col("doc_id").alias("q_id"), F.col("n2").alias("n2_q"))
+    nc = n2.select(F.col("doc_id").alias("neighbor_id"), F.col("n2").alias("n2_c"))
+    sims = (
+        dots.join(F.broadcast(nq), "q_id")
+        .join(nc, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            portable_round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("n2_q").cast("double"))
+                    * F.sqrt(F.col("n2_c").cast("double"))
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("q_id", "rnk", "neighbor_id", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x140 — exact trailing windowed median (robust smoothing)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x140_windowed_median",
+    sql="""
+        SELECT event_id,
+               quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+        FROM events
+    """,
+    note="exact trailing 5-row median per user (robust smoothing for "
+    "noisy metrics — the windowed twin of a7/a16): Spark 4's "
+    "percentile() as a window aggregate vs DuckDB's windowed "
+    "quantile_cont, bit-exact with no rounding (same interpolation "
+    "as the a16 precedent); ROWS frame so the TIMESTAMP_NTZ order "
+    "key needs no epoch cast",
+)
+def x140_windowed_median(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return T(spark, sf, "events").select(
+        "event_id", F.percentile("value", F.lit(0.5)).over(w).alias("med5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x141 — A/B two-proportion z-statistic
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x141_ab_proportion_z",
+    sql="""
+        WITH assigned AS (
+            SELECT event_type,
+                   CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                        < '8000' THEN 1 ELSE 0 END AS in_a,
+                   CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS conv
+            FROM events
+        ),
+        g AS (
+            SELECT event_type,
+                   sum(in_a) AS n_a, sum(1 - in_a) AS n_b,
+                   sum(in_a * conv) AS conv_a,
+                   sum((1 - in_a) * conv) AS conv_b
+            FROM assigned GROUP BY event_type
+        )
+        SELECT event_type, n_a, n_b, conv_a, conv_b,
+               CASE WHEN (conv_a + conv_b) > 0
+                         AND (conv_a + conv_b) < (n_a + n_b)
+                    THEN floor(
+                        ((CAST(conv_a AS DOUBLE) / n_a)
+                         - (CAST(conv_b AS DOUBLE) / n_b))
+                        / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                               * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                        / (n_a + n_b))
+                               * (1.0 / n_a + 1.0 / n_b))
+                        * 1000000.0 + 0.5) / 1000000.0
+                    ELSE 0.0 END AS z
+        FROM g
+    """,
+    note="A/B two-proportion z-test per event type on the deterministic "
+    "md5 arm assignment (x66's machinery): all-integer counts, the "
+    "pooled-variance z computed in one fixed IEEE expression (sqrt is "
+    "correctly rounded) — the significance readout next to x66's "
+    "effect size; degenerate all/none-converted groups short-circuit "
+    "to 0 so ANSI mode never divides by zero",
+)
+def x141_ab_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.sampling import hash_bucket
+
+    in_a = (hash_bucket(F.col("user_id")) < "8000").cast("bigint")
+    conv = (F.col("value") > 50.0).cast("bigint")
+    g = (
+        T(spark, sf, "events")
+        .select("event_type", in_a.alias("in_a"), conv.alias("conv"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("in_a").alias("n_a"),
+            F.sum(1 - F.col("in_a")).alias("n_b"),
+            F.sum(F.col("in_a") * F.col("conv")).alias("conv_a"),
+            F.sum((1 - F.col("in_a")) * F.col("conv")).alias("conv_b"),
+        )
+    )
+    tot = F.col("conv_a") + F.col("conv_b")
+    n_tot = F.col("n_a") + F.col("n_b")
+    p_pool = tot.cast("double") / n_tot
+    z = (
+        (F.col("conv_a").cast("double") / F.col("n_a"))
+        - (F.col("conv_b").cast("double") / F.col("n_b"))
+    ) / F.sqrt(
+        p_pool * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.when((tot > 0) & (tot < n_tot), portable_round(z, 6))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )

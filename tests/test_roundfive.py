@@ -159,3 +159,25 @@ def test_grid_density_recovers_planted_blobs(spark):
     out = all_probes()["x138_grid_density_clusters"].fn(spark, d).collect()
     by_pts = sorted((r["n_points"], r["n_cells"]) for r in out)
     assert by_pts == [(20, 1), (32, 2)]
+
+
+def test_tfidf_docsim_identical_docs_rank_first(spark):
+    from flytemosaic_spark.probes.registry import all_probes
+    import tempfile, os
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "en", "s", 16),
+            (10, "alpha beta gamma", "en", "s", 16),   # identical to 0
+            (11, "alpha beta delta", "en", "s", 16),   # 2/3 overlap
+            (12, "zeta eta theta", "en", "s", 14),     # disjoint
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = all_probes()["x139_tfidf_docsim"].fn(spark, d).collect()
+    q0 = {r["rnk"]: (r["neighbor_id"], r["sim"]) for r in out if r["q_id"] == 0}
+    assert q0[1][0] == 10 and q0[1][1] == 1.0   # exact copy first, sim 1
+    assert q0[2][0] == 11 and 0 < q0[2][1] < 1  # partial overlap second
+    assert 12 not in {n for n, _ in q0.values()}  # disjoint never a candidate
