@@ -58,6 +58,10 @@ HEADLINE = [
     "x106_roc_auc",
     "x110_cusum_anomaly",
     "x113_cooccur_topk",
+    "x129_semdedup",
+    "x132_label_propagation",
+    "x136_logreg_train",
+    "x139_tfidf_docsim",
 ]
 
 

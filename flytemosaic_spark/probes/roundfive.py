@@ -26,6 +26,7 @@ from flytemosaic_spark.probes.registry import T, probe
 
 _SEM_ANCHORS = 8
 _SEM_THRESHOLD = 0.30
+_PAIR_BUCKETS = 8
 
 
 @probe(
@@ -109,15 +110,31 @@ def x129_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").alias("m_vec"),
         norm(F.col("embedding")).alias("m_norm"),
     )
-    x = members.alias("x")
-    y = members.alias("y")
+    # bucketed replication: a join keyed only on cluster_id would run
+    # one task per cluster (8 here) no matter how many cores exist.
+    # Splitting the x side into _PAIR_BUCKETS md-independent buckets and
+    # replicating the y side into every bucket keeps the pair set
+    # identical while spreading the quadratic dot-product work across
+    # |clusters| x |buckets| tasks. Replication cost is linear in
+    # members; the pair stage it parallelizes is quadratic.
+    buckets = spark.range(_PAIR_BUCKETS).select(
+        F.col("id").cast("int").alias("xb")
+    )
+    x = members.withColumn(
+        "xb", (F.col("vec_id") % _PAIR_BUCKETS).cast("int")
+    ).alias("x")
+    y = members.crossJoin(F.broadcast(buckets)).alias("y")
     pair_sim = F.round(
         dot(F.col("x.m_vec"), F.col("y.m_vec"))
         / (F.col("x.m_norm") * F.col("y.m_norm")),
         4,
     )
     dup = (
-        x.join(y, F.col("x.cluster_id") == F.col("y.cluster_id"))
+        x.join(
+            y,
+            (F.col("x.cluster_id") == F.col("y.cluster_id"))
+            & (F.col("x.xb") == F.col("y.xb")),
+        )
         .where(F.col("x.vec_id") < F.col("y.vec_id"))
         .where(pair_sim >= F.lit(_SEM_THRESHOLD))
         .select(F.col("x.cluster_id").alias("cluster_id"), F.col("y.vec_id").alias("dropped"))
@@ -960,4 +977,212 @@ def x141_ab_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
         F.when((tot > 0) & (tot < n_tot), portable_round(z, 6))
         .otherwise(F.lit(0.0))
         .alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x142 — recursive CTE through the SQL frontend (graph closure)
+# ---------------------------------------------------------------------------
+
+_RCTE_SQL = """
+WITH RECURSIVE e AS (
+    SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_suppkey <> b.l_suppkey
+    GROUP BY a.l_suppkey, b.l_suppkey
+    HAVING count(*) >= 3
+),
+seed AS (SELECT min(src) AS s FROM e),
+reach(node, depth) AS (
+    SELECT s, 0 FROM seed
+    UNION ALL
+    SELECT e.dst, r.depth + 1
+    FROM reach r JOIN e ON e.src = r.node
+    WHERE r.depth < 2
+)
+SELECT node AS suppkey, CAST(min(depth) AS BIGINT) AS min_depth
+FROM reach GROUP BY node
+"""
+
+
+@probe(
+    "x142_recursive_closure",
+    sql=_RCTE_SQL,
+    note="WITH RECURSIVE through the engine's SQL frontend (Spark 4 "
+    "recursive CTE): depth-bounded BFS closure from the smallest "
+    "supplier over the strong-tie co-occurrence graph — the SAME SQL "
+    "text runs on both engines (the tpch.py contract), proving the "
+    "recursive surface end-to-end; depth bound caps the UNION ALL "
+    "path multiplicity so state stays edge-scale per round",
+)
+def x142_recursive_closure(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.sql import sql as run_sql
+
+    return run_sql(spark, sf, _RCTE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# x143 — distinctive terms per source (c-TF-IDF / rate-lift keywords)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x143_topic_keywords",
+    sql=r"""
+        WITH toks AS (
+            SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents WHERE trim(text) <> ''
+        ),
+        st AS (SELECT source, term, count(*) AS tf_st FROM toks GROUP BY 1, 2),
+        s AS (SELECT source, sum(tf_st) AS t_s FROM st GROUP BY 1),
+        g AS (SELECT term, sum(tf_st) AS tf_t FROM st GROUP BY 1),
+        tot AS (SELECT sum(tf_st) AS t_all FROM st),
+        lifted AS (
+            SELECT st.source, st.term,
+                   floor(((CAST(tf_st AS DOUBLE) / t_s)
+                          / (CAST(tf_t AS DOUBLE) / t_all))
+                         * 1000000.0 + 0.5) / 1000000.0 AS lift
+            FROM st JOIN s USING (source) JOIN g USING (term) CROSS JOIN tot
+        )
+        SELECT source, rnk, term, lift FROM (
+            SELECT source, term, lift,
+                   CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY lift DESC, term) AS BIGINT) AS rnk
+            FROM lifted)
+        WHERE rnk <= 3
+    """,
+    note="distinctive terms per source (the c-TF-IDF / rate-lift "
+    "keyword readout a corpus report shows per domain): lift = "
+    "in-source term rate over corpus term rate, all counts exact "
+    "integers, global term table is vocabulary-scale and broadcasts; "
+    "top-3 per source with rounded-lift + term tie-break so the "
+    "cutoff is engine-portable",
+)
+def x143_topic_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    st = (
+        T(spark, sf, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("tf_st"))
+    )
+    s = st.groupBy("source").agg(F.sum("tf_st").alias("t_s"))
+    g = st.groupBy("term").agg(F.sum("tf_st").alias("tf_t"))
+    tot = st.agg(F.sum("tf_st").alias("t_all"))
+    lifted = (
+        st.join(F.broadcast(s), "source")
+        .join(F.broadcast(g), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "term",
+            portable_round(
+                (F.col("tf_st").cast("double") / F.col("t_s"))
+                / (F.col("tf_t").cast("double") / F.col("t_all")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("lift"), F.asc("term"))
+    return (
+        lifted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("source", "rnk", "term", "lift")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x144 — sketch quality report: MinHash-LSH candidates vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+# assembled against the same shingle CTE the dedup family shares
+from flytemosaic_spark.probes.extensions import _SHINGLE_SQL  # noqa: E402
+
+_X144_SQL = (
+    _SHINGLE_SQL
+    + """,
+    exs AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM sh),
+    exact AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
+            FROM exs a JOIN exs b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        WHERE round(n_inter / (n_a + n_b - n_inter), 4) >= 0.5
+    ),
+    m AS (
+        SELECT doc_id, seed, min(md5(concat(seed, ':', shingle))) AS mh
+        FROM exs CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+        GROUP BY doc_id, seed
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS s FROM m GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, s, b AS band,
+               md5(array_to_string(list_slice(s, b * 4 + 1, b * 4 + 4), '|'))
+                   AS bucket
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM banded a JOIN banded c USING (band, bucket)
+        WHERE a.doc_id < c.doc_id
+    ),
+    hit AS (SELECT count(*) AS n_hit FROM cand JOIN exact USING (id_a, id_b)),
+    nc AS (SELECT count(*) AS n_cand FROM cand),
+    ne AS (SELECT count(*) AS n_exact FROM exact)
+    SELECT n_cand, n_exact, n_hit,
+           CASE WHEN n_cand > 0
+                THEN floor(CAST(n_hit AS DOUBLE) / n_cand * 1000000.0 + 0.5)
+                     / 1000000.0 ELSE 1.0 END AS precision_,
+           CASE WHEN n_exact > 0
+                THEN floor(CAST(n_hit AS DOUBLE) / n_exact * 1000000.0 + 0.5)
+                     / 1000000.0 ELSE 1.0 END AS recall_
+    FROM nc CROSS JOIN ne CROSS JOIN hit
+"""
+)
+
+
+@probe(
+    "x144_minhash_quality",
+    sql=_X144_SQL,
+    note="sketch-quality report: precision/recall of the x2d banded "
+    "MinHash-LSH candidate pairs against the exact >=0.5 Jaccard "
+    "pairs — the measure-your-sketch readout that decides band/hash "
+    "counts before a corpus-wide dedup run; both pipelines share one "
+    "shingle pass, the comparison join is pair-scale, output is one "
+    "row",
+)
+def x144_minhash_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.dedup import (
+        minhash_lsh_pairs_md5,
+        ngram_jaccard_pairs,
+    )
+
+    docs = T(spark, sf, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    cand = minhash_lsh_pairs_md5(docs).select("id_a", "id_b")
+    hit = cand.join(exact, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
+    nc = cand.agg(F.count("*").alias("n_cand"))
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    out = nc.crossJoin(ne).crossJoin(hit)
+    return out.select(
+        "n_cand",
+        "n_exact",
+        "n_hit",
+        F.when(
+            F.col("n_cand") > 0,
+            portable_round(F.col("n_hit").cast("double") / F.col("n_cand"), 6),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("precision_"),
+        F.when(
+            F.col("n_exact") > 0,
+            portable_round(F.col("n_hit").cast("double") / F.col("n_exact"), 6),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("recall_"),
     )

@@ -181,3 +181,19 @@ def test_tfidf_docsim_identical_docs_rank_first(spark):
     assert q0[1][0] == 10 and q0[1][1] == 1.0   # exact copy first, sim 1
     assert q0[2][0] == 11 and 0 < q0[2][1] < 1  # partial overlap second
     assert 12 not in {n for n, _ in q0.values()}  # disjoint never a candidate
+
+
+def test_minhash_quality_bounds(spark):
+    r = all_probes()["x144_minhash_quality"].fn(spark, SF001).first()
+    assert r["n_hit"] <= min(r["n_cand"], r["n_exact"])
+    assert 0.0 <= r["precision_"] <= 1.0
+    assert 0.0 <= r["recall_"] <= 1.0
+    # 16-hash/4-band LSH at 0.5 threshold should catch most true pairs
+    assert r["recall_"] >= 0.8
+
+
+def test_recursive_closure_depths(spark):
+    rows = all_probes()["x142_recursive_closure"].fn(spark, SF001).collect()
+    depths = {r["min_depth"] for r in rows}
+    assert depths <= {0, 1, 2}
+    assert sum(1 for r in rows if r["min_depth"] == 0) == 1  # one seed

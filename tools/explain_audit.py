@@ -68,6 +68,9 @@ CROSS_OK = {
     # constant-size anchor set broadcast (x3 shape) / 1-row weight total
     "x129_semdedup",
     "x130_temperature_mix",
+    # 1-row corpus-total / count crossJoins (x45/x80 shape)
+    "x143_topic_keywords",
+    "x144_minhash_quality",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")

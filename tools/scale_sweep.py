@@ -67,6 +67,12 @@ PROBES = [
     "x110_cusum_anomaly",  # shared-sort prefix-sum/prefix-min windows
     "x113_cooccur_topk",  # basket-bounded pair agg + per-item window
     "x121_curriculum_order",  # global rank via bucket prefix decomposition
+    "x129_semdedup",  # anchor-clustered intra-block pair join
+    "x132_label_propagation",  # iterative majority-label rounds
+    "x136_logreg_train",  # per-step scan + 1-row gradient aggregate
+    "x137_skipgram_pairs",  # map-side pair explode + heavy hitters
+    "x138_grid_density_clusters",  # cell-binned density + components
+    "x139_tfidf_docsim",  # inverted-index sparse similarity join
 ]
 
 
