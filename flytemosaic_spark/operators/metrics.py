@@ -51,3 +51,54 @@ def roc_auc(
             6,
         ).alias("auc"),
     )
+
+
+def roc_auc_by(
+    scored: DataFrame, group_col: str, score_col: str, label_col: str
+) -> DataFrame:
+    """Per-group exact tie-corrected ROC AUC (Mann-Whitney), the
+    segment-wise readout next to :func:`roc_auc`'s global one.
+
+    Same integer half-rank units; the rank cumsum here is a window
+    partitioned by group — but over the (group, score) AGGREGATE, so a
+    partition holds at most |distinct scores in group| rows no matter
+    how many raw rows the group had. Degenerate one-class groups
+    report NULL instead of dividing by zero (ANSI-safe, and the oracle
+    CASEs identically).
+    """
+    from pyspark.sql import Window
+
+    v = (
+        scored.select(
+            F.col(group_col).alias("grp"),
+            F.col(score_col).alias("sc"),
+            F.col(label_col).cast("bigint").alias("y"),
+        )
+        .groupBy("grp", "sc")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("np"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("sc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = v.withColumn("cb", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    rp2 = F.col("np") * (2 * F.col("cb") + F.col("n") + F.lit(1))
+    t = r.groupBy("grp").agg(
+        F.sum(rp2).alias("rp2"),
+        F.sum("np").alias("npos"),
+        F.sum(F.col("n") - F.col("np")).alias("nneg"),
+    )
+    return t.select(
+        "grp",
+        F.col("npos").alias("n_pos"),
+        F.col("nneg").alias("n_neg"),
+        F.when(
+            (F.col("npos") > 0) & (F.col("nneg") > 0),
+            portable_round(
+                (F.col("rp2") - F.col("npos") * (F.col("npos") + 1))
+                / (F.lit(2.0) * F.col("npos") * F.col("nneg")),
+                6,
+            ),
+        ).alias("auc"),
+    )

@@ -205,3 +205,110 @@ def extract_patches(media: DataFrame, patch: int = 4) -> DataFrame:
             yield pd.concat(frames, ignore_index=True)
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio: fake PCM container + frame-energy VAD segmentation
+# ---------------------------------------------------------------------------
+
+_AUDIO_MAGIC = b"FAKS"
+
+
+def _fake_audio_payload(media_id: int, n_frames: int = 50, frame: int = 400) -> bytes:
+    """Deterministic int16 PCM: per 400-sample frame, loud (speech-like,
+    amplitude ~8000) or quiet (noise-floor, ~200) chosen by a seeded
+    rng — so VAD has real voiced runs to find."""
+    rng = np.random.default_rng(media_id)
+    loud = rng.random(n_frames) < 0.55
+    samples = np.concatenate(
+        [
+            (
+                rng.normal(0.0, 8000.0 if v else 200.0, frame)
+                .clip(-32767, 32767)
+                .astype(np.int16)
+            )
+            for v in loud
+        ]
+    )
+    return (
+        _AUDIO_MAGIC
+        + struct.pack("<ii", 16000, samples.size)
+        + samples.tobytes()
+    )
+
+
+def _decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """THE AUDIO CODEC SEAM (WAV/MP3/FLAC go here via soundfile or
+    ffmpeg in a real deployment)."""
+    if not payload.startswith(_AUDIO_MAGIC):
+        raise NotImplementedError(
+            "real audio codecs are stubbed in this environment; "
+            "payload must use the deterministic FAKS container"
+        )
+    rate, n = struct.unpack_from("<ii", payload, 4)
+    samples = np.frombuffer(payload, dtype=np.int16, offset=4 + 8, count=n)
+    return rate, samples
+
+
+def synthesize_audio(spark: SparkSession, n: int = 32) -> DataFrame:
+    rows = [(i, _fake_audio_payload(i)) for i in range(n)]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def frame_energy_vad(
+    audio: DataFrame, frame: int = 400, threshold: float = 1.0e6
+) -> DataFrame:
+    """Frame-energy voice-activity segmentation over Arrow-batched
+    ``mapInPandas``: per clip, chop the PCM stream into ``frame``-sample
+    frames, energy = mean(sample^2) per frame, voiced = energy above
+    the threshold; returns per-clip frame counts and the longest voiced
+    run — the pre-filter an audio-training pipeline runs to drop
+    silence-only clips and to cut long recordings at pauses.
+
+    Scale shape: one Arrow batch in, one small typed row out per clip;
+    clips never leave their partition, output is metadata-scale. The
+    decode is the clearly-marked FAKS seam (swap for soundfile/ffmpeg).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = _decode_audio(bytes(payload))
+                n_frames = samples.size // frame
+                fr = (
+                    samples[: n_frames * frame]
+                    .astype(np.float64)
+                    .reshape(n_frames, frame)
+                )
+                energy = (fr * fr).mean(axis=1)
+                voiced = energy > threshold
+                longest = run_len = 0
+                for v in voiced:
+                    run_len = run_len + 1 if v else 0
+                    longest = max(longest, run_len)
+                out.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        int(n_frames),
+                        int(voiced.sum()),
+                        int(longest),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_frames",
+                    "n_voiced",
+                    "longest_voiced_run",
+                ],
+            )
+
+    schema = (
+        "media_id long, sample_rate long, n_frames long, "
+        "n_voiced long, longest_voiced_run long"
+    )
+    return audio.select("media_id", "payload").mapInPandas(run, schema)

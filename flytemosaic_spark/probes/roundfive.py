@@ -1186,3 +1186,160 @@ def x144_minhash_quality(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit(1.0))
         .alias("recall_"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x145 — per-segment ROC AUC
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x145_group_auc",
+    sql="""
+        WITH s AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(floor(o_totalprice / 1000) AS BIGINT) AS sc,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        v AS (SELECT grp, sc, count(*) AS n, sum(y) AS np
+              FROM s GROUP BY grp, sc),
+        r AS (
+            SELECT grp, sc, n, np,
+                   coalesce(sum(n) OVER (PARTITION BY grp ORDER BY sc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cb
+            FROM v
+        ),
+        t AS (
+            SELECT grp, sum(np * (2 * cb + n + 1)) AS rp2,
+                   sum(np) AS npos, sum(n - np) AS nneg
+            FROM r GROUP BY grp
+        )
+        SELECT grp, CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+               CASE WHEN npos > 0 AND nneg > 0
+                    THEN floor(((rp2 - npos * (npos + 1))
+                                / (2.0 * npos * nneg)) * 1000000 + 0.5)
+                         / 1000000 END AS auc
+        FROM t
+    """,
+    note="per-segment ROC AUC (metrics.roc_auc_by): does the model "
+    "discriminate uniformly across slices — the fairness/debug "
+    "readout after x106's global number. Integer half-rank units; "
+    "the rank window is partitioned by segment but runs over the "
+    "(segment, score) AGGREGATE, so partitions are score-cardinality "
+    "not corpus-cardinality; one-class segments yield NULL, never a "
+    "divide-by-zero",
+)
+def x145_group_auc(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.metrics import roc_auc_by
+
+    s = T(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("sc"),
+        (F.col("o_orderstatus") == "F").cast("bigint").alias("y"),
+    )
+    return roc_auc_by(s, "grp", "sc", "y")
+
+
+# ---------------------------------------------------------------------------
+# x146 — dataset card (one-row corpus profile)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x146_dataset_card",
+    sql=r"""
+        WITH base AS (
+            SELECT doc_id, text, lang, source, n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens,
+                   md5(text) AS h
+            FROM documents
+        ),
+        lc AS (SELECT lang, count(*) AS n FROM base GROUP BY lang),
+        lt AS (SELECT sum(n) AS total FROM lc),
+        ent AS (
+            SELECT floor(-sum((n / total) * ln(n / total)) * 10000.0 + 0.5)
+                       / 10000.0 AS lang_entropy
+            FROM lc CROSS JOIN lt
+        ),
+        agg AS (
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   count(DISTINCT lang) AS n_langs,
+                   sum(n_tokens) AS total_tokens,
+                   floor((1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*))
+                         * 1000000.0 + 0.5) / 1000000.0 AS dup_rate,
+                   floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 10000.0
+                         + 0.5) / 10000.0 AS avg_chars
+            FROM base
+        )
+        SELECT n_docs, n_sources, n_langs, total_tokens, dup_rate,
+               avg_chars, lang_entropy
+        FROM agg CROSS JOIN ent
+    """,
+    note="dataset card: the one-row corpus profile a data release "
+    "ships (docs/sources/langs, token total, exact-dup rate via "
+    "content-hash distinct, average length, language entropy) — one "
+    "scan plus a language-cardinality histogram; every number "
+    "integer-exact except the 1e-4-rounded entropy (x64 recipe)",
+)
+def x146_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    base = T(spark, sf, "documents").select(
+        "lang",
+        "source",
+        "n_chars",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    lc = base.groupBy("lang").agg(F.count("*").alias("n"))
+    p = F.col("n") / F.sum("n").over(Window.partitionBy())
+    ent = lc.select(p.alias("_p")).agg(
+        portable_round(-F.sum(F.col("_p") * F.log("_p"))).alias("lang_entropy")
+    )
+    agg = base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        portable_round(
+            F.lit(1.0) - F.countDistinct("h").cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+        portable_round(F.sum("n_chars").cast("double") / F.count("*")).alias(
+            "avg_chars"
+        ),
+    )
+    return agg.crossJoin(F.broadcast(ent)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        "dup_rate",
+        "avg_chars",
+        "lang_entropy",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x147 — audio frame-energy VAD (multimodal, rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x147_audio_vad",
+    sql=None,
+    note="audio voice-activity segmentation over mapInPandas (int16 PCM "
+    "payload in, per-clip voiced-frame stats out); deterministic FAKS "
+    "codec — real audio decoders are a clearly-marked seam "
+    "(operators/multimodal.py). Not SQL-expressible (binary decode); "
+    "unit-tested vs numpy in tests/.",
+)
+def x147_audio_vad(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        frame_energy_vad,
+        synthesize_audio,
+    )
+
+    return frame_energy_vad(synthesize_audio(spark, n=32)).orderBy("media_id")

@@ -88,3 +88,46 @@ def test_extract_patches_matches_numpy(spark):
                 assert abs(m - means[py, px]) < 1e-12
                 assert mx == int(maxes[py, px])
     media.unpersist()
+
+
+def test_audio_vad_matches_numpy(spark):
+    import numpy as np
+    from flytemosaic_spark.operators.multimodal import (
+        _decode_audio,
+        _fake_audio_payload,
+        frame_energy_vad,
+        synthesize_audio,
+    )
+
+    out = {
+        r["media_id"]: r
+        for r in frame_energy_vad(synthesize_audio(spark, n=8)).collect()
+    }
+    for mid in range(8):
+        rate, samples = _decode_audio(_fake_audio_payload(mid))
+        n_frames = samples.size // 400
+        fr = samples[: n_frames * 400].astype(np.float64).reshape(n_frames, 400)
+        energy = (fr * fr).mean(axis=1)
+        voiced = energy > 1.0e6
+        longest = run = 0
+        for v in voiced:
+            run = run + 1 if v else 0
+            longest = max(longest, run)
+        r = out[mid]
+        assert r["sample_rate"] == rate == 16000
+        assert r["n_frames"] == n_frames
+        assert r["n_voiced"] == int(voiced.sum())
+        assert r["longest_voiced_run"] == longest
+        # synthesized clips alternate loud/quiet: both classes present
+        assert 0 < r["n_voiced"] < r["n_frames"]
+
+
+def test_audio_vad_rejects_unknown_container(spark):
+    import pytest
+    from flytemosaic_spark.operators.multimodal import frame_energy_vad
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"RIFFxxxx"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|stubbed"):
+        frame_energy_vad(bad).collect()

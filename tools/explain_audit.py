@@ -71,6 +71,7 @@ CROSS_OK = {
     # 1-row corpus-total / count crossJoins (x45/x80 shape)
     "x143_topic_keywords",
     "x144_minhash_quality",
+    "x146_dataset_card",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
