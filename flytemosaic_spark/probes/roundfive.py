@@ -78,77 +78,16 @@ _PAIR_BUCKETS = 8
     "so both engines gate identically",
 )
 def x129_semdedup(spark: SparkSession, sf: str) -> DataFrame:
-    from flytemosaic_spark.operators.similarity import dot, norm
+    from flytemosaic_spark.operators.similarity import semdedup_report
 
     emb = T(spark, sf, "embeddings").select("vec_id", "embedding")
-    par = spark.sparkContext.defaultParallelism
-    anchors = emb.where(F.col("vec_id") < _SEM_ANCHORS).select(
-        F.col("vec_id").alias("aid"),
-        F.col("embedding").alias("a_vec"),
-        norm(F.col("embedding")).alias("a_norm"),
-    )
-    v = emb.repartition(par).select(
-        "vec_id",
-        F.col("embedding").alias("c_vec"),
-        norm(F.col("embedding")).alias("c_norm"),
-    )
-    sim = F.round(
-        dot(F.col("c_vec"), F.col("a_vec")) / (F.col("c_norm") * F.col("a_norm")), 4
-    )
-    scored = v.crossJoin(F.broadcast(anchors)).select(
-        "vec_id", "aid", sim.alias("sim")
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("aid"))
-    asg = (
-        scored.withColumn("_rk", F.row_number().over(wa))
-        .where(F.col("_rk") == 1)
-        .select("vec_id", F.col("aid").alias("cluster_id"))
-    )
-    members = emb.join(asg, "vec_id").select(
-        "vec_id",
-        "cluster_id",
-        F.col("embedding").alias("m_vec"),
-        norm(F.col("embedding")).alias("m_norm"),
-    )
-    # bucketed replication: a join keyed only on cluster_id would run
-    # one task per cluster (8 here) no matter how many cores exist.
-    # Splitting the x side into _PAIR_BUCKETS md-independent buckets and
-    # replicating the y side into every bucket keeps the pair set
-    # identical while spreading the quadratic dot-product work across
-    # |clusters| x |buckets| tasks. Replication cost is linear in
-    # members; the pair stage it parallelizes is quadratic.
-    buckets = spark.range(_PAIR_BUCKETS).select(
-        F.col("id").cast("int").alias("xb")
-    )
-    x = members.withColumn(
-        "xb", (F.col("vec_id") % _PAIR_BUCKETS).cast("int")
-    ).alias("x")
-    y = members.crossJoin(F.broadcast(buckets)).alias("y")
-    pair_sim = F.round(
-        dot(F.col("x.m_vec"), F.col("y.m_vec"))
-        / (F.col("x.m_norm") * F.col("y.m_norm")),
-        4,
-    )
-    dup = (
-        x.join(
-            y,
-            (F.col("x.cluster_id") == F.col("y.cluster_id"))
-            & (F.col("x.xb") == F.col("y.xb")),
-        )
-        .where(F.col("x.vec_id") < F.col("y.vec_id"))
-        .where(pair_sim >= F.lit(_SEM_THRESHOLD))
-        .select(F.col("x.cluster_id").alias("cluster_id"), F.col("y.vec_id").alias("dropped"))
-    )
-    cs = members.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
-    ds = dup.groupBy("cluster_id").agg(
-        F.count("*").alias("n_dup_pairs"),
-        F.countDistinct("dropped").alias("n_dropped"),
-    )
-    return cs.join(ds, "cluster_id", "left").select(
-        "cluster_id",
-        "n_members",
-        F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
-        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+    # fixed anchor set so the oracle can replay the clustering; a real
+    # deployment scales the anchor count with the corpus (see
+    # similarity.semdedup_report — the 10x sweep measured fixed-k at
+    # 18.7x cost for 10x data and k∝N at 1.5x)
+    anchors = emb.where(F.col("vec_id") < _SEM_ANCHORS)
+    return semdedup_report(
+        emb, anchors, threshold=_SEM_THRESHOLD, pair_buckets=_PAIR_BUCKETS
     )
 
 
