@@ -1282,3 +1282,125 @@ def x147_audio_vad(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return frame_energy_vad(synthesize_audio(spark, n=32)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# x148 — exact quantile normalization (per-type values -> global
+# reference distribution), with NO single-partition sort anywhere
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x148_quantile_normalize",
+    sql="""
+        WITH ev AS (SELECT event_id, event_type, value FROM events),
+        ns AS (SELECT event_type, count(*) AS n_s FROM ev GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM ev),
+        r AS (
+            SELECT event_id, event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS rs
+            FROM ev
+        ),
+        g AS (
+            SELECT value AS gv,
+                   row_number() OVER (ORDER BY value, event_id) AS rg
+            FROM ev
+        ),
+        px AS (
+            SELECT r.event_id, r.event_type,
+                   ((rs - 0.5) / n_s) * (n - 1) + 1 AS pos, n
+            FROM r JOIN ns USING (event_type) CROSS JOIN nn
+        ),
+        k AS (
+            SELECT event_id, event_type, pos,
+                   CAST(floor(pos) AS BIGINT) AS k0,
+                   least(CAST(floor(pos) AS BIGINT) + 1, n) AS k1
+            FROM px
+        )
+        SELECT k.event_id, k.event_type,
+               floor((g0.gv + (g1.gv - g0.gv) * (pos - floor(pos)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS norm_value
+        FROM k
+        JOIN g g0 ON g0.rg = k.k0
+        JOIN g g1 ON g1.rg = k.k1
+    """,
+    note="exact quantile normalization (map every per-type value onto "
+    "the global reference distribution at its within-type relative "
+    "rank — the batch-effect/source-alignment transform): the oracle "
+    "uses plain global windows; the Spark plan computes BOTH rankings "
+    "with the x121 bucket decomposition (range-bucket counts -> "
+    "metadata-scale offset window -> per-bucket row_number), so "
+    "nothing ever funnels through one partition — then two "
+    "co-partitioned integer-rank joins interpolate the target value. "
+    "All position math is one fixed IEEE expression on exact integer "
+    "ranks, rounded at 1e-6",
+)
+def x148_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events").select("event_id", "event_type", "value")
+    bucket = F.floor(F.col("value") / 10).cast("bigint")
+    b = ev.withColumn("bkt", bucket)
+
+    # global exact rank by (value, event_id): per-bucket offsets
+    # (metadata scale) + within-bucket row_number — no global sort
+    gcounts = b.groupBy("bkt").agg(F.count("*").alias("cnt"))
+    w_goff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    goff = gcounts.select(
+        "bkt", F.coalesce(F.sum("cnt").over(w_goff), F.lit(0)).alias("goff")
+    )
+    w_gin = Window.partitionBy("bkt").orderBy("value", "event_id")
+    g = (
+        b.withColumn("grn", F.row_number().over(w_gin))
+        .join(F.broadcast(goff), "bkt")
+        .select(
+            F.col("value").alias("gv"),
+            (F.col("goff") + F.col("grn")).alias("rg"),
+        )
+    )
+
+    # per-type exact rank, same decomposition keyed by (type, bucket)
+    tcounts = b.groupBy("event_type", "bkt").agg(F.count("*").alias("cnt"))
+    w_toff = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toff = tcounts.select(
+        "event_type",
+        "bkt",
+        F.coalesce(F.sum("cnt").over(w_toff), F.lit(0)).alias("toff"),
+    )
+    w_tin = Window.partitionBy("event_type", "bkt").orderBy("value", "event_id")
+    r = (
+        b.withColumn("trn", F.row_number().over(w_tin))
+        .join(F.broadcast(toff), ["event_type", "bkt"])
+        .select(
+            "event_id", "event_type", (F.col("toff") + F.col("trn")).alias("rs")
+        )
+    )
+
+    ns = ev.groupBy("event_type").agg(F.count("*").alias("n_s"))
+    nn = ev.agg(F.count("*").alias("n"))
+    pos = ((F.col("rs") - F.lit(0.5)) / F.col("n_s")) * (
+        F.col("n") - F.lit(1)
+    ) + F.lit(1)
+    k = (
+        r.join(F.broadcast(ns), "event_type")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "event_id",
+            "event_type",
+            pos.alias("pos"),
+            F.floor(pos).cast("bigint").alias("k0"),
+            F.least(F.floor(pos).cast("bigint") + 1, F.col("n")).alias("k1"),
+        )
+    )
+    g0 = g.select(F.col("rg").alias("k0"), F.col("gv").alias("v0"))
+    g1 = g.select(F.col("rg").alias("k1"), F.col("gv").alias("v1"))
+    out = k.join(g0, "k0").join(g1, "k1")
+    norm = F.col("v0") + (F.col("v1") - F.col("v0")) * (
+        F.col("pos") - F.floor(F.col("pos"))
+    )
+    return out.select(
+        "event_id", "event_type", portable_round(norm, 6).alias("norm_value")
+    )

@@ -197,3 +197,21 @@ def test_recursive_closure_depths(spark):
     depths = {r["min_depth"] for r in rows}
     assert depths <= {0, 1, 2}
     assert sum(1 for r in rows if r["min_depth"] == 0) == 1  # one seed
+
+
+def test_quantile_normalize_monotone_and_bounded(spark):
+    import pyspark.sql.functions as F
+
+    out = all_probes()["x148_quantile_normalize"].fn(spark, SF001)
+    ev = spark.read.parquet(f"{SF001}/events.parquet").select("event_id", "value")
+    j = out.join(ev, "event_id").collect()
+    lo = min(r["value"] for r in j)
+    hi = max(r["value"] for r in j)
+    by_type = {}
+    for r in j:
+        by_type.setdefault(r["event_type"], []).append((r["value"], r["event_id"], r["norm_value"]))
+    for rows in by_type.values():
+        rows.sort()
+        norms = [n for _, _, n in rows]
+        assert norms == sorted(norms)          # rank order preserved
+    assert all(lo <= r["norm_value"] <= hi for r in j)  # stays in range

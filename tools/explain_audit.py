@@ -72,6 +72,8 @@ CROSS_OK = {
     "x143_topic_keywords",
     "x144_minhash_quality",
     "x146_dataset_card",
+    # 1-row global-count crossJoin feeding the position math
+    "x148_quantile_normalize",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
