@@ -1404,3 +1404,206 @@ def x148_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", portable_round(norm, 6).alias("norm_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# x149 — exact weighted median per group
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x149_weighted_median",
+    sql="""
+        WITH w AS (
+            SELECT l_returnflag AS grp, l_quantity AS v,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS wt
+            FROM lineitem
+        ),
+        g AS (SELECT grp, v, sum(wt) AS wt FROM w GROUP BY grp, v),
+        c AS (
+            SELECT grp, v, wt,
+                   sum(wt) OVER (PARTITION BY grp ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(wt) OVER (PARTITION BY grp) AS tw
+            FROM g
+        )
+        SELECT grp, min(v) AS weighted_median
+        FROM c WHERE cw * 2 >= tw
+        GROUP BY grp
+    """,
+    note="exact weighted median per group (price-cents weights — "
+    "all-integer cumulative state, so the >= half-total cut is "
+    "engine-portable with no rounding): the per-(group, value) "
+    "aggregate collapses the corpus BEFORE the window, so window "
+    "partitions are value-cardinality; the lower-weighted-median "
+    "definition (first v with 2*cumw >= total)",
+)
+def x149_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    w = T(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").alias("v"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("wt"),
+    )
+    g = w.groupBy("grp", "v").agg(F.sum("wt").alias("wt"))
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt_tot = Window.partitionBy("grp")
+    c = g.select(
+        "grp",
+        "v",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wt_tot).alias("tw"),
+    )
+    return (
+        c.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("grp")
+        .agg(F.min("v").alias("weighted_median"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x150 — word2vec-style frequent-word subsampling
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x150_word_subsample",
+    sql=r"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        f AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+        t AS (SELECT sum(n) AS total FROM f),
+        keep AS (
+            SELECT w, n,
+                   least(sqrt(0.001 / (CAST(n AS DOUBLE) / total)), 1.0)
+                       AS p_keep
+            FROM f CROSS JOIN t
+        ),
+        occ AS (
+            SELECT w, p_keep,
+                   row_number() OVER (PARTITION BY w ORDER BY w) - 1 + 0
+                       AS dummy
+            FROM keep
+        )
+        SELECT w,
+               n AS n_before,
+               CAST(floor(n * p_keep + 0.5) AS BIGINT) AS n_after_expected,
+               floor(p_keep * 1000000.0 + 0.5) / 1000000.0 AS p_keep_r
+        FROM keep
+        ORDER BY n DESC, w
+        LIMIT 30
+    """,
+    note="word2vec frequent-word subsampling plan: p_keep = "
+    "min(sqrt(t/f(w)), 1) with t=1e-3 (Mikolov's rule; sqrt and one "
+    "division — portable IEEE), reported for the 30 most frequent "
+    "words with the expected retained count. The actual drop is a "
+    "deterministic md5(doc:pos) < p_keep map-side filter (x120's "
+    "machinery) — retry-stable, no rand()",
+)
+def x150_word_subsample(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    toks = (
+        T(spark, sf, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+    )
+    f = toks.groupBy("w").agg(F.count("*").alias("n"))
+    t = f.agg(F.sum("n").alias("total"))
+    p_keep = F.least(
+        F.sqrt(F.lit(0.001) / (F.col("n").cast("double") / F.col("total"))),
+        F.lit(1.0),
+    )
+    keep = f.crossJoin(F.broadcast(t)).select(
+        "w",
+        F.col("n").alias("n_before"),
+        F.floor(F.col("n") * p_keep + F.lit(0.5))
+        .cast("bigint")
+        .alias("n_after_expected"),
+        portable_round(p_keep, 6).alias("p_keep_r"),
+    )
+    return keep.orderBy(F.desc("n_before"), F.asc("w")).limit(30)
+
+
+# ---------------------------------------------------------------------------
+# x151 — classifier threshold sweep (precision/recall curve points)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x151_threshold_sweep",
+    sql="""
+        WITH s AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 1000000
+                       AS ppm,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        th AS (SELECT unnest(range(1, 10)) AS k),
+        c AS (
+            SELECT k,
+                   sum(CASE WHEN ppm >= k * 100000 THEN y ELSE 0 END) AS tp,
+                   sum(CASE WHEN ppm >= k * 100000 THEN 1 - y ELSE 0 END)
+                       AS fp,
+                   sum(CASE WHEN ppm < k * 100000 THEN y ELSE 0 END) AS fn
+            FROM s CROSS JOIN th
+            GROUP BY k
+        )
+        SELECT CAST(k AS BIGINT) AS k, tp, fp, fn,
+               CASE WHEN tp + fp > 0
+                    THEN floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000.0
+                               + 0.5) / 1000000.0 END AS precision_,
+               CASE WHEN tp + fn > 0
+                    THEN floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000.0
+                               + 0.5) / 1000000.0 END AS recall_
+        FROM c
+    """,
+    note="classifier threshold sweep: confusion counts and "
+    "precision/recall at 9 operating points in ONE corpus pass (the "
+    "9-way threshold grid is a constant-width crossJoin, integer "
+    "counts, divisions only at the end) — the curve a release uses "
+    "to pick the quality-filter cutoff; complements x106 (AUC "
+    "integrates this curve) and x107 (calibration)",
+)
+def x151_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    s = T(spark, sf, "orders").select(
+        (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint") % 1000000)
+        .alias("ppm"),
+        (F.col("o_orderstatus") == "F").cast("bigint").alias("y"),
+    )
+    th = s.sparkSession.range(1, 10).select(F.col("id").alias("k"))
+    gate = F.col("ppm") >= F.col("k") * 100000
+    c = (
+        s.crossJoin(F.broadcast(th))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(gate, F.col("y")).otherwise(0)).alias("tp"),
+            F.sum(F.when(gate, 1 - F.col("y")).otherwise(0)).alias("fp"),
+            F.sum(F.when(~gate, F.col("y")).otherwise(0)).alias("fn"),
+        )
+    )
+    return c.select(
+        F.col("k").cast("bigint").alias("k"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            portable_round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+            ),
+        ).alias("precision_"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            portable_round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6
+            ),
+        ).alias("recall_"),
+    )

@@ -85,6 +85,44 @@ def sessionize_stream(
     )
 
 
+def session_paths_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    max_len: int = 5,
+) -> DataFrame:
+    """Streaming twin of the x133 session-path miner: per closed
+    session window, the first-``max_len`` event-type journey string.
+
+    Append-mode session aggregation: ``collect_list`` state per open
+    session is bounded by the session's own event count, and the
+    watermark closes (and evicts) sessions ``watermark`` past their
+    last event — continuous path mining with bounded state. The
+    downstream heavy-hitter count is an ordinary batch/streaming
+    aggregate over the emitted paths.
+    """
+    events = _as_event_time(events, "ts")
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.array_join(
+                F.transform(
+                    F.slice("evs", 1, max_len), lambda s: s["event_type"]
+                ),
+                ">",
+            ).alias("path"),
+        )
+    )
+
+
 def stream_exact_dedup(
     docs: DataFrame,
     text_col: str = "text",

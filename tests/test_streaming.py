@@ -582,3 +582,31 @@ def test_cusum_stream_matches_batch(spark, events, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_session_paths_stream_matches_batch(spark, events, tmp_path):
+    """Streamed session paths equal the same function run in batch mode
+    over all the data (complete-mode memory sink, so sessions still
+    open at end-of-stream are emitted too — the run_available_now
+    idiom the other stream-vs-batch tests use)."""
+    from collections import Counter
+
+    from flytemosaic_spark.streaming.events import (
+        run_available_now,
+        session_paths_stream,
+        stream_new_files,
+    )
+
+    src = str(tmp_path / "src")
+    events.limit(2000).coalesce(1).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    want = Counter(r["path"] for r in session_paths_stream(batch).collect())
+
+    stream = stream_new_files(spark, src, batch.schema)
+    run_available_now(
+        session_paths_stream(stream), str(tmp_path / "ckpt"), "sess_paths"
+    )
+    got = Counter(
+        r["path"] for r in spark.sql("select * from sess_paths").collect()
+    )
+    assert got == want

@@ -74,6 +74,9 @@ CROSS_OK = {
     "x146_dataset_card",
     # 1-row global-count crossJoin feeding the position math
     "x148_quantile_normalize",
+    # 1-row token total / constant 9-row threshold grid (x45/x80 shape)
+    "x150_word_subsample",
+    "x151_threshold_sweep",
 }
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
