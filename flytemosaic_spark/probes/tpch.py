@@ -1,4 +1,5 @@
-"""TPC-H-derived query suite, adapted to the driver's reduced schema.
+"""TPC-H-derived query suite (16 queries), adapted to the driver's
+reduced schema.
 
 The driver's testdata is a reduced TPC-H: no partsupp table, and the
 comment/address/phone/shipmode/commitdate columns are absent. The
@@ -340,4 +341,44 @@ _tpch(
     "cut is engine-identical) + NOT EXISTS anti-join for lapsed "
     "customers (none since 2000 — every customer HAS ordered at some "
     "point at these scale factors, so the unrestricted form is empty)",
+)
+
+_tpch(
+    "q13_customer_distribution_lite",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    "TPC-H Q13 shape (the comment-pattern exclusion is out of scope — "
+    "o_comment is absent from the reduced schema): order-count "
+    "distribution per customer INCLUDING zero-order customers via the "
+    "left outer join + count(join-side key); two hash aggregates, "
+    "all-integer",
+)
+
+_tpch(
+    "q19_discounted_revenue_lite",
+    """
+    SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+               AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE
+        (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+         AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+     OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+         AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+     OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 40
+         AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    "TPC-H Q19 shape (container/shipmode absent -> brand+size+quantity "
+    "OR-groups): the disjunctive join predicate — Catalyst pushes the "
+    "common p_partkey equi-key into the hash join and the OR-of-ANDs "
+    "residual evaluates post-join, with derivable per-side filters "
+    "(brand IN, size <= 40, quantity <= 30) pushed to the scans",
 )
