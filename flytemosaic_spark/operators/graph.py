@@ -225,10 +225,13 @@ def label_propagation(
     """Synchronous majority-label propagation (LPA community detection)
     over a directed edge list: each round every node adopts the label
     most frequent among its in-neighbors, ties broken by the smallest
-    label. Initial label is ``node % init_mod`` (a deterministic shard
-    label, so majorities exist from round one — the classic own-id
-    start degenerates to min-label components, which
-    ``operators/dedup.py`` already covers).
+    label; a node with NO labeled in-neighbor keeps its current label
+    (so src-only nodes and isolated corners never vanish — the node
+    set is src ∪ dst and is preserved every round). Initial label is
+    ``node % init_mod`` (a deterministic shard label, so majorities
+    exist from round one — the classic own-id start degenerates to
+    min-label components, which ``operators/dedup.py`` already
+    covers).
 
     All-integer state, so rounds are bit-reproducible on any engine —
     the DuckDB oracle unrolls the same iterations.
@@ -238,8 +241,16 @@ def label_propagation(
     label table (broadcast under ``_BROADCAST_NODE_LIMIT``, else the
     edges are pre-partitioned on src once and only labels shuffle),
     one hash aggregation on (dst, lbl) — partial map-side combine
-    bounds it — and one per-node window whose partition size is at
-    most the number of distinct labels (<= init_mod), never the degree.
+    bounds it — one per-node window whose partition size is at most
+    the number of distinct labels (<= init_mod), never the degree,
+    and a union with the static zero-in-degree label table.
+
+    The edge and sink caches intentionally outlive this call: the
+    returned DataFrame is lazy and references them once per iteration
+    — the first action materializes each cache and every subsequent
+    subtree reuses it (the same plan-canonicalization contract as
+    ``pagerank``). Unpersisting here, at plan-build time, would make
+    the final action recompute them per round.
     """
     e = edges.select(src, dst).distinct().cache()
     n_nodes = e.select(F.col(src).alias("node")).distinct().count()
@@ -247,10 +258,26 @@ def label_propagation(
     if not small:
         e.unpersist()
         e = edges.select(src, dst).distinct().repartition(F.col(src)).cache()
+    init_lbl = F.col("node") % F.lit(init_mod)
+    # Retention reduces to a STATIC set: every node is labeled every
+    # round (invariant below), so any node with in-degree >= 1 always
+    # receives votes — only the zero-in-degree nodes ever keep a label,
+    # and theirs never leaves the initial one. Computing that set once
+    # keeps the per-round work at vote scale (no node-scale
+    # retention join or window competition). Cached: it appears in the
+    # plan once per iteration, like ``e``.
+    sinks = (
+        e.select(F.col(src).alias("node"))
+        .join(e.select(F.col(dst).alias("node")), "node", "left_anti")
+        .distinct()
+        .select("node", init_lbl.alias("lbl"))
+        .cache()
+    )
     labels = (
         e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
         .distinct()
-        .withColumn("lbl", F.col("node") % F.lit(init_mod))
+        .select("node", init_lbl.alias("lbl"))
     )
     from pyspark.sql import Window
 
@@ -262,9 +289,12 @@ def label_propagation(
             .agg(F.count("*").alias("_c"))
         )
         w = Window.partitionBy("_n").orderBy(F.desc("_c"), F.asc("lbl"))
-        labels = (
+        adopted = (
             counts.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") == 1)
             .select(F.col("_n").alias("node"), "lbl")
         )
+        # invariant: adopted covers exactly the in-degree>=1 nodes, so
+        # adopted ∪ sinks is the full node set, all labeled
+        labels = adopted.union(sinks)
     return labels.select("node", F.col("lbl").alias("community"))

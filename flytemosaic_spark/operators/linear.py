@@ -85,6 +85,9 @@ def logreg_train_gd(
             step = lr * ((float(row[f"_g_{c}"]) / _GRAIN) / n)
             w = weights[c] - step
             weights[c] = math.floor(w * _GRAIN + 0.5) / _GRAIN
+    # the returned row is pure literals — the feature cache has no
+    # further readers, release the executor memory now
+    feats.unpersist()
     spark = df.sparkSession
     out_cols = [F.lit(n).cast("bigint").alias("n")] + [
         F.lit(weights[c]).alias(f"w_{c}" if c != "_bias" else "w_bias")

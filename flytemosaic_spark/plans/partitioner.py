@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from flytemosaic_spark.plans.prefix import bounded_window
+
 
 def square_multiplier(budget_bytes: int, bytes_per_chunk: int) -> int:
     """m such that one partition covers an m×m block of chunks —
@@ -42,7 +44,8 @@ def _axis_ranges(spark: SparkSession, n: int, chunk: int, m: int, dim: str) -> D
         F.col("id").alias("chunk_idx"),
         F.least(F.lit(chunk), F.lit(n) - F.col("id") * chunk).alias("size"),
     )
-    w = Window.orderBy("chunk_idx").rowsBetween(Window.unboundedPreceding, 0)
+    # chunk-index axis: metadata scale (one row per chunk, not per pixel)
+    w = bounded_window("chunk_idx").rowsBetween(Window.unboundedPreceding, 0)
     bounds = sizes.select(
         "chunk_idx",
         (F.sum("size").over(w) - F.col("size")).alias("start"),

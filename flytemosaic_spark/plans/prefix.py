@@ -34,11 +34,85 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def bounded_window(key: Column | str, *order: Column | str):
+    """Ordered window over a provably bounded input (bucket offsets,
+    month/cohort axes, score bins — metadata scale, NOT data scale).
+    Partitions by ``hash(key) % 1`` — constant 0 for every row, but
+    column-dependent so Catalyst can't fold it away (a plain ``lit(0)``
+    is optimized out and WindowExec still warns). Declares the single
+    partition intentional: execution is identical, the plan shows a
+    real partition spec, and WindowExec's "No Partition Defined"
+    warning stays silent. ``key`` must be a plain column (no sort
+    direction); with no ``order`` given, rows order by ``key`` asc.
+    Use ONLY when the input cardinality is bounded."""
+    k = F.col(key) if isinstance(key, str) else key
+    if not order:
+        order = (k,)
+    return Window.partitionBy(F.hash(k) % F.lit(1)).orderBy(*order)
+
+
 def _bucket_expr(order_col: str, bounds: list[float]) -> Column:
     b = F.lit(0)
     for t in bounds:
         b = b + (F.col(order_col) > F.lit(t)).cast("int")
     return b
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: tuple[str, ...],
+    out_col: str = "rn",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Global 1-based ``row_number() OVER (ORDER BY order_cols)`` with
+    bounded per-task state: range-bucket on the leading (numeric) order
+    column, per-bucket local row_number in parallel, then add each
+    bucket's exclusive count prefix (a metadata-scale table,
+    broadcast-joined back). Integer arithmetic → bit-identical to the
+    single-partition window at any partitioning."""
+    spark = df.sparkSession
+    lead = order_cols[0]
+    n = n_buckets or spark.sparkContext.defaultParallelism
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.approxQuantile(lead, probs, 0.001)))
+
+    w_local = Window.partitionBy("_bucket").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    local = df.withColumn("_bucket", _bucket_expr(lead, bounds)).withColumn(
+        "_local", F.row_number().over(w_local).cast("bigint")
+    )
+    w_off = bounded_window("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_bucket")
+        .agg(F.count("*").alias("_c"))
+        .select(
+            "_bucket",
+            F.coalesce(F.sum("_c").over(w_off), F.lit(0)).cast("bigint").alias("_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bucket")
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_bucket", "_local", "_off")
+    )
+
+
+def ntile_from_rn(rn: Column, n_rows: Column, n_tiles: int) -> Column:
+    """Exact ``ntile(n_tiles)`` bucket for a 1-based global row number
+    ``rn`` out of ``n_rows`` total — the closed form of the SQL-standard
+    allocation (first ``N % n`` tiles get one extra row), so a
+    distributed row_number can replace the single-partition ntile
+    window bit-for-bit."""
+    q = F.floor(n_rows / n_tiles)
+    r = n_rows % n_tiles
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    # when N < n_tiles every row lands in the first branch; greatest()
+    # keeps the dead branch's divisor nonzero for ANSI evaluation
+    q_safe = F.greatest(q, F.lit(1))
+    return F.when(rn <= big, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
+        r + F.floor((rn - 1 - big) / q_safe) + 1
+    )
 
 
 def distributed_cumsum(
@@ -67,7 +141,7 @@ def distributed_cumsum(
         "_local", F.sum(value_col).over(w_local)
     )
     # exclusive cumsum over the per-bucket totals: n rows, driver scale
-    w_off = Window.orderBy("_bucket").rowsBetween(
+    w_off = bounded_window("_bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = (

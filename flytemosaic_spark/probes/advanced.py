@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from flytemosaic_spark.plans.prefix import bounded_window
 from flytemosaic_spark.probes.registry import T, probe
 
 # --------------------------------------------------------------------------
@@ -2182,7 +2183,8 @@ def x61_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
-    w = Window.orderBy("month")
+    # month axis: bounded cardinality
+    w = bounded_window("month")
     prev = F.lag("revenue").over(w)
     return m.select(
         "month",
@@ -2223,7 +2225,8 @@ def x62_user_growth(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     m = f.groupBy("cohort").agg(F.count("*").alias("new_users"))
-    w = Window.orderBy("cohort").rowsBetween(
+    # cohort (month) axis: bounded cardinality
+    w = bounded_window("cohort").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return m.select(
@@ -2471,16 +2474,24 @@ def x67_first_touch(spark: SparkSession, sf: str) -> DataFrame:
                round(sum(o_totalprice), 2) AS total
         FROM d GROUP BY decile
     """,
-    note="decile table (the value-distribution report): ntile over "
-    "the total order then a rollup — at 100 TB swap the exact ntile "
-    "for quantile-sketch boundaries (x37) + a bucket join, same "
-    "output contract",
+    note="decile table (the value-distribution report): exact ntile "
+    "semantics via the plans/prefix.py distributed row_number (range "
+    "buckets + per-bucket windows + count offsets) and the closed-form "
+    "SQL-standard tile allocation — no single-partition window; the "
+    "only broadcast is the 1-row global count",
 )
 def x68_value_deciles(spark: SparkSession, sf: str) -> DataFrame:
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    from flytemosaic_spark.plans.prefix import distributed_row_number, ntile_from_rn
+
+    base = T(spark, sf, "orders").select("o_totalprice", "o_orderkey")
+    rn = distributed_row_number(base, ("o_totalprice", "o_orderkey"), out_col="_rn")
+    n_df = base.agg(F.count("*").alias("_N"))
     return (
-        T(spark, sf, "orders")
-        .select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        rn.crossJoin(F.broadcast(n_df))
+        .select(
+            "o_totalprice",
+            ntile_from_rn(F.col("_rn"), F.col("_N"), 10).cast("int").alias("decile"),
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flytemosaic_spark.operators.text import portable_round
+from flytemosaic_spark.plans.prefix import bounded_window
 from flytemosaic_spark.probes.registry import T, probe
 
 # Deterministic "model score" for evaluation probes: the fractional
@@ -169,10 +170,11 @@ def x108_cumulative_gains(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.expr("ppm div 100000").alias("bin"))
         .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
     )
-    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+    # bin axis is bounded (score quantized to <=1e3 bins), not data scale
+    w = bounded_window("bin", F.col("bin").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_all = Window.orderBy(F.col("bin").desc()).rowsBetween(
+    w_all = bounded_window("bin", F.col("bin").desc()).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     c = g.select(
@@ -263,7 +265,8 @@ def x109_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     sql="""
         WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
                           label AS true_label
-                   FROM embeddings),
+                   FROM embeddings
+                   WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '4000'),
         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
                      label FROM embeddings),
         scored AS (
@@ -300,14 +303,21 @@ def x109_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     "the exact cosine top-k (x3's broadcast-scan plan): majority vote "
     "with (count desc, label) tie-break, integer correct-counts, one "
     "final division — the intrinsic-quality readout for an embedding "
-    "column before it is trusted for near-dup or retrieval work",
+    "column before it is trusted for near-dup or retrieval work. "
+    "Queries are a deterministic ~25% md5 sample of the corpus (the "
+    "curation-split recipe), so eval cost is O(sample x corpus), not "
+    "corpus² — the sample rate, not the corpus, is the accuracy-vs-"
+    "cost knob at 100 TB",
 )
 def x124_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.similarity import brute_force_topk
 
     emb = T(spark, sf, "embeddings")
     labels = emb.select("vec_id", "label")
-    topk = brute_force_topk(corpus=emb, queries=emb, k=5)
+    queries = emb.where(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4) < "4000"
+    )
+    topk = brute_force_topk(corpus=emb, queries=queries, k=5)
     votes = (
         topk.join(
             labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"

@@ -104,13 +104,19 @@ def p5_negated_filter(spark: SparkSession, sf: str) -> DataFrame:
                CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 100) AS BIGINT) AS batch
         FROM orders
     """,
-    note="row-range batching (ref scenes.py:69); row_number + floor-div",
+    note="row-range batching (ref scenes.py:69); distributed row_number "
+    "(plans/prefix.py bucket decomposition — no single-partition window) "
+    "+ floor-div",
 )
 def p6_batch_assign(spark: SparkSession, sf: str) -> DataFrame:
-    w = Window.orderBy("o_orderkey")
-    return T(spark, sf, "orders").select(
+    from flytemosaic_spark.plans.prefix import distributed_row_number
+
+    rn = distributed_row_number(
+        T(spark, sf, "orders").select("o_orderkey"), ("o_orderkey",), out_col="_rn"
+    )
+    return rn.select(
         "o_orderkey",
-        F.floor((F.row_number().over(w) - 1) / 100).cast("bigint").alias("batch"),
+        F.floor((F.col("_rn") - 1) / 100).cast("bigint").alias("batch"),
     )
 
 
@@ -504,16 +510,31 @@ def w1_sort(spark: SparkSession, sf: str) -> DataFrame:
     "w2_cumsum",
     sql="""
         SELECT o_orderkey,
-               round(sum(o_totalprice) OVER (ORDER BY o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                   ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+                   AS running
         FROM orders
     """,
-    note="cumulative sum → chunk boundaries (ref mosaics.py:287-289)",
+    note="cumulative sum → chunk boundaries (ref mosaics.py:287-289). "
+    "Spark side is the plans/prefix.py two-pass bucket decomposition "
+    "(no single-partition window); prices are summed as exact integer "
+    "cents so the result is association-free and bit-identical to the "
+    "oracle's global window at any partitioning.",
 )
 def w2_cumsum(spark: SparkSession, sf: str) -> DataFrame:
-    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
-    return T(spark, sf, "orders").select(
-        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running")
+    from flytemosaic_spark.plans.prefix import distributed_cumsum
+
+    cents = (
+        T(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_cents"),
+        )
+    )
+    run = distributed_cumsum(cents, "o_orderkey", "_cents", out_col="_run")
+    return run.select(
+        "o_orderkey", (F.col("_run") / F.lit(100.0)).alias("running")
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flytemosaic_spark.operators.text import portable_round, token_count
+from flytemosaic_spark.plans.prefix import bounded_window
 from flytemosaic_spark.probes.registry import T, probe
 
 # ---------------------------------------------------------------------------
@@ -24,7 +25,12 @@ from flytemosaic_spark.probes.registry import T, probe
 # pairwise cosine only WITHIN clusters
 # ---------------------------------------------------------------------------
 
-_SEM_ANCHORS = 8
+# anchors scale with the corpus: k = max(8, N div 64) keeps average
+# cluster blocks ~64 members, so the intra-cluster pair join stays
+# LINEAR in N (the 10x sweep measured fixed-k at 18.7x for 10x data
+# and k∝N at ~1.5x). Both engines derive k from the same count.
+_SEM_ANCHOR_FLOOR = 8
+_SEM_BLOCK = 64
 _SEM_THRESHOLD = 0.30
 _PAIR_BUCKETS = 8
 
@@ -36,7 +42,11 @@ _PAIR_BUCKETS = 8
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings
         ),
-        a AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < {_SEM_ANCHORS}),
+        k AS (SELECT greatest({_SEM_ANCHOR_FLOOR},
+                              count(*) // {_SEM_BLOCK}) AS n_anchors
+              FROM e),
+        a AS (SELECT vec_id AS aid, v AS av FROM e
+              WHERE vec_id < (SELECT n_anchors FROM k)),
         scored AS (
             SELECT e.vec_id, a.aid,
                    round(list_cosine_similarity(e.v, a.av), 4) AS sim
@@ -73,19 +83,29 @@ _PAIR_BUCKETS = 8
     "clusters — the quadratic pair join is bounded by the largest "
     "cluster block instead of the corpus; keep-lowest-id drop rule "
     "(a member is dropped if any lower-id cluster-mate is >= 0.30 "
-    "cosine). At 100 TB the anchor count grows with the corpus so "
-    "blocks stay bounded; sims rounded at 1e-4 before the threshold "
-    "so both engines gate identically",
+    "cosine). k = max(8, N div 64) is derived relationally from the "
+    "corpus count on BOTH engines, so blocks stay ~64 members and "
+    "total pair work is linear in N; sims rounded at 1e-4 before the "
+    "threshold so both engines gate identically",
 )
 def x129_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.similarity import semdedup_report
 
     emb = T(spark, sf, "embeddings").select("vec_id", "embedding")
-    # fixed anchor set so the oracle can replay the clustering; a real
-    # deployment scales the anchor count with the corpus (see
-    # similarity.semdedup_report — the 10x sweep measured fixed-k at
-    # 18.7x cost for 10x data and k∝N at 1.5x)
-    anchors = emb.where(F.col("vec_id") < _SEM_ANCHORS)
+    # anchor count ∝ corpus: a 1-row count aggregate (broadcast) gates
+    # the anchor filter, so no driver-side action is needed and the
+    # oracle replays the same k from the same count
+    k_df = emb.agg(
+        F.greatest(
+            F.lit(_SEM_ANCHOR_FLOOR).cast("bigint"),
+            (F.count("*") / _SEM_BLOCK).cast("bigint"),
+        ).alias("_n_anchors")
+    )
+    anchors = (
+        emb.crossJoin(F.broadcast(k_df))
+        .where(F.col("vec_id") < F.col("_n_anchors"))
+        .drop("_n_anchors")
+    )
     return semdedup_report(
         emb, anchors, threshold=_SEM_THRESHOLD, pair_buckets=_PAIR_BUCKETS
     )
@@ -359,9 +379,14 @@ def x134_int8_quantization(spark: SparkSession, sf: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val")
     ).select((F.col("dim0") + 1).alias("dim"), "val")
     mm = ex.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
-    step = (F.col("mx") - F.col("mn")) / F.lit(255.0)
     code = F.floor((F.col("val") - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn")) + F.lit(0.5))
-    err = F.abs(F.col("val") - (F.col("mn") + code * step))
+    # same IEEE association as the oracle: code * (mx-mn), THEN / 255
+    # (a precomputed step = (mx-mn)/255 is a different expression that
+    # can differ in the last ulp and flip the 1e-9 quantization)
+    err = F.abs(
+        F.col("val")
+        - (F.col("mn") + code * (F.col("mx") - F.col("mn")) / F.lit(255.0))
+    )
     iq = ex.join(F.broadcast(mm), "dim").select(
         "dim", F.floor(err * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("erru")
     )
@@ -1344,7 +1369,7 @@ def x148_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
     # global exact rank by (value, event_id): per-bucket offsets
     # (metadata scale) + within-bucket row_number — no global sort
     gcounts = b.groupBy("bkt").agg(F.count("*").alias("cnt"))
-    w_goff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_goff = bounded_window("bkt").rowsBetween(Window.unboundedPreceding, -1)
     goff = gcounts.select(
         "bkt", F.coalesce(F.sum("cnt").over(w_goff), F.lit(0)).alias("goff")
     )
@@ -1485,12 +1510,6 @@ def x149_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
                    least(sqrt(0.001 / (CAST(n AS DOUBLE) / total)), 1.0)
                        AS p_keep
             FROM f CROSS JOIN t
-        ),
-        occ AS (
-            SELECT w, p_keep,
-                   row_number() OVER (PARTITION BY w ORDER BY w) - 1 + 0
-                       AS dummy
-            FROM keep
         )
         SELECT w,
                n AS n_before,

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flytemosaic_spark.operators.text import portable_round
+from flytemosaic_spark.plans.prefix import bounded_window
 from flytemosaic_spark.probes.registry import T, probe
 
 # CUSUM drift allowance and decision threshold, in cents. The
@@ -915,7 +916,7 @@ def x121_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
     )
     b = d.withColumn("bucket", F.expr("difficulty div 50"))
     counts = b.groupBy("bucket").agg(F.count("*").alias("cnt"))
-    w_off = Window.orderBy("bucket").rowsBetween(
+    w_off = bounded_window("bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.select(

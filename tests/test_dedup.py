@@ -67,22 +67,74 @@ def test_simhash_locality(spark):
     assert ham(h[1], h[4]) > ham(h[1], h[3])  # unrelated -> farther
 
 
-def test_embedding_neardup_matches_numpy(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").limit(100)
-    rows = emb.collect()
-    vecs = {r.vec_id: np.array(r.embedding, "f8") for r in rows}
-    got = {
-        (r.id_a, r.id_b): r.cosine
-        for r in embedding_neardup_pairs(emb, threshold=0.9).collect()
-    }
+def _numpy_pairs(vecs, threshold):
     want = {}
     ids = sorted(vecs)
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
             va, vb = vecs[a], vecs[b]
             c = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 4)
-            if c >= 0.9:
+            if c >= threshold:
                 want[(a, b)] = c
+    return want
+
+
+def test_embedding_neardup_matches_numpy(spark, sf_dir):
+    # threshold 0.3 so real testdata pairs exist (max pair sim ~0.5 —
+    # a 0.9 threshold would make this test vacuous)
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    vecs = {r.vec_id: np.array(r.embedding, "f8") for r in emb.collect()}
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    want = _numpy_pairs(vecs, 0.3)
+    assert len(want) > 0  # non-vacuous
     assert set(got) == set(want)
     for k in got:
         assert got[k] == pytest.approx(want[k], abs=1e-4)
+
+
+def test_embedding_neardup_block_counts_invariant(spark, sf_dir):
+    # the block-pair decomposition emits each qualifying pair exactly
+    # once regardless of block count (1 block == brute force)
+    emb = load_table(spark, sf_dir, "embeddings").limit(80)
+    ref = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_neardup_pairs(emb, threshold=0.3, n_blocks=1).collect()
+    )
+    for nb in (3, 8):
+        got = sorted(
+            (r.id_a, r.id_b, r.cosine)
+            for r in embedding_neardup_pairs(emb, threshold=0.3, n_blocks=nb).collect()
+        )
+        assert got == ref
+
+
+def test_embedding_neardup_lsh_finds_planted_dups(spark, sf_dir):
+    # plant perturbed copies (cosine >= ~0.99) so the high-threshold
+    # path is non-vacuous, then check LSH candidates -> exact refine
+    # returns the identical pair set to exact brute force at 0.9
+    from flytemosaic_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    rows = load_table(spark, sf_dir, "embeddings").limit(60).collect()
+    rng = np.random.default_rng(7)
+    data = [(r.vec_id, [float(x) for x in r.embedding]) for r in rows]
+    for r in rows[:10]:  # 10 planted near-dups
+        v = np.array(r.embedding, "f8")
+        v = v + rng.normal(0, 0.02 * np.linalg.norm(v) / np.sqrt(len(v)), len(v))
+        data.append((r.vec_id + 100000, [float(x) for x in v]))
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    vecs = {i: np.array(v, "f8") for i, v in data}
+    want = _numpy_pairs(vecs, 0.9)
+    assert len(want) >= 10
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs_lsh(emb, threshold=0.9).collect()
+    }
+    assert set(exact) == set(want)
+    assert lsh == exact  # recall 1.0 at this config on planted dups

@@ -45,6 +45,21 @@ def test_lpa_tie_breaks_to_smallest_label(spark):
     assert out[100] == 1
 
 
+def test_lpa_directed_keeps_all_nodes(spark):
+    # directed chain 7 -> 3 -> 14: node 7 has no in-edges, so it must
+    # appear in the output with its INITIAL label (7 % 10), not vanish;
+    # after 2 rounds 3 adopts 7's label and 14 adopts 3's round-1 label
+    edges = spark.createDataFrame([(7, 3), (3, 14)], ["src", "dst"])
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iterations=2, init_mod=10).collect()
+    }
+    assert set(out) == {7, 3, 14}  # full src ∪ dst node set, every round
+    assert out[7] == 7  # no labeled in-neighbor -> keeps its own label
+    assert out[3] == 7  # adopted from its only in-neighbor
+    assert out[14] == 7  # round 2: 3 already carries label 7
+
+
 def test_lpa_deterministic_across_runs(spark):
     edges = spark.range(0, 200).select(
         (F.col("id") % 50).alias("src"), ((F.col("id") * 7) % 50).alias("dst")

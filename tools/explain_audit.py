@@ -4,6 +4,11 @@ Checks, per probe at the given sf dir:
 - CartesianProduct / BroadcastNestedLoopJoin where the probe didn't
   declare it intentional (cross-join probes excepted)
 - BatchEvalPython (row-at-a-time Python UDF) anywhere — always wrong
+- Window with an EMPTY partition spec (single-partition global sort —
+  the W2/p6/x68 scale cliff). Bounded-input windows must go through
+  plans/prefix.py:bounded_window, whose hash(key)%1 partition key
+  makes the intent explicit in the plan; anything else is flagged
+  UNPART_WINDOW.
 - parquet scans with no PushedFilters when the probe filters (info)
 - whether WholeStageCodegen covers the aggregation/join spine (info)
 - scans that read all columns (ReadSchema width vs table width)
@@ -77,7 +82,21 @@ CROSS_OK = {
     # 1-row token total / constant 9-row threshold grid (x45/x80 shape)
     "x150_word_subsample",
     "x151_threshold_sweep",
+    # lag-grid (constant 24-row) / random-projection plane set
+    # (constant n_planes rows) / query-sample broadcast (deterministic
+    # md5 sample, constant-bounded) — linear in corpus, constant
+    # broadcast side
+    "x111_acf",
+    "x115_random_projection",
+    "x124_knn_accuracy",
+    # 1-row global-count crossJoin feeding the ntile closed form
+    "x68_value_deciles",
 }
+
+# probes where a Window with an empty partition spec is acceptable —
+# NONE: bounded-input windows must use plans/prefix.py:bounded_window
+# (hash(key)%1 partition) so the single partition is declared in-plan.
+UNPART_WINDOW_OK: set[str] = set()
 # probes that legitimately use vectorized pandas UDFs (mapInPandas etc.)
 PANDAS_OK_PREFIX = ("x2b", "x2c", "x3b", "x3c", "x3d", "x3e", "x13", "s5")
 
@@ -95,6 +114,13 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("NESTED_LOOP")
     if "BatchEvalPython" in plan:
         flags.append("ROW_PYTHON_UDF")
+    # windowspecdefinition(partCols..., orderCols ASC|DESC ..., frame):
+    # if the FIRST component already carries a sort direction, the
+    # partition spec is empty → global single-partition window
+    for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
+        if re.search(r" (ASC|DESC)\b", m.group(1)) and name not in UNPART_WINDOW_OK:
+            flags.append("UNPART_WINDOW")
+            break
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         ncols = len([c for c in m.group(1).split(",") if c])
         # full-width reads of wide tables are suspicious (no pruning)
