@@ -62,6 +62,9 @@ HEADLINE = [
     "x132_label_propagation",
     "x136_logreg_train",
     "x139_tfidf_docsim",
+    "f22_crs_reproject",
+    "x153_span_dedup",
+    "x154_doc_lm_score",
 ]
 
 

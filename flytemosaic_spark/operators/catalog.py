@@ -33,7 +33,10 @@ URL_TEMPLATE = "s3://scenes/%s/%s/%d.tif"  # feature / tile / period
 
 
 def tiles_for_bbox(
-    tile_index: DataFrame, bbox: tuple[float, float, float, float]
+    tile_index: DataFrame,
+    bbox: tuple[float, float, float, float],
+    bbox_crs: str | None = None,
+    index_crs: str = "EPSG:4326",
 ) -> DataFrame:
     """J1 — spatial prune: tiles overlapping the query bbox.
 
@@ -43,7 +46,17 @@ def tiles_for_bbox(
     (reference: glad.py:236-239). The bbox predicate is sargable, so a
     tile index partitioned/sorted on (minx, miny) gets parquet min/max
     row-group skipping for free.
+
+    A query bbox in a different CRS (``bbox_crs``, e.g. EPSG:3857 — the
+    reference's ``to_crs`` path, mosaics.py:73) is reprojected
+    PLAN-TIME into the index CRS, so the predicate stays a literal
+    comparison against the index columns and pushdown survives —
+    reprojecting the index instead would defeat min/max skipping.
     """
+    if bbox_crs is not None and bbox_crs != index_crs:
+        from flytemosaic_spark.functions.crs import reproject_bbox
+
+        bbox = reproject_bbox(bbox, bbox_crs, index_crs)
     minx, miny, maxx, maxy = bbox
     return tile_index.where(
         (F.col("minx") < maxx)
@@ -62,6 +75,8 @@ def required_scenes(
     window_days: int = 365,
     latest: str = "2026-01-01",
     query_wkb: bytes | None = None,
+    query_crs: str = "EPSG:4326",
+    index_crs: str = "EPSG:4326",
 ) -> DataFrame:
     """The §3.2 planning query: full required-scene catalog for a
     (bbox, times, feature) request.
@@ -75,18 +90,29 @@ def required_scenes(
     ``latest`` is a *pinned* plan-time bound — the reference's
     ``now() − 14d`` (glad.py:213-215) made plans non-reproducible;
     determinism pin per FIXTURES.md B6.
+
+    ``query_crs`` mirrors the reference's caller-chosen CRS
+    (build.py:183 / mosaics.py:73 ``to_crs``): a bbox and query
+    geometry given in EPSG:3857 are reprojected plan-time into the
+    tile index's CRS (functions/crs.py column-free math), so the prune
+    and the exact refine run unchanged and pushdown survives.
     """
     times_df = (
         spark.createDataFrame([(t,) for t in times], "t timestamp")
         .select(snap_to_year(F.col("t")).alias("time"))
         .distinct()
     )
-    tiles = tiles_for_bbox(tile_index, bbox).select("tile_id", "minx", "miny", "maxx", "maxy")
+    tiles = tiles_for_bbox(tile_index, bbox, query_crs, index_crs).select(
+        "tile_id", "minx", "miny", "maxx", "maxy"
+    )
     if query_wkb is not None:
         # phase 2 of J1: exact intersects refine over bbox survivors
         # (reference glad.py:236-239 does both phases in GeoPandas)
+        from flytemosaic_spark.functions.crs import reproject_wkb
         from flytemosaic_spark.functions.geometry import refine_intersects
 
+        if query_crs != index_crs:
+            query_wkb = reproject_wkb(query_wkb, query_crs, index_crs)
         tiles = refine_intersects(tiles, query_wkb)
 
     lo = date_to_period(

@@ -91,6 +91,7 @@ def build_mosaic(
     reducer: str = "mean",
     window_days: int = 365,
     skip_existing: bool = False,
+    resample_factor: int = 1,
 ) -> dict:
     """Run the full §3.1 lifecycle into ``store_path``. Returns the
     store layout (shape/chunks/tile origins/time order) for readers.
@@ -98,7 +99,21 @@ def build_mosaic(
     The store is (time, band, y, x): value bands only (QA consumed by
     the composite), chunks = one tile slab — tile-aligned writes are
     chunk-aligned by construction, so region writes never contend.
+
+    ``resample_factor`` is the reference's caller-chosen target
+    resolution (build.py:184 ``resolution``, GTI ``RESAMPLING=average``
+    metadata, mosaics.py:85-111): the composite is assembled at native
+    tile_px and block-averaged (nan-aware, matching GDAL average over
+    nodata) down by the factor INSIDE the fused kernel — the store
+    holds tile_px/factor chunks, so the downsample costs zero extra
+    shuffle and the written bytes shrink by factor² before they ever
+    leave the task.
     """
+    if tile_px % resample_factor:
+        raise ValueError(
+            f"tile_px={tile_px} not divisible by resample_factor={resample_factor}"
+        )
+    out_px = tile_px // resample_factor
     scene_periods = target_scene_periods(
         spark, tile_index, bbox, times, window_days=window_days
     )
@@ -115,7 +130,7 @@ def build_mosaic(
     xs = sorted({t[1] for t in tiles})
     ys = sorted({t[2] for t in tiles})
     origin = {
-        tid: (ys.index(miny) * tile_px, xs.index(minx) * tile_px)
+        tid: (ys.index(miny) * out_px, xs.index(minx) * out_px)
         for tid, minx, miny in tiles
     }
     t_order = [
@@ -124,8 +139,8 @@ def build_mosaic(
     ]
     t_index = {t: i for i, t in enumerate(t_order)}
 
-    shape = (len(t_order), n_bands - 1, len(ys) * tile_px, len(xs) * tile_px)
-    chunks = (1, n_bands - 1, tile_px, tile_px)
+    shape = (len(t_order), n_bands - 1, len(ys) * out_px, len(xs) * out_px)
+    chunks = (1, n_bands - 1, out_px, out_px)
     write_template(
         store_path,
         shape,
@@ -134,6 +149,7 @@ def build_mosaic(
             "dims": ["time", "band", "y", "x"],
             "times": [str(t) for t in t_order],
             "bands": [f"b{i+1}" for i in range(n_bands - 1)],
+            "resample_factor": resample_factor,
         },
     )
 
@@ -146,7 +162,7 @@ def build_mosaic(
         ]
         if existing:
             done = spark.createDataFrame(
-                [(int(t), int(y) * tile_px, int(x) * tile_px) for t, _, y, x in existing],
+                [(int(t), int(y) * out_px, int(x) * out_px) for t, _, y, x in existing],
                 "t int, oy int, ox int",
             )
             done_targets = (
@@ -218,11 +234,19 @@ def build_mosaic(
             vals = np.where(qa == QA_CLEAR, stack[:, : n_bands - 1], np.nan)
             with np.errstate(invalid="ignore"):
                 comp = np.nanmedian(vals, axis=0).astype("f4")
+        if resample_factor > 1:
+            # A9 block-average downsample, fused: nan-aware mean over
+            # factor x factor blocks (GDAL 'average' semantics — nodata
+            # excluded, all-nodata block stays nodata)
+            fctr = resample_factor
+            blocks = comp.reshape(n_bands - 1, out_px, fctr, out_px, fctr)
+            with np.errstate(invalid="ignore"):
+                comp = np.nanmean(blocks, axis=(2, 4)).astype("f4")
         # S10 region write, task-local: (t, 0, y0, x0) is chunk-aligned
         # by construction (chunk == one tile slab)
         y0, x0 = origin[tile]
         ti = t_index[pd.Timestamp(time).to_pydatetime()]
-        cidx = (ti, 0, y0 // tile_px, x0 // tile_px)
+        cidx = (ti, 0, y0 // out_px, x0 // out_px)
         payload = comp.tobytes(order="C")
         if level is not None:
             payload = zlib.compress(payload, level)

@@ -332,7 +332,14 @@ def x10_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     """,
-    note="embedding-cosine near-dup pairs (X2 family / X3 building block)",
+    note="embedding-cosine near-dup pairs (X2 family / X3 building "
+    "block): EXACT via block-pair decomposition — ids hash into B "
+    "blocks, the B(B+1)/2 block-pair grid is the only broadcast "
+    "(metadata scale), each cell equi-joins its two blocks, so the "
+    "N²/2 sims distribute with bounded task memory and no full-corpus "
+    "broadcast; at t=0.4 LSH cannot prune (sign-agreement 0.63 vs 0.5 "
+    "random), for high thresholds operators/dedup.py:"
+    "embedding_neardup_pairs_lsh is the sub-quadratic path",
 )
 def x11_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(T(spark, sf, "embeddings"), threshold=0.4)

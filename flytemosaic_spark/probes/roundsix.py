@@ -1,0 +1,654 @@
+"""Round-6 probes: CRS reprojection and mosaic resampling parity.
+
+Closes the two reference-parity gaps called out by the round-2 review:
+the caller-chosen CRS (`/root/reference/flytemosaic/mosaics.py:73`
+``to_crs`` / `/root/reference/flyte/build.py:183` ``crs`` param) and
+the target-resolution assembly (build.py:184 ``resolution``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flytemosaic_spark.operators.text import portable_round
+from flytemosaic_spark.probes.registry import T, probe
+
+# ---------------------------------------------------------------------------
+# f22 — EPSG:4326 -> EPSG:3857 bbox reprojection as column math
+# ---------------------------------------------------------------------------
+
+_R = 6378137.0
+
+
+@probe(
+    "f22_crs_reproject",
+    sql=f"""
+        WITH deg AS (
+            SELECT s_suppkey AS tile_id,
+                   CAST((s_suppkey * 37) % 340 - 170 AS DOUBLE) AS minx,
+                   CAST((s_suppkey * 53) % 160 - 80 AS DOUBLE) AS miny,
+                   CAST((s_suppkey * 37) % 340 - 170 + 1 + s_suppkey % 5
+                        AS DOUBLE) AS maxx,
+                   CAST((s_suppkey * 53) % 160 - 80 + 1 + s_suppkey % 3
+                        AS DOUBLE) AS maxy
+            FROM supplier
+        ),
+        m AS (
+            SELECT tile_id,
+                   minx * ({_R} * pi() / 180) AS mx0,
+                   {_R} * ln(tan(pi() / 4 + miny * (pi() / 360))) AS my0,
+                   maxx * ({_R} * pi() / 180) AS mx1,
+                   {_R} * ln(tan(pi() / 4 + maxy * (pi() / 360))) AS my1
+            FROM deg
+        )
+        SELECT tile_id,
+               floor(mx0 * 1000 + 0.5) / 1000 AS merc_minx,
+               floor(my0 * 1000 + 0.5) / 1000 AS merc_miny,
+               floor(mx1 * 1000 + 0.5) / 1000 AS merc_maxx,
+               floor(my1 * 1000 + 0.5) / 1000 AS merc_maxy
+        FROM m
+        WHERE mx1 >= -5000000.0 AND mx0 <= 8000000.0
+          AND my1 >= -4000000.0 AND my0 <= 6000000.0
+    """,
+    note="CRS reprojection as pure column math (functions/crs.py — the "
+    "reference's to_crs, mosaics.py:73 / build.py:183): synthetic "
+    "integer-degree tile boxes from supplier keys map EPSG:4326 -> "
+    "EPSG:3857 with the closed-form spherical Web-Mercator transform "
+    "(per-axis monotonic, so corner transform IS the bbox transform), "
+    "then a mercator-space query window prunes — all JVM-side codegen "
+    "expressions, no UDF, and the identical IEEE association replays "
+    "in the oracle; mm quantization absorbs cross-libm tan/ln ulps "
+    "(query-window edges sit ~9.5 km from any tile edge, so the "
+    "filter can never flip on an ulp)",
+)
+def f22_crs_reproject(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.functions.crs import reproject_bbox_cols
+
+    k = F.col("s_suppkey")
+    deg = T(spark, sf, "supplier").select(
+        k.alias("tile_id"),
+        ((k * 37) % 340 - 170).cast("double").alias("minx"),
+        ((k * 53) % 160 - 80).cast("double").alias("miny"),
+        ((k * 37) % 340 - 170 + 1 + k % 5).cast("double").alias("maxx"),
+        ((k * 53) % 160 - 80 + 1 + k % 3).cast("double").alias("maxy"),
+    )
+    m = reproject_bbox_cols(deg, "EPSG:4326", "EPSG:3857")
+    return (
+        m.where(
+            (F.col("maxx") >= -5000000.0)
+            & (F.col("minx") <= 8000000.0)
+            & (F.col("maxy") >= -4000000.0)
+            & (F.col("miny") <= 6000000.0)
+        )
+        .select(
+            "tile_id",
+            portable_round(F.col("minx"), 3).alias("merc_minx"),
+            portable_round(F.col("miny"), 3).alias("merc_miny"),
+            portable_round(F.col("maxx"), 3).alias("merc_maxx"),
+            portable_round(F.col("maxy"), 3).alias("merc_maxy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# f23 — XYZ (slippy-map) tile assignment at a zoom level
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "f23_xyz_tiles",
+    sql="""
+        WITH pts AS (
+            SELECT s_suppkey,
+                   CAST((s_suppkey * 37) % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+                   CAST((s_suppkey * 53) % 170 - 85 AS DOUBLE) + 0.5 AS lat
+            FROM supplier
+        )
+        SELECT CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS tile_x,
+               CAST(floor((1.0 - ln(tan(lat * (pi() / 180.0))
+                                    + sqrt(tan(lat * (pi() / 180.0))
+                                           * tan(lat * (pi() / 180.0)) + 1.0))
+                                / pi())
+                          / 2.0 * 64.0) AS BIGINT) AS tile_y,
+               count(*) AS n_points,
+               min(s_suppkey) AS min_key
+        FROM pts
+        GROUP BY 1, 2
+    """,
+    note="slippy-map / XYZ tile addressing at zoom 6 (the Web-Mercator "
+    "tiling grid every web tile sink shards by — the partition key a "
+    "GTI-style mosaic store would use at planet scale): "
+    "functions/crs.py:lonlat_to_xyz, pure column math (floor of one "
+    "exact-IEEE x expression and one tan/ln/sqrt y expression — asinh "
+    "spelled out as ln(t+sqrt(t²+1)) since DuckDB has no asinh — "
+    "identical association in the oracle; half-degree synthetic points "
+    "sit far from every irrational y-tile boundary). Aggregation by "
+    "tile is the partition-sizing readout",
+)
+def f23_xyz_tiles(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.functions.crs import lonlat_to_xyz
+
+    k = F.col("s_suppkey")
+    pts = T(spark, sf, "supplier").select(
+        k.alias("s_suppkey"),
+        (((k * 37) % 360 - 180).cast("double") + 0.5).alias("lon"),
+        (((k * 53) % 170 - 85).cast("double") + 0.5).alias("lat"),
+    )
+    tx, ty = lonlat_to_xyz(F.col("lon"), F.col("lat"), zoom=6)
+    return (
+        pts.select("s_suppkey", tx.alias("tile_x"), ty.alias("tile_y"))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"), F.min("s_suppkey").alias("min_key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x15b — mosaic pipeline at a caller-chosen target resolution
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x15b_mosaic_resampled",
+    sql=None,
+    note="the flagship mosaic workflow at a caller-chosen target "
+    "resolution (reference build.py:184 resolution / GTI "
+    "RESAMPLING=average): resample_factor=2 block-averages inside the "
+    "fused composite kernel — zero extra shuffle, written bytes shrink "
+    "4x before leaving the task. Golden-tested vs numpy at factors 2 "
+    "and 4 in tests/test_pipeline.py; the driver smoke-checks the "
+    "halved layout here.",
+)
+def x15b_mosaic_resampled(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+    import tempfile
+
+    from flytemosaic_spark.fixtures import tile_grid
+    from flytemosaic_spark.pipeline import build_mosaic
+
+    tiles = tile_grid(spark, n=4)
+    with tempfile.TemporaryDirectory() as d:
+        layout = build_mosaic(
+            spark,
+            tiles,
+            (0.0, 0.0, 3.0, 2.0),
+            [dt.datetime(2020, 6, 1), dt.datetime(2021, 2, 1)],
+            d + "/mosaic",
+            n_bands=4,
+            tile_px=16,
+            resample_factor=2,
+        )
+    rows = [
+        (
+            tid,
+            int(y0),
+            int(x0),
+            int(layout["shape"][2]),
+            int(layout["shape"][3]),
+            layout["n_chunks_written"],
+        )
+        for tid, (y0, x0) in sorted(layout["origins"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "tile_id string, y0 int, x0 int, out_h int, out_w int, total_chunks int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x152 — canonical-URL dedup (web-corpus URL normalization)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x152_url_canonical_dedup",
+    sql=r"""
+        WITH raw AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                   || '://'
+                   || (CASE WHEN doc_id % 4 < 2 THEN 'WWW.' ELSE '' END)
+                   || 'Site' || CAST(doc_id % 25 AS VARCHAR) || '.Com'
+                   || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+                   || '/p/' || CAST(doc_id % 100 AS VARCHAR)
+                   || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                   || (CASE WHEN doc_id % 2 = 0
+                            THEN '?utm_source=news&id=7' ELSE '?id=7' END)
+                   || (CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END)
+                       AS url
+            FROM documents
+        ),
+        stripped AS (
+            SELECT doc_id, url,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(url, '#.*$', ''),
+                           'utm_[a-z]+=[^&#]*&?', ''),
+                       '[?&]$', '') AS u
+            FROM raw
+        ),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(split_part(u, '://', 1)) AS scheme,
+                   split_part(split_part(u, '://', 2), '/', 1) AS hostport,
+                   substr(split_part(u, '://', 2),
+                          length(split_part(split_part(u, '://', 2), '/', 1))
+                          + 1) AS pathq
+            FROM stripped
+        ),
+        canon AS (
+            SELECT doc_id, url,
+                   scheme || '://'
+                   || regexp_replace(
+                          regexp_replace(lower(hostport), ':80$', ''),
+                          '^www\.', '')
+                   || regexp_replace(pathq, '/\?', '?') AS canonical_url
+            FROM parts
+        )
+        SELECT canonical_url,
+               count(*) AS n_variants,
+               count(DISTINCT url) AS n_raw_forms,
+               min(doc_id) AS keeper_doc
+        FROM canon
+        GROUP BY canonical_url
+    """,
+    note="canonical-URL dedup — the first pass of every web-corpus "
+    "pipeline: scheme/host case folding, www. and default-:80 "
+    "stripping, utm_* tracking-param removal, trailing-slash and "
+    "fragment normalization, all single-pass regexp/string column "
+    "expressions (each pattern matches at most once, so Spark's "
+    "replace-all and DuckDB's replace-first agree); exact dedup on "
+    "the canonical form with keep-lowest-id. Synthetic URL variants "
+    "derive deterministically from doc_id so both engines build the "
+    "identical corpus",
+)
+def x152_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 4 < 2, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 25).cast("string"), F.lit(".Com"),
+        F.when(d % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 100).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?utm_source=news&id=7")).otherwise(
+            F.lit("?id=7")
+        ),
+        F.when(d % 4 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    raw = T(spark, sf, "documents").select("doc_id", url.alias("url"))
+    u = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("url"), "#.*$", ""),
+            "utm_[a-z]+=[^&#]*&?",
+            "",
+        ),
+        "[?&]$",
+        "",
+    )
+    stripped = raw.select("doc_id", "url", u.alias("u"))
+    rest = F.element_at(F.split(F.col("u"), "://"), 2)
+    hostport = F.element_at(F.split(rest, "/"), 1)
+    parts = stripped.select(
+        "doc_id",
+        "url",
+        F.lower(F.element_at(F.split(F.col("u"), "://"), 1)).alias("scheme"),
+        hostport.alias("hostport"),
+        F.expr(
+            "substr(element_at(split(u, '://'), 2),"
+            " length(element_at(split(element_at(split(u, '://'), 2), '/'), 1))"
+            " + 1)"
+        ).alias("pathq"),
+    )
+    canonical = F.concat(
+        F.col("scheme"),
+        F.lit("://"),
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("hostport")), ":80$", ""),
+            r"^www\.",
+            "",
+        ),
+        F.regexp_replace(F.col("pathq"), r"/\?", "?"),
+    )
+    return (
+        parts.select("doc_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.countDistinct("url").alias("n_raw_forms"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x153 — span-level (paragraph) dedup with global first-occurrence wins
+# ---------------------------------------------------------------------------
+
+_SPAN = 10  # tokens per span
+
+
+@probe(
+    "x153_span_dedup",
+    sql=rf"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        docs AS (
+            SELECT doc_id, w, len(w) // {_SPAN} AS nseg
+            FROM toks WHERE len(w) >= {_SPAN}
+        ),
+        lists AS (
+            SELECT doc_id,
+                   list_transform(range(1, nseg + 1),
+                       s -> {{'pos': s,
+                              'span': array_to_string(
+                                  list_slice(w, (s - 1) * {_SPAN} + 1,
+                                             s * {_SPAN}), ' ')}}) AS us
+            FROM docs
+        ),
+        spans AS (
+            SELECT doc_id, u.pos, md5(u.span) AS h
+            FROM lists, unnest(us) AS t(u)
+        ),
+        keyed AS (
+            SELECT doc_id, pos, h,
+                   doc_id * 1000000 + pos AS k
+            FROM spans
+        ),
+        first AS (SELECT h, min(k) AS k0 FROM keyed GROUP BY h)
+        SELECT keyed.doc_id,
+               count(*) AS n_spans,
+               sum(CASE WHEN k = k0 THEN 1 ELSE 0 END) AS n_kept,
+               floor(sum(CASE WHEN k = k0 THEN 1 ELSE 0 END)
+                     / count(*) * 1000000 + 0.5) / 1000000 AS kept_frac
+        FROM keyed JOIN first USING (h)
+        GROUP BY keyed.doc_id
+    """,
+    note="span-level dedup (the paragraph/passage dedup of Dolma/CCNet "
+    "pipelines, on fixed 10-token spans since the synthetic corpus has "
+    "no paragraph breaks): spans hash via md5, the globally FIRST "
+    "occurrence (lowest (doc_id, position), encoded as one bigint key "
+    "so min() is the lexicographic arg-min on both engines) survives, "
+    "every later copy drops. Plan shape: map-side span explode -> one "
+    "hash aggregation on the span hash -> equi-join back -> per-doc "
+    "rollup; cost is linear in corpus tokens and the join meets only "
+    "real hash collisions — the same inverted-index shape as x38 "
+    "substring dedup with first-wins attribution added",
+)
+def x153_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    toks = (
+        T(spark, sf, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+        .where(F.size("w") >= _SPAN)
+        .withColumn("nseg", (F.size("w") / _SPAN).cast("int"))
+    )
+    span_structs = F.transform(
+        F.sequence(F.lit(1), F.col("nseg")),
+        lambda s: F.struct(
+            s.alias("pos"),
+            F.concat_ws(
+                " ", F.slice(F.col("w"), (s - 1) * _SPAN + 1, _SPAN)
+            ).alias("span"),
+        ),
+    )
+    keyed = (
+        toks.select("doc_id", F.explode(span_structs).alias("u"))
+        .select(
+            "doc_id",
+            F.col("u.pos").alias("pos"),
+            F.md5(F.col("u.span")).alias("h"),
+            (F.col("doc_id") * 1000000 + F.col("u.pos")).alias("k"),
+        )
+    )
+    first = keyed.groupBy("h").agg(F.min("k").alias("k0"))
+    kept = F.sum((F.col("k") == F.col("k0")).cast("bigint"))
+    return (
+        keyed.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            kept.alias("n_kept"),
+            portable_round(kept / F.count("*"), 6).alias("kept_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x154 — unigram LM document scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x154_doc_lm_score",
+    sql=r"""
+        WITH occ AS (
+            SELECT doc_id, u.w AS w
+            FROM (SELECT doc_id,
+                         list_transform(string_split_regex(trim(text), '\s+'),
+                                        x -> {'w': x}) AS us
+                  FROM documents WHERE trim(text) <> ''),
+                 unnest(us) AS t(u)
+        ),
+        freq AS (SELECT w, count(*) AS n FROM occ GROUP BY w),
+        tot AS (SELECT sum(n) AS total FROM freq),
+        lp AS (
+            SELECT w,
+                   CAST(floor(ln(CAST(n AS DOUBLE) / total) * 1000000 + 0.5)
+                        AS BIGINT) AS lp_u
+            FROM freq CROSS JOIN tot
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               floor(CAST(sum(lp_u) AS DOUBLE) / count(*) / 1000.0 + 0.5)
+                   / 1000.0 AS avg_logprob
+        FROM occ JOIN lp USING (w)
+        GROUP BY doc_id
+    """,
+    note="unigram-LM document scoring — the perplexity-style quality "
+    "filter (CCNet/Gopher gate a doc on its LM score before training): "
+    "corpus unigram probabilities p(w) = n_w/N, per-token ln p "
+    "quantized to integer micro-nats BEFORE summation so the per-doc "
+    "mean is association-free and replays exactly; one token explode, "
+    "one vocab aggregation, one equi-join on the word (vocabulary "
+    "side is heavy-hitter skewed at corpus scale — broadcast it while "
+    "it fits, salt the join when it does not), one per-doc rollup",
+)
+def x154_doc_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    occ = (
+        T(spark, sf, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    )
+    freq = occ.groupBy("w").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    lp = freq.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.floor(
+            F.log(F.col("n").cast("double") / F.col("total")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lp_u"),
+    )
+    return (
+        occ.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum("lp_u").cast("double") / F.count("*") / F.lit(1000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000.0)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x155 — overlapping-window chunking (RAG / embedding prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # chunk stride (8-token overlap)
+
+
+@probe(
+    "x155_chunk_for_embedding",
+    sql=rf"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+                   len(string_split_regex(trim(text), '\s+')) AS n
+            FROM documents WHERE trim(text) <> ''
+        ),
+        sized AS (
+            SELECT doc_id, w, n,
+                   CASE WHEN n <= {_CHUNK} THEN 1
+                        ELSE (n - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE} + 1
+                   END AS nchunks
+            FROM toks
+        ),
+        lists AS (
+            SELECT doc_id, n,
+                   list_transform(range(1, nchunks + 1),
+                       c -> {{'idx': c,
+                              'start': (c - 1) * {_STRIDE} + 1,
+                              'h': md5(array_to_string(
+                                  list_slice(w, (c - 1) * {_STRIDE} + 1,
+                                             (c - 1) * {_STRIDE} + {_CHUNK}),
+                                  ' '))}}) AS cs
+            FROM sized
+        )
+        SELECT doc_id,
+               CAST(u.idx AS BIGINT) AS chunk_idx,
+               CAST(u.start AS BIGINT) AS start_tok,
+               CAST(least({_CHUNK}, n - u.start + 1) AS BIGINT) AS n_tok,
+               u.h AS chunk_md5
+        FROM lists, unnest(cs) AS t(u)
+    """,
+    note="overlapping-window chunking — the RAG/embedding prep step "
+    "(32-token chunks, stride 24): chunk boundaries are pure integer "
+    "math from the token count, chunk content hashes via md5, one "
+    "map-side explode and ZERO shuffles (the chunker is "
+    "embarrassingly parallel — the chunk table partitions however "
+    "the doc scan did); the chunk_md5 doubles as the dedup/cache key "
+    "the downstream embedding pass batches on",
+)
+def x155_chunk_for_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import tokens
+
+    toks = (
+        T(spark, sf, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+        .withColumn("n", F.size("w"))
+    )
+    nchunks = F.when(F.col("n") <= _CHUNK, F.lit(1)).otherwise(
+        ((F.col("n") - _CHUNK + _STRIDE - 1) / _STRIDE).cast("int") + 1
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), nchunks),
+        lambda c: F.struct(
+            c.alias("idx"),
+            ((c - 1) * _STRIDE + 1).alias("start"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("w"), (c - 1) * _STRIDE + 1, _CHUNK)
+                )
+            ).alias("h"),
+        ),
+    )
+    return toks.select(
+        "doc_id", "n", F.explode(chunk_structs).alias("u")
+    ).select(
+        "doc_id",
+        F.col("u.idx").cast("bigint").alias("chunk_idx"),
+        F.col("u.start").cast("bigint").alias("start_tok"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("u.start") + 1)
+        .cast("bigint")
+        .alias("n_tok"),
+        F.col("u.h").alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x156 — preference-pair construction (DPO/RLHF data prep)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x156_preference_pairs",
+    sql="""
+        WITH scored AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS r_best,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars ASC, doc_id) AS r_worst,
+                   count(*) OVER (PARTITION BY source) AS n_docs
+            FROM documents
+        ),
+        best AS (SELECT source, doc_id AS chosen_doc,
+                        n_chars AS chosen_chars, n_docs
+                 FROM scored WHERE r_best = 1 AND n_docs >= 2),
+        worst AS (SELECT source, doc_id AS rejected_doc,
+                         n_chars AS rejected_chars
+                  FROM scored WHERE r_worst = 1)
+        SELECT best.source, n_docs, chosen_doc, rejected_doc,
+               chosen_chars - rejected_chars AS margin
+        FROM best JOIN worst USING (source)
+    """,
+    note="preference-pair construction — the DPO/RLHF data-prep shape: "
+    "per prompt group (source stands in for the prompt key) pick the "
+    "best- and worst-scoring completion (n_chars as the deterministic "
+    "stand-in for a reward score; ties break on doc_id) and emit "
+    "(chosen, rejected, margin). Windows partition by the group key — "
+    "partition size = completions per prompt, never corpus scale; "
+    "groups with one completion drop (no self-pairs)",
+)
+def x156_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    w_best = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    w_worst = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id")
+    )
+    w_cnt = Window.partitionBy("source")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_best).alias("r_best"),
+        F.row_number().over(w_worst).alias("r_worst"),
+        F.count("*").over(w_cnt).alias("n_docs"),
+    )
+    best = scored.where((F.col("r_best") == 1) & (F.col("n_docs") >= 2)).select(
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("n_chars").alias("chosen_chars"),
+        "n_docs",
+    )
+    worst = scored.where(F.col("r_worst") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("n_chars").alias("rejected_chars"),
+    )
+    return best.join(worst, "source").select(
+        "source",
+        "n_docs",
+        "chosen_doc",
+        "rejected_doc",
+        (F.col("chosen_chars") - F.col("rejected_chars")).alias("margin"),
+    )

@@ -66,6 +66,42 @@ def test_mosaic_matches_numpy_oracle(spark, tmp_path, reducer):
     assert not np.isnan(got).all()
 
 
+@pytest.mark.parametrize("factor", [2, 4])
+def test_mosaic_resample_matches_numpy_oracle(spark, tmp_path, factor):
+    """build.py:184 resolution parity: assembling at a coarser target
+    resolution must equal the native-resolution oracle block-averaged
+    (nan-aware) by the same factor."""
+    tiles = tile_grid(spark, n=6)
+    store = str(tmp_path / f"mosaic_rs{factor}")
+    layout = build_mosaic(
+        spark, tiles, BBOX, TIMES, store, n_bands=N_BANDS, tile_px=TILE_PX,
+        resample_factor=factor,
+    )
+    out_px = TILE_PX // factor
+    assert layout["shape"][2:] == (2 * out_px, 3 * out_px)
+    assert layout["chunks"][2:] == (out_px, out_px)
+
+    periods_by_target = {}
+    for r in target_scene_periods(spark, tiles, BBOX, TIMES).collect():
+        periods_by_target.setdefault((r.tile_id, r.time), []).append(r.period)
+    native_layout = dict(layout)
+    native_layout["shape"] = (
+        layout["shape"][0], layout["shape"][1],
+        layout["shape"][2] * factor, layout["shape"][3] * factor,
+    )
+    native_layout["origins"] = {
+        k: (y * factor, x * factor) for k, (y, x) in layout["origins"].items()
+    }
+    native = _oracle(native_layout, periods_by_target)
+    t, b, h, w = native.shape
+    blocks = native.reshape(t, b, h // factor, factor, w // factor, factor)
+    with np.errstate(invalid="ignore"):
+        want = np.nanmean(blocks, axis=(3, 5)).astype("f4")
+    got = read_array(store)
+    np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True)
+    assert not np.isnan(got).all()
+
+
 def test_mosaic_rerun_is_idempotent(spark, tmp_path):
     tiles = tile_grid(spark, n=4)
     store = str(tmp_path / "mosaic")

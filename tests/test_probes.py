@@ -28,6 +28,7 @@ NO_ORACLE_OK = {
     "x3e_ivf_pq_topk",
     "x14_media_decode",
     "x15_mosaic_pipeline",
+    "x15b_mosaic_resampled",
     "x23_kmeans_clusters",
     "x147_audio_vad",
 }

@@ -91,6 +91,8 @@ CROSS_OK = {
     "x124_knn_accuracy",
     # 1-row global-count crossJoin feeding the ntile closed form
     "x68_value_deciles",
+    # 1-row corpus-token total broadcast into the unigram prob table
+    "x154_doc_lm_score",
 }
 
 # probes where a Window with an empty partition spec is acceptable —

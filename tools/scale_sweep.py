@@ -11,7 +11,9 @@ every join/group key by i*stride so key cardinality grows with data
 This is a measurement harness, NOT probe input — correctness probes
 always run on the driver's own parquet.
 
-Usage: python tools/scale_sweep.py [max_factor]
+Usage: python tools/scale_sweep.py [max_factor] [probe ...]
+(probe names restrict the sweep to a subset — the full list takes
+longer than a review window; run it in family-sized chunks)
 """
 
 from __future__ import annotations
@@ -73,6 +75,12 @@ PROBES = [
     "x137_skipgram_pairs",  # map-side pair explode + heavy hitters
     "x138_grid_density_clusters",  # cell-binned density + components
     "x139_tfidf_docsim",  # inverted-index sparse similarity join
+    "x145_group_auc",  # per-group rank-sum AUC (bucketed ranks)
+    "x148_quantile_normalize",  # exact global rank via bucket offsets
+    "x149_weighted_median",  # per-group weighted median (cumsum threshold)
+    "x11_embedding_neardup",  # exact all-pairs via block-pair grid
+    "p6_batch_assign",  # distributed global row_number
+    "x68_value_deciles",  # distributed exact ntile
 ]
 
 
@@ -100,6 +108,8 @@ def materialize(spark, factor: int) -> str:
 
 def main() -> None:
     max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = [n for n in sys.argv[2:]]
+    probes_to_run = only or PROBES
     factors = [f for f in (1, 3, 10) if f <= max_factor]
     spark = get_spark(
         "scale-sweep",
@@ -110,7 +120,7 @@ def main() -> None:
     probes = all_probes()
     dirs = {f: materialize(spark, f) for f in factors}
     print(f"{'probe':28s} " + " ".join(f"x{f:>2d}(s)" for f in factors))
-    for name in PROBES:
+    for name in probes_to_run:
         times = []
         for f in factors:
             fn = probes[name].fn
