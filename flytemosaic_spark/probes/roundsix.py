@@ -652,3 +652,105 @@ def x156_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "rejected_doc",
         (F.col("chosen_chars") - F.col("rejected_chars")).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x157 — ANALYZE-style per-column table statistics
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x157_table_stats",
+    sql="""
+        SELECT 'o_custkey' AS column_name,
+               count(*) AS n_rows,
+               count(*) - count(o_custkey) AS n_null,
+               count(DISTINCT o_custkey) AS ndv,
+               CAST(min(o_custkey) AS VARCHAR) AS min_s,
+               CAST(max(o_custkey) AS VARCHAR) AS max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+    """,
+    note="ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS as a query: "
+    "row count, null count, exact NDV, min/max per column — the stats "
+    "the optimizer's join-reorder and broadcast decisions feed on. "
+    "ONE scan: all per-column aggregates run in a single aggregation "
+    "and unpivot to the long stats schema via an inline array-explode "
+    "(the oracle's UNION ALL is the readable equivalent; Spark-side a "
+    "triple scan would read the table three times — at 100 TB the "
+    "single-pass shape is the difference between ANALYZE being free "
+    "at ingest and being its own job); int/string min-max only, so "
+    "the stringified values are engine-portable (no double formatting)",
+)
+def x157_table_stats(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    agg = o.agg(
+        F.count("*").alias("n"),
+        *[
+            e
+            for c in ("o_custkey", "o_orderstatus", "o_orderpriority")
+            for e in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"ndv_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            )
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n").alias("n_rows"),
+                (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
+                F.col(f"ndv_{c}").alias("ndv"),
+                F.col(f"mn_{c}").alias("min_s"),
+                F.col(f"mx_{c}").alias("max_s"),
+            )
+            for c in ("o_custkey", "o_orderstatus", "o_orderpriority")
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# x158 — blocklist phrase filtering
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ["table scan", "slow filter", "big vector"]
+
+
+@probe(
+    "x158_blocklist_filter",
+    sql=f"""
+        SELECT doc_id,
+               CAST(len(list_filter({_BLOCKLIST},
+                                    t -> contains(text, t))) AS INT) AS n_hits,
+               len(list_filter({_BLOCKLIST}, t -> contains(text, t))) = 0
+                   AS kept
+        FROM documents
+    """,
+    note="blocklist phrase filtering — the NSFW/spam/boilerplate drop "
+    "gate of a web-corpus pipeline: N literal phrases tested with "
+    "plain substring contains inside a higher-order filter, entirely "
+    "map-side (zero shuffles, the blocklist is a literal array in the "
+    "plan, scale it to a broadcast join against a phrase table when "
+    "it outgrows an expression); per-doc hit count + keep verdict",
+)
+def x158_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
+    terms = F.array(*[F.lit(t) for t in _BLOCKLIST])
+    hits = F.size(F.filter(terms, lambda t: F.contains(F.col("text"), t)))
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        hits.cast("int").alias("n_hits"),
+        (hits == 0).alias("kept"),
+    )

@@ -145,3 +145,15 @@ def test_reproject_manifest_restamps_srs(spark):
     assert out["a"].minx == px and out["a"].miny == py
     # rows already in the target CRS pass through untouched
     assert out["b"].minx == -1000.0 and out["b"].maxy == 1000.0
+
+
+def test_reproject_manifest_unsupported_srs_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a", "EPSG:32633", 0.0, 0.0, 1.0, 1.0)],
+        "feature string, srs string, minx double, miny double, "
+        "maxx double, maxy double",
+    )
+    with _pytest.raises(Exception, match="unsupported srs"):
+        reproject_manifest(df, "EPSG:3857").collect()

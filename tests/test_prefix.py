@@ -75,3 +75,74 @@ def test_no_single_partition_global_sort(spark):
         if "Sort" in line and "_bucket" not in line and "ASC" in line:
             # global-order sorts must be over the tiny offsets side only
             assert "_t" in line or "_off" in line or "_bucket" in plan
+
+
+def test_distributed_row_number_matches_global_window(spark):
+    from flytemosaic_spark.plans.prefix import distributed_row_number
+
+    orders = load_table(spark, SF001, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {
+        r.o_orderkey: r.rn
+        for r in orders.withColumn(
+            "rn", F.row_number().over(w).cast("bigint")
+        ).collect()
+    }
+    got = {
+        r.o_orderkey: r.rn
+        for r in distributed_row_number(
+            orders, ("o_totalprice", "o_orderkey"), n_buckets=16
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ntile_closed_form_matches_window(spark):
+    from flytemosaic_spark.plans.prefix import (
+        distributed_row_number,
+        ntile_from_rn,
+    )
+
+    for n_tiles in (3, 7, 10):
+        orders = load_table(spark, SF001, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        want = {
+            r.o_orderkey: r.t
+            for r in orders.withColumn("t", F.ntile(n_tiles).over(w)).collect()
+        }
+        rn = distributed_row_number(
+            orders, ("o_totalprice", "o_orderkey"), n_buckets=8
+        )
+        n_df = orders.agg(F.count("*").alias("_N"))
+        got = {
+            r.o_orderkey: r.t
+            for r in rn.crossJoin(F.broadcast(n_df))
+            .select(
+                "o_orderkey",
+                ntile_from_rn(F.col("rn"), F.col("_N"), n_tiles)
+                .cast("int")
+                .alias("t"),
+            )
+            .collect()
+        }
+        assert got == want
+
+
+def test_ntile_closed_form_fewer_rows_than_tiles(spark):
+    # N < n_tiles: the SQL standard puts row k in tile k
+    from flytemosaic_spark.plans.prefix import ntile_from_rn
+
+    df = spark.range(1, 4).select(
+        F.col("id").cast("bigint").alias("rn"), F.lit(3).cast("bigint").alias("n")
+    )
+    got = sorted(
+        (r.rn, r.t)
+        for r in df.select(
+            "rn", ntile_from_rn(F.col("rn"), F.col("n"), 10).cast("int").alias("t")
+        ).collect()
+    )
+    assert got == [(1, 1), (2, 2), (3, 3)]
