@@ -81,6 +81,7 @@ PROBES = [
     "x11_embedding_neardup",  # exact all-pairs via block-pair grid
     "p6_batch_assign",  # distributed global row_number
     "x68_value_deciles",  # distributed exact ntile
+    "x113b_cooccur_topk_basket",  # basket-list co-occurrence (x113 scale twin)
 ]
 
 
