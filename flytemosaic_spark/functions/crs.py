@@ -145,12 +145,22 @@ def lonlat_to_xyz(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
     ln(t + √(t²+1)) so engines without an asinh builtin (DuckDB)
     replay the identical expression. Valid for |lat| ≤ MAX_LAT."""
     n = float(1 << zoom)
-    xt = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("bigint")
+    top = int(n) - 1
+    # clamp to the grid: the domain edges (lon = 180, lat = -MAX_LAT)
+    # land exactly on n and would otherwise address a nonexistent tile
+    # row — standard slippy-map behavior puts them in tile n-1
+    xt = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("bigint"),
+        F.lit(top).cast("bigint"),
+    )
     t = F.tan(lat * F.lit(math.pi / 180.0))
     asinh_t = F.log(t + F.sqrt(t * t + F.lit(1.0)))
-    yt = F.floor(
-        (F.lit(1.0) - asinh_t / F.lit(math.pi)) / F.lit(2.0) * F.lit(n)
-    ).cast("bigint")
+    yt = F.least(
+        F.floor(
+            (F.lit(1.0) - asinh_t / F.lit(math.pi)) / F.lit(2.0) * F.lit(n)
+        ).cast("bigint"),
+        F.lit(top).cast("bigint"),
+    )
     return xt, yt
 
 

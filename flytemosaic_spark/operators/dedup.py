@@ -539,26 +539,13 @@ def embedding_neardup_pairs_lsh(
     recall is probabilistic; the equivalence test pins the config on
     testdata. For low thresholds use the exact
     :func:`embedding_neardup_pairs` block decomposition instead."""
-    from flytemosaic_spark.operators.similarity import (
-        _bucket_signature,
-        _hyperplanes,
-        cosine,
-    )
+    from flytemosaic_spark.operators.similarity import cosine, lsh_signatures
 
-    entries = [
-        F.struct(
-            F.lit(t).alias("table"),
-            _bucket_signature(
-                F.col(vec_col), _hyperplanes(dim, n_planes, seed + t)
-            ).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
-    sigs = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.explode(F.array(*entries)).alias("tb"),
-    ).select("_id", "_v", "tb.table", "tb.bucket")
+    sigs = lsh_signatures(
+        df, "_id", "_v",
+        vec_col=vec_col, id_col=id_col, n_planes=n_planes,
+        n_tables=n_tables, dim=dim, seed=seed,
+    )
     a = sigs.select(
         "table", "bucket", F.col("_id").alias("id_a"), F.col("_v").alias("va")
     )

@@ -253,7 +253,16 @@ def label_propagation(
     the final action recompute them per round.
     """
     e = edges.select(src, dst).distinct().cache()
-    n_nodes = e.select(F.col(src).alias("node")).distinct().count()
+    # gate on the FULL node set (src ∪ dst) — the label table broadcast
+    # each round covers both, so counting src alone would undercount on
+    # fan-out graphs (few hub srcs -> millions of dst pages) and ship
+    # an over-limit broadcast
+    n_nodes = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .count()
+    )
     small = n_nodes <= _BROADCAST_NODE_LIMIT
     if not small:
         e.unpersist()

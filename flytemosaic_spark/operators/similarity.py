@@ -112,6 +112,39 @@ def _bucket_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def lsh_signatures(
+    df: DataFrame,
+    out_id: str,
+    out_vec: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """One row per (vector, table) with the table's sign-bit bucket
+    signature — the shared candidate-generation front end of
+    :func:`lsh_topk` and ``dedup.embedding_neardup_pairs_lsh``. All
+    tables' signatures are computed in ONE pass (an array of
+    (table, bucket) structs, exploded), so the scan cost is
+    independent of n_tables; only the equi-join key space grows."""
+    entries = [
+        F.struct(
+            F.lit(t).alias("table"),
+            _bucket_signature(
+                F.col(vec_col), _hyperplanes(dim, n_planes, seed + t)
+            ).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias(out_vec),
+        F.explode(F.array(*entries)).alias("tb"),
+    ).select(out_id, out_vec, "tb.table", "tb.bucket")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -125,30 +158,13 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k via ``n_tables`` independent random-hyperplane
     LSH tables. Candidates = union of bucket collisions across tables;
-    exact cosine refines and ranks within candidates only.
-
-    All tables' signatures are computed in ONE corpus pass (an array of
-    (table, bucket) structs, exploded) — the scan cost is independent
-    of n_tables; only the equi-join key space grows."""
-
-    def _with_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        entries = [
-            F.struct(
-                F.lit(t).alias("table"),
-                _bucket_signature(
-                    F.col(vec_col), _hyperplanes(dim, n_planes, seed + t)
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(out_vec),
-            F.explode(F.array(*entries)).alias("tb"),
-        ).select(out_id, out_vec, "tb.table", "tb.bucket")
-
-    q_all = _with_buckets(queries, "q_id", "q_vec")
-    c_all = _with_buckets(corpus, "neighbor_id", "c_vec")
+    exact cosine refines and ranks within candidates only."""
+    kw = dict(
+        vec_col=vec_col, id_col=id_col, n_planes=n_planes,
+        n_tables=n_tables, dim=dim, seed=seed,
+    )
+    q_all = lsh_signatures(queries, "q_id", "q_vec", **kw)
+    c_all = lsh_signatures(corpus, "neighbor_id", "c_vec", **kw)
     cand = (
         q_all.join(c_all, ["table", "bucket"])
         .where(F.col("q_id") != F.col("neighbor_id"))

@@ -109,6 +109,8 @@ def build_mosaic(
     shuffle and the written bytes shrink by factor² before they ever
     leave the task.
     """
+    if resample_factor < 1:
+        raise ValueError(f"resample_factor must be >= 1, got {resample_factor}")
     if tile_px % resample_factor:
         raise ValueError(
             f"tile_px={tile_px} not divisible by resample_factor={resample_factor}"

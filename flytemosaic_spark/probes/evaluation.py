@@ -306,8 +306,10 @@ def x109_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     "column before it is trusted for near-dup or retrieval work. "
     "Queries are a deterministic ~25% md5 sample of the corpus (the "
     "curation-split recipe), so eval cost is O(sample x corpus), not "
-    "corpus² — the sample rate, not the corpus, is the accuracy-vs-"
-    "cost knob at 100 TB",
+    "corpus². The sample here is a RATE, so the broadcast query side "
+    "still grows with the corpus — at 100 TB tighten the md5 prefix "
+    "cut to a FIXED sample budget (e.g. '0040' ≈ 0.1%) so the "
+    "broadcast side stays bounded; the cut is the only knob",
 )
 def x124_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.similarity import brute_force_topk

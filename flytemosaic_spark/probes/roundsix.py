@@ -8,8 +8,6 @@ the target-resolution assembly (build.py:184 ``resolution``).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -20,7 +18,7 @@ from flytemosaic_spark.probes.registry import T, probe
 # f22 — EPSG:4326 -> EPSG:3857 bbox reprojection as column math
 # ---------------------------------------------------------------------------
 
-_R = 6378137.0
+from flytemosaic_spark.functions.crs import R as _R  # noqa: E402
 
 
 @probe(
@@ -107,12 +105,14 @@ def f22_crs_reproject(spark: SparkSession, sf: str) -> DataFrame:
                    CAST((s_suppkey * 53) % 170 - 85 AS DOUBLE) + 0.5 AS lat
             FROM supplier
         )
-        SELECT CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS tile_x,
-               CAST(floor((1.0 - ln(tan(lat * (pi() / 180.0))
+        SELECT least(CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT),
+                     63) AS tile_x,
+               least(CAST(floor((1.0 - ln(tan(lat * (pi() / 180.0))
                                     + sqrt(tan(lat * (pi() / 180.0))
                                            * tan(lat * (pi() / 180.0)) + 1.0))
                                 / pi())
-                          / 2.0 * 64.0) AS BIGINT) AS tile_y,
+                          / 2.0 * 64.0) AS BIGINT),
+                     63) AS tile_y,
                count(*) AS n_points,
                min(s_suppkey) AS min_key
         FROM pts

@@ -83,11 +83,13 @@ CROSS_OK = {
     "x150_word_subsample",
     "x151_threshold_sweep",
     # lag-grid (constant 24-row) / random-projection plane set
-    # (constant n_planes rows) / query-sample broadcast (deterministic
-    # md5 sample, constant-bounded) — linear in corpus, constant
-    # broadcast side
+    # (constant n_planes rows) — linear in corpus, constant broadcast
     "x111_acf",
     "x115_random_projection",
+    # query-sample broadcast: the md5 sample is a RATE (~25%), so the
+    # broadcast side grows with the corpus — acceptable at gate scale;
+    # at 100 TB the prefix cut must tighten to a fixed sample budget
+    # (the probe note states the knob)
     "x124_knn_accuracy",
     # 1-row global-count crossJoin feeding the ntile closed form
     "x68_value_deciles",
@@ -117,12 +119,26 @@ def audit(name: str, plan: str) -> list[str]:
     if "BatchEvalPython" in plan:
         flags.append("ROW_PYTHON_UDF")
     # windowspecdefinition(partCols..., orderCols ASC|DESC ..., frame):
-    # if the FIRST component already carries a sort direction, the
-    # partition spec is empty → global single-partition window
-    for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
-        if re.search(r" (ASC|DESC)\b", m.group(1)) and name not in UNPART_WINDOW_OK:
-            flags.append("UNPART_WINDOW")
-            break
+    # if the FIRST TOP-LEVEL argument already carries a sort direction,
+    # the partition spec is empty → global single-partition window.
+    # A depth-aware scan (not a [^,)]* regex) so order expressions with
+    # internal commas — coalesce(x, 0) ASC — can't hide the marker.
+    if name not in UNPART_WINDOW_OK:
+        for m in re.finditer(r"windowspecdefinition\(", plan):
+            first_arg, depth = [], 0
+            for ch in plan[m.end() : m.end() + 500]:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    break
+                first_arg.append(ch)
+            if re.search(r" (ASC|DESC)\b", "".join(first_arg)):
+                flags.append("UNPART_WINDOW")
+                break
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         ncols = len([c for c in m.group(1).split(",") if c])
         # full-width reads of wide tables are suspicious (no pruning)
