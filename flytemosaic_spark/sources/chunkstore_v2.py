@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -217,8 +218,74 @@ class ChunkStoreWriter(DataSourceWriter):
         return None
 
 
+def _decode_chunk(path: str, fname: str, meta: dict) -> tuple:
+    """(t, b0, y0, x0, shape, payload) for one ``t.b.y.x`` chunk file —
+    shared by the batch partition reader and the stream reader."""
+    import numpy as np
+
+    ct, cb, cy, cx = meta["chunks"]
+    level = (meta.get("compressor") or {}).get("level")
+    ti, bi, yi, xi = map(int, fname.split("."))
+    with open(os.path.join(path, fname), "rb") as fh:
+        raw = fh.read()
+    if level is not None:
+        raw = zlib.decompress(raw)
+    arr = np.frombuffer(raw, dtype=meta["dtype"]).astype("f4")
+    return (
+        ti * ct,
+        bi * cb,
+        yi * cy,
+        xi * cx,
+        [cb, cy, cx],
+        [float(x) for x in arr],
+    )
+
+
+class ChunkStoreStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch streaming over the chunk store: each batch is the
+    set of chunk files not yet seen — the streaming twin of the S6/J4
+    bulk-ingest listing anti-join (a region-parallel writer appends
+    disjoint chunks; the stream tails them).
+
+    The offset is the SET of seen file names (JSON dict), which makes
+    replay (``readBetweenOffsets``) exact regardless of arrival order
+    — chunk names carry grid indices, not timestamps, so no
+    lexicographic high-water mark exists. The seen-set grows with the
+    store; a production deployment compacts it exactly like Spark's
+    own FileStreamSource seen-files log (bounded by maxFileAge). At
+    the gate scale the offset is a few hundred names."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("chunkstore stream requires option 'path'")
+        self.meta = _read_meta(self.path)
+
+    def _chunk_files(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.path) if not n.startswith(".")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"seen": {}}
+
+    def read(self, start: dict):
+        seen = dict(start.get("seen", {}))
+        new = [n for n in self._chunk_files() if n not in seen]
+        rows = [_decode_chunk(self.path, n, self.meta) for n in new]
+        for n in new:
+            seen[n] = 1
+        return iter(rows), {"seen": seen}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        prev = start.get("seen", {})
+        names = [n for n in end.get("seen", {}) if n not in prev]
+        return iter(_decode_chunk(self.path, n, self.meta) for n in names)
+
+
 class ChunkStoreDataSource(DataSource):
-    """``spark.read.format("chunkstore")`` / ``df.write.format(...)``."""
+    """``spark.read.format("chunkstore")`` / ``df.write.format(...)``
+    / ``spark.readStream.format("chunkstore")``."""
 
     @classmethod
     def name(cls) -> str:
@@ -232,6 +299,9 @@ class ChunkStoreDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> ChunkStoreWriter:
         return ChunkStoreWriter(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> ChunkStoreStreamReader:
+        return ChunkStoreStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -84,3 +84,55 @@ def test_empty_result_when_filter_excludes_all(spark, tmp_path):
     write_region_chunks(df, path)
     scan = spark.read.format("chunkstore").option("path", path).load()
     assert scan.where("t = 99").count() == 0
+
+
+def test_stream_reader_tails_new_chunks(spark, tmp_path):
+    """spark.readStream.format("chunkstore"): the first availableNow
+    run drains the existing chunks; after more chunks land, a second
+    run from the same checkpoint reads ONLY the new ones (the
+    streaming twin of the S6/J4 incremental listing)."""
+    path, cube, df = _store(spark, tmp_path)
+    # seed the store with the t=0 slab only; the t=1 chunks arrive later
+    write_region_chunks(df.where("t = 0"), path)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("chunkstore")
+            .option("path", path)
+            .load()
+            .drop("payload", "shape")  # origins are what we assert on
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    first = drain()
+    batch = spark.read.format("chunkstore").option("path", path).load()
+    assert first.count() == batch.count()
+    # origins match the batch scan exactly
+    key = ["t", "b0", "y0", "x0"]
+    assert sorted(map(tuple, first.select(*key).collect())) == sorted(
+        map(tuple, batch.select(*key).collect())
+    )
+
+    # the t=1 slab lands later; a second drain from the same
+    # checkpoint must read ONLY those files
+    import os as _os
+
+    before = set(_os.listdir(path))
+    write_region_chunks(df.where("t = 1"), path)
+    new_files = {n for n in set(_os.listdir(path)) - before if not n.startswith(".")}
+    assert new_files  # the appended slab produced fresh chunk files
+    n_first = first.count()
+    total = drain()
+    assert total.count() == n_first + len(new_files)
+    new_rows = sorted(map(tuple, total.select(*key).collect()))
+    old_rows = sorted(map(tuple, first.select(*key).collect()))
+    added = [r for r in new_rows if r not in old_rows]
+    assert added and all(r[0] == 1 for r in added)  # all from the t=1 slab
