@@ -126,36 +126,23 @@ class ChunkStoreReader(DataSourceReader):
         ]
 
     def read(self, partition: _ChunkBatch):
-        import numpy as np
         import pyarrow as pa
 
-        meta = self.meta
-        ct, cb, cy, cx = meta["chunks"]
-        level = (meta.get("compressor") or {}).get("level")
-        ts, b0s, y0s, x0s, shapes, payloads = [], [], [], [], [], []
-        for fpath in partition.files:
-            name = os.path.basename(fpath)
-            ti, bi, yi, xi = map(int, name.split("."))
-            with open(fpath, "rb") as fh:
-                raw = fh.read()
-            if level is not None:
-                raw = zlib.decompress(raw)
-            arr = np.frombuffer(raw, dtype=meta["dtype"]).astype("f4")
-            ts.append(ti * ct)
-            b0s.append(bi * cb)
-            y0s.append(yi * cy)
-            x0s.append(xi * cx)
-            shapes.append([cb, cy, cx])
-            payloads.append(arr)
+        rows = [
+            _decode_chunk(
+                os.path.dirname(fpath), os.path.basename(fpath), self.meta
+            )
+            for fpath in partition.files
+        ]
         yield pa.record_batch(
             {
-                "t": pa.array(ts, pa.int32()),
-                "b0": pa.array(b0s, pa.int32()),
-                "y0": pa.array(y0s, pa.int32()),
-                "x0": pa.array(x0s, pa.int32()),
-                "shape": pa.array(shapes, pa.list_(pa.int32())),
+                "t": pa.array([r[0] for r in rows], pa.int32()),
+                "b0": pa.array([r[1] for r in rows], pa.int32()),
+                "y0": pa.array([r[2] for r in rows], pa.int32()),
+                "x0": pa.array([r[3] for r in rows], pa.int32()),
+                "shape": pa.array([r[4] for r in rows], pa.list_(pa.int32())),
                 "payload": pa.array(
-                    [p.tolist() for p in payloads], pa.list_(pa.float32())
+                    [r[5] for r in rows], pa.list_(pa.float32())
                 ),
             }
         )
@@ -237,7 +224,7 @@ def _decode_chunk(path: str, fname: str, meta: dict) -> tuple:
         yi * cy,
         xi * cx,
         [cb, cy, cx],
-        [float(x) for x in arr],
+        arr.tolist(),
     )
 
 
