@@ -856,3 +856,156 @@ def x113b_cooccur_topk_basket(spark: SparkSession, sf: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x159 — seasonal decomposition (trend + weekday seasonality)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x159_seasonal_decompose",
+    sql="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events GROUP BY 1
+        ),
+        tr AS (
+            SELECT d, cents,
+                   CAST(sum(cents) OVER w AS DOUBLE)
+                       / count(*) OVER w AS trend
+            FROM daily
+            WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        det AS (
+            SELECT date_diff('day', DATE '1970-01-01', d) % 7 AS weekday_idx,
+                   CAST(floor((cents - trend) * 1000000 + 0.5) AS BIGINT)
+                       AS det_u
+            FROM tr
+        )
+        SELECT CAST(weekday_idx AS BIGINT) AS weekday_idx,
+               count(*) AS n_days,
+               floor(CAST(sum(det_u) AS DOUBLE) / count(*) / 1000000.0
+                     * 100 + 0.5) / 100 AS seasonal_cents
+        FROM det GROUP BY 1
+    """,
+    note="seasonal decomposition (STL-lite): daily integer-cent "
+    "revenue, centered 7-day moving-average trend (the day axis is "
+    "calendar-bounded — bounded_window declares the single partition "
+    "in-plan), detrended residuals quantized to integer micro-units "
+    "BEFORE the per-weekday mean so the seasonal index replays "
+    "exactly; weekday from epoch-day mod 7 (portable across engines' "
+    "dayofweek conventions). The weekday seasonal table is what a "
+    "forecast or anomaly gate subtracts at serving time",
+)
+def x159_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.plans.prefix import bounded_window
+
+    daily = (
+        T(spark, sf, "events")
+        .select(
+            F.col("ts").cast("date").alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = bounded_window("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "cents",
+        (F.sum("cents").over(w).cast("double") / F.count("*").over(w)).alias(
+            "trend"
+        ),
+    )
+    det = tr.select(
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7).alias(
+            "weekday_idx"
+        ),
+        F.floor((F.col("cents") - F.col("trend")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("det_u"),
+    )
+    return det.groupBy(F.col("weekday_idx").cast("bigint").alias("weekday_idx")).agg(
+        F.count("*").alias("n_days"),
+        (
+            F.floor(
+                F.sum("det_u").cast("double") / F.count("*") / F.lit(1e6)
+                * 100
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
+        ).alias("seasonal_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x160 — per-segment rate with Wilson confidence interval
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.96
+
+
+@probe(
+    "x160_wilson_ci",
+    sql=f"""
+        WITH g AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS k
+            FROM events GROUP BY 1
+        ),
+        w AS (
+            SELECT event_type, n, k,
+                   CAST(k AS DOUBLE) / n AS p,
+                   {_WILSON_Z} * {_WILSON_Z} AS z2
+            FROM g
+        )
+        SELECT event_type, n, k,
+               floor(p * 1000000 + 0.5) / 1000000 AS rate,
+               floor((p + z2 / (2 * n)
+                      - {_WILSON_Z} * sqrt(p * (1 - p) / n
+                                           + z2 / (4.0 * n * n)))
+                     / (1 + z2 / n) * 1000000 + 0.5) / 1000000 AS ci_lo,
+               floor((p + z2 / (2 * n)
+                      + {_WILSON_Z} * sqrt(p * (1 - p) / n
+                                           + z2 / (4.0 * n * n)))
+                     / (1 + z2 / n) * 1000000 + 0.5) / 1000000 AS ci_hi
+        FROM w
+    """,
+    note="per-segment success rate with the Wilson score interval "
+    "(z=1.96) — the eval readout that makes small-n segment metrics "
+    "honest (a 3-of-4 segment shows its real uncertainty instead of "
+    "'75%'): integer (k, n) per group, the interval is pure IEEE "
+    "arithmetic + one correctly-rounded sqrt written with the "
+    "identical association on both engines, rounded at 1e-6. One "
+    "aggregation, segment-cardinality output",
+)
+def x160_wilson_ci(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        T(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value") > 50.0).cast("bigint")).alias("k"),
+        )
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    z = F.lit(_WILSON_Z)
+    z2 = z * z
+    denom = F.lit(1) + z2 / F.col("n")
+    center = p + z2 / (F.lit(2) * F.col("n"))
+    margin = z * F.sqrt(
+        p * (F.lit(1) - p) / F.col("n")
+        + z2 / (F.lit(4.0) * F.col("n") * F.col("n"))
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "k",
+        portable_round(p, 6).alias("rate"),
+        portable_round((center - margin) / denom, 6).alias("ci_lo"),
+        portable_round((center + margin) / denom, 6).alias("ci_hi"),
+    )
