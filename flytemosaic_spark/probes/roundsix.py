@@ -1009,3 +1009,89 @@ def x160_wilson_ci(spark: SparkSession, sf: str) -> DataFrame:
         portable_round((center - margin) / denom, 6).alias("ci_lo"),
         portable_round((center + margin) / denom, 6).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x161 — join cardinality estimation from count-min sketches
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x161_join_cardinality_sketch",
+    sql="""
+        WITH dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        a AS (
+            SELECT d,
+                   substr(md5(concat(d, ':', CAST(l_orderkey AS VARCHAR))),
+                          1, 2) AS slot,
+                   count(*) AS cnt
+            FROM lineitem CROSS JOIN dd GROUP BY 1, 2
+        ),
+        filt AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0),
+        b AS (
+            SELECT d,
+                   substr(md5(concat(d, ':', CAST(o_orderkey AS VARCHAR))),
+                          1, 2) AS slot,
+                   count(*) AS cnt
+            FROM filt CROSS JOIN dd GROUP BY 1, 2
+        ),
+        dot AS (
+            SELECT a.d, sum(a.cnt * b.cnt) AS s
+            FROM a JOIN b ON a.d = b.d AND a.slot = b.slot
+            GROUP BY a.d
+        ),
+        est AS (SELECT min(s) AS est_rows FROM dot),
+        ex AS (
+            SELECT count(*) AS exact_rows
+            FROM lineitem JOIN filt ON l_orderkey = o_orderkey
+        )
+        SELECT CAST(est_rows AS BIGINT) AS est_rows,
+               CAST(exact_rows AS BIGINT) AS exact_rows,
+               floor(CAST(est_rows - exact_rows AS DOUBLE) / exact_rows
+                     * 1000000 + 0.5) / 1000000 AS rel_overestimate
+        FROM est CROSS JOIN ex
+    """,
+    note="join-cardinality estimation from count-min sketches — the "
+    "optimizer-statistics trick (|A join B| <= min_d sum_slot "
+    "cmsA[d][s]*cmsB[d][s], an upper bound that is tight when slot "
+    "collisions are rare): both sides sketch into depth x 256 integer "
+    "counters via the portable md5 slot family (operators/cms.py), the "
+    "dot product is a (d, slot) equi-join over sketch-sized tables — "
+    "the decision 'is this join explodable / broadcastable' costs two "
+    "map-side sketch passes instead of executing the join; the exact "
+    "join count rides alongside as the error readout. All-integer "
+    "state, EXACT oracle replay",
+)
+def x161_join_cardinality_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.cms import cms_build
+
+    li = T(spark, sf, "lineitem").select("l_orderkey")
+    filt = (
+        T(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 150000.0)
+        .select("o_orderkey")
+    )
+    a = cms_build(li, "l_orderkey")
+    b = (
+        cms_build(filt, "o_orderkey")
+        .withColumnRenamed("cnt", "cnt_b")
+    )
+    dot = (
+        a.join(b, ["d", "slot"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("s"))
+    )
+    est = dot.agg(F.min("s").cast("bigint").alias("est_rows"))
+    ex = (
+        li.join(filt, li["l_orderkey"] == filt["o_orderkey"])
+        .agg(F.count("*").cast("bigint").alias("exact_rows"))
+    )
+    return est.crossJoin(ex).select(
+        "est_rows",
+        "exact_rows",
+        portable_round(
+            (F.col("est_rows") - F.col("exact_rows")).cast("double")
+            / F.col("exact_rows"),
+            6,
+        ).alias("rel_overestimate"),
+    )

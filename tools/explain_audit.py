@@ -95,6 +95,8 @@ CROSS_OK = {
     "x68_value_deciles",
     # 1-row corpus-token total broadcast into the unigram prob table
     "x154_doc_lm_score",
+    # 1-row est x 1-row exact crossJoin (two scalar aggregates)
+    "x161_join_cardinality_sketch",
 }
 
 # probes where a Window with an empty partition spec is acceptable —
