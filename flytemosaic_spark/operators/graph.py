@@ -253,41 +253,36 @@ def label_propagation(
     the final action recompute them per round.
     """
     e = edges.select(src, dst).distinct().cache()
-    # gate on the FULL node set (src ∪ dst) — the label table broadcast
-    # each round covers both, so counting src alone would undercount on
-    # fan-out graphs (few hub srcs -> millions of dst pages) and ship
-    # an over-limit broadcast
-    n_nodes = (
-        e.select(F.col(src).alias("node"))
-        .union(e.select(F.col(dst).alias("node")))
-        .distinct()
-        .count()
+    # ONE aggregation derives everything node-scale: the full node set
+    # (src ∪ dst — the label table broadcast each round covers both, so
+    # counting src alone would undercount on fan-out graphs and ship an
+    # over-limit broadcast), each node's has-in-degree flag, and the
+    # gate count.
+    init_lbl = F.col("node") % F.lit(init_mod)
+    nodes = (
+        e.select(F.col(src).alias("node"), F.lit(0).alias("_in"))
+        .union(e.select(F.col(dst).alias("node"), F.lit(1).alias("_in")))
+        .groupBy("node")
+        .agg(F.max("_in").alias("_has_in"))
+        .cache()
     )
+    n_nodes = nodes.count()
     small = n_nodes <= _BROADCAST_NODE_LIMIT
     if not small:
         e.unpersist()
         e = edges.select(src, dst).distinct().repartition(F.col(src)).cache()
-    init_lbl = F.col("node") % F.lit(init_mod)
     # Retention reduces to a STATIC set: every node is labeled every
     # round (invariant below), so any node with in-degree >= 1 always
     # receives votes — only the zero-in-degree nodes ever keep a label,
     # and theirs never leaves the initial one. Computing that set once
     # keeps the per-round work at vote scale (no node-scale
-    # retention join or window competition). Cached: it appears in the
-    # plan once per iteration, like ``e``.
-    sinks = (
-        e.select(F.col(src).alias("node"))
-        .join(e.select(F.col(dst).alias("node")), "node", "left_anti")
-        .distinct()
-        .select("node", init_lbl.alias("lbl"))
-        .cache()
+    # retention join or window competition). The ``nodes`` cache
+    # intentionally outlives the call, like ``e``: sinks and the
+    # initial labels are both views over it, referenced every round.
+    sinks = nodes.where(F.col("_has_in") == 0).select(
+        "node", init_lbl.alias("lbl")
     )
-    labels = (
-        e.select(F.col(src).alias("node"))
-        .union(e.select(F.col(dst).alias("node")))
-        .distinct()
-        .select("node", init_lbl.alias("lbl"))
-    )
+    labels = nodes.select("node", init_lbl.alias("lbl"))
     from pyspark.sql import Window
 
     for _ in range(iterations):
