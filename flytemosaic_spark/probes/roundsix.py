@@ -1095,3 +1095,72 @@ def x161_join_cardinality_sketch(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("rel_overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x162 — cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x162_cohort_retention",
+    sql="""
+        WITH act AS (
+            SELECT user_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS w
+            FROM events GROUP BY 1, 2
+        ),
+        coh AS (SELECT user_id, min(w) AS w0 FROM act GROUP BY 1),
+        mat AS (
+            SELECT coh.w0, act.w - coh.w0 AS age,
+                   count(DISTINCT act.user_id) AS n_users
+            FROM act JOIN coh ON act.user_id = coh.user_id
+            GROUP BY 1, 2
+        ),
+        base AS (SELECT w0, n_users AS n_cohort FROM mat WHERE age = 0)
+        SELECT CAST(mat.w0 AS BIGINT) AS cohort_day,
+               CAST(mat.age AS BIGINT) AS age_days,
+               mat.n_users,
+               floor(CAST(mat.n_users AS DOUBLE) / base.n_cohort
+                     * 1000000 + 0.5) / 1000000 AS retention
+        FROM mat JOIN base ON mat.w0 = base.w0
+    """,
+    note="cohort retention matrix — the activation/retention readout "
+    "every product-analytics deployment runs (D1/D7 retention): "
+    "cohort = each user's first active day (epoch-day integer "
+    "arithmetic, no engine calendar semantics), age = days since "
+    "cohort, cell = distinct active users, normalized by the age-0 "
+    "cohort size. "
+    "Per-user distinct weeks first (one hash agg), then the matrix "
+    "agg — both partial-aggregable; the age-0 base joins back "
+    "broadcast (cohort-cardinality). All-integer until one final "
+    "division",
+)
+def x162_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    act = (
+        ev.select("user_id", day.alias("w"))
+        .groupBy("user_id", "w")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    coh = act.groupBy("user_id").agg(F.min("w").alias("w0"))
+    mat = (
+        act.join(coh, "user_id")
+        .groupBy("w0", (F.col("w") - F.col("w0")).alias("age"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    base = mat.where(F.col("age") == 0).select(
+        "w0", F.col("n_users").alias("n_cohort")
+    )
+    return mat.join(F.broadcast(base), "w0").select(
+        F.col("w0").cast("bigint").alias("cohort_day"),
+        F.col("age").cast("bigint").alias("age_days"),
+        "n_users",
+        portable_round(
+            F.col("n_users").cast("double") / F.col("n_cohort"), 6
+        ).alias("retention"),
+    )
