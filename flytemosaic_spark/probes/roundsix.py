@@ -1164,3 +1164,173 @@ def x162_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_users").cast("double") / F.col("n_cohort"), 6
         ).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x163 — event-type transition matrix (first-order Markov chain)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x163_event_transitions",
+    sql="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        tr AS (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   count(*) AS n_trans
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT from_type, sum(n_trans) AS n_out FROM tr GROUP BY 1)
+        SELECT tr.from_type, tr.to_type, tr.n_trans,
+               floor(CAST(tr.n_trans AS DOUBLE) / tot.n_out * 1000000 + 0.5)
+                   / 1000000 AS p
+        FROM tr JOIN tot ON tr.from_type = tot.from_type
+    """,
+    note="first-order Markov transition matrix over user event "
+    "journeys — the user-flow model behind next-action prediction and "
+    "journey anomaly detection: lead() per user ordered by "
+    "(ts, event_id) (deterministic tie-break), transition counts, "
+    "row-normalized per source type. The window partitions per USER "
+    "(session-scale state, never corpus-scale); the matrix is "
+    "type²-cardinality and the row-total join broadcasts",
+)
+def x163_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = T(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    tr = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_trans"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n_trans").alias("n_out"))
+    return tr.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        portable_round(
+            F.col("n_trans").cast("double") / F.col("n_out"), 6
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x164 — Kaplan-Meier survival over user activity lifetimes
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x164_kaplan_meier",
+    sql="""
+        WITH life AS (
+            SELECT user_id,
+                   max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+                       AS last_d
+            FROM events GROUP BY 1
+        ),
+        horizon AS (SELECT max(last_d) AS maxd FROM life),
+        ev AS (
+            SELECT last_d AS d,
+                   count(*) AS n_end,
+                   sum(CASE WHEN last_d < maxd THEN 1 ELSE 0 END) AS n_churn
+            FROM life CROSS JOIN horizon GROUP BY last_d, maxd
+        ),
+        risk AS (
+            SELECT d, n_churn,
+                   sum(n_end) OVER (ORDER BY d DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS n_risk
+            FROM ev
+        ),
+        lf AS (
+            SELECT d, n_churn, n_risk,
+                   CAST(floor(ln(CAST(n_risk - n_churn AS DOUBLE) / n_risk)
+                              * 1000000000 + 0.5) AS BIGINT) AS lnf_u
+            FROM risk
+        )
+        SELECT CAST(d AS BIGINT) AS day,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(n_churn AS BIGINT) AS n_churn,
+               floor(exp(CAST(sum(lnf_u) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) / 1000000000.0) * 1000000 + 0.5) / 1000000
+                   AS survival
+        FROM lf
+    """,
+    note="Kaplan-Meier product-limit survival over user activity "
+    "lifetimes (churn proxy: a user 'dies' on their last active day; "
+    "users still active at the horizon are censored, so the last-day "
+    "factor is 1): per-user lifetime agg, per-day death counts, risk "
+    "set via reverse cumsum on the calendar-bounded day axis "
+    "(bounded_window — declared single partition), and the product "
+    "limit as exp(cumsum(ln factor)) with factors quantized to "
+    "integer nano-nats BEFORE the cumsum so the survival curve "
+    "replays exactly; ln/exp cross-libm ulps are absorbed by the "
+    "1e-9-then-1e-6 grain",
+)
+def x164_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.plans.prefix import bounded_window
+
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    life = (
+        T(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.max(day).alias("last_d"))
+    )
+    horizon = life.agg(F.max("last_d").alias("maxd"))
+    ev = (
+        life.crossJoin(F.broadcast(horizon))
+        .groupBy(F.col("last_d").alias("d"))
+        .agg(
+            F.count("*").alias("n_end"),
+            F.sum((F.col("last_d") < F.col("maxd")).cast("bigint")).alias(
+                "n_churn"
+            ),
+        )
+    )
+    w_risk = bounded_window("d", F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = ev.select(
+        "d", "n_churn", F.sum("n_end").over(w_risk).alias("n_risk")
+    )
+    lnf = F.floor(
+        F.log(
+            (F.col("n_risk") - F.col("n_churn")).cast("double") / F.col("n_risk")
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    lf = risk.select("d", "n_churn", "n_risk", lnf.alias("lnf_u"))
+    w_surv = bounded_window("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return lf.select(
+        F.col("d").cast("bigint").alias("day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("n_churn").cast("bigint").alias("n_churn"),
+        (
+            F.floor(
+                F.exp(
+                    F.sum("lnf_u").over(w_surv).cast("double") / F.lit(1e9)
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("survival"),
+    )

@@ -97,6 +97,8 @@ CROSS_OK = {
     "x154_doc_lm_score",
     # 1-row est x 1-row exact crossJoin (two scalar aggregates)
     "x161_join_cardinality_sketch",
+    # 1-row horizon (max day) broadcast into the lifetime table
+    "x164_kaplan_meier",
 }
 
 # probes where a Window with an empty partition spec is acceptable —
