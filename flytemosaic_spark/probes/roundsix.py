@@ -1334,3 +1334,95 @@ def x164_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x165 — haversine nearest-facility join
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x165_haversine_nn",
+    sql="""
+        WITH c AS (
+            SELECT c_custkey,
+                   CAST((c_custkey * 31) % 320 - 160 AS DOUBLE) + 0.25 AS lon,
+                   CAST((c_custkey * 17) % 140 - 70 AS DOUBLE) + 0.25 AS lat
+            FROM customer
+        ),
+        s AS (
+            SELECT s_suppkey,
+                   CAST((s_suppkey * 37) % 320 - 160 AS DOUBLE) + 0.5 AS lon,
+                   CAST((s_suppkey * 53) % 140 - 70 AS DOUBLE) + 0.5 AS lat
+            FROM supplier
+        ),
+        d AS (
+            SELECT c_custkey, s_suppkey,
+                   floor(2.0 * 6371000.0 * asin(sqrt(
+                       pow(sin((s.lat - c.lat) * (pi() / 360.0)), 2)
+                       + cos(c.lat * (pi() / 180.0))
+                         * cos(s.lat * (pi() / 180.0))
+                         * pow(sin((s.lon - c.lon) * (pi() / 360.0)), 2)
+                   )) + 0.5) AS dist_m
+            FROM c CROSS JOIN s
+        ),
+        rk AS (
+            SELECT c_custkey, s_suppkey, dist_m,
+                   row_number() OVER (PARTITION BY c_custkey
+                       ORDER BY dist_m, s_suppkey) AS rnk
+            FROM d
+        )
+        SELECT c_custkey, s_suppkey AS nearest_supp,
+               CAST(dist_m AS BIGINT) AS dist_m
+        FROM rk WHERE rnk = 1
+    """,
+    note="nearest-facility assignment by great-circle distance: "
+    "haversine as pure column math (sin/cos/asin with the identical "
+    "IEEE association on both engines; metre rounding absorbs "
+    "cross-libm ulps, and the quarter/half-degree offset grids keep "
+    "every pairwise distance far from a whole-metre tie). The probe "
+    "is the exact broadcast form — customers stream against the "
+    "supplier table (facility side is node-scale, x3's shape); at "
+    "planetary candidate scale the same distance refines inside "
+    "f23's XYZ tile blocking (neighbor-tile candidates only), the "
+    "j10 grid-join pattern on the sphere",
+)
+def x165_haversine_nn(spark: SparkSession, sf: str) -> DataFrame:
+    ck = F.col("c_custkey")
+    sk = F.col("s_suppkey")
+    c = T(spark, sf, "customer").select(
+        "c_custkey",
+        (((ck * 31) % 320 - 160).cast("double") + 0.25).alias("c_lon"),
+        (((ck * 17) % 140 - 70).cast("double") + 0.25).alias("c_lat"),
+    )
+    s = T(spark, sf, "supplier").select(
+        "s_suppkey",
+        (((sk * 37) % 320 - 160).cast("double") + 0.5).alias("s_lon"),
+        (((sk * 53) % 140 - 70).cast("double") + 0.5).alias("s_lat"),
+    )
+    import math as _m
+
+    half_rad = F.lit(_m.pi / 360.0)
+    deg_rad = F.lit(_m.pi / 180.0)
+    hav = (
+        F.pow(F.sin((F.col("s_lat") - F.col("c_lat")) * half_rad), 2)
+        + F.cos(F.col("c_lat") * deg_rad)
+        * F.cos(F.col("s_lat") * deg_rad)
+        * F.pow(F.sin((F.col("s_lon") - F.col("c_lon")) * half_rad), 2)
+    )
+    dist = F.floor(
+        F.lit(2.0) * F.lit(6371000.0) * F.asin(F.sqrt(hav)) + F.lit(0.5)
+    )
+    d = c.crossJoin(F.broadcast(s)).select(
+        "c_custkey", "s_suppkey", dist.alias("dist_m")
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist_m", "s_suppkey")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_supp"),
+            F.col("dist_m").cast("bigint").alias("dist_m"),
+        )
+    )

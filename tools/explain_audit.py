@@ -99,6 +99,9 @@ CROSS_OK = {
     "x161_join_cardinality_sketch",
     # 1-row horizon (max day) broadcast into the lifetime table
     "x164_kaplan_meier",
+    # node-scale facility table broadcast (x3's brute-scan shape);
+    # planetary scale routes through f23 XYZ tile blocking per the note
+    "x165_haversine_nn",
 }
 
 # probes where a Window with an empty partition spec is acceptable —
