@@ -1426,3 +1426,81 @@ def x165_haversine_nn(spark: SparkSession, sf: str) -> DataFrame:
             F.col("dist_m").cast("bigint").alias("dist_m"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x166 — RFM segmentation via distributed exact terciles
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x166_rfm_segments",
+    sql="""
+        WITH u AS (
+            SELECT user_id,
+                   max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+                       AS last_d,
+                   count(*) AS freq,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+            FROM events GROUP BY 1
+        ),
+        t AS (
+            SELECT user_id,
+                   ntile(3) OVER (ORDER BY last_d, user_id) AS r_t,
+                   ntile(3) OVER (ORDER BY freq, user_id) AS f_t,
+                   ntile(3) OVER (ORDER BY cents, user_id) AS m_t
+            FROM u
+        )
+        SELECT CAST(r_t AS INT) AS r_t, CAST(f_t AS INT) AS f_t,
+               CAST(m_t AS INT) AS m_t,
+               count(*) AS n_users
+        FROM t GROUP BY 1, 2, 3
+    """,
+    note="RFM segmentation (recency / frequency / monetary terciles — "
+    "the classic customer-value grid): per-user aggregates, then "
+    "THREE exact global terciles each computed with the "
+    "plans/prefix.py distributed row_number + the closed-form "
+    "SQL-standard ntile allocation — no single-partition window for "
+    "any of the three rankings (the oracle replays them as plain "
+    "ntile windows); integer cents, deterministic user_id tie-breaks",
+)
+def x166_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.plans.prefix import (
+        distributed_row_number,
+        ntile_from_rn,
+    )
+
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    u = (
+        T(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(day).cast("bigint").alias("last_d"),
+            F.count("*").alias("freq"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+    n_df = u.agg(F.count("*").alias("_N"))
+    # each tercile ranks the BASE user table (not an accumulating join
+    # chain — that nests the rank plans and multiplies exchanges);
+    # the three user-scale tercile tables then equi-join once each
+    out = u.select("user_id")
+    for metric, tcol in (("last_d", "r_t"), ("freq", "f_t"), ("cents", "m_t")):
+        rn = distributed_row_number(
+            u.select("user_id", metric), (metric, "user_id"), out_col="_rn"
+        )
+        t = (
+            rn.crossJoin(F.broadcast(n_df))
+            .select(
+                "user_id",
+                ntile_from_rn(F.col("_rn"), F.col("_N"), 3)
+                .cast("int")
+                .alias(tcol),
+            )
+        )
+        out = out.join(t, "user_id")
+    return out.groupBy("r_t", "f_t", "m_t").agg(F.count("*").alias("n_users"))

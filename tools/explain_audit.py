@@ -102,6 +102,8 @@ CROSS_OK = {
     # node-scale facility table broadcast (x3's brute-scan shape);
     # planetary scale routes through f23 XYZ tile blocking per the note
     "x165_haversine_nn",
+    # 1-row global-count crossJoin feeding the ntile closed form (x68)
+    "x166_rfm_segments",
 }
 
 # probes where a Window with an empty partition spec is acceptable —
