@@ -1504,3 +1504,73 @@ def x166_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = out.join(t, "user_id")
     return out.groupBy("r_t", "f_t", "m_t").agg(F.count("*").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# x167 — Benford's-law digit test (data-quality / fraud screen)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x167_benford_test",
+    sql="""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                          AS BIGINT) AS VARCHAR), 1, 1)
+                        AS BIGINT) AS digit
+            FROM orders WHERE o_totalprice > 0
+        ),
+        obs AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        tot AS (SELECT sum(n) AS total FROM obs)
+        SELECT digit, n,
+               floor(CAST(n AS DOUBLE) / total * 1000000 + 0.5) / 1000000
+                   AS obs_freq,
+               floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000 + 0.5)
+                   / 1000000 AS benford_p,
+               floor(pow(CAST(n AS DOUBLE) / total
+                         - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
+                     / (ln(1.0 + 1.0 / digit) / ln(10.0))
+                     * total * 1000000 + 0.5) / 1000000 AS chi2_term
+        FROM obs CROSS JOIN tot
+    """,
+    note="Benford's-law first-digit test — the data-quality / fraud "
+    "screen a pipeline runs before trusting an amounts column: first "
+    "significant digit extracted from the INTEGER cents string (no "
+    "cross-engine double formatting, no log10 of the value), observed "
+    "frequency vs ln(1+1/d)/ln(10), per-digit chi-square contribution "
+    "(sum over the 9 rows = the test statistic). One aggregation + a "
+    "1-row total broadcast; constant 9-row output",
+)
+def x167_benford_test(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        T(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+    )
+    obs = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    freq = F.col("n").cast("double") / F.col("total")
+    bp = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        portable_round(freq, 6).alias("obs_freq"),
+        portable_round(bp, 6).alias("benford_p"),
+        (
+            F.floor(
+                F.pow(freq - bp, F.lit(2.0)) / bp * F.col("total") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("chi2_term"),
+    )

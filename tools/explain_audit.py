@@ -104,6 +104,8 @@ CROSS_OK = {
     "x165_haversine_nn",
     # 1-row global-count crossJoin feeding the ntile closed form (x68)
     "x166_rfm_segments",
+    # 1-row digit-total crossJoin into the constant 9-row digit table
+    "x167_benford_test",
 }
 
 # probes where a Window with an empty partition spec is acceptable —
