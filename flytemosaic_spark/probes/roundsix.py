@@ -1574,3 +1574,68 @@ def x167_benford_test(spark: SparkSession, sf: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x168 — Gini coefficient per segment
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x168_gini_by_group",
+    sql="""
+        WITH v AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT), o_orderkey) AS i
+            FROM orders
+        )
+        SELECT grp,
+               count(*) AS n,
+               sum(cents) AS total_cents,
+               floor((2.0 * sum(i * cents)
+                      - (count(*) + 1.0) * sum(cents))
+                     / (count(*) * CAST(sum(cents) AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000 AS gini
+        FROM v GROUP BY grp
+    """,
+    note="Gini coefficient per segment — the inequality readout behind "
+    "mixture-balancing decisions (is one source/priority dominated by "
+    "a few huge rows?): rank-weighted formulation G = (2·Σi·x − "
+    "(n+1)·Σx)/(n·Σx) with integer-cent values, so both Σ terms are "
+    "exact bigints and the only float op is the final division. The "
+    "ranking window partitions per GROUP (segment-scale, never "
+    "corpus-scale); the same identity runs on a distributed "
+    "row_number when a single segment outgrows a partition",
+)
+def x168_gini_by_group(spark: SparkSession, sf: str) -> DataFrame:
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    v = (
+        T(spark, sf, "orders")
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            cents.alias("cents"),
+            "o_orderkey",
+        )
+        .withColumnRenamed("grp", "o_orderpriority")
+        .withColumn("i", F.row_number().over(w).cast("bigint"))
+    )
+    n = F.count("*")
+    sx = F.sum("cents")
+    six = F.sum(F.col("i") * F.col("cents"))
+    return v.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        n.alias("n"),
+        sx.alias("total_cents"),
+        (
+            F.floor(
+                (F.lit(2.0) * six - (n + F.lit(1.0)) * sx)
+                / (n * sx.cast("double"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("gini"),
+    )
