@@ -1639,3 +1639,86 @@ def x168_gini_by_group(spark: SparkSession, sf: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x169 — Pareto concentration report (80/20 analysis)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x169_pareto_report",
+    sql="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS cents
+            FROM orders GROUP BY 1
+        ),
+        tot AS (SELECT sum(cents) AS total, count(*) AS n_cust FROM cust),
+        r AS (
+            SELECT o_custkey, cents,
+                   sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   row_number() OVER (ORDER BY cents DESC, o_custkey) AS i
+            FROM cust
+        ),
+        flag AS (
+            SELECT i, cum, total, n_cust,
+                   CASE WHEN cum * 5 <= total * 4 THEN 1 ELSE 0 END
+                       AS in_top80
+            FROM r CROSS JOIN tot
+        )
+        SELECT CAST(sum(in_top80) + 1 AS BIGINT) AS n_top80,
+               min(n_cust) AS n_cust,
+               floor(CAST(sum(in_top80) + 1 AS DOUBLE) / min(n_cust)
+                     * 1000000 + 0.5) / 1000000 AS frac_top80
+        FROM flag
+    """,
+    note="Pareto 80/20 concentration: how many customers carry 80% of "
+    "revenue — the skew readout that decides salting and mixture caps "
+    "before a key becomes a hot partition. Integer cents; the 80% "
+    "boundary test is the cross-multiplied integer comparison "
+    "cum·5 <= total·4 (no float threshold), +1 counts the boundary "
+    "customer that crosses 80%. The running sum is the "
+    "plans/prefix.py distributed cumsum (range-bucketed on the "
+    "negated value with the custkey tie-break) — no single-partition "
+    "window even though the input is customer-cardinality, so the "
+    "same plan survives billion-key amounts columns",
+)
+def x169_pareto_report(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.plans.prefix import distributed_cumsum
+
+    cust = (
+        T(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    tot = cust.agg(
+        F.sum("cents").alias("total"), F.count("*").alias("n_cust")
+    )
+    r = distributed_cumsum(
+        cust.withColumn("_neg", -F.col("cents")),
+        "_neg",
+        "cents",
+        out_col="cum",
+        tie_cols=("o_custkey",),
+    ).drop("_neg")
+    flag = r.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("cum") * 5 <= F.col("total") * 4).cast("bigint")
+        ).alias("in_top80"),
+        "n_cust",
+    )
+    return flag.agg(
+        (F.sum("in_top80") + 1).cast("bigint").alias("n_top80"),
+        F.min("n_cust").alias("n_cust"),
+        portable_round(
+            (F.sum("in_top80") + F.lit(1)).cast("double") / F.min("n_cust"), 6
+        ).alias("frac_top80"),
+    )

@@ -106,6 +106,8 @@ CROSS_OK = {
     "x166_rfm_segments",
     # 1-row digit-total crossJoin into the constant 9-row digit table
     "x167_benford_test",
+    # 1-row (total, n_cust) crossJoin into the ranked customer table
+    "x169_pareto_report",
 }
 
 # probes where a Window with an empty partition spec is acceptable —
