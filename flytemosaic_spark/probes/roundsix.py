@@ -1722,3 +1722,60 @@ def x169_pareto_report(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum("in_top80") + F.lit(1)).cast("double") / F.min("n_cust"), 6
         ).alias("frac_top80"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x170 — dedup clusters via large-star/small-star components (x21's twin)
+# ---------------------------------------------------------------------------
+
+from flytemosaic_spark.probes.extensions import _SHINGLE_SQL  # noqa: E402
+
+
+@probe(
+    "x170_dedup_clusters_star",
+    sql=_SHINGLE_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    + """,
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
+        FROM ex a JOIN ex b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    good AS (
+        SELECT id_a, id_b FROM pairs
+        WHERE round(n_inter / (n_a + n_b - n_inter), 4) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM good
+        UNION ALL SELECT id_b, id_a FROM good
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+    SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    note="x21's dedup clustering through the O(log n)-round "
+    "large-star/small-star rewriting (operators/dedup.py:"
+    "connected_components_star, Kiveris et al.) instead of min-label "
+    "propagation — identical oracle, identical clusters; the star "
+    "alternation shortcuts arbitrary component diameters where "
+    "min-label needs O(diameter) rounds (and now fails loudly past "
+    "its budget). Union-find equivalence on chains/cycles/random "
+    "graphs in tests/test_dedup.py",
+)
+def x170_dedup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators import dedup as _dedup
+    from flytemosaic_spark.operators.dedup import connected_components_star
+
+    docs = T(spark, sf, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components_star(pairs, src="id_a", dst="id_b")
+    return docs.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster"))

@@ -138,3 +138,50 @@ def test_embedding_neardup_lsh_finds_planted_dups(spark, sf_dir):
     }
     assert set(exact) == set(want)
     assert lsh == exact  # recall 1.0 at this config on planted dups
+
+
+def _unionfind(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_star_components_match_unionfind(spark):
+    from flytemosaic_spark.operators.dedup import connected_components_star
+    import random
+
+    random.seed(3)
+    cases = [
+        [(i, i + 1) for i in range(200)],  # diameter >> min-label budget
+        [(i + 1, i) for i in range(150)],  # descending ids
+        [(i, (i + 1) % 300) for i in range(300)],  # big cycle
+        [(random.randrange(400), random.randrange(400)) for _ in range(500)],
+    ]
+    for e in cases:
+        e = [(a, b) for a, b in e if a != b]
+        df = spark.createDataFrame(e, "src long, dst long")
+        got = dict(map(tuple, connected_components_star(df).collect()))
+        assert got == _unionfind(e)
+
+
+def test_min_label_components_raise_on_long_chains(spark):
+    # a 200-node path exceeds the 50-round propagation budget: the
+    # result would be silently wrong, so the operator must fail loudly
+    from flytemosaic_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df).collect()

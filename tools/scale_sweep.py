@@ -82,6 +82,11 @@ PROBES = [
     "p6_batch_assign",  # distributed global row_number
     "x68_value_deciles",  # distributed exact ntile
     "x113b_cooccur_topk_basket",  # basket-list co-occurrence (x113 scale twin)
+    "x153_span_dedup",  # inverted-index span hash dedup
+    "x154_doc_lm_score",  # unigram-LM scoring (vocab join)
+    "x155_chunk_for_embedding",  # map-side chunking, zero shuffles
+    "x163_event_transitions",  # per-user lead windows
+    "x169_pareto_report",  # distributed cumsum concentration
 ]
 
 
