@@ -116,7 +116,7 @@ def main() -> None:
     max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = [n for n in sys.argv[2:]]
     probes_to_run = only or PROBES
-    factors = [f for f in (1, 3, 10) if f <= max_factor]
+    factors = [f for f in (1, 3, 10, 30) if f <= max_factor]
     spark = get_spark(
         "scale-sweep",
         cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
