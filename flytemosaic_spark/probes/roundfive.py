@@ -25,12 +25,14 @@ from flytemosaic_spark.probes.registry import T, probe
 # pairwise cosine only WITHIN clusters
 # ---------------------------------------------------------------------------
 
-# anchors scale with the corpus: k = max(8, N div 64) keeps average
-# cluster blocks ~64 members, so the intra-cluster pair join stays
-# LINEAR in N (the 10x sweep measured fixed-k at 18.7x for 10x data
-# and k∝N at ~1.5x). Both engines derive k from the same count.
+# anchors scale with the corpus as k = max(8, floor(sqrt(N))) — the
+# COST-OPTIMAL point: total work = assignment N*k + intra-block pairs
+# N*(N/k), minimized at k = sqrt(N) for ~2*N^1.5 total. k ∝ N looks
+# flat at small scale but makes the assignment stage quadratic
+# (N²/block — measured 10.9x at 30x data); fixed k makes the pair
+# stage quadratic (18.7x at 10x). Both engines derive k from the same
+# count; sqrt is correctly-rounded IEEE so floor(sqrt(N)) is portable.
 _SEM_ANCHOR_FLOOR = 8
-_SEM_BLOCK = 64
 _SEM_THRESHOLD = 0.30
 _PAIR_BUCKETS = 8
 
@@ -43,7 +45,8 @@ _PAIR_BUCKETS = 8
             FROM embeddings
         ),
         k AS (SELECT greatest({_SEM_ANCHOR_FLOOR},
-                              count(*) // {_SEM_BLOCK}) AS n_anchors
+                              CAST(floor(sqrt(count(*))) AS BIGINT))
+                  AS n_anchors
               FROM e),
         a AS (SELECT vec_id AS aid, v AS av FROM e
               WHERE vec_id < (SELECT n_anchors FROM k)),
@@ -83,10 +86,11 @@ _PAIR_BUCKETS = 8
     "clusters — the quadratic pair join is bounded by the largest "
     "cluster block instead of the corpus; keep-lowest-id drop rule "
     "(a member is dropped if any lower-id cluster-mate is >= 0.30 "
-    "cosine). k = max(8, N div 64) is derived relationally from the "
-    "corpus count on BOTH engines, so blocks stay ~64 members and "
-    "total pair work is linear in N; sims rounded at 1e-4 before the "
-    "threshold so both engines gate identically",
+    "cosine). k = max(8, floor(sqrt(N))) is derived relationally from "
+    "the corpus count on BOTH engines — the cost-optimal anchor count "
+    "(assignment N·k + pair stage N²/k balance at k = sqrt(N), "
+    "~2·N^1.5 total); sims rounded at 1e-4 before the threshold so "
+    "both engines gate identically",
 )
 def x129_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.similarity import semdedup_report
@@ -98,7 +102,7 @@ def x129_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     k_df = emb.agg(
         F.greatest(
             F.lit(_SEM_ANCHOR_FLOOR).cast("bigint"),
-            (F.count("*") / _SEM_BLOCK).cast("bigint"),
+            F.floor(F.sqrt(F.count("*"))).cast("bigint"),
         ).alias("_n_anchors")
     )
     anchors = (
