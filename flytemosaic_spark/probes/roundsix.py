@@ -1595,7 +1595,8 @@ def x167_benford_test(spark: SparkSession, sf: str) -> DataFrame:
         SELECT grp,
                count(*) AS n,
                sum(cents) AS total_cents,
-               floor((2.0 * sum(i * cents)
+               floor((2.0 * CAST(sum(CAST(i AS DECIMAL(38,0)) * cents)
+                                 AS DOUBLE)
                       - (count(*) + 1.0) * sum(cents))
                      / (count(*) * CAST(sum(cents) AS DOUBLE))
                      * 1000000 + 0.5) / 1000000 AS gini
@@ -1625,13 +1626,13 @@ def x168_gini_by_group(spark: SparkSession, sf: str) -> DataFrame:
     )
     n = F.count("*")
     sx = F.sum("cents")
-    six = F.sum(F.col("i") * F.col("cents"))
+    six = F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
     return v.groupBy(F.col("o_orderpriority").alias("grp")).agg(
         n.alias("n"),
         sx.alias("total_cents"),
         (
             F.floor(
-                (F.lit(2.0) * six - (n + F.lit(1.0)) * sx)
+                (F.lit(2.0) * six.cast("double") - (n + F.lit(1.0)) * sx)
                 / (n * sx.cast("double"))
                 * F.lit(1e6)
                 + F.lit(0.5)
