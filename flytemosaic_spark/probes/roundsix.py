@@ -1780,3 +1780,95 @@ def x170_dedup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id").join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     ).select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster"))
+
+
+# ---------------------------------------------------------------------------
+# x171 — point-in-time join against SCD2 validity intervals
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x171_pit_join",
+    sql="""
+        WITH m AS (
+            SELECT user_id, CAST(ts AS DATE) AS d, min(ts) AS ts0
+            FROM events GROUP BY 1, 2
+        ),
+        st AS (
+            SELECT e.user_id, CAST(e.ts AS DATE) AS d,
+                   min_by(e.event_type, e.event_id) AS status
+            FROM events e JOIN m
+              ON e.user_id = m.user_id AND CAST(e.ts AS DATE) = m.d
+             AND e.ts = m.ts0
+            GROUP BY 1, 2
+        ),
+        dim AS (
+            SELECT user_id, d AS valid_from, status,
+                   coalesce(lead(d) OVER (PARTITION BY user_id ORDER BY d),
+                            DATE '9999-12-31') AS valid_to
+            FROM st
+        ),
+        facts AS (
+            SELECT event_id, user_id, CAST(ts AS DATE) AS d, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT f.event_id, f.user_id,
+               dim.status AS status_at_purchase,
+               dim.valid_from AS status_since
+        FROM facts f JOIN dim
+          ON f.user_id = dim.user_id
+         AND f.d >= dim.valid_from AND f.d < dim.valid_to
+    """,
+    note="point-in-time join against SCD2 validity intervals — the "
+    "warehouse-correctness staple (no future leakage: each fact sees "
+    "the dimension version in effect ON ITS OWN date): the dimension "
+    "is each user's daily status (first event of the day: min(ts) per "
+    "(user, day) then min event_id among exact-ts ties — a two-stage "
+    "arg-min that replays on engines without struct-keyed min_by), "
+    "intervals close via lead() "
+    "per user (x30's SCD2 shape), and the PIT predicate is an "
+    "equi-join on the user plus the [valid_from, valid_to) range "
+    "check — Spark plans the equi-key join and filters the interval "
+    "residual, so the shuffle is keyed, never a range cross join; "
+    "all windows partition per user",
+)
+def x171_pit_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    base = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    m = base.groupBy("user_id", "d").agg(F.min("ts").alias("ts0"))
+    st = (
+        base.join(m, ["user_id", "d"])
+        .where(F.col("ts") == F.col("ts0"))
+        .groupBy("user_id", "d")
+        .agg(F.min_by("event_type", "event_id").alias("status"))
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    dim = st.select(
+        "user_id",
+        F.col("d").alias("valid_from"),
+        "status",
+        F.coalesce(
+            F.lead("d").over(w), F.lit("9999-12-31").cast("date")
+        ).alias("valid_to"),
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("date").alias("d")
+    )
+    return (
+        facts.join(dim, "user_id")
+        .where(
+            (F.col("d") >= F.col("valid_from")) & (F.col("d") < F.col("valid_to"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("status").alias("status_at_purchase"),
+            F.col("valid_from").alias("status_since"),
+        )
+    )
