@@ -446,18 +446,21 @@ def connected_components_star(
     Same output contract as ``connected_components``: one (node, lbl)
     row per node that appears in ``edges``, lbl = component minimum.
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .select(
-            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-        )
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # node universe from the RAW edges, before dropping self-loops:
+    # a node appearing only as (n, n) must still come out as (n, n),
+    # matching connected_components' symmetric-adjacency contract.
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    all_nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
+    e = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
         .distinct()
         .localCheckpoint()
     )
@@ -515,6 +518,14 @@ def connected_components_star(
         if new_fp == fp:
             break
         fp = new_fp
+    else:
+        # mirror connected_components: never return labels from a
+        # possibly non-star edge set. O(log n) convergence makes 30
+        # rounds unreachable in practice, so the raise costs nothing.
+        raise RuntimeError(
+            f"connected_components_star did not reach the star fixpoint "
+            f"in max_iter={max_iter} rounds; raise max_iter"
+        )
     # fixpoint edges are stars (larger node, component min): label =
     # min over incident star edges; star centers label themselves
     labels = (

@@ -290,16 +290,16 @@ def x152_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "",
     )
     stripped = raw.select("doc_id", "url", u.alias("u"))
-    rest = F.element_at(F.split(F.col("u"), "://"), 2)
-    hostport = F.element_at(F.split(rest, "/"), 1)
+    rest = F.try_element_at(F.split(F.col("u"), "://"), F.lit(2))
+    hostport = F.try_element_at(F.split(rest, "/"), F.lit(1))
     parts = stripped.select(
         "doc_id",
         "url",
-        F.lower(F.element_at(F.split(F.col("u"), "://"), 1)).alias("scheme"),
+        F.lower(F.try_element_at(F.split(F.col("u"), "://"), F.lit(1))).alias("scheme"),
         hostport.alias("hostport"),
         F.expr(
-            "substr(element_at(split(u, '://'), 2),"
-            " length(element_at(split(element_at(split(u, '://'), 2), '/'), 1))"
+            "substr(try_element_at(split(u, '://'), 2),"
+            " length(try_element_at(split(try_element_at(split(u, '://'), 2), '/'), 1))"
             " + 1)"
         ).alias("pathq"),
     )
@@ -819,10 +819,10 @@ def x113b_cooccur_topk_basket(spark: SparkSession, sf: str) -> DataFrame:
             lambda i: F.transform(
                 F.filter(
                     F.slice(F.col("ps"), i + 1, k - i),
-                    lambda p: p != F.element_at(F.col("ps"), i),
+                    lambda p: p != F.try_element_at(F.col("ps"), i),
                 ),
                 lambda p: F.struct(
-                    F.element_at(F.col("ps"), i).alias("u"), p.alias("v")
+                    F.try_element_at(F.col("ps"), i).alias("u"), p.alias("v")
                 ),
             ),
         )

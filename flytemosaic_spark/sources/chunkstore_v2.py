@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import zlib
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
@@ -49,6 +50,13 @@ from pyspark.sql.types import StructType
 SCHEMA = "t int, b0 int, y0 int, x0 int, shape array<int>, payload array<float>"
 _ORIGIN_COLS = ("t", "b0", "y0", "x0")
 _FILES_PER_TASK = 32
+
+# Committed chunk files are exactly 't.b.y.x'; anything else (a
+# writer's in-flight '<name>.tmp-<pid>', stray metadata) must never
+# reach map(int, ...) — a stream batch that lists mid-write would
+# crash otherwise, and tailing a live writer is the stream reader's
+# stated purpose.
+_CHUNK_NAME_RE = re.compile(r"^\d+\.\d+\.\d+\.\d+$")
 
 
 def _read_meta(path: str) -> dict:
@@ -112,7 +120,7 @@ class ChunkStoreReader(DataSourceReader):
         ct, cb, cy, cx = self.meta["chunks"]
         keep = []
         for name in sorted(os.listdir(self.path)):
-            if name.startswith("."):
+            if not _CHUNK_NAME_RE.match(name):
                 continue
             ti, bi, yi, xi = map(int, name.split("."))
             origin = {"t": ti * ct, "b0": bi * cb, "y0": yi * cy, "x0": xi * cx}
@@ -250,7 +258,7 @@ class ChunkStoreStreamReader(SimpleDataSourceStreamReader):
 
     def _chunk_files(self) -> list[str]:
         return sorted(
-            n for n in os.listdir(self.path) if not n.startswith(".")
+            n for n in os.listdir(self.path) if _CHUNK_NAME_RE.match(n)
         )
 
     def initialOffset(self) -> dict:

@@ -3,6 +3,8 @@ file-pruning filter pushdown, and interop with the functional API."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -136,3 +138,31 @@ def test_stream_reader_tails_new_chunks(spark, tmp_path):
     old_rows = sorted(map(tuple, first.select(*key).collect()))
     added = [r for r in new_rows if r not in old_rows]
     assert added and all(r[0] == 1 for r in added)  # all from the t=1 slab
+
+
+def test_in_flight_tmp_files_are_invisible(spark, tmp_path):
+    """A writer's in-flight '<t>.<b>.<y>.<x>.tmp-<pid>' must be
+    skipped by BOTH the batch partition listing and the stream
+    reader's seen-set — a micro-batch that lists mid-write would
+    otherwise crash on map(int, name.split('.'))."""
+    path, cube, df = _store(spark, tmp_path)
+    write_region_chunks(df, path)
+    batch = spark.read.format("chunkstore").option("path", path).load()
+    n = batch.count()
+
+    # simulate a writer mid-write: the tmp name a parallel region
+    # writer actually uses (chunkstore_v2 writer line ~193)
+    with open(os.path.join(path, "9.9.9.9.tmp-12345"), "wb") as f:
+        f.write(b"partial")
+
+    again = spark.read.format("chunkstore").option("path", path).load()
+    assert again.count() == n  # batch listing unaffected
+
+    from flytemosaic_spark.sources.chunkstore_v2 import (
+        ChunkStoreStreamReader,
+    )
+
+    r = ChunkStoreStreamReader({"path": path})
+    assert all(".tmp-" not in name for name in r._chunk_files())
+    rows, off = r.read(r.initialOffset())
+    assert len(list(rows)) == n

@@ -185,3 +185,32 @@ def test_min_label_components_raise_on_long_chains(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df).collect()
+
+
+def test_star_components_keep_self_loop_only_nodes(spark):
+    # a node appearing ONLY in a self-loop edge must still be labeled
+    # (with itself) — same contract as connected_components' symmetric
+    # adjacency, which labels such nodes via the (n, n) edge
+    from flytemosaic_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (7, 7), (2, 3)], "src long, dst long"
+    )
+    star = dict(map(tuple, connected_components_star(df).collect()))
+    base = dict(map(tuple, connected_components(df).collect()))
+    assert star == base == {1: 1, 2: 1, 3: 1, 7: 7}
+
+
+def test_star_components_raise_when_budget_exhausted(spark):
+    # mirror connected_components: never return labels from a
+    # possibly non-star edge set
+    from flytemosaic_spark.operators.dedup import connected_components_star
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="star fixpoint"):
+        connected_components_star(df, max_iter=1).collect()
