@@ -19,14 +19,15 @@ def roc_auc(
 
     ``score_col`` must be numeric (it is the rank order); ``label_col``
     is 0/1. Average ranks are accumulated in integer HALF-RANK units
-    (2*cum_before + n + 1), so the statistic is an exact bigint sum on
-    any engine and any partitioning; the exclusive rank cumsum runs
-    through :func:`plans.prefix.distributed_cumsum` — bounded per-task
-    state at any score cardinality, never a single-partition window.
+    (2*cum_before + n + 1) in DECIMAL(38,0) — the rank sum passes
+    int64 around ~1e9 rows per slice (sum ≈ n_pos·2N), which is not
+    exotic at the 100 TB design point, and DuckDB's sum(BIGINT) is
+    already hugeint; 128-bit decimal keeps Spark exact at any scale.
+    The exclusive rank cumsum runs through
+    :func:`plans.prefix.distributed_cumsum` — bounded per-task state
+    at any score cardinality, never a single-partition window.
     Returns one row: (n_pos, n_neg, auc).
     """
-    from flytemosaic_spark.plans.prefix import distributed_cumsum
-
     v = (
         scored.select(
             F.col(score_col).alias("sc"),
@@ -35,18 +36,40 @@ def roc_auc(
         .groupBy("sc")
         .agg(F.count("*").alias("n"), F.sum("y").alias("np"))
     )
+    return roc_auc_from_counts(v, n_buckets=n_buckets)
+
+
+def roc_auc_from_counts(
+    v: DataFrame, n_buckets: int | None = None
+) -> DataFrame:
+    """:func:`roc_auc` over a pre-aggregated (sc, n, np) table — one
+    row per distinct score value with its row count and positive
+    count. This is the accumulation path itself, exposed so overflow
+    tests can feed synthetic counts past the int64 boundary without
+    materializing 1e9 raw rows."""
+    from flytemosaic_spark.plans.prefix import distributed_cumsum
+
     r = distributed_cumsum(v, "sc", "n", out_col="cum", n_buckets=n_buckets)
-    rp2 = F.col("np") * (2 * (F.col("cum") - F.col("n")) + F.col("n") + F.lit(1))
+    # DECIMAL(38,0): half-rank units overflow int64 near 1e9 rows
+    rp2 = F.col("np").cast("decimal(38,0)") * (
+        2 * (F.col("cum") - F.col("n")) + F.col("n") + F.lit(1)
+    )
     t = r.agg(
         F.sum(rp2).alias("rp2"),
         F.sum("np").alias("npos"),
         F.sum(F.col("n") - F.col("np")).alias("nneg"),
     )
+    # subtract in decimal BEFORE the double cast: the numerator is
+    # 2*n_pos*n_neg*AUC, potentially tiny next to rp2 ~ n_pos*2N —
+    # a double-side subtraction would cancel catastrophically
+    num = F.col("rp2") - F.col("npos").cast("decimal(38,0)") * (
+        F.col("npos") + F.lit(1)
+    )
     return t.select(
         F.col("npos").alias("n_pos"),
         F.col("nneg").alias("n_neg"),
         portable_round(
-            (F.col("rp2") - F.col("npos") * (F.col("npos") + 1))
+            num.cast("double")
             / (F.lit(2.0) * F.col("npos") * F.col("nneg")),
             6,
         ).alias("auc"),
@@ -59,15 +82,14 @@ def roc_auc_by(
     """Per-group exact tie-corrected ROC AUC (Mann-Whitney), the
     segment-wise readout next to :func:`roc_auc`'s global one.
 
-    Same integer half-rank units; the rank cumsum here is a window
-    partitioned by group — but over the (group, score) AGGREGATE, so a
-    partition holds at most |distinct scores in group| rows no matter
-    how many raw rows the group had. Degenerate one-class groups
-    report NULL instead of dividing by zero (ANSI-safe, and the oracle
-    CASEs identically).
+    Same DECIMAL(38,0) half-rank units as :func:`roc_auc` (a single
+    segment can pass 1e9 rows at the design point); the rank cumsum
+    here is a window partitioned by group — but over the (group,
+    score) AGGREGATE, so a partition holds at most |distinct scores in
+    group| rows no matter how many raw rows the group had. Degenerate
+    one-class groups report NULL instead of dividing by zero
+    (ANSI-safe, and the oracle CASEs identically).
     """
-    from pyspark.sql import Window
-
     v = (
         scored.select(
             F.col(group_col).alias("grp"),
@@ -77,17 +99,31 @@ def roc_auc_by(
         .groupBy("grp", "sc")
         .agg(F.count("*").alias("n"), F.sum("y").alias("np"))
     )
+    return roc_auc_by_from_counts(v)
+
+
+def roc_auc_by_from_counts(v: DataFrame) -> DataFrame:
+    """:func:`roc_auc_by` over a pre-aggregated (grp, sc, n, np)
+    table — the accumulation path, exposed for past-int64 overflow
+    tests (same rationale as :func:`roc_auc_from_counts`)."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy("grp")
         .orderBy("sc")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     r = v.withColumn("cb", F.coalesce(F.sum("n").over(w), F.lit(0)))
-    rp2 = F.col("np") * (2 * F.col("cb") + F.col("n") + F.lit(1))
+    rp2 = F.col("np").cast("decimal(38,0)") * (
+        2 * F.col("cb") + F.col("n") + F.lit(1)
+    )
     t = r.groupBy("grp").agg(
         F.sum(rp2).alias("rp2"),
         F.sum("np").alias("npos"),
         F.sum(F.col("n") - F.col("np")).alias("nneg"),
+    )
+    num = F.col("rp2") - F.col("npos").cast("decimal(38,0)") * (
+        F.col("npos") + F.lit(1)
     )
     return t.select(
         "grp",
@@ -96,7 +132,7 @@ def roc_auc_by(
         F.when(
             (F.col("npos") > 0) & (F.col("nneg") > 0),
             portable_round(
-                (F.col("rp2") - F.col("npos") * (F.col("npos") + 1))
+                num.cast("double")
                 / (F.lit(2.0) * F.col("npos") * F.col("nneg")),
                 6,
             ),

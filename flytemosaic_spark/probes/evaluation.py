@@ -69,8 +69,10 @@ def _scored_orders(spark: SparkSession, sf: str) -> DataFrame:
     """,
     note="exact tie-corrected ROC AUC via the Mann-Whitney rank sum: "
     "per-score-value aggregate, then average ranks in integer "
-    "HALF-RANK units (2*cum_before + n + 1) so the sum is exact "
-    "bigint on both engines; the exclusive rank cumsum runs through "
+    "HALF-RANK units (2*cum_before + n + 1) accumulated in "
+    "DECIMAL(38,0) (the sum passes int64 near 1e9 rows per slice; "
+    "DuckDB's sum(BIGINT) is already hugeint) — exact on both "
+    "engines at any scale; the exclusive rank cumsum runs through "
     "plans/prefix.py distributed_cumsum — bounded per-task state at "
     "any score cardinality, no single-partition window",
 )

@@ -1193,7 +1193,8 @@ def x144_minhash_quality(spark: SparkSession, sf: str) -> DataFrame:
     """,
     note="per-segment ROC AUC (metrics.roc_auc_by): does the model "
     "discriminate uniformly across slices — the fairness/debug "
-    "readout after x106's global number. Integer half-rank units; "
+    "readout after x106's global number. DECIMAL(38,0) half-rank "
+    "units (a single segment can pass 1e9 rows at the design point); "
     "the rank window is partitioned by segment but runs over the "
     "(segment, score) AGGREGATE, so partitions are score-cardinality "
     "not corpus-cardinality; one-class segments yield NULL, never a "

@@ -201,3 +201,82 @@ def test_roc_auc_hand_computed(spark):
         [(1, 0), (1, 1), (2, 0), (2, 1)], "s long, y long"
     )
     assert roc_auc(ties, "s", "y").first().auc == 0.5
+
+
+def test_roc_auc_rank_sum_past_int64(spark):
+    """Half-rank units overflow int64 near 1e9 rows per slice (sum ~
+    n_pos*2N); the DECIMAL(38,0) accumulation must stay exact. Feed
+    the counts-level entry point synthetic per-score counts whose
+    rank-sum is ~1e21 (the bigint path raised ANSI overflow here) and
+    compare to exact integer arithmetic in Python."""
+    from flytemosaic_spark.operators.metrics import (
+        roc_auc_by_from_counts,
+        roc_auc_from_counts,
+    )
+
+    scores = list(range(1, 1001))
+    n_per, np_per = 50_000_000, 20_000_000  # 5e10 rows total
+    v = spark.createDataFrame(
+        [(s, n_per, np_per) for s in scores], "sc long, n long, np long"
+    )
+
+    # exact reference with unbounded Python ints
+    cum, rp2, npos, nneg = 0, 0, 0, 0
+    for _ in scores:
+        rp2 += np_per * (2 * cum + n_per + 1)
+        cum += n_per
+        npos += np_per
+        nneg += n_per - np_per
+    assert rp2 > 2**63 - 1  # the test is vacuous otherwise
+    want = (
+        __import__("math").floor(
+            (rp2 - npos * (npos + 1)) / (2.0 * npos * nneg) * 1e6 + 0.5
+        )
+        / 1e6
+    )
+
+    r = roc_auc_from_counts(v).first()
+    assert (r.n_pos, r.n_neg) == (npos, nneg)
+    assert r.auc == want
+
+    g = roc_auc_by_from_counts(
+        v.selectExpr("'a' AS grp", "sc", "n", "np")
+    ).first()
+    assert (g.n_pos, g.n_neg, g.auc) == (npos, nneg, want)
+
+
+def test_gini_rank_weighted_sum_past_int64(spark):
+    """The x168 fix's shape: sum(i * cents) accumulates in
+    DECIMAL(38,0); with cents ~ 1e15 and ranks ~ 1e4 the bigint sum
+    would pass int64 within a few thousand rows."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, 10**15 + i) for i in range(1, 5001)]
+    df = spark.createDataFrame(rows, "i long, cents long")
+
+    n = len(rows)
+    sx = sum(c for _, c in rows)
+    six = sum(i * c for i, c in rows)
+    assert six > 2**63 - 1
+    want = (
+        __import__("math").floor(
+            (2.0 * six - (n + 1.0) * sx) / (n * float(sx)) * 1e6 + 0.5
+        )
+        / 1e6
+    )
+
+    got = df.agg(
+        F.floor(
+            (
+                F.lit(2.0)
+                * F.sum(
+                    F.col("i").cast("decimal(38,0)") * F.col("cents")
+                ).cast("double")
+                - (F.count("*") + F.lit(1.0)) * F.sum("cents")
+            )
+            / (F.count("*") * F.sum("cents").cast("double"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).alias("g")
+    ).first()
+    assert got.g / 1e6 == want
