@@ -798,63 +798,20 @@ def x158_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
     "(the basket groupBy) replaces two join-side shuffles, and the "
     "10x sweep measures it FLAT (4.2s -> 4.5s, 1.1x) where the "
     "self-join form grows 2.8x (2.9s -> 8.1s); the self-join form "
-    "stays faster at sf0.1 absolute (2.8s), so the join is the "
-    "default probe and this is the documented 100 TB route — the "
-    "crossover sits around 5x sf0.1 on 32 cores",
+    "stays faster at sf0.1 absolute (2.8s); x113 now picks between "
+    "the two plans cost-based (operators/recsys.cooccur_topk), and "
+    "this probe pins plan=basket so the scale path stays "
+    "independently oracle-checked and sweepable",
 )
 def x113b_cooccur_topk_basket(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.recsys import cooccur_topk
+
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_partkey")).alias("ps")
-    )
-    k = F.size("ps")
-    # sorted basket: partner slice after i is always >= ps[i], so the
-    # (u, v) pair is (ps[i], p) directly — no least/greatest, and the
-    # a.part < b.part semantics of the join replay exactly (equal
-    # parts filtered; multiplicity preserved: every position pair with
-    # distinct parts contributes one count, = n_x * n_y per basket)
-    pairs_expr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.transform(
-                F.filter(
-                    F.slice(F.col("ps"), i + 1, k - i),
-                    lambda p: p != F.try_element_at(F.col("ps"), i),
-                ),
-                lambda p: F.struct(
-                    F.try_element_at(F.col("ps"), i).alias("u"), p.alias("v")
-                ),
-            ),
-        )
-    )
-    pw = (
-        baskets.select(F.explode(pairs_expr).alias("e"))
-        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
-        .agg(F.count("*").alias("w"))
-    )
-    sym = pw.unionAll(pw.select(F.col("v"), F.col("u"), F.col("w")))
-    f = li.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.countDistinct("l_orderkey").alias("nf")
-    )
-    fu = f.select(F.col("item").alias("u"), F.col("nf").alias("nfu"))
-    fv = f.select(F.col("item").alias("v"), F.col("nf").alias("nfv"))
-    sc = sym.join(fu, "u").join(fv, "v").select(
-        "u",
-        "v",
-        portable_round(
-            F.col("w") / F.sqrt((F.col("nfu") * F.col("nfv")).cast("double")), 6
-        ).alias("cos_sim"),
-    )
-    w_rank = Window.partitionBy("u").orderBy(F.col("cos_sim").desc(), F.col("v"))
-    return (
-        sc.withColumn("rnk", F.row_number().over(w_rank))
-        .where(F.col("rnk") <= 3)
-        .select(
-            F.col("u").alias("l_partkey"),
-            F.col("rnk").cast("bigint").alias("rnk"),
-            F.col("v").alias("co_partkey"),
-            "cos_sim",
-        )
+    return cooccur_topk(li, "l_orderkey", "l_partkey", k=3, plan="basket").select(
+        F.col("item").alias("l_partkey"),
+        "rnk",
+        F.col("co_item").alias("co_partkey"),
+        "cos_sim",
     )
 
 

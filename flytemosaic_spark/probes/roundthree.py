@@ -295,49 +295,27 @@ def x112_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
     """,
     note="item-item collaborative-filtering candidates: cosine "
     "similarity over basket co-occurrence counts (w_ij / "
-    "sqrt(f_i f_j)), top-3 per item. Pair generation is bounded by "
-    "basket size (per-order self-join), counts and frequencies stay "
-    "integer until one final division, and the ranking window is "
-    "partitioned per item — ties broken on the rounded score plus "
-    "item id so the cutoff is engine-portable",
+    "sqrt(f_i f_j)), top-3 per item. COST-BASED plan selection "
+    "(operators/recsys.cooccur_topk): sum k(k-1) from the catalog "
+    "stats cache picks the per-order self-join below the measured "
+    "crossover (~12M ordered pairs on 32 cores) and the one-shuffle "
+    "basket-list expansion above it — so sf0.1 keeps the fast join "
+    "and the 10x sweep gets the flat plan from the SAME probe. "
+    "Counts and frequencies stay integer until one final division; "
+    "ties break on the rounded score plus item id so the cutoff is "
+    "engine-portable",
 )
 def x113_cooccur_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.recsys import cooccur_topk
+
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pw = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("w"))
-    )
-    sym = pw.unionAll(pw.select(F.col("v"), F.col("u"), F.col("w")))
-    f = li.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.countDistinct("l_orderkey").alias("nf")
-    )
-    fu = f.select(F.col("item").alias("u"), F.col("nf").alias("nfu"))
-    fv = f.select(F.col("item").alias("v"), F.col("nf").alias("nfv"))
-    sc = sym.join(fu, "u").join(fv, "v").select(
-        "u",
-        "v",
-        portable_round(
-            F.col("w") / F.sqrt((F.col("nfu") * F.col("nfv")).cast("double")),
-            6,
-        ).alias("cos_sim"),
-    )
-    w_rank = Window.partitionBy("u").orderBy(
-        F.col("cos_sim").desc(), F.col("v")
-    )
-    return (
-        sc.withColumn("rnk", F.row_number().over(w_rank))
-        .where(F.col("rnk") <= 3)
-        .select(
-            F.col("u").alias("l_partkey"),
-            F.col("rnk").cast("bigint").alias("rnk"),
-            F.col("v").alias("co_partkey"),
-            "cos_sim",
-        )
+    return cooccur_topk(
+        li, "l_orderkey", "l_partkey", k=3, plan="auto", stats_key=sf
+    ).select(
+        F.col("item").alias("l_partkey"),
+        "rnk",
+        F.col("co_item").alias("co_partkey"),
+        "cos_sim",
     )
 
 
