@@ -670,9 +670,12 @@ def embedding_neardup_pairs_lsh(
     recall is probabilistic; the equivalence test pins the config on
     testdata. For low thresholds use the exact
     :func:`embedding_neardup_pairs` block decomposition instead."""
-    from flytemosaic_spark.operators.similarity import cosine, lsh_signatures
+    from flytemosaic_spark.operators.similarity import (
+        cosine,
+        lsh_signatures_gemm,
+    )
 
-    sigs = lsh_signatures(
+    sigs = lsh_signatures_gemm(
         df, "_id", "_v",
         vec_col=vec_col, id_col=id_col, n_planes=n_planes,
         n_tables=n_tables, dim=dim, seed=seed,
@@ -693,6 +696,40 @@ def embedding_neardup_pairs_lsh(
         "id_b",
         F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
     ).where(F.col("cosine") >= threshold)
+
+
+# Below this, sign-agreement for matching pairs sits too close to the
+# random 0.5 for ANY band config to prune soundly (t = 0.7 → θ ≈ 46°,
+# per-plane agreement 0.75: an 8-plane band still misses ~9% of
+# boundary pairs over 24 tables), so exact block-grid is the only
+# sound route. At or above, candidates→refine is both sound and
+# sub-quadratic.
+SIGN_LSH_MIN_THRESHOLD = 0.7
+
+
+def embedding_neardup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with threshold-based routing:
+    sign-LSH candidates → exact refine at thresholds ≥
+    ``SIGN_LSH_MIN_THRESHOLD`` (the DEFAULT regime for near-dup
+    removal — flat in the 10× sweep where the exact grid is Ω(N²) by
+    problem statement), exact block-grid decomposition below (where
+    no LSH band config can prune without losing recall).
+    ``lsh_kwargs`` (n_planes, n_tables, dim, seed) tune the high
+    route; both routes emit (id_a, id_b, cosine) with id_a < id_b."""
+    if threshold >= SIGN_LSH_MIN_THRESHOLD:
+        return embedding_neardup_pairs_lsh(
+            df, vec_col=vec_col, id_col=id_col, threshold=threshold,
+            **lsh_kwargs,
+        )
+    return embedding_neardup_pairs(
+        df, vec_col=vec_col, id_col=id_col, threshold=threshold
+    )
 
 
 def shared_substring_pairs(

@@ -145,6 +145,65 @@ def lsh_signatures(
     ).select(out_id, out_vec, "tb.table", "tb.bucket")
 
 
+def lsh_signatures_gemm(
+    df: DataFrame,
+    out_id: str,
+    out_vec: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Same contract as :func:`lsh_signatures`, computed as ONE numpy
+    gemm per Arrow batch via ``mapInPandas``: (batch × dim) @
+    (dim × n_tables·n_planes), then a bit-pack per table.
+
+    The expression form embeds n_tables·n_planes·dim plane literals in
+    the plan; past ~8×8 that blows whole-stage codegen past JIT limits
+    and costs ~15 s of FIXED plan/compile time at 16×12. The gemm is
+    plan-size O(1), per-row work identical, and vectorized. Bucket
+    values match the expression form except on projections within one
+    float ulp of zero — candidates are exact-refined downstream, so
+    only recall could shift, and the x11/x11b shared oracle gates it.
+    """
+    planes = np.concatenate(
+        [
+            np.asarray(_hyperplanes(dim, n_planes, seed + t))
+            for t in range(n_tables)
+        ]
+    )  # (n_tables*n_planes, dim)
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    schema = (
+        f"{out_id} {id_type}, {out_vec} {vec_type}, "
+        "table int, bucket bigint"
+    )
+
+    def run(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (v @ planes.T) > 0  # (B, T*P)
+            buckets = bits.reshape(len(pdf), n_tables, n_planes) @ weights
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(pdf[id_col].values, n_tables),
+                    out_vec: np.repeat(pdf[vec_col].values, n_tables),
+                    "table": np.tile(
+                        np.arange(n_tables, dtype=np.int32), len(pdf)
+                    ),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -322,8 +322,94 @@ def x10_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_X11_CORPUS_SQL = """
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+            FROM embeddings
+        ),
+        variants AS (
+            SELECT vec_id + 1000000000000 AS vec_id,
+                   list_transform(range(1, len(embedding) + 1),
+                       i -> embedding[i]
+                            * (1 + ((i * 37) % 11 - 5) / 100.0))
+                       AS embedding
+            FROM base WHERE vec_id % 4 = 0
+        ),
+        corpus AS (
+            SELECT * FROM base UNION ALL SELECT * FROM variants
+        )
+"""
+
+_X11_PAIR_SQL = _X11_CORPUS_SQL + """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 4)
+                   AS cosine
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4)
+              >= 0.95
+    """
+
+
+def _x11_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Planted-near-dup corpus: every 4th vector gets a variant whose
+    coordinates are scaled by the rational pattern 1 + ((37i mod 11) −
+    5)/100 — cosine(v, v′) ≈ 0.9995, far above the 0.95 cut, with no
+    cross-pair anywhere near the boundary (corpus cross-sims top out
+    ~0.55). Pure integer/rational arithmetic so Spark and DuckDB build
+    bit-identical doubles (no libm trig in the construction)."""
+    base = T(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    variants = base.where(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000_000_000)).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: F.try_element_at(F.col("embedding"), i.cast("int"))
+            * (F.lit(1.0) + ((i * 37 % 11) - 5) / F.lit(100.0)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(variants)
+
+
 @probe(
     "x11_embedding_neardup",
+    sql=_X11_PAIR_SQL,
+    note="embedding-cosine near-dup pairs at t=0.95 over a "
+    "planted-variant corpus, DEFAULT ROUTE = sign-LSH candidates -> "
+    "exact refine (operators/dedup.py embedding_neardup dispatches on "
+    "threshold >= 0.7): 16-plane/12-table signatures admit ~1.5e-5 of "
+    "random pairs per table while missing a 0.9995 pair with "
+    "p ~ 1e-12, so candidate volume is linear-ish and the 10x sweep "
+    "line is near-flat where the exact grid is Omega(N^2) by problem "
+    "statement; the oracle is the EXACT all-pairs join, so the gate "
+    "itself proves recall 1.0 on testdata (x11b pins the exact plan "
+    "on the same oracle)",
+)
+def x11_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.embedding_neardup(
+        _x11_corpus(spark, sf), threshold=0.95, n_planes=16, n_tables=12
+    )
+
+
+@probe(
+    "x11b_embedding_neardup_exact",
+    sql=_X11_PAIR_SQL,
+    note="x11's ORACLE TWIN: the exact block-pair grid on the same "
+    "planted-variant corpus and threshold — both probes share one "
+    "oracle, so every gate run re-proves the LSH route's pair set is "
+    "IDENTICAL to the exact one on testdata; this plan is the "
+    "documented fallback for thresholds < 0.7 where sign-LSH cannot "
+    "prune soundly",
+)
+def x11b_embedding_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(_x11_corpus(spark, sf), threshold=0.95)
+
+
+@probe(
+    "x11c_embedding_neardup_lowt",
     sql="""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -332,17 +418,18 @@ def x10_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     """,
-    note="embedding-cosine near-dup pairs (X2 family / X3 building "
-    "block): EXACT via block-pair decomposition — ids hash into B "
-    "blocks, the B(B+1)/2 block-pair grid is the only broadcast "
-    "(metadata scale), each cell equi-joins its two blocks, so the "
-    "N²/2 sims distribute with bounded task memory and no full-corpus "
-    "broadcast; at t=0.4 LSH cannot prune (sign-agreement 0.63 vs 0.5 "
-    "random), for high thresholds operators/dedup.py:"
-    "embedding_neardup_pairs_lsh is the sub-quadratic path",
+    note="LOW-threshold (t=0.4) embedding near-dup, EXACT via "
+    "block-pair decomposition — ids hash into B blocks, the B(B+1)/2 "
+    "block-pair grid is the only broadcast (metadata scale), each "
+    "cell equi-joins its two blocks, so the N^2/2 sims distribute "
+    "with bounded task memory and no full-corpus broadcast; at t=0.4 "
+    "sign-agreement is 0.63 vs 0.5 random, NO band config prunes "
+    "soundly, so quadratic compute is the problem statement and this "
+    "plan makes it distributable (the dispatcher routes here below "
+    "t=0.7)",
 )
-def x11_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.embedding_neardup_pairs(T(spark, sf, "embeddings"), threshold=0.4)
+def x11c_embedding_neardup_lowt(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.embedding_neardup(T(spark, sf, "embeddings"), threshold=0.4)
 
 
 @probe(

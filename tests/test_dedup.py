@@ -214,3 +214,32 @@ def test_star_components_raise_when_budget_exhausted(spark):
     )
     with pytest.raises(RuntimeError, match="star fixpoint"):
         connected_components_star(df, max_iter=1).collect()
+
+
+def test_embedding_neardup_dispatcher_routes_on_threshold(spark, sf_dir):
+    # the threshold dispatcher must agree with whichever pinned route
+    # it picks: LSH at >= 0.7 (planted dups), exact grid below
+    from flytemosaic_spark.operators.dedup import (
+        embedding_neardup,
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    rows = load_table(spark, sf_dir, "embeddings").limit(50).collect()
+    data = [(r.vec_id, [float(x) for x in r.embedding]) for r in rows]
+    for r in rows[:8]:
+        v = [float(x) * 1.01 for x in r.embedding]  # cosine == 1.0
+        data.append((r.vec_id + 100000, v))
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+
+    hi = sorted(map(tuple, embedding_neardup(emb, threshold=0.9).collect()))
+    hi_pinned = sorted(
+        map(tuple, embedding_neardup_pairs_lsh(emb, threshold=0.9).collect())
+    )
+    assert hi == hi_pinned and len(hi) >= 8
+
+    lo = sorted(map(tuple, embedding_neardup(emb, threshold=0.3).collect()))
+    lo_pinned = sorted(
+        map(tuple, embedding_neardup_pairs(emb, threshold=0.3).collect())
+    )
+    assert lo == lo_pinned and len(lo) > len(hi)

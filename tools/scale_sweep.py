@@ -67,7 +67,7 @@ PROBES = [
     "x87_throttle_dedup",  # lag-window rate-limit dedup
     "x106_roc_auc",  # rank-sum metric via distributed prefix cumsum
     "x110_cusum_anomaly",  # shared-sort prefix-sum/prefix-min windows
-    "x113_cooccur_topk",  # basket-bounded pair agg + per-item window
+    "x113_cooccur_topk",  # cost-based: self-join <-> basket-list switch
     "x121_curriculum_order",  # global rank via bucket prefix decomposition
     "x129_semdedup",  # anchor-clustered intra-block pair join
     "x132_label_propagation",  # iterative majority-label rounds
@@ -78,7 +78,7 @@ PROBES = [
     "x145_group_auc",  # per-group rank-sum AUC (bucketed ranks)
     "x148_quantile_normalize",  # exact global rank via bucket offsets
     "x149_weighted_median",  # per-group weighted median (cumsum threshold)
-    "x11_embedding_neardup",  # exact all-pairs via block-pair grid
+    "x11_embedding_neardup",  # sign-LSH gemm sigs -> exact refine (t=0.95)
     "p6_batch_assign",  # distributed global row_number
     "x68_value_deciles",  # distributed exact ntile
     "x113b_cooccur_topk_basket",  # basket-list co-occurrence (x113 scale twin)
