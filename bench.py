@@ -55,6 +55,7 @@ HEADLINE = [
     "q01_pricing_summary",
     "q05_local_supplier_volume",
     "q18_large_volume_customer",
+    "q21_waiting_suppliers_lite",
     "x106_roc_auc",
     "x110_cusum_anomaly",
     "x113_cooccur_topk",

@@ -1,16 +1,17 @@
-"""TPC-H-derived query suite (16 queries), adapted to the driver's
+"""TPC-H-derived query suite (17 queries), adapted to the driver's
 reduced schema.
 
 The driver's testdata is a reduced TPC-H: no partsupp table, and the
 comment/address/phone/shipmode/commitdate columns are absent. The
 queries below keep each TPC-H query's *shape* (join graph, aggregate
 structure, subquery pattern) on the columns that exist; queries whose
-essence needs partsupp (Q2, Q11, Q16, Q20) or the shipmode/commitdate/
-receiptdate columns (Q12, Q21 — their entire point is the
-commit-vs-receipt lateness comparison) are out of scope, and the rest
-are marked `_lite` where a predicate had to move to a surviving
-column. That makes this suite maximal for the reduced schema:
-16 of 22 queries, the other 6 impossible rather than skipped.
+essence needs partsupp (Q2, Q11, Q16, Q20) or the shipmode/commitdate
+columns (Q12 — its entire point is the per-shipmode lateness split)
+are out of scope, and the rest are marked `_lite` where a predicate
+had to move to a surviving column (Q21's receipt-after-commit marker
+becomes l_returnflag = 'R', keeping its EXISTS/NOT EXISTS essence).
+That makes this suite maximal for the reduced schema: 17 of 22
+queries, the other 5 impossible rather than skipped.
 
 Every probe here executes the SAME SQL text on both engines: the
 Spark side goes through the engine's SQL frontend
@@ -384,4 +385,41 @@ _tpch(
     "common p_partkey equi-key into the hash join and the OR-of-ANDs "
     "residual evaluates post-join, with derivable per-side filters "
     "(brand IN, size <= 40, quantity <= 30) pushed to the scans",
+)
+
+_tpch(
+    "q21_waiting_suppliers_lite",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_9'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    "TPC-H Q21 shape (commitdate/receiptdate absent -> the 'late "
+    "line' marker becomes l_returnflag = 'R'): the registry's only "
+    "correlated EXISTS + NOT EXISTS pair against the SAME fact table "
+    "inside a 4-way join — supplier was defective on a multi-supplier "
+    "order where NO other supplier was. Spark plans the EXISTS as a "
+    "left-semi and the NOT EXISTS as a left-anti hash join on "
+    "l_orderkey, with the dimension joins broadcast; all-integer "
+    "aggregate, rank ties broken on s_name so the LIMIT cut is "
+    "engine-identical",
 )
