@@ -683,6 +683,7 @@ def build_pq_index(
     id_col: str = "vec_id",
     m: int = 16,
     ks: int = 32,
+    train_on: DataFrame | None = None,
 ) -> None:
     """Materialize the PQ index: codebooks (metadata JSON) + the
     encoded corpus (parquet of id, codes). The expensive parts —
@@ -690,11 +691,22 @@ def build_pq_index(
     touch only the ~32x-smaller encoded table plus a raw-vector
     lookup for the re-rank shortlist. This is the production shape:
     the index is data, not session state, so any later job (or
-    engine) can load it."""
+    engine) can load it.
+
+    ``train_on`` optionally trains the codebooks on a different table
+    than the one encoded (the FAISS practice — codebooks are stable
+    sample statistics of the distribution; the corpus that gets
+    encoded keeps growing). This is also what makes
+    :func:`upsert_pq_index` equivalence testable: build on the full
+    corpus with ``train_on`` pinned to the original sample, and the
+    incremental path must produce the identical codes table."""
     import json
     import os
 
-    books = _train_pq_codebooks(corpus, vec_col, id_col, m=m, ks=ks)
+    books = _train_pq_codebooks(
+        train_on if train_on is not None else corpus,
+        vec_col, id_col, m=m, ks=ks,
+    )
     books_np = [np.asarray(b, dtype=np.float64) for b in books]
     d = len(books[0][0])
     encode_codes, _ = _pq_udfs(books_np, d)
@@ -705,6 +717,92 @@ def build_pq_index(
     ).write.mode("overwrite").parquet(os.path.join(path, "codes.parquet"))
     with open(os.path.join(path, "codebooks.json"), "w") as f:
         json.dump({"m": m, "ks": ks, "d": d, "books": books}, f)
+
+
+def upsert_pq_index(
+    spark,
+    delta: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Incremental maintenance of a persisted PQ index
+    (:func:`build_pq_index`) WITHOUT retraining codebooks: encode the
+    delta vectors with the index's existing codebooks, then MERGE
+    them into codes.parquet through the engine's own upsert operator
+    (U4, ``operators/merge.merge_upsert``) — new ids insert, changed
+    ids replace, identical re-encodes are detected and skipped.
+
+    Contracts (both unit-tested):
+
+    - **equivalence**: after upserting delta D into an index built on
+      corpus C, codes.parquet is IDENTICAL to a full rebuild over
+      C ∪ D with ``train_on=C`` — encoding is a pure function of
+      (codebooks, vector), so incremental == batch;
+    - **rerun-is-empty** (the J4 idempotency pattern): re-running the
+      same upsert reports {inserted: 0, updated: 0} and leaves the
+      files untouched (no rewrite at all when nothing changed).
+
+    Scale shape: the delta is encoded map-side (Arrow-batched pandas
+    UDF over only the delta), the change classification is one
+    left join of delta against the codes table on the index key, and
+    the rewrite is the merged table — a compaction-style full rewrite,
+    which at 100 TB becomes a partition-scoped rewrite once
+    codes.parquet is partitioned by id bucket (same recipe as the S10
+    disjoint-region sink). Returns {"inserted", "updated",
+    "unchanged"} counts.
+    """
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(path, "codebooks.json")) as f:
+        meta = json.load(f)
+    books_np = [np.asarray(b, dtype=np.float64) for b in meta["books"]]
+    encode_codes, _ = _pq_udfs(books_np, meta["d"])
+
+    codes_path = os.path.join(path, "codes.parquet")
+    base = spark.read.parquet(codes_path)
+    enc_delta = delta.select(
+        F.col(id_col).alias("neighbor_id"),
+        encode_codes(F.col(vec_col)).alias("codes"),
+    )
+    cls = (
+        enc_delta.alias("d")
+        .join(
+            base.select(
+                "neighbor_id", F.col("codes").alias("_old")
+            ).alias("b"),
+            "neighbor_id",
+            "left",
+        )
+        .select(
+            F.when(F.col("_old").isNull(), F.lit("inserted"))
+            .when(F.col("_old") != F.col("codes"), F.lit("updated"))
+            .otherwise(F.lit("unchanged"))
+            .alias("_cls")
+        )
+        .groupBy("_cls")
+        .count()
+        .collect()
+    )
+    stats = {"inserted": 0, "updated": 0, "unchanged": 0}
+    stats.update({r["_cls"]: r["count"] for r in cls})
+    if stats["inserted"] == 0 and stats["updated"] == 0:
+        return stats  # rerun-is-empty: nothing to write, files untouched
+
+    from flytemosaic_spark.operators.merge import merge_upsert
+
+    merged = merge_upsert(base, enc_delta, ["neighbor_id"]).drop("_action")
+    tmp = codes_path + ".upsert-tmp"
+    # deterministic layout so incremental == batch byte-for-byte at
+    # the row level regardless of upsert order
+    merged.repartition(1).sortWithinPartitions("neighbor_id").write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(codes_path)
+    os.replace(tmp, codes_path)
+    return stats
 
 
 def pq_index_topk(

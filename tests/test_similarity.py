@@ -191,3 +191,75 @@ def test_persisted_pq_index_matches_inline(spark, emb, tmp_path):
     )
     want = sorted(map(tuple, pq_topk(emb, queries, k=K).collect()))
     assert got == want
+
+
+def test_pq_index_upsert_equals_fixed_codebook_rebuild(spark, emb, tmp_path):
+    """Incremental maintenance: build on corpus C, upsert delta D ->
+    codes.parquet equals a full rebuild over C ∪ D with train_on=C
+    (encoding is a pure function of codebooks x vector), and querying
+    the upserted index equals querying that rebuild."""
+    from flytemosaic_spark.operators.similarity import (
+        build_pq_index,
+        pq_index_topk,
+        upsert_pq_index,
+    )
+
+    c = emb.where(F.col("vec_id") % 5 != 0).cache()
+    d = emb.where(F.col("vec_id") % 5 == 0).cache()
+    inc = str(tmp_path / "inc")
+    build_pq_index(c, inc)
+    stats = upsert_pq_index(spark, d, inc)
+    assert stats["inserted"] == d.count() and stats["updated"] == 0
+
+    full = str(tmp_path / "full")
+    build_pq_index(emb, full, train_on=c)
+    got = sorted(
+        map(tuple, spark.read.parquet(inc + "/codes.parquet").collect())
+    )
+    want = sorted(
+        map(tuple, spark.read.parquet(full + "/codes.parquet").collect())
+    )
+    assert got == want
+
+    queries = emb.where(F.col("vec_id") < 5)
+    qi = sorted(map(tuple, pq_index_topk(spark, inc, emb, queries, k=K).collect()))
+    qf = sorted(map(tuple, pq_index_topk(spark, full, emb, queries, k=K).collect()))
+    assert qi == qf
+
+
+def test_pq_index_upsert_rerun_is_empty(spark, emb, tmp_path):
+    """The J4 idempotency contract: re-running the same upsert reports
+    zero changes and does not rewrite the files; an actual vector
+    change for an existing id reports updated=1."""
+    import os
+
+    from flytemosaic_spark.operators.similarity import (
+        build_pq_index,
+        upsert_pq_index,
+    )
+
+    c = emb.where(F.col("vec_id") % 5 != 0)
+    d = emb.where(F.col("vec_id") % 5 == 0)
+    idx = str(tmp_path / "idx")
+    build_pq_index(c, idx)
+    first = upsert_pq_index(spark, d, idx)
+    assert first["inserted"] > 0
+
+    codes = idx + "/codes.parquet"
+    before = {
+        n: os.path.getmtime(os.path.join(codes, n)) for n in os.listdir(codes)
+    }
+    again = upsert_pq_index(spark, d, idx)
+    assert again["inserted"] == 0 and again["updated"] == 0
+    assert again["unchanged"] == d.count()
+    after = {
+        n: os.path.getmtime(os.path.join(codes, n)) for n in os.listdir(codes)
+    }
+    assert after == before  # untouched, not just equivalent
+
+    changed = d.limit(1).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    third = upsert_pq_index(spark, changed, idx)
+    assert third == {"inserted": 0, "updated": 1, "unchanged": 0}
