@@ -60,6 +60,7 @@ HEADLINE = [
     "x110_cusum_anomaly",
     "x113_cooccur_topk",
     "x129_semdedup",
+    "x11_embedding_neardup",
     "x132_label_propagation",
     "x136_logreg_train",
     "x139_tfidf_docsim",
