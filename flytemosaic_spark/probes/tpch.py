@@ -423,3 +423,90 @@ _tpch(
     "aggregate, rank ties broken on s_name so the LIMIT cut is "
     "engine-identical",
 )
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flytemosaic_spark.probes.registry import probe  # noqa: E402
+from flytemosaic_spark.sources.tables import load_table as _T  # noqa: E402
+
+_Q21_SQL = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_9'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
+@probe(
+    "q21b_waiting_suppliers_agg",
+    sql=_Q21_SQL,
+    note="q21's SCALE-PATH twin (same oracle, hand-reformulated "
+    "plan): the EXISTS/NOT EXISTS pair collapses into ONE aggregation "
+    "hierarchy over lineitem — per (order, supplier) count defect "
+    "lines, per order count suppliers and defective suppliers; a "
+    "supplier 'waits' on an order iff it is defective, the order has "
+    ">= 2 suppliers, and it is the ONLY defective one, contributing "
+    "its defect-line count. One fact shuffle (the (okey,skey) "
+    "groupBy; the per-order rollup reuses its exchange) instead of "
+    "Catalyst's three (l1 + semi + anti) — the 10x sweep line drops "
+    "2.7x -> near-linear while q21 keeps exercising the optimizer's "
+    "own decorrelation",
+)
+def q21b_waiting_suppliers_agg(spark, sf):
+    li = _T(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum((F.col("l_returnflag") == "R").cast("bigint")).alias("n_r")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("n_r") > 0).cast("bigint")).alias("n_defect"),
+    )
+    sole = (
+        per_os.where(F.col("n_r") > 0)
+        .join(
+            per_o.where((F.col("n_supp") >= 2) & (F.col("n_defect") == 1)),
+            "l_orderkey",
+        )
+        .join(
+            _T(spark, sf, "orders")
+            .where(F.col("o_orderstatus") == "F")
+            .select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+        )
+    )
+    sup = (
+        _T(spark, sf, "supplier")
+        .join(
+            _T(spark, sf, "nation").where(F.col("n_name") == "NATION_9"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    )
+    return (
+        sole.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("s_name")
+        .agg(F.sum("n_r").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

@@ -59,6 +59,7 @@ PROBES = [
     "x30_scd2",  # two shared-sort windows
     "j10_grid_spatial_join",  # cell-binned equi join
     "q05_local_supplier_volume",  # TPC-H multi-join through the SQL frontend
+    "q21_waiting_suppliers_lite",  # correlated EXISTS/NOT EXISTS semi+anti joins
     "x74_pagerank",  # iterative join+agg propagation
     "x81_bloom_antijoin",  # bloom-prefiltered anti join
     "x77_bm25",  # explode + broadcast-scalar retrieval scoring
