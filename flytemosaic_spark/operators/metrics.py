@@ -138,3 +138,54 @@ def roc_auc_by_from_counts(v: DataFrame) -> DataFrame:
             ),
         ).alias("auc"),
     )
+
+
+def mrr_map_at_k(
+    ranked: DataFrame,
+    rel_col: str = "rel",
+    n_relevant_col: str = "n_relevant",
+    k: int = 10,
+) -> DataFrame:
+    """Mean Reciprocal Rank and Mean Average Precision @ k from a
+    ranked candidate table.
+
+    ``ranked`` holds (q_id, rank, rel, n_relevant): one row per
+    retrieved candidate, ``rank`` 1-based and gap-free per query,
+    ``rel`` 0/1 relevance, ``n_relevant`` the query's total relevant
+    count in the corpus (the AP normalizer is min(n_relevant, k) — the
+    standard "best achievable @k" denominator).
+
+    All state is integer until the final divisions (RR = rel/rank
+    maxed per query; P@i = cum_rel/i), so the means are bit-identical
+    across engines and partitionings before the output rounding.
+
+    Plan: one bounded window per query (<= k rows each), two
+    partial-aggregating groupBys. Output: one row (n_queries, mrr,
+    map_at_k).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("q_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rel = F.col(rel_col).cast("double")
+    per_hit = ranked.select(
+        "q_id",
+        "rank",
+        rel.alias("_rel"),
+        F.col(n_relevant_col).alias("_nrel"),
+    ).withColumn("_cumrel", F.sum("_rel").over(w))
+    per_q = per_hit.groupBy("q_id").agg(
+        F.max(F.col("_rel") / F.col("rank")).alias("_rr"),
+        (
+            F.sum(F.col("_rel") * F.col("_cumrel") / F.col("rank"))
+            / F.greatest(F.least(F.max("_nrel"), F.lit(float(k))), F.lit(1.0))
+        ).alias("_ap"),
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        portable_round(F.avg("_rr"), 6).alias("mrr"),
+        portable_round(F.avg("_ap"), 6).alias("map_at_k"),
+    )

@@ -1175,3 +1175,88 @@ def semdedup_report(
         "cluster_id bigint, n_members bigint, "
         "n_dup_pairs bigint, n_dropped bigint",
     )
+
+
+def maxsim_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_tokens: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: treat each stored
+    vector as ``n_tokens`` contiguous sub-vectors ("token embeddings")
+    and score a (query, doc) pair as
+
+        score = sum over query tokens of max over doc tokens of
+                <q_token, d_token>
+
+    — the MaxSim operator (Khattab & Zaharia, SIGIR 2020). Multi-vector
+    scoring is what single-vector cosine can't express: a query token
+    matches its best counterpart in the document independently.
+
+    Plan shape: query tokens are a constant-size broadcast (|Q| x
+    n_tokens rows); the corpus explodes to n_tokens rows per doc (a
+    narrow stage), the broadcast-nested-loop scoring stage computes one
+    JVM-side dot per (q_token, d_token), and two partial-aggregating
+    groupBys realize the max-then-sum. Ranking shuffles only (q, doc,
+    score) triples. At retrieval scale the corpus side is first pruned
+    by an ANN pass (ivf_topk / pq_topk) and MaxSim re-ranks the
+    candidates — this operator IS that re-ranker; here it runs over
+    the full corpus to stay oracle-checkable.
+
+    Token dots are rounded half-up before the max (id-tiebreak-free:
+    max over values only) and the summed score re-rounded before the
+    rank, the engine's standard move for reproducible float ranking.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).cast("array<double>").alias("dv")
+    )
+
+    # token arrays: transform over the 0..n_tokens-1 index sequence,
+    # sub-vector width derived from the stored dimension
+    def token_array(col_name: str) -> Column:
+        w = (F.size(col_name) / n_tokens).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+            lambda i: F.slice(F.col(col_name), i * w + 1, w),
+        )
+
+    q_tok = q.select(
+        "q_id", F.posexplode(token_array("qv")).alias("qt", "q_tok")
+    )
+    d_tok = c.select(
+        "doc_id", F.posexplode(token_array("dv")).alias("dt", "d_tok")
+    )
+    scored = (
+        F.broadcast(q_tok)
+        .crossJoin(d_tok)
+        .select(
+            "q_id",
+            "doc_id",
+            "qt",
+            F.round(dot(F.col("q_tok"), F.col("d_tok")), round_digits).alias(
+                "_tdot"
+            ),
+        )
+    )
+    per_qtok = scored.groupBy("q_id", "doc_id", "qt").agg(
+        F.max("_tdot").alias("_best")
+    )
+    pair = per_qtok.groupBy("q_id", "doc_id").agg(
+        F.round(F.sum("_best"), round_digits).alias("score")
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        pair.where(F.col("q_id") != F.col("doc_id"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "doc_id", "score")
+    )

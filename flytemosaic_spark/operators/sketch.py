@@ -268,3 +268,101 @@ def hll_distinct(
     """Per-group HLL distinct-count estimate (state -> finalize)."""
     group_cols = group_cols or []
     return hll_finalize(hll_state(df, value_col, group_cols, m), group_cols, m)
+
+
+def kmv_set_similarity(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    k: int = 128,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Jaccard / union / intersection estimates between two sets from
+    their KMV sketches, plus (optionally) the exact counterparts for
+    audit.
+
+    The two sets are the distinct ``value_col`` values where
+    ``side_col`` equals ``side_a`` / ``side_b``. Estimator (Beyer et
+    al. 2007): merge the two k-min sketches, re-take the k smallest
+    (= the KMV sketch of the union); rho = fraction of those union
+    minima present in BOTH input sketches estimates Jaccard;
+    intersection = rho * union_estimate. Deterministic md5 hashing
+    makes every estimate engine-portable (the DuckDB oracle recomputes
+    it bit-for-bit).
+
+    Scale shape: the sketches are bounded top-k aggregates (shuffle
+    carries <= k hashes per side); the exact twin is two distinct
+    aggregations — drop it (``with_exact=False``) when the point is to
+    NOT pay the exact cost. Output: one row.
+    """
+    sides = df.select(
+        F.col(side_col).alias("_s"), _h60(F.col(value_col)).alias("_h")
+    ).where(F.col("_s").isin([side_a, side_b]))
+    per_side = (
+        sides.groupBy("_s")
+        .agg(F.collect_set("_h").alias("_hs"))
+        .select(
+            "_s",
+            F.slice(F.array_sort("_hs"), 1, k).alias("_mins"),
+            F.size("_hs").alias("_nd"),
+        )
+    )
+    a = per_side.where(F.col("_s") == side_a).select(
+        F.col("_mins").alias("_ma"), F.col("_nd").alias("_na")
+    )
+    b = per_side.where(F.col("_s") == side_b).select(
+        F.col("_mins").alias("_mb"), F.col("_nd").alias("_nb")
+    )
+    merged = F.slice(F.array_sort(F.array_union("_ma", "_mb")), 1, k)
+    both = F.size(
+        F.filter(
+            "_merged",
+            lambda x: F.array_contains("_ma", x) & F.array_contains("_mb", x),
+        )
+    )
+    kth = F.try_element_at("_merged", F.size("_merged"))
+    union_est = F.when(
+        F.size("_merged") < k,
+        F.size("_merged").cast("double"),
+    ).otherwise((F.lit(float(k - 1)) * _HASH_SPACE) / (kth + 1))
+    out = (
+        a.crossJoin(b)
+        .withColumn("_merged", merged)
+        .select(
+            F.col("_na").cast("bigint").alias("n_distinct_a"),
+            F.col("_nb").cast("bigint").alias("n_distinct_b"),
+            portable_round(
+                both.cast("double") / F.size("_merged"), 6
+            ).alias("jaccard_est"),
+            portable_round(union_est).alias("union_est"),
+            portable_round(
+                (both.cast("double") / F.size("_merged")) * union_est
+            ).alias("inter_est"),
+        )
+    )
+    if not with_exact:
+        return out
+    flags = df.select(
+        F.col(value_col).alias("_v"), F.col(side_col).alias("_s")
+    ).where(F.col("_s").isin([side_a, side_b]))
+    exact = (
+        flags.groupBy("_v")
+        .agg(
+            F.max((F.col("_s") == side_a).cast("int")).alias("_ia"),
+            F.max((F.col("_s") == side_b).cast("int")).alias("_ib"),
+        )
+        .agg(
+            F.sum((F.col("_ia") * F.col("_ib")).cast("bigint")).alias("inter_exact"),
+            F.count("*").alias("union_exact"),
+        )
+        .select(
+            "inter_exact",
+            "union_exact",
+            portable_round(
+                F.col("inter_exact").cast("double") / F.col("union_exact"), 6
+            ).alias("jaccard_exact"),
+        )
+    )
+    return out.crossJoin(F.broadcast(exact))

@@ -93,6 +93,16 @@ CROSS_OK = {
     "x124_knn_accuracy",
     # 1-row global-count crossJoin feeding the ntile closed form
     "x68_value_deciles",
+    # literal 4-row k table broadcast against group-scale sizes
+    "x174_k_anonymity",
+    # constant query-token broadcast (|Q| x n_tokens = 64 rows, x3 shape)
+    "x175_colbert_maxsim",
+    # two 1-row sketch rows + 1-row exact-twin crossJoins
+    "x176_kmv_jaccard",
+    # broadcast brute-force ranker (x3 shape) + 1-row label-count side
+    "x177_mrr_map",
+    # 1-row sample-totals broadcast against the cumulative table
+    "x178_ks_drift",
     # 1-row corpus-token total broadcast into the unigram prob table
     "x154_doc_lm_score",
     # 1-row est x 1-row exact crossJoin (two scalar aggregates)
