@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flytemosaic_spark.operators.text import portable_round
-from flytemosaic_spark.plans.prefix import distributed_cumsum
+from flytemosaic_spark.plans.prefix import (
+    distributed_cumsum,
+    distributed_row_number,
+)
 
 
 def ks_two_sample(
@@ -83,4 +86,146 @@ def ks_two_sample(
         portable_round(F.col("_d"), round_digits).alias("d_stat"),
         portable_round(crit, round_digits).alias("d_crit_05"),
         (F.col("_d") > crit).cast("int").alias("drifted"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    crit_05: float,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the drift/bias screen for "did the label mix shift per
+    cohort?" over a training table.
+
+    One (a, b) partial-aggregating shuffle builds the contingency
+    table; marginals are two more category-scale aggregates; the full
+    grid (including observed-zero cells, which still contribute
+    (0 - e)^2 / e) is the category-scale marginal crossJoin
+    left-joined against the observed cells. Expected counts are exact
+    integer products divided once; per-cell terms are quantized at
+    1e-9 before the final sum (cell count is category², so the float
+    sum's order wobble sits ~1e-15 under the 1e-6 output grain).
+
+    ``crit_05`` is the caller-supplied 5% critical value for the
+    table's degrees of freedom (the engine does not ship a chi-square
+    inverse-CDF; dof is emitted so the caller can audit the pairing).
+
+    Returns one row: (n, dof, chi2, crit_05, independent).
+    """
+    obs = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count("*").alias("_o"))
+    ra = obs.groupBy("_a").agg(F.sum("_o").alias("_na"))
+    cb = obs.groupBy("_b").agg(F.sum("_o").alias("_nb"))
+    tot = obs.groupBy().agg(F.sum("_o").alias("_n"))
+    grid = (
+        ra.crossJoin(cb)
+        .join(obs, ["_a", "_b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_n",
+            "_na",
+            "_nb",
+            F.coalesce(F.col("_o"), F.lit(0)).alias("_o"),
+            ((F.col("_na") * F.col("_nb")) / F.col("_n").cast("double")).alias("_e"),
+        )
+        .select(
+            "_n",
+            portable_round(
+                (F.col("_o") - F.col("_e")) * (F.col("_o") - F.col("_e"))
+                / F.col("_e"),
+                9,
+            ).alias("_term"),
+        )
+    )
+    nra = ra.groupBy().agg(F.count("*").alias("_ka"))
+    ncb = cb.groupBy().agg(F.count("*").alias("_kb"))
+    return (
+        grid.groupBy("_n")
+        .agg(portable_round(F.sum("_term"), 6).alias("chi2"))
+        .crossJoin(F.broadcast(nra))
+        .crossJoin(F.broadcast(ncb))
+        .select(
+            F.col("_n").cast("bigint").alias("n"),
+            ((F.col("_ka") - 1) * (F.col("_kb") - 1)).cast("bigint").alias("dof"),
+            "chi2",
+            F.lit(float(crit_05)).alias("crit_05"),
+            (F.col("chi2") <= F.lit(float(crit_05))).cast("int").alias("independent"),
+        )
+    )
+
+
+def sprt_bernoulli(
+    df: DataFrame,
+    order_col: str,
+    success: "F.Column",
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Wald's sequential probability ratio test over a Bernoulli
+    stream: H0 p = p0 vs H1 p = p1, stopping at the first observation
+    whose cumulative log-likelihood ratio exits
+    (ln(beta/(1-alpha)), ln((1-beta)/alpha)) — the always-valid
+    early-stopping A/B gate (decide with ~half the fixed-horizon n).
+
+    Batch-replay shape: cumulative successes and trial counts in
+    ``order_col`` (arrival) order come from
+    :func:`flytemosaic_spark.plans.prefix.distributed_cumsum` /
+    ``distributed_row_number`` — bounded per-task state at any stream
+    length; the crossing is a 1-row min aggregate joined back to read
+    off the stopping state.
+
+    Determinism: the LLR is s_t * L1 + (n_t - s_t) * L0 with L1/L0
+    computed ONCE in Python and injected as literals — both engines
+    multiply identical doubles by exact integer cumulatives, so the
+    crossing row is engine-identical with no quantization at the
+    decision boundary (the bounds are irrational; ties cannot occur).
+
+    Returns one row: (decision, n_obs, successes, llr, lower, upper)
+    — decision in ('accept_h0', 'accept_h1', 'continue'), stats taken
+    at the stopping row (or the final row when no bound is crossed).
+    """
+    import math
+
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+
+    base = df.select(
+        F.col(order_col).cast("bigint").alias("_t"),
+        success.cast("bigint").alias("_x"),
+    )
+    cum = distributed_cumsum(base, "_t", "_x", out_col="_s")
+    cum = distributed_row_number(cum, ("_t",), out_col="_n").select(
+        "_t",
+        "_n",
+        "_s",
+        (
+            F.col("_s") * F.lit(l1) + (F.col("_n") - F.col("_s")) * F.lit(l0)
+        ).alias("_llr"),
+    )
+    stop = cum.where(
+        (F.col("_llr") >= F.lit(upper)) | (F.col("_llr") <= F.lit(lower))
+    ).groupBy().agg(F.min("_n").alias("_n_stop"))
+    last = cum.groupBy().agg(F.max("_n").alias("_n_last"))
+    return (
+        cum.crossJoin(F.broadcast(stop))
+        .crossJoin(F.broadcast(last))
+        .where(F.col("_n") == F.coalesce(F.col("_n_stop"), F.col("_n_last")))
+        .select(
+            F.when(F.col("_llr") >= F.lit(upper), F.lit("accept_h1"))
+            .when(F.col("_llr") <= F.lit(lower), F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+            F.col("_n").alias("n_obs"),
+            F.col("_s").alias("successes"),
+            portable_round(F.col("_llr"), 6).alias("llr"),
+            portable_round(F.lit(lower), 6).alias("lower"),
+            portable_round(F.lit(upper), 6).alias("upper"),
+        )
     )

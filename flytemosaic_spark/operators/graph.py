@@ -375,3 +375,86 @@ def kcore(
             f"deeper than expected); rerun with a larger max_iter"
         )
     return _degrees(e).where(F.col("deg") >= k)
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    top_n: int = 20,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list: a(v) = sum of h(u) over in-edges, h(u) = sum of a(v) over
+    out-edges, each vector L1-normalized per round.
+
+    Same execution shape as :func:`pagerank`: per round one shuffle
+    join of the (deduplicated, cached) edge list against a node-scale
+    score table plus one hash aggregation, with the score table
+    broadcast under the node gate; the L1 norm is a 1-row aggregate
+    crossJoined back (constant-size). Per-round scores are rounded
+    half-up at 1e-10 (the pagerank recipe), so the mutual-recursion
+    fixpoint reproduces across engines — raw per-node sums are rounded
+    BEFORE the norm sum, and the norm itself stays unrounded (its
+    cross-engine wobble is ~1e-16 relative, far below the post-divide
+    grain).
+
+    Returns the top-``top_n`` rows per role:
+    (kind in ('hub', 'authority'), node, rank, score) with score
+    rounded at 1e-6 — each side an ORDER BY + LIMIT, no windows.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    auth = e.select(F.col("v").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("score")
+    )
+    for _ in range(iterations):
+        h_raw = (
+            e.join(
+                F.broadcast(auth.withColumnRenamed("node", "v")), "v"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(_round_at(F.sum("score"), _ITER_DIGITS).alias("raw"))
+        )
+        # localCheckpoint the node-scale raw table: the norm (a 1-row
+        # aggregate over it) and the divide both re-read it, and
+        # without truncation each round would re-evaluate the prior
+        # round's plan twice — 2^rounds recomputation
+        h_raw = h_raw.localCheckpoint()
+        h_norm = h_raw.groupBy().agg(F.sum("raw").alias("nrm"))
+        hub = h_raw.crossJoin(F.broadcast(h_norm)).select(
+            "node", _round_at(F.col("raw") / F.col("nrm"), _ITER_DIGITS).alias("score")
+        )
+        a_raw = (
+            e.join(F.broadcast(hub.withColumnRenamed("node", "u")), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(_round_at(F.sum("score"), _ITER_DIGITS).alias("raw"))
+        )
+        a_raw = a_raw.localCheckpoint()
+        a_norm = a_raw.groupBy().agg(F.sum("raw").alias("nrm"))
+        auth = a_raw.crossJoin(F.broadcast(a_norm)).select(
+            "node", _round_at(F.col("raw") / F.col("nrm"), _ITER_DIGITS).alias("score")
+        )
+    out_h = (
+        hub.select(
+            F.lit("hub").alias("kind"),
+            "node",
+            _round_at(F.col("score"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(top_n)
+    )
+    out_a = (
+        auth.select(
+            F.lit("authority").alias("kind"),
+            "node",
+            _round_at(F.col("score"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(top_n)
+    )
+    return out_h.unionAll(out_a)

@@ -155,3 +155,104 @@ def cooccur_topk(
             "cos_sim",
         )
     )
+
+
+def association_rules(
+    li: DataFrame,
+    order_col: str,
+    item_col: str,
+    min_pair_support: int = 3,
+    top_n: int = 20,
+    plan: str = "auto",
+    stats_key: str | None = None,
+) -> DataFrame:
+    """Directed association rules A -> B over item baskets with
+    support / confidence / lift, the market-basket (and prompt-template
+    co-occurrence) mining readout.
+
+    Basket-distinct semantics: support counts baskets, not line items
+    (the same item twice in one order contributes once). Pair counting
+    reuses :func:`cooccur_topk`'s two plans and cost-based switch: the
+    distinct (basket, item) self-join below the measured ordered-pair
+    crossover, the basket-list expansion (collect sorted distinct
+    items, map-side pair emit — linear in Σk², never joins the fact
+    table to itself) above it. Item and basket totals are
+    partial-aggregating shuffles; the rule table is pair-scale and the
+    final top-N is an ORDER BY + LIMIT (TakeOrderedAndProject — no
+    global sort materialized).
+
+    lift = P(B|A) / P(B) = n_ab * N / (n_a * n_b), exact integer
+    cross-multiplication until the final rounded divisions; ranking
+    uses the rounded (lift, confidence) with an (antecedent,
+    consequent) tiebreak so the cut is engine-identical.
+    """
+    if plan == "auto":
+        st = basket_pair_stats(li, order_col, cache_key=stats_key)
+        plan = (
+            "selfjoin"
+            if st["ordered_pairs"] <= ORDERED_PAIR_CROSSOVER
+            else "basket"
+        )
+    if plan == "selfjoin":
+        b = li.select(
+            F.col(order_col).alias("bk"), F.col(item_col).alias("it")
+        ).distinct()
+        x, y = b.alias("x"), b.alias("y")
+        pairs = (
+            x.join(y, F.col("x.bk") == F.col("y.bk"))
+            .where(F.col("x.it") < F.col("y.it"))
+            .groupBy(F.col("x.it").alias("u"), F.col("y.it").alias("v"))
+            .agg(F.count("*").alias("n_ab"))
+        )
+        n_baskets = b.groupBy().agg(F.countDistinct("bk").alias("n_baskets"))
+        item_n = b.groupBy(F.col("it").alias("item")).agg(
+            F.count("*").alias("n_item")
+        )
+    elif plan == "basket":
+        # collect_set dedups inside the ONE basket shuffle (no separate
+        # distinct pass); the sorted distinct list has multiplicity 1,
+        # so _pairs_basket emits each u<v pair exactly once per
+        # containing basket, and every total below hangs off the same
+        # exchange (ReusedExchange), never re-scanning the fact table
+        baskets = li.groupBy(F.col(order_col).alias("bk")).agg(
+            F.array_sort(F.collect_set(F.col(item_col))).alias("ps")
+        )
+        pairs = _pairs_basket(baskets).withColumnRenamed("w", "n_ab")
+        n_baskets = baskets.groupBy().agg(F.count("*").alias("n_baskets"))
+        item_n = (
+            baskets.select(F.explode("ps").alias("item"))
+            .groupBy("item")
+            .agg(F.count("*").alias("n_item"))
+        )
+    else:
+        raise ValueError(f"unknown plan {plan!r}")
+    und = pairs.where(F.col("n_ab") >= min_pair_support)
+    directed = und.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "n_ab"
+    ).unionAll(
+        und.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "n_ab"
+        )
+    )
+    na = item_n.select(F.col("item").alias("antecedent"), F.col("n_item").alias("n_a"))
+    nc = item_n.select(F.col("item").alias("consequent"), F.col("n_item").alias("n_b"))
+    rules = (
+        directed.join(na, "antecedent")
+        .join(nc, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            portable_round(F.col("n_ab") / F.col("n_baskets"), 6).alias("support"),
+            portable_round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            portable_round(
+                (F.col("n_ab") * F.col("n_baskets"))
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy(
+        F.desc("lift"), F.desc("confidence"), F.asc("antecedent"), F.asc("consequent")
+    ).limit(top_n)

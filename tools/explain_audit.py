@@ -95,6 +95,18 @@ CROSS_OK = {
     "x68_value_deciles",
     # literal 4-row k table broadcast against group-scale sizes
     "x174_k_anonymity",
+    # 3-row class table + 1-row n_train broadcast into NB scoring
+    "x180_naive_bayes",
+    # 1-row basket-count broadcast into the rule metrics
+    "x181_assoc_rules",
+    # 1-row L1-norm broadcasts per HITS iteration
+    "x182_hits",
+    # 1-row qhat / n_cal / n_train broadcasts
+    "x183_conformal",
+    # category-scale marginal grid + 1-row total broadcasts
+    "x184_chi2_independence",
+    # 1-row stopping-index / last-index broadcasts
+    "x185_sprt",
     # constant query-token broadcast (|Q| x n_tokens = 64 rows, x3 shape)
     "x175_colbert_maxsim",
     # two 1-row sketch rows + 1-row exact-twin crossJoins
