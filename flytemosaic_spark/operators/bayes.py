@@ -83,13 +83,21 @@ def naive_bayes_confusion(
             F.col("_x._value").alias("_value"),
         )
 
-    cls = train.groupBy("_label").agg(F.count("*").alias("_n_c"))
+    # class- and vocabulary-scale model state: checkpoint so the
+    # model / defaults / priors / vocab all read these tiny tables
+    # instead of re-scanning the training fold per broadcast
+    cls = (
+        train.groupBy("_label")
+        .agg(F.count("*").alias("_n_c"))
+        .localCheckpoint()
+    )
     n_train = cls.groupBy().agg(F.sum("_n_c").alias("_n_train"))
 
     counts = (
         _long(train, ["_label"])
         .groupBy("_label", "_feature", "_value")
         .agg(F.count("*").alias("_cnt"))
+        .localCheckpoint()
     )
     vocab = (
         counts.select("_feature", "_value")

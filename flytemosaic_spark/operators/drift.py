@@ -114,9 +114,13 @@ def chi2_independence(
 
     Returns one row: (n, dof, chi2, crit_05, independent).
     """
-    obs = df.groupBy(
-        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
-    ).agg(F.count("*").alias("_o"))
+    # category²-scale; checkpoint so the marginals, total, and grid
+    # all read this tiny table instead of re-scanning the fact input
+    obs = (
+        df.groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count("*").alias("_o"))
+        .localCheckpoint()
+    )
     ra = obs.groupBy("_a").agg(F.sum("_o").alias("_na"))
     cb = obs.groupBy("_b").agg(F.sum("_o").alias("_nb"))
     tot = obs.groupBy().agg(F.sum("_o").alias("_n"))
@@ -227,5 +231,88 @@ def sprt_bernoulli(
             portable_round(F.col("_llr"), 6).alias("llr"),
             portable_round(F.lit(lower), 6).alias("lower"),
             portable_round(F.lit(upper), 6).alias("upper"),
+        )
+    )
+
+
+def mutual_info(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    marginal entropies and the sqrt-normalized NMI — the
+    information-theoretic twin of :func:`chi2_independence` (MI ranks
+    feature relevance on a comparable scale; chi-square tests a
+    yes/no hypothesis).
+
+    Same execution shape as the chi-square test: one (a, b)
+    partial-aggregating shuffle, category-scale marginals broadcast
+    back. Only observed cells contribute (0·ln 0 = 0 by convention,
+    so no zero-cell grid is needed). All count products are exact
+    integers; per-cell terms are quantized at 1e-9 before the
+    category²-bounded sums and the outputs at 1e-6.
+
+    Returns one row: (n, mi, h_a, h_b, nmi).
+    """
+    # category²-scale; checkpoint so the marginals, total, and MI sum
+    # all read this tiny table instead of re-scanning the fact input
+    obs = (
+        df.groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count("*").alias("_o"))
+        .localCheckpoint()
+    )
+    ra = obs.groupBy("_a").agg(F.sum("_o").alias("_na"))
+    cb = obs.groupBy("_b").agg(F.sum("_o").alias("_nb"))
+    tot = obs.groupBy().agg(F.sum("_o").alias("_n"))
+    mi = (
+        obs.join(F.broadcast(ra), "_a")
+        .join(F.broadcast(cb), "_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_n",
+            portable_round(
+                (F.col("_o") / F.col("_n").cast("double"))
+                * F.log(
+                    (F.col("_o") * F.col("_n"))
+                    / (F.col("_na") * F.col("_nb")).cast("double")
+                ),
+                9,
+            ).alias("_t"),
+        )
+        .groupBy("_n")
+        .agg(portable_round(F.sum("_t"), 6).alias("mi"))
+    )
+    ha = (
+        ra.crossJoin(F.broadcast(tot))
+        .select(
+            portable_round(
+                -(F.col("_na") / F.col("_n").cast("double"))
+                * F.log(F.col("_na") / F.col("_n").cast("double")),
+                9,
+            ).alias("_t")
+        )
+        .groupBy()
+        .agg(portable_round(F.sum("_t"), 6).alias("h_a"))
+    )
+    hb = (
+        cb.crossJoin(F.broadcast(tot))
+        .select(
+            portable_round(
+                -(F.col("_nb") / F.col("_n").cast("double"))
+                * F.log(F.col("_nb") / F.col("_n").cast("double")),
+                9,
+            ).alias("_t")
+        )
+        .groupBy()
+        .agg(portable_round(F.sum("_t"), 6).alias("h_b"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("_n").cast("bigint").alias("n"),
+            "mi",
+            "h_a",
+            "h_b",
+            portable_round(
+                F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b")), 6
+            ).alias("nmi"),
         )
     )

@@ -458,3 +458,62 @@ def hits(
         .limit(top_n)
     )
     return out_h.unionAll(out_a)
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_n: int = 20,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected graph: for every
+    non-adjacent pair (u, v), score = sum over common neighbors w of
+    1 / ln(deg(w)) — the standard "which links are missing" readout
+    for dedup-graph densification and recommendation candidates.
+
+    Distributed shape: canonicalize to distinct undirected edges, build
+    the symmetric adjacency once, wedge-join it with itself on the
+    center w (the triangle-enumeration shape — Σ deg(w)² wedges; the
+    1/ln weight means hub centers contribute negligibly, and the same
+    degree-ordering cap as ``enumerate_triangles`` applies if a hub
+    blows the wedge count), broadcast-join the node-scale degree
+    table, anti-join the existing edge set, aggregate per pair.
+    Per-wedge terms are quantized at 1e-9 before the sum and the final
+    score at 1e-6, so the top-N cut (score desc, u, v — ORDER BY +
+    LIMIT, no window) is engine-identical.
+
+    deg(w) >= 2 for every wedge center by construction (w is adjacent
+    to both endpoints), so ln(deg) is never zero.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    # wedges u - w - v with u < v, weighted by the center's degree
+    left = sym.select(F.col("v").alias("w"), F.col("u").alias("a"))
+    right = sym.select(F.col("v").alias("w"), F.col("u").alias("b"))
+    wedges = (
+        left.join(right, "w")
+        .where(F.col("a") < F.col("b"))
+        .join(F.broadcast(deg.withColumnRenamed("node", "w")), "w")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            _round_at(F.lit(1.0) / F.log(F.col("deg").cast("double")), 9).alias(
+                "_term"
+            ),
+        )
+    )
+    scores = (
+        wedges.join(e, ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(_round_at(F.sum("_term"), 6).alias("aa_score"))
+    )
+    return scores.orderBy(
+        F.desc("aa_score"), F.asc("u"), F.asc("v")
+    ).limit(top_n)

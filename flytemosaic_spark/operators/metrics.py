@@ -189,3 +189,105 @@ def mrr_map_at_k(
         portable_round(F.avg("_rr"), 6).alias("mrr"),
         portable_round(F.avg("_ap"), 6).alias("map_at_k"),
     )
+
+
+def cuped_ab(
+    df: DataFrame,
+    key,
+    x,
+    y,
+    arm_frac: float = 0.5,
+    seed_tag: str = "cuped",
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013):
+    adjust the post-period metric y by the pre-period covariate x —
+    y' = y - theta * (x - mean(x)), theta = cov(x, y) / var(x) — and
+    report per-arm means and variances before/after adjustment. The
+    standard way an experimentation pipeline halves its confidence
+    intervals without more traffic.
+
+    Exactness at scale: x is integer-valued and y enters as integer
+    cents, so EVERY moment (sum x, sum y, sum xy, sum x², sum y²) is
+    an exact integer aggregate — sum y² is accumulated in
+    DECIMAL(38,0) (the x168 recipe; ~5e19 at 15k rows already exceeds
+    int64) — and theta, the arm means, and the variances are fixed
+    arithmetic expressions over those integers, quantized once at the
+    end. No float summation anywhere, so the result is engine- and
+    partitioning-exact with no per-row rounding.
+
+    Arms split by md5(key) at ``arm_frac``. Variances use the moment
+    identity var(y') = var(y) - 2 theta cov(x,y) + theta² var(x) per
+    arm, so the adjusted rows are never materialized. Returns one row
+    per arm: (arm, n, mean_y, mean_y_cuped, var_y, var_y_cuped,
+    var_reduction_pct).
+    """
+    from flytemosaic_spark.operators.sampling import hash_bucket, rate_threshold
+
+    thr = rate_threshold(arm_frac)
+    base = df.select(
+        F.when(
+            hash_bucket(
+                F.concat(F.lit(seed_tag + ":"), key.cast("string"))
+            )
+            < F.lit(thr),
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        x.cast("bigint").alias("_x"),
+        F.floor(y * 100 + F.lit(0.5)).cast("bigint").alias("_yc"),
+    )
+    m = base.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_yc").alias("sy"),
+        F.sum(F.col("_x") * F.col("_yc")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum((F.col("_yc") * F.col("_yc")).cast("decimal(38,0)")).alias("syy"),
+    )
+    g = m.groupBy().agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"),
+    )
+    # global theta and x-mean from exact integer moments
+    gq = g.select(
+        portable_round(
+            (F.col("tn") * F.col("tsxy") - F.col("tsx") * F.col("tsy"))
+            / (F.col("tn") * F.col("tsxx") - F.col("tsx") * F.col("tsx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("theta"),
+        portable_round(F.col("tsx") / F.col("tn"), 6).alias("xbar"),
+    )
+    nd = F.col("n").cast("double")
+    mean_y = F.col("sy") / nd
+    mean_x = F.col("sx") / nd
+    var_y = F.col("syy").cast("double") / nd - mean_y * mean_y
+    var_x = F.col("sxx") / nd - mean_x * mean_x
+    cov_xy = F.col("sxy") / nd - mean_x * mean_y
+    var_adj = (
+        var_y
+        - F.lit(2.0) * F.col("theta") * cov_xy
+        + F.col("theta") * F.col("theta") * var_x
+    )
+    return (
+        m.crossJoin(F.broadcast(gq))
+        .select(
+            "arm",
+            "n",
+            portable_round(mean_y / 100.0, 6).alias("mean_y"),
+            portable_round(
+                (mean_y - F.col("theta") * (mean_x - F.col("xbar"))) / 100.0, 6
+            ).alias("mean_y_cuped"),
+            portable_round(var_y / 10000.0, 4).alias("var_y"),
+            portable_round(var_adj / 10000.0, 4).alias("var_y_cuped"),
+            portable_round(
+                (F.lit(1.0) - var_adj / var_y) * 100.0, 4
+            ).alias("var_reduction_pct"),
+        )
+        .orderBy("arm")
+    )

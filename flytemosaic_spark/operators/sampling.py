@@ -137,3 +137,112 @@ def weighted_sample(
         float(HEX_BUCKETS)
     )
     return df.where(u < F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0)))
+
+
+# Poisson(1) CDF thresholds for the bootstrap weight draw: a uniform u
+# maps to weight w = #{k : u >= P(X <= k)}, k = 0..7 (P(X > 8) ~ 1e-6).
+# Computed once in Python and injected as literals into BOTH engines'
+# expressions, so the per-(row, replicate) weights are bit-identical.
+_POISSON1_CDF = []
+_acc, _term = 0.0, 2.718281828459045**-1
+for _k in range(8):
+    _acc += _term
+    _POISSON1_CDF.append(_acc)
+    _term /= _k + 1
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    key: Column,
+    group: Column,
+    y: Column,
+    n_replicates: int = 64,
+    ci: float = 0.95,
+    seed_tag: str = "pb",
+) -> DataFrame:
+    """Per-group mean with a bootstrap confidence interval via
+    deterministic Poisson resampling — the resampling scheme that
+    works at any scale (Chamandy et al., Google 2012): instead of
+    drawing n rows with replacement (which needs global coordination),
+    each row enters replicate b with weight ~ Poisson(1), an
+    independent per-row draw.
+
+    The draw is the md5-uniform of (seed_tag, key, b) pushed through
+    the Poisson(1) inverse CDF (literal thresholds, identical in every
+    engine), so the full bootstrap reproduces under retry,
+    re-partitioning, and engine swap. Execution: one map-side explode
+    by replicate id (no shuffle), one (group, replicate)
+    partial-aggregating shuffle carrying group x B weighted partials,
+    then a bounded B-row window per group ranks the replicate means
+    for the percentile CI.
+
+    Returns (group, n, mean, ci_lo, ci_hi) — replicate means quantized
+    at 1e-6 before ranking (ties broken by replicate id), the CI
+    endpoints are the ceil(B*(1-ci)/2)-th and (B+1-that)-th order
+    statistics of the B means.
+    """
+    from pyspark.sql import Window
+
+    b_ids = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("_b")
+    base = df.select(
+        key.cast("string").alias("_key"),
+        group.alias("_g"),
+        y.cast("double").alias("_y"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed_tag), F.col("_key"), F.col("_b")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**13))
+    )
+    w = None
+    for c in _POISSON1_CDF:
+        ind = (u >= F.lit(c)).cast("int")
+        w = ind if w is None else w + ind
+    reps = (
+        base.select("_key", "_g", "_y", b_ids)
+        .withColumn("_w", w)
+        .groupBy("_g", "_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_y")).alias("_wy"),
+            F.sum("_w").alias("_sw"),
+        )
+        .select(
+            "_g",
+            "_b",
+            (
+                F.floor(F.col("_wy") / F.col("_sw") * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("_m"),
+        )
+    )
+    import math as _math
+
+    wnd = Window.partitionBy("_g").orderBy("_m", "_b")
+    lo_rank = max(1, _math.ceil(n_replicates * (1.0 - ci) / 2))
+    hi_rank = n_replicates + 1 - lo_rank
+    ranked = reps.withColumn("_rk", F.row_number().over(wnd))
+    bounds = (
+        ranked.where(F.col("_rk").isin(lo_rank, hi_rank))
+        .groupBy("_g")
+        .agg(F.min("_m").alias("ci_lo"), F.max("_m").alias("ci_hi"))
+    )
+    point = base.groupBy("_g").agg(
+        F.count("*").alias("n"),
+        (F.floor(F.avg("_y") * 1e6 + F.lit(0.5)) / 1e6).alias("mean"),
+    )
+    return (
+        point.join(bounds, "_g")
+        .select(
+            F.col("_g").alias("grp"), "n", "mean", "ci_lo", "ci_hi"
+        )
+    )

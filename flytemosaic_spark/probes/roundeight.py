@@ -445,3 +445,298 @@ def x185_sprt(spark: SparkSession, sf: str) -> DataFrame:
         alpha=_SPRT_ALPHA,
         beta=_SPRT_BETA,
     )
+
+
+# ---------------------------------------------------------------------------
+# x186 — Adamic–Adar link prediction
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x186_adamic_adar",
+    sql="""
+        WITH e AS MATERIALIZED (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        sym AS MATERIALIZED (
+            SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+        ),
+        deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+        wed AS (
+            SELECT l.u AS a, r.u AS b, l.v AS w
+            FROM sym l JOIN sym r ON l.v = r.v
+            WHERE l.u < r.u
+        ),
+        term AS (
+            SELECT wed.a AS u, wed.b AS v,
+                   floor(1.0 / ln(CAST(d.deg AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                       AS t
+            FROM wed JOIN deg d ON d.node = wed.w
+        ),
+        cand AS (
+            SELECT term.u, term.v, term.t FROM term
+            LEFT JOIN e ON e.u = term.u AND e.v = term.v
+            WHERE e.u IS NULL
+        ),
+        sc AS (SELECT u, v, floor(sum(t) * 1e6 + 0.5) / 1e6 AS aa_score
+               FROM cand GROUP BY u, v)
+        SELECT * FROM sc ORDER BY aa_score DESC, u, v LIMIT 20
+    """,
+    note="Adamic-Adar link prediction over the part co-order graph "
+    "(operators/graph.py:adamic_adar; same support>=2 edge base as "
+    "x172): top-20 missing links by sum over common neighbors of "
+    "1/ln(deg) — wedge join on the center (the triangle-enumeration "
+    "shape), node-scale degree table broadcast, existing-edge "
+    "anti-join, per-wedge terms quantized 1e-9 pre-sum; final cut is "
+    "ORDER BY+LIMIT on (score, u, v) — the dedup-graph densification "
+    "/ recommendation-candidate readout",
+)
+def x186_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.graph import adamic_adar
+
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("u", "v")
+    )
+    return adamic_adar(edges, src="u", dst="v", top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# x187 — Poisson-bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+_PB_W = "(CASE WHEN u >= 0.36787944117144233 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.7357588823428847 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.9196986029286058 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.9810118431238463 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.9963401531726563 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.9994058151824183 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.999916758850712 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.9999897508033253 THEN 1 ELSE 0 END)"
+
+_PB_SQL = f"""
+    WITH base AS (SELECT CAST(c_custkey AS VARCHAR) AS k, c_mktsegment AS g,
+                         c_acctbal AS y
+                  FROM customer),
+    reps AS (
+        SELECT g, gs.b AS b, y,
+               CAST(('0x' || substr(md5('pb:' || k || ':'
+                          || CAST(gs.b AS VARCHAR)), 1, 13)) AS BIGINT)
+                   / power(16.0, 13) AS u
+        FROM base CROSS JOIN generate_series(0, 63) gs(b)
+    ),
+    wts AS (SELECT g, b, y, {_PB_W} AS w FROM reps),
+    rm AS (SELECT g, b, floor(sum(w * y) / sum(w) * 1e6 + 0.5) / 1e6 AS m
+           FROM wts GROUP BY g, b),
+    rk AS (SELECT g, m, row_number() OVER (PARTITION BY g ORDER BY m, b)
+                   AS rk
+           FROM rm),
+    bounds AS (SELECT g, min(m) AS ci_lo, max(m) AS ci_hi
+               FROM rk WHERE rk IN (2, 63) GROUP BY g),
+    pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  floor(avg(y) * 1e6 + 0.5) / 1e6 AS mean
+           FROM base GROUP BY g)
+    SELECT pt.g AS grp, n, mean, ci_lo, ci_hi
+    FROM pt JOIN bounds ON pt.g = bounds.g
+"""
+
+
+@probe(
+    "x187_poisson_bootstrap",
+    sql=_PB_SQL,
+    note="per-segment mean account balance with a 95% bootstrap CI via "
+    "deterministic Poisson resampling (operators/sampling.py:"
+    "poisson_bootstrap_ci; Chamandy et al. 2012 — the bootstrap that "
+    "scales: no with-replacement draw, each row enters replicate b "
+    "with weight ~ Poisson(1) from the md5-uniform of (key, b) pushed "
+    "through literal inverse-CDF thresholds shared by both engines): "
+    "one map-side explode by replicate (no shuffle), one (group, b) "
+    "partial-aggregating shuffle of group x 64 weighted partials, a "
+    "bounded 64-row window per group ranks replicate means for the "
+    "percentile endpoints",
+)
+def x187_poisson_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.sampling import poisson_bootstrap_ci
+
+    cust = T(spark, sf, "customer")
+    return poisson_bootstrap_ci(
+        cust,
+        key=F.col("c_custkey"),
+        group=F.col("c_mktsegment"),
+        y=F.col("c_acctbal"),
+        n_replicates=64,
+        ci=0.95,
+        seed_tag="pb",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x188 — CUPED variance-reduced A/B readout
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x188_cuped",
+    sql="""
+        WITH pc AS (
+            SELECT o_custkey AS k,
+                   sum(CASE WHEN o_orderdate < DATE '1996-01-01'
+                            THEN 1 ELSE 0 END) AS x,
+                   sum(CASE WHEN o_orderdate >= DATE '1996-01-01'
+                            THEN CAST(floor(o_totalprice * 100 + 0.5)
+                                      AS BIGINT)
+                            ELSE 0 END) AS yc
+            FROM orders GROUP BY 1
+        ),
+        b AS (SELECT CASE WHEN substr(md5('cuped:' || CAST(k AS VARCHAR)),
+                                      1, 4) < '8000'
+                          THEN 'A' ELSE 'B' END AS arm,
+                     CAST(x AS BIGINT) AS x, CAST(yc AS BIGINT) AS yc
+              FROM pc),
+        m AS (SELECT arm, count(*) AS n, sum(x) AS sx, sum(yc) AS sy,
+                     sum(x * yc) AS sxy, sum(x * x) AS sxx,
+                     sum(CAST(yc AS HUGEINT) * yc) AS syy
+              FROM b GROUP BY arm),
+        g AS (SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+                     sum(sxy) AS tsxy, sum(sxx) AS tsxx
+              FROM m),
+        gq AS (SELECT floor((tn * tsxy - tsx * tsy)
+                            / CAST(tn * tsxx - tsx * tsx AS DOUBLE)
+                            * 1e6 + 0.5) / 1e6 AS theta,
+                      floor(tsx / CAST(tn AS DOUBLE) * 1e6 + 0.5) / 1e6
+                          AS xbar
+               FROM g)
+        SELECT arm, CAST(n AS BIGINT) AS n,
+               floor(sy / CAST(n AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6
+                   AS mean_y,
+               floor((sy / CAST(n AS DOUBLE)
+                      - theta * (sx / CAST(n AS DOUBLE) - xbar)) / 100.0
+                     * 1e6 + 0.5) / 1e6 AS mean_y_cuped,
+               floor((CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                     / 10000.0 * 1e4 + 0.5) / 1e4 AS var_y,
+               floor((CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))
+                      - 2.0 * theta
+                        * (sxy / CAST(n AS DOUBLE)
+                           - (sx / CAST(n AS DOUBLE))
+                             * (sy / CAST(n AS DOUBLE)))
+                      + theta * theta
+                        * (sxx / CAST(n AS DOUBLE)
+                           - (sx / CAST(n AS DOUBLE))
+                             * (sx / CAST(n AS DOUBLE))))
+                     / 10000.0 * 1e4 + 0.5) / 1e4 AS var_y_cuped,
+               floor((1.0
+                      - (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))
+                         - 2.0 * theta
+                           * (sxy / CAST(n AS DOUBLE)
+                              - (sx / CAST(n AS DOUBLE))
+                                * (sy / CAST(n AS DOUBLE)))
+                         + theta * theta
+                           * (sxx / CAST(n AS DOUBLE)
+                              - (sx / CAST(n AS DOUBLE))
+                                * (sx / CAST(n AS DOUBLE))))
+                        / (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (sy / CAST(n AS DOUBLE))
+                             * (sy / CAST(n AS DOUBLE))))
+                     * 100.0 * 1e4 + 0.5) / 1e4 AS var_reduction_pct
+        FROM m CROSS JOIN gq
+    """,
+    note="CUPED variance-reduced A/B readout (operators/metrics.py:"
+    "cuped_ab; Deng et al. WSDM'13): covariate = pre-1996 order count, "
+    "metric = post-1996 spend in integer cents, arms by md5(custkey) — "
+    "EVERY moment is an exact integer aggregate (sum y² in "
+    "DECIMAL(38,0)/HUGEINT, the x168 recipe: ~5e19 exceeds int64), "
+    "theta/means/variances are fixed arithmetic over those integers "
+    "quantized once at the end, adjusted rows never materialized "
+    "(var(y') from the moment identity) — no float summation anywhere, "
+    "so the readout is partitioning- and engine-exact",
+)
+def x188_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.metrics import cuped_ab
+
+    od = T(spark, sf, "orders")
+    pc = od.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(
+            (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+            .cast("bigint")
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"),
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("yc"),
+    )
+    return cuped_ab(
+        pc,
+        key=F.col("k"),
+        x=F.col("x"),
+        y=F.col("yc") / 100.0,
+        arm_frac=0.5,
+        seed_tag="cuped",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x189 — mutual information between categorical columns
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x189_mutual_info",
+    sql="""
+        WITH obs AS (SELECT event_type AS a, user_id % 5 AS b,
+                            count(*) AS o
+                     FROM events GROUP BY 1, 2),
+        ra AS (SELECT a, sum(o) AS na FROM obs GROUP BY a),
+        cb AS (SELECT b, sum(o) AS nb FROM obs GROUP BY b),
+        tot AS (SELECT sum(o) AS n FROM obs),
+        mi AS (
+            SELECT n,
+                   floor(sum(floor((o / CAST(n AS DOUBLE))
+                                   * ln((o * n) / CAST(na * nb AS DOUBLE))
+                                   * 1e9 + 0.5) / 1e9) * 1e6 + 0.5) / 1e6
+                       AS mi
+            FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+            GROUP BY n
+        ),
+        ha AS (
+            SELECT floor(sum(floor(-(na / CAST(n AS DOUBLE))
+                                   * ln(na / CAST(n AS DOUBLE))
+                                   * 1e9 + 0.5) / 1e9) * 1e6 + 0.5) / 1e6
+                       AS h_a
+            FROM ra CROSS JOIN tot
+        ),
+        hb AS (
+            SELECT floor(sum(floor(-(nb / CAST(n AS DOUBLE))
+                                   * ln(nb / CAST(n AS DOUBLE))
+                                   * 1e9 + 0.5) / 1e9) * 1e6 + 0.5) / 1e6
+                       AS h_b
+            FROM cb CROSS JOIN tot
+        )
+        SELECT CAST(n AS BIGINT) AS n, mi, h_a, h_b,
+               floor(mi / sqrt(h_a * h_b) * 1e6 + 0.5) / 1e6 AS nmi
+        FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+    note="mutual information + marginal entropies + sqrt-normalized "
+    "NMI of event_type x (user_id mod 5) "
+    "(operators/drift.py:mutual_info): the information-theoretic twin "
+    "of x184 on the same contingency shuffle — only observed cells "
+    "contribute (0 ln 0 = 0, no zero-cell grid), exact integer count "
+    "products, 1e-9 per-cell quantization under category²-bounded "
+    "sums; MI ranks feature relevance where chi-square only tests a "
+    "hypothesis",
+)
+def x189_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.drift import mutual_info
+
+    ev = T(spark, sf, "events").select(
+        "event_type", (F.col("user_id") % 5).alias("cohort")
+    )
+    return mutual_info(ev, "event_type", "cohort")

@@ -317,3 +317,196 @@ class TestSprt:
         ).collect()[0]
         dec, n, s, llr = self._replay(xs, 0.3, 0.2, 0.01, 0.01)
         assert (r.decision, r.n_obs, r.successes) == (dec, n, s)
+
+
+class TestAdamicAdar:
+    def test_matches_python_reference(self, spark):
+        rng = np.random.default_rng(7)
+        edges = {
+            (int(u), int(v))
+            for u, v in rng.integers(0, 15, size=(40, 2)).tolist()
+            if u != v
+        }
+        und = {(min(u, v), max(u, v)) for u, v in edges}
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {
+            (r.u, r.v): r.aa_score
+            for r in __import__(
+                "flytemosaic_spark.operators.graph", fromlist=["adamic_adar"]
+            ).adamic_adar(df, top_n=1000).collect()
+        }
+        adj: dict[int, set] = {}
+        for u, v in und:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        want = {}
+        nodes = sorted(adj)
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1 :]:
+                if (u, v) in und:
+                    continue
+                common = adj[u] & adj[v]
+                if not common:
+                    continue
+                s = sum(_q(1.0 / math.log(len(adj[w])), 9) for w in common)
+                want[(u, v)] = _q(s, 6)
+        assert got == want
+
+    def test_existing_edges_excluded(self, spark):
+        # triangle plus a pendant: the only predicted link closes the
+        # wedge, never re-proposes an existing edge
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+        )
+        from flytemosaic_spark.operators.graph import adamic_adar
+
+        got = {(r.u, r.v) for r in adamic_adar(df, top_n=10).collect()}
+        assert got == {(1, 4), (2, 4)}
+
+
+class TestPoissonBootstrap:
+    def test_matches_python_reference(self, spark):
+        from flytemosaic_spark.operators.sampling import (
+            _POISSON1_CDF,
+            poisson_bootstrap_ci,
+        )
+
+        rng = np.random.default_rng(13)
+        rows = [(i, "g%d" % (i % 2), float(rng.normal(10, 2))) for i in range(300)]
+        df = spark.createDataFrame(rows, "k long, g string, y double")
+        out = {
+            r.grp: r
+            for r in poisson_bootstrap_ci(
+                df,
+                key=F.col("k"),
+                group=F.col("g"),
+                y=F.col("y"),
+                n_replicates=16,
+                ci=0.9,
+            ).collect()
+        }
+
+        def uniform(k, b):
+            h = hashlib.md5(f"pb:{k}:{b}".encode()).hexdigest()[:13]
+            return int(h, 16) / 16**13
+
+        def weight(k, b):
+            u = uniform(k, b)
+            return sum(1 for c in _POISSON1_CDF if u >= c)
+
+        for g in ("g0", "g1"):
+            grp = [(k, y) for k, gg, y in rows if gg == g]
+            means = []
+            for b in range(16):
+                ws = [(weight(k, b), y) for k, y in grp]
+                sw = sum(w for w, _ in ws)
+                means.append(
+                    (_q(sum(w * y for w, y in ws) / sw, 6), b)
+                )
+            means.sort()
+            lo_rank = max(1, math.ceil(16 * 0.05))  # 1
+            hi_rank = 16 + 1 - lo_rank  # 16
+            assert out[g].ci_lo == means[lo_rank - 1][0]
+            assert out[g].ci_hi == means[hi_rank - 1][0]
+            assert out[g].n == len(grp)
+            assert out[g].mean == _q(sum(y for _, y in grp) / len(grp), 6)
+            # the CI brackets the point estimate
+            assert out[g].ci_lo <= out[g].mean <= out[g].ci_hi
+
+    def test_weights_mean_near_one(self, spark):
+        # Poisson(1) weights should average ~1 so replicate sizes match
+        from flytemosaic_spark.operators.sampling import _POISSON1_CDF
+
+        rng = np.random.default_rng(5)
+        us = rng.random(20000)
+        w = np.zeros_like(us)
+        for c in _POISSON1_CDF:
+            w += us >= c
+        assert abs(w.mean() - 1.0) < 0.02
+        assert abs(w.var() - 1.0) < 0.05
+
+
+class TestCuped:
+    def test_matches_python_reference(self, spark):
+        from flytemosaic_spark.operators.metrics import cuped_ab
+
+        rng = np.random.default_rng(31)
+        rows = []
+        for i in range(500):
+            x = int(rng.integers(0, 20))
+            y = 50.0 * x + float(rng.normal(100, 25))  # strongly covariate-driven
+            rows.append((i, x, round(y, 2)))
+        df = spark.createDataFrame(rows, "k long, x long, y double")
+        out = {
+            r.arm: r
+            for r in cuped_ab(
+                df, key=F.col("k"), x=F.col("x"), y=F.col("y")
+            ).collect()
+        }
+        # python reference with exact integer moments
+        arms: dict[str, list] = {"A": [], "B": []}
+        for k, x, y in rows:
+            arm = (
+                "A"
+                if hashlib.md5(f"cuped:{k}".encode()).hexdigest()[:4] < "8000"
+                else "B"
+            )
+            arms[arm].append((x, math.floor(y * 100 + 0.5)))
+        tn = sum(len(v) for v in arms.values())
+        tsx = sum(x for v in arms.values() for x, _ in v)
+        tsy = sum(y for v in arms.values() for _, y in v)
+        tsxy = sum(x * y for v in arms.values() for x, y in v)
+        tsxx = sum(x * x for v in arms.values() for x, _ in v)
+        theta = _q((tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx), 6)
+        xbar = _q(tsx / tn, 6)
+        for arm, vals in arms.items():
+            n = len(vals)
+            sx = sum(x for x, _ in vals)
+            sy = sum(y for _, y in vals)
+            sxy = sum(x * y for x, y in vals)
+            sxx = sum(x * x for x, _ in vals)
+            syy = sum(y * y for _, y in vals)
+            mean_y = sy / n
+            var_y = syy / n - mean_y**2
+            cov = sxy / n - (sx / n) * mean_y
+            var_x = sxx / n - (sx / n) ** 2
+            var_adj = var_y - 2 * theta * cov + theta * theta * var_x
+            r = out[arm]
+            assert r.n == n
+            assert r.mean_y == _q(mean_y / 100.0, 6)
+            assert r.mean_y_cuped == _q(
+                (mean_y - theta * (sx / n - xbar)) / 100.0, 6
+            )
+            assert r.var_y == _q(var_y / 10000.0, 4)
+            assert r.var_y_cuped == _q(var_adj / 10000.0, 4)
+            # the covariate explains most of the variance here
+            assert r.var_reduction_pct > 90.0
+
+
+class TestMutualInfo:
+    def test_identical_columns_give_entropy(self, spark):
+        from flytemosaic_spark.operators.drift import mutual_info
+
+        rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20
+        df = spark.createDataFrame(rows, "v string").select(
+            F.col("v").alias("p"), F.col("v").alias("q")
+        )
+        r = mutual_info(df, "p", "q").collect()[0]
+        want_h = _q(
+            sum(
+                _q(-(c / 100) * math.log(c / 100), 9) for c in (50, 30, 20)
+            ),
+            6,
+        )
+        assert r.h_a == want_h and r.h_b == want_h
+        assert abs(r.mi - want_h) < 2e-6  # MI(X, X) = H(X)
+        assert abs(r.nmi - 1.0) < 1e-5
+
+    def test_independent_columns_give_zero(self, spark):
+        from flytemosaic_spark.operators.drift import mutual_info
+
+        # perfectly independent: uniform product distribution
+        rows = [(a, b) for a in "xy" for b in "pq" for _ in range(25)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = mutual_info(df, "a", "b").collect()[0]
+        assert r.mi == 0.0 and r.nmi == 0.0

@@ -107,6 +107,10 @@ CROSS_OK = {
     "x184_chi2_independence",
     # 1-row stopping-index / last-index broadcasts
     "x185_sprt",
+    # 1-row theta/xbar moment broadcast into the per-arm readout
+    "x188_cuped",
+    # 1-row total + 1-row entropy broadcasts
+    "x189_mutual_info",
     # constant query-token broadcast (|Q| x n_tokens = 64 rows, x3 shape)
     "x175_colbert_maxsim",
     # two 1-row sketch rows + 1-row exact-twin crossJoins

@@ -88,6 +88,12 @@ PROBES = [
     "x155_chunk_for_embedding",  # map-side chunking, zero shuffles
     "x163_event_transitions",  # per-user lead windows
     "x169_pareto_report",  # distributed cumsum concentration
+    "x172_kcore",  # iterative peeling (shrinking edge state)
+    "x180_naive_bayes",  # broadcast-model scoring + explode unpivot
+    "x181_assoc_rules",  # cost-based selfjoin <-> basket rule mining
+    "x182_hits",  # iterative normalize (localCheckpoint rounds)
+    "x183_conformal",  # order-statistic qhat via distributed rank
+    "x185_sprt",  # prefix cumsum stopping-time scan
 ]
 
 
