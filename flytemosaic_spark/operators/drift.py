@@ -316,3 +316,58 @@ def mutual_info(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Jensen–Shannon divergence between two groups' categorical
+    (token) distributions — the symmetric, bounded ([0, ln 2])
+    companion to PSI (x92) and MI (x189): the standard "how far apart
+    are these two corpora" number for domain-mixture monitoring and
+    contamination triage, finite even on disjoint supports where KL
+    blows up.
+
+    One token-count shuffle with conditional partial aggregates (both
+    groups counted in the same pass — no second scan), 1-row totals
+    broadcast; JS = ½ KL(P‖M) + ½ KL(Q‖M) with M = (P+Q)/2 over
+    observed cells only (0·ln 0 = 0). Per-token terms are quantized to
+    1e-9 integer units and summed in BIGINT — vocabulary-scale sums
+    with zero float-order sensitivity (terms are ≤ ln 2, so even 2^52
+    tokens stay inside the bigint range).
+
+    Returns one row: (vocab, n_a, n_b, js).
+    """
+    two = df.where(F.col(group_col).isin([group_a, group_b]))
+    cnt = two.groupBy(F.col(token_col).alias("_w")).agg(
+        F.sum((F.col(group_col) == group_a).cast("bigint")).alias("_ca"),
+        F.sum((F.col(group_col) == group_b).cast("bigint")).alias("_cb"),
+    )
+    tot = cnt.groupBy().agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    p = F.col("_ca") / F.col("_na").cast("double")
+    q = F.col("_cb") / F.col("_nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.when(F.col("_ca") > 0, p * F.log(p / m) / F.lit(2.0)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("_cb") > 0, q * F.log(q / m) / F.lit(2.0)).otherwise(
+        F.lit(0.0)
+    )
+    units = F.floor(term * 1e9 + F.lit(0.5)).cast("bigint")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(F.col("_na"), F.col("_nb"), units.alias("_u"))
+        .groupBy("_na", "_nb")
+        .agg(F.count("*").alias("vocab"), F.sum("_u").alias("_su"))
+        .select(
+            "vocab",
+            F.col("_na").cast("bigint").alias("n_a"),
+            F.col("_nb").cast("bigint").alias("n_b"),
+            portable_round(F.col("_su") / F.lit(1e9), 6).alias("js"),
+        )
+    )

@@ -118,3 +118,162 @@ def dp_noisy_counts(
         "n",
         portable_round(F.col("n") + noise, round_digits).alias("noisy_n"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive,
+    ls: list[int] = (2, 3),
+) -> DataFrame:
+    """l-diversity audit, the companion to :func:`k_anonymity_report`:
+    a QI class can satisfy k-anonymity and still leak — if all 20 rows
+    of a class share ONE sensitive value, membership reveals it.
+    l-diversity requires >= l distinct sensitive values per class.
+
+    One (QI..., sensitive) partial-aggregating shuffle, one QI-class
+    rollup (count rows, count distinct sensitive via the already-
+    grouped inner level — no expensive distinct over the fact table),
+    then the literal l table broadcast-crosses the class-scale rows.
+
+    Returns one row per l: (l, n_classes, n_violating_classes,
+    rows_at_risk, at_risk_rate).
+    """
+    inner = df.groupBy(
+        *[c.alias(f"_q{i}") for i, c in enumerate(qi_cols)],
+        sensitive.alias("_s"),
+    ).agg(F.count("*").alias("_n"))
+    classes = inner.groupBy(
+        *[F.col(f"_q{i}") for i in range(len(qi_cols))]
+    ).agg(
+        F.sum("_n").alias("_rows"),
+        F.count("*").alias("_ndist"),
+    )
+    lt = None
+    spark = df.sparkSession
+    lt = spark.createDataFrame([(int(v),) for v in ls], "l long")
+    return (
+        classes.crossJoin(F.broadcast(lt))
+        .groupBy("l")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum((F.col("_ndist") < F.col("l")).cast("bigint")).alias(
+                "n_violating_classes"
+            ),
+            F.sum(
+                F.when(F.col("_ndist") < F.col("l"), F.col("_rows")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("rows_at_risk"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(
+                            F.col("_ndist") < F.col("l"), F.col("_rows")
+                        ).otherwise(F.lit(0))
+                    )
+                    / F.sum("_rows").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("at_risk_rate"),
+        )
+        .orderBy("l")
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive,
+    ts: list[float] = (0.2, 0.35),
+) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE 2007) — the third rung after
+    k-anonymity and l-diversity: a class can hold many distinct
+    sensitive values and STILL leak if its distribution skews far from
+    the corpus (20 salaries, all in the top percentile). For
+    categorical sensitives the distance is total variation
+    d(P, Q) = ½ Σ_s |p_s − q_s| against the global distribution Q.
+
+    Only observed (class, s) cells are materialized; the unobserved
+    tail enters through the identity
+    Σ_{s∉class} q_s = 1 − Σ_{s∈class} q_s, so
+    d = ½ (Σ_{s∈class} |p_s − q_s| + 1 − Σ_{s∈class} q_s).
+
+    One (QI, s) partial-aggregating shuffle; class totals via a
+    QI-partitioned window over that class×s-scale table (partitioned,
+    bounded); the global distribution is a sensitive-cardinality-scale
+    broadcast; per-cell terms quantized at 1e-9 (sensitive-cardinality-
+    bounded sums), the literal t table broadcast-crosses class-scale
+    rows. Returns one row per t: (t, n_classes, n_violating_classes,
+    rows_at_risk, at_risk_rate).
+    """
+    from pyspark.sql import Window
+
+    inner = df.groupBy(
+        *[c.alias(f"_q{i}") for i, c in enumerate(qi_cols)],
+        sensitive.alias("_s"),
+    ).agg(F.count("*").alias("_n"))
+    glob = inner.groupBy("_s").agg(F.sum("_n").alias("_ns"))
+    tot = inner.groupBy().agg(F.sum("_n").alias("_nn"))
+    qs = [f"_q{i}" for i in range(len(qi_cols))]
+    w = Window.partitionBy(*qs)
+    cell = (
+        inner.join(F.broadcast(glob), "_s")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            *qs,
+            F.sum("_n").over(w).alias("_rows"),
+            F.col("_n"),
+            F.col("_ns"),
+            F.col("_nn"),
+        )
+        .select(
+            *qs,
+            "_rows",
+            portable_round(
+                F.abs(
+                    F.col("_n") / F.col("_rows").cast("double")
+                    - F.col("_ns") / F.col("_nn").cast("double")
+                ),
+                9,
+            ).alias("_ad"),
+            portable_round(
+                F.col("_ns") / F.col("_nn").cast("double"), 9
+            ).alias("_qs"),
+        )
+    )
+    classes = cell.groupBy(*qs).agg(
+        F.max("_rows").alias("_rows"),
+        portable_round(
+            (F.sum("_ad") + F.lit(1.0) - F.sum("_qs")) / F.lit(2.0), 9
+        ).alias("_dist"),
+    )
+    spark = df.sparkSession
+    tt = spark.createDataFrame([(float(v),) for v in ts], "t double")
+    return (
+        classes.crossJoin(F.broadcast(tt))
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum((F.col("_dist") > F.col("t")).cast("bigint")).alias(
+                "n_violating_classes"
+            ),
+            F.sum(
+                F.when(F.col("_dist") > F.col("t"), F.col("_rows")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("rows_at_risk"),
+            portable_round(
+                F.sum(
+                    F.when(
+                        F.col("_dist") > F.col("t"), F.col("_rows")
+                    ).otherwise(F.lit(0))
+                )
+                / F.sum("_rows").cast("double"),
+                6,
+            ).alias("at_risk_rate"),
+        )
+        .orderBy("t")
+    )

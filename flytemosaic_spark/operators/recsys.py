@@ -256,3 +256,71 @@ def association_rules(
     return rules.orderBy(
         F.desc("lift"), F.desc("confidence"), F.asc("antecedent"), F.asc("consequent")
     ).limit(top_n)
+
+
+def frequent_triples(
+    li: DataFrame,
+    order_col: str,
+    item_col: str,
+    min_support: int = 2,
+    top_n: int = 20,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Frequent 3-itemsets over item baskets — one level past the
+    pairwise co-occurrence/rule surface (x113/x181): the bundle-
+    detection readout.
+
+    Plan: the basket-list expansion only (a 3-way fact self-join is
+    never the right shape) — collect each basket's sorted distinct
+    items in ONE shuffle, emit its C(k, 3) ordered triples map-side,
+    count with a partial-aggregating shuffle. Baskets longer than
+    ``max_basket`` are dropped BEFORE expansion (k³ growth; a single
+    degenerate mega-basket would otherwise dominate the stage — the
+    cap is the standard itemset-mining guard and is reported by the
+    caller via basket stats, not silently absorbed).
+
+    Returns the top-``top_n`` triples by (support desc, items) as
+    (item_a, item_b, item_c, n_baskets) — ORDER BY + LIMIT, exact
+    integer counts, engine-identical cut.
+    """
+    baskets = (
+        li.groupBy(F.col(order_col).alias("bk"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("ps"))
+        .where(F.size("ps").between(3, max_basket))
+    )
+    k = F.size("ps")
+    triples = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), k - 2),
+            lambda i: F.flatten(
+                F.transform(
+                    F.sequence(i + 1, k - 1),
+                    lambda j: F.transform(
+                        F.slice(F.col("ps"), j + 1, k - j),
+                        lambda p: F.struct(
+                            F.try_element_at(F.col("ps"), i).alias("a"),
+                            F.try_element_at(F.col("ps"), j).alias("b"),
+                            p.alias("c"),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(triples).alias("e"))
+        .groupBy(
+            F.col("e.a").alias("item_a"),
+            F.col("e.b").alias("item_b"),
+            F.col("e.c").alias("item_c"),
+        )
+        .agg(F.count("*").alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_support)
+        .orderBy(
+            F.desc("n_baskets"),
+            F.asc("item_a"),
+            F.asc("item_b"),
+            F.asc("item_c"),
+        )
+        .limit(top_n)
+    )

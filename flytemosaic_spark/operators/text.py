@@ -342,3 +342,72 @@ def bm25_scores(
             portable_round(F.sum(idf * norm)).alias("bm25"),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope/intercept
+    of ln(frequency) on ln(rank) for the top-``top_n`` terms — natural
+    text sits near slope −1; a corpus that strays far (−0.5, −2) is a
+    red flag for boilerplate floods or synthetic/templated text, which
+    makes the slope a one-number corpus-quality screen.
+
+    One explode + term-count shuffle (partial-aggregated); ranks by
+    (count desc, term) via
+    :func:`flytemosaic_spark.plans.prefix.distributed_row_number` (no
+    single-partition window); the regression moments are EXACT — per
+    term ln values are quantized to 1e-9 integer units and summed in
+    BIGINT / DECIMAL(38,0) (the x168 recipe), so the slope is fixed
+    arithmetic over exact integers: engine- and partitioning-identical
+    with no float-summation order sensitivity. top_n caps the moment
+    rows, so state is constant regardless of corpus size.
+
+    Returns one row: (n_terms, slope, intercept).
+    """
+    from flytemosaic_spark.plans.prefix import distributed_row_number
+
+    freq = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_c"))
+        .select(F.col("_w"), F.col("_c"), (-F.col("_c")).alias("_negc"))
+    )
+    ranked = distributed_row_number(freq, ("_negc", "_w"), out_col="_rn")
+    top = ranked.where(F.col("_rn") <= top_n)
+    ix = F.floor(F.log(F.col("_rn").cast("double")) * 1e9 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    iy = F.floor(F.log(F.col("_c").cast("double")) * 1e9 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    pts = top.select(ix.alias("_x"), iy.alias("_y"))
+    dec = "decimal(38,0)"
+    m = pts.groupBy().agg(
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_y").cast(dec)).alias("_sxy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_x").cast(dec)).alias("_sxx"),
+    )
+    # num/den are exact integers in 1e-18 units; the shared scale
+    # cancels in the ratio, so one double division at the end
+    num = (
+        F.col("_n").cast(dec) * F.col("_sxy")
+        - F.col("_sx").cast(dec) * F.col("_sy").cast(dec)
+    )
+    den = (
+        F.col("_n").cast(dec) * F.col("_sxx")
+        - F.col("_sx").cast(dec) * F.col("_sx").cast(dec)
+    )
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("_sy").cast("double") / 1e9 - slope * F.col("_sx").cast("double") / 1e9
+    ) / F.col("_n").cast("double")
+    return m.select(
+        F.col("_n").cast("bigint").alias("n_terms"),
+        portable_round(slope, 6).alias("slope"),
+        portable_round(intercept, 6).alias("intercept"),
+    )

@@ -107,3 +107,221 @@ def topk_similar_to_mean(
         .limit(k)
         .select(F.col("key").alias("user_id"), "dist")
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    t_col: str,
+    v_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function of an integer-valued series at lags
+    1..``max_lag`` — the seasonality/persistence diagnostic (a daily
+    ingest-volume series with acf[7] >> acf[1] says "weekly pattern";
+    a near-1 acf[1] says "trend — difference before modeling").
+
+    ``series`` must already be aggregated to one row per ``t_col``
+    (e.g. a daily-counts table — time-scale, not data-scale; the
+    heavy fact-to-series rollup happens upstream in one shuffle).
+    ``t_col`` is an integer time index with unit steps; gaps are the
+    caller's responsibility (densify upstream if the series can skip
+    periods).
+
+    r_L = sum_{t} (c_t - mean)(c_{t+L} - mean) / sum_t (c_t - mean)²
+    with the full-series mean (the standard biased ACF estimator).
+    Every aggregate is an exact integer sum (S_xy, head/tail sums,
+    S, SS); the mean enters once as a fixed arithmetic expression, so
+    the output is engine-exact at the 1e-6 grain. The lag pairing is
+    a time-scale self-join on t+L (category-scale exchange); global
+    moments are a 1-row broadcast.
+
+    Returns (lag, n_pairs, acf).
+    """
+    s = series.select(
+        F.col(t_col).cast("bigint").alias("_t"),
+        F.col(v_col).cast("bigint").alias("_c"),
+    )
+    g = s.groupBy().agg(
+        F.count("*").alias("_n"),
+        F.sum("_c").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
+    )
+    lags = s.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = s.select(F.col("_t"), F.col("_c").alias("_ca"))
+    b = s.select(F.col("_t").alias("_tb"), F.col("_c").alias("_cb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("_tb") == F.col("_t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("_ca") * F.col("_cb")).alias("_sxy"),
+            F.sum("_ca").alias("_sh"),
+            F.sum("_cb").alias("_st"),
+        )
+    )
+    from flytemosaic_spark.operators.text import portable_round
+
+    cbar = F.col("_s") / F.col("_n").cast("double")
+    num = (
+        F.col("_sxy")
+        - cbar * (F.col("_sh") + F.col("_st"))
+        + F.col("n_pairs") * cbar * cbar
+    )
+    den = F.col("_ss") - F.col("_n") * cbar * cbar
+    return (
+        pairs.crossJoin(F.broadcast(g))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            "n_pairs",
+            portable_round(num / den, 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    t_col,
+    v_col,
+    sample_hex: str = "0147",
+    seed_tag: str = "ts",
+    key_col: str = "event_id",
+) -> DataFrame:
+    """Theil–Sen robust trend estimate: the median of pairwise slopes
+    (v_j - v_i)/(t_j - t_i) over a deterministic md5 sample — the
+    drift-monitoring slope that one outlier batch cannot bend (50%
+    breakdown point vs 0% for OLS).
+
+    All-pairs over the FULL data is quadratic by definition, so the
+    estimator is computed on a fixed md5-keyed sample (``sample_hex``
+    of 65536 — deterministic, retry/engine-stable); the classical
+    result needs only a few hundred points for a stable median. The
+    pair join is sample², the median is the exact middle order
+    statistic(s) selected by global rank via
+    :func:`flytemosaic_spark.plans.prefix.distributed_row_number`
+    (slopes quantized at 1e-9 pre-rank, ties broken by the pair key).
+
+    Returns one row: (n_sample, n_pairs, slope) — slope = lower
+    middle for odd pair counts, mean of the two middles for even.
+    """
+    from flytemosaic_spark.operators.sampling import hash_bucket
+    from flytemosaic_spark.operators.text import portable_round
+    from flytemosaic_spark.plans.prefix import distributed_row_number
+
+    s = df.where(
+        hash_bucket(
+            F.concat(F.lit(seed_tag + ":"), F.col(key_col).cast("string"))
+        )
+        < F.lit(sample_hex)
+    ).select(
+        F.col(key_col).cast("bigint").alias("_k"),
+        F.col(t_col).cast("double").alias("_t"),
+        F.col(v_col).cast("double").alias("_v"),
+    )
+    n_sample = s.groupBy().agg(F.count("*").alias("n_sample"))
+    a, b = s.alias("a"), s.alias("b")
+    slopes = (
+        a.join(b, F.col("a._k") < F.col("b._k"))
+        .where(F.col("b._t") != F.col("a._t"))
+        .select(
+            F.col("a._k").alias("_ka"),
+            F.col("b._k").alias("_kb"),
+            # try_divide, not /: ANSI evaluates the projection inside
+            # the same codegen stage as the filter, so a plain divide
+            # still sees the dt == 0 rows the WHERE discards
+            portable_round(
+                F.try_divide(
+                    F.col("b._v") - F.col("a._v"),
+                    F.col("b._t") - F.col("a._t"),
+                ),
+                9,
+            ).alias("_m"),
+        )
+    )
+    n_pairs = slopes.groupBy().agg(F.count("*").alias("n_pairs"))
+    ranked = distributed_row_number(slopes, ("_m", "_ka", "_kb"), out_col="_rn")
+    mid = (
+        ranked.crossJoin(F.broadcast(n_pairs))
+        .where(
+            (F.col("_rn") == F.floor((F.col("n_pairs") + 1) / 2))
+            | (F.col("_rn") == F.floor(F.col("n_pairs") / 2) + 1)
+        )
+        .groupBy()
+        .agg(portable_round(F.avg("_m"), 6).alias("slope"))
+    )
+    return (
+        n_sample.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(mid))
+        .select("n_sample", "n_pairs", "slope")
+    )
+
+
+def cross_correlation(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lagged cross-correlation between two integer-valued series on
+    the same time index — the lead/lag detector (does volume move
+    before value, or after?): r at lag L is the Pearson correlation of
+    (x_t, y_{t+L}) over the overlapping window, for L in
+    [-max_lag, +max_lag]. The argmax lag says which series leads.
+
+    ``series`` must be pre-aggregated to one row per ``t_col`` with
+    INTEGER x/y (counts, cents — the caller quantizes): every moment
+    (Σx, Σy, Σxy, Σxx, Σyy) is then an exact integer, the cross/square
+    sums carried in DECIMAL(38,0) (the x168 recipe), and r is fixed
+    arithmetic over exact integers — engine- and partitioning-exact.
+    Time-scale self-join on t+L against a constant (2·max_lag+1)-row
+    broadcast lag grid; degenerate windows (zero variance) return NULL
+    via try_divide.
+
+    Returns (lag, n_pairs, r) ordered by lag.
+    """
+    from flytemosaic_spark.operators.text import portable_round
+
+    s = series.select(
+        F.col(t_col).cast("bigint").alias("_t"),
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+    )
+    lags = s.sparkSession.range(-max_lag, max_lag + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = s.select("_t", "_x")
+    b = s.select(F.col("_t").alias("_tb"), "_y")
+    dec = "decimal(38,0)"
+    mo = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("_tb") == F.col("_t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x").cast(dec) * F.col("_y").cast(dec)).alias("_sxy"),
+            F.sum(F.col("_x").cast(dec) * F.col("_x").cast(dec)).alias("_sxx"),
+            F.sum(F.col("_y").cast(dec) * F.col("_y").cast(dec)).alias("_syy"),
+        )
+    )
+    n = F.col("n_pairs").cast(dec)
+    num = n * F.col("_sxy") - F.col("_sx").cast(dec) * F.col("_sy").cast(dec)
+    vx = n * F.col("_sxx") - F.col("_sx").cast(dec) * F.col("_sx").cast(dec)
+    vy = n * F.col("_syy") - F.col("_sy").cast(dec) * F.col("_sy").cast(dec)
+    r = F.try_divide(
+        num.cast("double"),
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")),
+    )
+    return (
+        mo.select(
+            F.col("lag").cast("bigint").alias("lag"),
+            "n_pairs",
+            portable_round(r, 6).alias("r"),
+        )
+        .orderBy("lag")
+    )

@@ -1,0 +1,345 @@
+"""Unit tests for the round-9 operators on hand fixtures — the oracle
+gate covers the real-corpus path; these pin the semantics: ACF vs a
+numpy reference with the same quantization, Theil–Sen vs a plain-Python
+median-of-slopes replay (same md5 sample, same 1e-9 slope grain, both
+parities of the pair count), frequent triples vs itertools.combinations
+(including the max_basket guard), and l-diversity on a constructed
+table with known violating classes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from flytemosaic_spark.operators.drift import js_divergence
+from flytemosaic_spark.operators.privacy import l_diversity_report, t_closeness_report
+from flytemosaic_spark.operators.recsys import frequent_triples
+from flytemosaic_spark.operators.text import zipf_fit
+from flytemosaic_spark.operators.timeseries import (
+    autocorrelation,
+    cross_correlation,
+    theil_sen_slope,
+)
+
+
+def _q(x: float, digits: int) -> float:
+    return math.floor(x * 10**digits + 0.5) / 10**digits
+
+
+def _bucket(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()[:4]
+
+
+class TestAutocorrelation:
+    def _reference(self, counts, max_lag):
+        c = np.asarray(counts, dtype=float)
+        mean = c.sum() / len(c)
+        den = float(((c - mean) ** 2).sum())
+        out = {}
+        for lag in range(1, max_lag + 1):
+            head, tail = c[:-lag], c[lag:]
+            num = float(((head - mean) * (tail - mean)).sum())
+            out[lag] = (len(head), _q(num / den, 6))
+        return out
+
+    def test_matches_numpy(self, spark):
+        rng = np.random.default_rng(7)
+        # weekly-seasonal series: acf should peak at lag 7
+        counts = [
+            100 + 40 * (t % 7 == 0) + int(rng.integers(0, 10))
+            for t in range(60)
+        ]
+        df = spark.createDataFrame(
+            [(t, c) for t, c in enumerate(counts)], "t long, c long"
+        )
+        got = {
+            r.lag: (r.n_pairs, r.acf)
+            for r in autocorrelation(df, "t", "c", max_lag=7).collect()
+        }
+        assert got == self._reference(counts, 7)
+        # the constructed weekly pattern is visible
+        assert got[7][1] > got[1][1]
+
+    def test_constant_series_pairs(self, spark):
+        # trend series: lag-1 acf near 1, monotone decay
+        df = spark.createDataFrame(
+            [(t, 10 * t) for t in range(30)], "t long, c long"
+        )
+        rows = autocorrelation(df, "t", "c", max_lag=3).collect()
+        assert [r.n_pairs for r in rows] == [29, 28, 27]
+        assert rows[0].acf > 0.85
+        assert rows[0].acf > rows[1].acf > rows[2].acf
+
+
+class TestTheilSen:
+    def _reference(self, pts, sample_hex, seed_tag):
+        s = [
+            (k, t, v)
+            for k, t, v in pts
+            if _bucket(f"{seed_tag}:{k}") < sample_hex
+        ]
+        slopes = []
+        for (ka, ta, va), (kb, tb, vb) in itertools.combinations(
+            sorted(s), 2
+        ):
+            if tb != ta:
+                slopes.append((_q((vb - va) / (tb - ta), 9), ka, kb))
+        slopes.sort()
+        n = len(slopes)
+        lo = slopes[(n + 1) // 2 - 1][0]
+        hi = slopes[n // 2][0]
+        return len(s), n, _q((lo + hi) / 2, 6)
+
+    def _run(self, spark, pts, sample_hex):
+        df = spark.createDataFrame(pts, "k long, t double, v double")
+        row = theil_sen_slope(
+            df, "t", "v", sample_hex=sample_hex, seed_tag="ts", key_col="k"
+        ).collect()[0]
+        return row.n_sample, row.n_pairs, row.slope
+
+    def test_matches_python_reference(self, spark):
+        rng = np.random.default_rng(3)
+        pts = [
+            (k, float(k), 2.5 * k + float(rng.normal(0, 1)))
+            for k in range(300)
+        ]
+        # wide-open sample so both parities of n_pairs get exercised
+        # across the two tests below
+        assert self._run(spark, pts, "ffff") == self._reference(
+            pts, "ffff", "ts"
+        )
+
+    def test_outlier_immune(self, spark):
+        pts = [(k, float(k), 1.0 * k) for k in range(50)]
+        pts[10] = (10, 10.0, 1e6)  # one wild outlier
+        _, _, slope = self._run(spark, pts, "ffff")
+        assert abs(slope - 1.0) < 0.05
+
+    def test_duplicate_timestamps_skipped(self, spark):
+        pts = [(0, 1.0, 1.0), (1, 1.0, 9.0), (2, 2.0, 2.0), (3, 3.0, 3.0)]
+        n_sample, n_pairs, slope = self._run(spark, pts, "ffff")
+        assert n_sample == 4
+        assert n_pairs == 5  # C(4,2)=6 minus the dt==0 pair
+        assert self._reference(pts, "ffff", "ts") == (4, 5, slope)
+
+
+class TestFrequentTriples:
+    def _reference(self, baskets, min_support, top_n, max_basket):
+        cnt: dict[tuple, int] = {}
+        for items in baskets.values():
+            ps = sorted(set(items))
+            if not (3 <= len(ps) <= max_basket):
+                continue
+            for tri in itertools.combinations(ps, 3):
+                cnt[tri] = cnt.get(tri, 0) + 1
+        rows = [
+            (a, b, c, n) for (a, b, c), n in cnt.items() if n >= min_support
+        ]
+        rows.sort(key=lambda r: (-r[3], r[0], r[1], r[2]))
+        return rows[:top_n]
+
+    def test_matches_itertools(self, spark):
+        rng = np.random.default_rng(5)
+        baskets = {
+            bk: [int(rng.integers(0, 12)) for _ in range(int(rng.integers(1, 9)))]
+            for bk in range(80)
+        }
+        rows = [(bk, it) for bk, items in baskets.items() for it in items]
+        df = spark.createDataFrame(rows, "o long, i long")
+        got = [
+            (r.item_a, r.item_b, r.item_c, r.n_baskets)
+            for r in frequent_triples(
+                df, "o", "i", min_support=2, top_n=10, max_basket=64
+            ).collect()
+        ]
+        assert got == self._reference(baskets, 2, 10, 64)
+
+    def test_max_basket_guard(self, spark):
+        # one mega-basket holding items 0..99 plus two small baskets
+        rows = [(0, i) for i in range(100)]
+        rows += [(1, i) for i in (1, 2, 3)] + [(2, i) for i in (1, 2, 3)]
+        df = spark.createDataFrame(rows, "o long, i long")
+        got = [
+            (r.item_a, r.item_b, r.item_c, r.n_baskets)
+            for r in frequent_triples(
+                df, "o", "i", min_support=2, top_n=10, max_basket=10
+            ).collect()
+        ]
+        # mega-basket dropped before expansion: only the small pair survives
+        assert got == [(1, 2, 3, 2)]
+
+
+class TestLDiversity:
+    def test_hand_fixture(self, spark):
+        # class A: 4 rows, 1 distinct sensitive -> violates l=2 and l=3
+        # class B: 3 rows, 2 distinct -> violates only l=3
+        # class C: 3 rows, 3 distinct -> never violates
+        rows = (
+            [("A", "x")] * 4
+            + [("B", "x"), ("B", "x"), ("B", "y")]
+            + [("C", "x"), ("C", "y"), ("C", "z")]
+        )
+        df = spark.createDataFrame(rows, "q string, s string")
+        got = {
+            r.l: (r.n_classes, r.n_violating_classes, r.rows_at_risk, r.at_risk_rate)
+            for r in l_diversity_report(
+                df, [F.col("q")], F.col("s"), ls=[2, 3]
+            ).collect()
+        }
+        assert got[2] == (3, 1, 4, _q(4 / 10, 6))
+        assert got[3] == (3, 2, 7, _q(7 / 10, 6))
+
+
+class TestTCloseness:
+    def test_hand_fixture(self, spark):
+        # global dist: x 7/10, y 2/10, z 1/10
+        # class A (4 rows, all x): d = ((|1-.7|-.7) + 1)/2 = 0.3
+        # class B (3 rows: 2x,1y): d = (|2/3-.7|-.7 + |1/3-.2|-.2 + 1)/2
+        #   ≈ 0.1333333
+        # class C (3 rows: 1 each): d = (0.3666667+0.1333333+0.2333333
+        #   + 1 - 1)/2 ≈ 0.3666667
+        rows = (
+            [("A", "x")] * 4
+            + [("B", "x"), ("B", "x"), ("B", "y")]
+            + [("C", "x"), ("C", "y"), ("C", "z")]
+        )
+        df = spark.createDataFrame(rows, "q string, s string")
+        got = {
+            r.t: (r.n_classes, r.n_violating_classes, r.rows_at_risk)
+            for r in t_closeness_report(
+                df, [F.col("q")], F.col("s"), ts=[0.2, 0.35]
+            ).collect()
+        }
+        # t=0.2: A (0.3) and C (~0.3667) violate -> 7 rows at risk
+        assert got[0.2] == (3, 2, 7)
+        # t=0.35: only C violates
+        assert got[0.35] == (3, 1, 3)
+
+    def test_uniform_classes_never_violate(self, spark):
+        # every class mirrors the global distribution -> dist 0
+        rows = [(q, s) for q in ("A", "B") for s in ("x", "x", "y")]
+        df = spark.createDataFrame(rows, "q string, s string")
+        for r in t_closeness_report(
+            df, [F.col("q")], F.col("s"), ts=[0.01]
+        ).collect():
+            assert r.n_violating_classes == 0
+
+
+class TestZipfFit:
+    def test_exact_power_law(self, spark):
+        # construct counts c_r = round(1000 * r^-1): slope should land
+        # near -1 and the fit replays in plain python
+        import math as _m
+
+        words = []
+        for r in range(1, 41):
+            c = max(1, int(1000 * r**-1.0))
+            words += [f"w{r:03d}"] * c
+        df = spark.createDataFrame([(" ".join(words),)], "text string")
+        row = zipf_fit(df, "text", top_n=1000).collect()[0]
+        # python replay with the operator's exact quantization
+        freq = sorted(
+            {w: words.count(w) for w in set(words)}.items(),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        pts = [
+            (
+                _m.floor(_m.log(i + 1) * 1e9 + 0.5),
+                _m.floor(_m.log(c) * 1e9 + 0.5),
+            )
+            for i, (_, c) in enumerate(freq)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy / 1e9 - slope * sx / 1e9) / n
+        assert row.n_terms == n
+        assert row.slope == _q(slope, 6)
+        assert row.intercept == _q(intercept, 6)
+        assert -1.15 < row.slope < -0.85
+
+
+class TestJSDivergence:
+    def test_identical_distributions_zero(self, spark):
+        rows = [(g, w) for g in ("a", "b") for w in ("x", "x", "y", "z")]
+        df = spark.createDataFrame(rows, "g string, w string")
+        row = js_divergence(df, "g", "w", "a", "b").collect()[0]
+        assert row.js == 0.0
+        assert row.vocab == 3
+        assert (row.n_a, row.n_b) == (4, 4)
+
+    def test_disjoint_supports_ln2(self, spark):
+        rows = [("a", "x"), ("a", "y"), ("b", "u"), ("b", "v")]
+        df = spark.createDataFrame(rows, "g string, w string")
+        row = js_divergence(df, "g", "w", "a", "b").collect()[0]
+        assert row.js == _q(math.log(2.0), 6)
+
+    def test_matches_python(self, spark):
+        rng = np.random.default_rng(9)
+        rows = []
+        for g, bias in (("a", 0.7), ("b", 0.3)):
+            for _ in range(500):
+                w = "x" if rng.random() < bias else f"w{int(rng.integers(0, 20))}"
+                rows.append((g, w))
+        df = spark.createDataFrame(rows, "g string, w string")
+        got = js_divergence(df, "g", "w", "a", "b").collect()[0]
+        ca: dict[str, int] = {}
+        cb: dict[str, int] = {}
+        for g, w in rows:
+            (ca if g == "a" else cb).setdefault(w, 0)
+            (ca if g == "a" else cb)[w] += 1
+        vocab = set(ca) | set(cb)
+        na, nb = sum(ca.values()), sum(cb.values())
+        su = 0
+        for w in vocab:
+            p = ca.get(w, 0) / na
+            q = cb.get(w, 0) / nb
+            m = (p + q) / 2.0
+            term = (p * math.log(p / m) / 2.0 if p > 0 else 0.0) + (
+                q * math.log(q / m) / 2.0 if q > 0 else 0.0
+            )
+            su += math.floor(term * 1e9 + 0.5)
+        assert got.js == _q(su / 1e9, 6)
+        assert got.vocab == len(vocab)
+
+
+class TestCrossCorrelation:
+    def test_shifted_copy_peaks_at_lag(self, spark):
+        # y is x shifted by +2 days: r should peak (=1) at lag +2
+        rng = np.random.default_rng(13)
+        base = [int(rng.integers(10, 100)) for _ in range(60)]
+        rows = [
+            (t, base[t], base[t - 2] if t >= 2 else int(rng.integers(10, 100)))
+            for t in range(60)
+        ]
+        df = spark.createDataFrame(rows, "t long, x long, y long")
+        got = {r.lag: r.r for r in cross_correlation(df, "t", "x", "y", 3).collect()}
+        assert sorted(got) == [-3, -2, -1, 0, 1, 2, 3]
+        assert got[2] > 0.95
+        assert all(got[2] >= got[lag] for lag in got)
+
+    def test_matches_numpy_pearson(self, spark):
+        rng = np.random.default_rng(17)
+        rows = [
+            (t, int(rng.integers(0, 50)), int(rng.integers(0, 50)))
+            for t in range(40)
+        ]
+        df = spark.createDataFrame(rows, "t long, x long, y long")
+        got = {r.lag: r.r for r in cross_correlation(df, "t", "x", "y", 2).collect()}
+        by_t = {t: (x, y) for t, x, y in rows}
+        for lag in range(-2, 3):
+            xs, ys = [], []
+            for t, (x, _) in by_t.items():
+                if t + lag in by_t:
+                    xs.append(x)
+                    ys.append(by_t[t + lag][1])
+            r = np.corrcoef(xs, ys)[0, 1]
+            assert abs(got[lag] - r) < 1e-6

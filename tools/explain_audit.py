@@ -128,6 +128,21 @@ CROSS_OK = {
     # node-scale facility table broadcast (x3's brute-scan shape);
     # planetary scale routes through f23 XYZ tile blocking per the note
     "x165_haversine_nn",
+    # constant 7-row lag grid (x111 shape) + 1-row moment broadcast
+    "x190_acf",
+    # 1-row n_sample/n_pairs/median broadcasts over the sampled slopes
+    "x191_theil_sen",
+    # literal 2-row l table broadcast against class-scale rows (x174 shape)
+    "x193_l_diversity",
+    # 1-row global-total + literal 2-row t grid broadcasts (x174 shape)
+    "x194_t_closeness",
+    # 1-row regression-moment crossJoin inside distributed_row_number
+    # offsets / final readout
+    "x195_zipf_fit",
+    # 1-row (n_a, n_b) totals broadcast into the per-token terms
+    "x196_js_divergence",
+    # constant 7-row lag grid (x111/x190 shape)
+    "x197_xcorr",
     # 1-row global-count crossJoin feeding the ntile closed form (x68)
     "x166_rfm_segments",
     # 1-row digit-total crossJoin into the constant 9-row digit table
