@@ -291,3 +291,98 @@ def cuped_ab(
         )
         .orderBy("arm")
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    arm_col,
+    post_col,
+    cents_col,
+) -> DataFrame:
+    """Difference-in-differences estimator — the panel-data companion
+    to CUPED (:func:`cuped_ab`): DID = (ȳ_treat,post − ȳ_treat,pre) −
+    (ȳ_ctrl,post − ȳ_ctrl,pre) removes both the arm-level baseline gap
+    and the common time trend; SE from the four cells' pooled
+    variances (Welch-style Σ s²_g/n_g).
+
+    ``arm_col``/``post_col`` are boolean columns (deterministic md5
+    arms upstream), ``cents_col`` exact integer units — every cell
+    moment is an exact BIGINT / DECIMAL(38,0) sum (Σy² follows the
+    x168 recipe), so means, variances, DID, SE, and z are all fixed
+    arithmetic: engine- and partitioning-exact at the 1e-6 grain. One
+    (arm, post) partial-aggregating shuffle to FOUR rows, then a 1-row
+    conditional rollup.
+
+    Returns one row: (n, mean_treat_pre, mean_treat_post,
+    mean_ctrl_pre, mean_ctrl_post, did, se, z).
+    """
+    dec = "decimal(38,0)"
+    cents = F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    cells = (
+        df.select(
+            arm_col.cast("boolean").alias("_a"),
+            post_col.cast("boolean").alias("_p"),
+            cents.cast("bigint").alias("_c"),
+        )
+        .groupBy("_a", "_p")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("_c").alias("_s"),
+            F.sum(F.col("_c").cast(dec) * F.col("_c").cast(dec)).alias("_ss"),
+        )
+    )
+
+    def _cell(a: bool, p: bool, col: str):
+        return F.max(
+            F.when((F.col("_a") == a) & (F.col("_p") == p), F.col(col))
+        )
+
+    one = cells.groupBy().agg(
+        *[
+            _cell(a, p, c).alias(f"_{c[1:]}_{int(a)}{int(p)}")
+            for a in (True, False)
+            for p in (True, False)
+            for c in ("_n", "_s", "_ss")
+        ]
+    )
+
+    def _mean(a: int, p: int):
+        return (
+            F.col(f"_s_{a}{p}")
+            / F.col(f"_n_{a}{p}").cast("double")
+            / F.lit(100.0)
+        )
+
+    def _var(a: int, p: int):
+        # sample variance in cents² via the moment identity
+        n = F.col(f"_n_{a}{p}").cast("double")
+        return (
+            F.col(f"_ss_{a}{p}").cast("double")
+            - F.col(f"_s_{a}{p}").cast("double")
+            * F.col(f"_s_{a}{p}").cast("double")
+            / n
+        ) / (n - 1)
+
+    did = (_mean(1, 1) - _mean(1, 0)) - (_mean(0, 1) - _mean(0, 0))
+    se = (
+        F.sqrt(
+            _var(1, 1) / F.col("_n_11").cast("double")
+            + _var(1, 0) / F.col("_n_10").cast("double")
+            + _var(0, 1) / F.col("_n_01").cast("double")
+            + _var(0, 0) / F.col("_n_00").cast("double")
+        )
+        / F.lit(100.0)
+    )
+    total = (
+        F.col("_n_11") + F.col("_n_10") + F.col("_n_01") + F.col("_n_00")
+    )
+    return one.select(
+        total.cast("bigint").alias("n"),
+        portable_round(_mean(1, 0), 6).alias("mean_treat_pre"),
+        portable_round(_mean(1, 1), 6).alias("mean_treat_post"),
+        portable_round(_mean(0, 0), 6).alias("mean_ctrl_pre"),
+        portable_round(_mean(0, 1), 6).alias("mean_ctrl_post"),
+        portable_round(did, 6).alias("did"),
+        portable_round(se, 6).alias("se"),
+        portable_round(did / se, 6).alias("z"),
+    )

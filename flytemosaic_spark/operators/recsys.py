@@ -324,3 +324,116 @@ def frequent_triples(
         )
         .limit(top_n)
     )
+
+
+def bias_baseline(
+    r: DataFrame,
+    u_col: str,
+    i_col: str,
+    cents_col: str,
+    lam: int = 10,
+) -> DataFrame:
+    """Bias-baseline recommender (Koren 2009, the Netflix-Prize
+    baseline predictors): b̂_ui = μ + b_u + b_i with regularized
+    residual-mean biases
+
+        b_i = Σ_{r∈R(i)} (r − μ) / (λ + |R(i)|)
+        b_u = Σ_{r∈R(u)} (r − μ − b_i) / (λ + |R(u)|)
+
+    — the mandatory strawman any factorization model must beat, and
+    itself a strong cold-start predictor. Reports RMSE of the
+    baseline vs the global-mean-only model.
+
+    Determinism contract: ratings arrive as EXACT integer units
+    (``cents_col``), so μ is fixed arithmetic over two exact sums;
+    b_i is fixed arithmetic per item (a single expression over exact
+    aggregates, quantized at 1e-9); the user residual sum — the one
+    genuinely order-sensitive float aggregate — is quantized to 1e-9
+    integer units per row and summed in BIGINT, and the squared
+    errors likewise. No float-summation order sensitivity anywhere.
+
+    Shapes: one item-scale rollup (broadcast back), one user-scale
+    rollup, 1-row global moments broadcast; the fact table shuffles
+    twice (by item, by user) — both partial-aggregating.
+
+    Returns one row: (n_ratings, rmse_baseline, rmse_global).
+    """
+    from flytemosaic_spark.operators.text import portable_round
+
+    rr = r.select(
+        F.col(u_col).alias("_u"),
+        F.col(i_col).alias("_i"),
+        F.col(cents_col).cast("bigint").alias("_c"),
+    )
+    g = rr.groupBy().agg(F.sum("_c").alias("_sc"), F.count("*").alias("_n"))
+    mu = F.col("_sc") / F.col("_n").cast("double")
+    bi = (
+        rr.crossJoin(F.broadcast(g))
+        .groupBy("_i", "_sc", "_n")
+        .agg(F.sum("_c").alias("_si"), F.count("*").alias("_ci"))
+        .select(
+            "_i",
+            portable_round(
+                (F.col("_si") - F.col("_ci") * mu)
+                / (F.lit(lam) + F.col("_ci"))
+                / F.lit(100.0),
+                9,
+            ).alias("_bi"),
+        )
+    )
+    resid_u = F.floor(
+        (
+            F.col("_c") / F.lit(100.0)
+            - mu / F.lit(100.0)
+            - F.col("_bi")
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    ru = (
+        rr.join(F.broadcast(bi), "_i")
+        .crossJoin(F.broadcast(g))
+        .select("_u", "_i", "_c", "_sc", "_n", resid_u.alias("_ru"))
+    )
+    bu = (
+        ru.groupBy("_u")
+        .agg(
+            (
+                F.floor(
+                    F.sum("_ru") / (F.lit(float(lam)) + F.count("*"))
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / F.lit(1e9)
+            ).alias("_bu")
+        )
+    )
+    err = (
+        F.col("_c") / F.lit(100.0)
+        - mu / F.lit(100.0)
+        - F.col("_bu")
+        - F.col("_bi")
+    )
+    gerr = F.col("_c") / F.lit(100.0) - mu / F.lit(100.0)
+    sq = (
+        rr.join(F.broadcast(bi), "_i")
+        .join(bu, "_u")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "_n",
+            F.floor(err * err * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .alias("_e2"),
+            F.floor(gerr * gerr * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .alias("_g2"),
+        )
+    )
+    return sq.groupBy("_n").agg(
+        F.col("_n").cast("bigint").alias("n_ratings"),
+        portable_round(
+            F.sqrt(F.sum("_e2") / F.lit(1e9) / F.col("_n").cast("double")), 6
+        ).alias("rmse_baseline"),
+        portable_round(
+            F.sqrt(F.sum("_g2") / F.lit(1e9) / F.col("_n").cast("double")), 6
+        ).alias("rmse_global"),
+    ).select("n_ratings", "rmse_baseline", "rmse_global")

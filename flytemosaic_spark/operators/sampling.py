@@ -246,3 +246,41 @@ def poisson_bootstrap_ci(
             F.col("_g").alias("grp"), "n", "mean", "ci_lo", "ci_hi"
         )
     )
+
+
+def fixed_budget_sample(
+    df: DataFrame, key_col: str, budget: int, seed_tag: str
+) -> DataFrame:
+    """Deterministic md5 sample whose EXPECTED size is ``budget`` rows
+    at ANY input size: the 16-bit bucket threshold
+    ceil(budget·65536/n) is derived in-plan from the exact row count
+    (1-row broadcast; the double floor is exact while n < ~1e10
+    because |a/n − k| ≥ 1/n > ulp), so downstream quadratic stages
+    (pairwise joins) stay ~budget² as data grows — a RATE-based sample
+    grows them quadratically. budget ≥ n saturates the threshold and
+    takes everything. Retry/engine-stable; the DuckDB oracle replays
+    the identical threshold and filter.
+    """
+    th = df.groupBy().agg(
+        F.floor(
+            (F.lit(budget).cast("bigint") * 65536 + F.count("*") - 1)
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("_fbs_tt")
+    )
+    return (
+        df.crossJoin(F.broadcast(th))
+        .where(
+            (F.col("_fbs_tt") >= 65536)
+            | (
+                hash_bucket(
+                    F.concat(
+                        F.lit(seed_tag + ":"), F.col(key_col).cast("string")
+                    )
+                )
+                < F.format_string("%04x", F.col("_fbs_tt").cast("int"))
+            )
+        )
+        .drop("_fbs_tt")
+    )

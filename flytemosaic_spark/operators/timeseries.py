@@ -186,7 +186,7 @@ def theil_sen_slope(
     df: DataFrame,
     t_col,
     v_col,
-    sample_hex: str = "0147",
+    sample_budget: int = 300,
     seed_tag: str = "ts",
     key_col: str = "event_id",
 ) -> DataFrame:
@@ -196,10 +196,15 @@ def theil_sen_slope(
     breakdown point vs 0% for OLS).
 
     All-pairs over the FULL data is quadratic by definition, so the
-    estimator is computed on a fixed md5-keyed sample (``sample_hex``
-    of 65536 — deterministic, retry/engine-stable); the classical
-    result needs only a few hundred points for a stable median. The
-    pair join is sample², the median is the exact middle order
+    estimator runs on a FIXED-BUDGET md5 sample: the 16-bit bucket
+    threshold is derived in-plan from the exact row count
+    (ceil(budget·65536/n), double floor exact while n < ~1e10 because
+    |a/n − k| ≥ 1/n > ulp), so the expected sample — and therefore the
+    pair join — stays ~budget² at ANY corpus size (a rate-based sample
+    grows the pair stage quadratically with data; the 10× sweep showed
+    12×). The classical result needs only a few hundred points for a
+    stable median; budget ≥ n takes everything. Deterministic,
+    retry/engine-stable. The median is the exact middle order
     statistic(s) selected by global rank via
     :func:`flytemosaic_spark.plans.prefix.distributed_row_number`
     (slopes quantized at 1e-9 pre-rank, ties broken by the pair key).
@@ -207,20 +212,16 @@ def theil_sen_slope(
     Returns one row: (n_sample, n_pairs, slope) — slope = lower
     middle for odd pair counts, mean of the two middles for even.
     """
-    from flytemosaic_spark.operators.sampling import hash_bucket
+    from flytemosaic_spark.operators.sampling import fixed_budget_sample
     from flytemosaic_spark.operators.text import portable_round
     from flytemosaic_spark.plans.prefix import distributed_row_number
 
-    s = df.where(
-        hash_bucket(
-            F.concat(F.lit(seed_tag + ":"), F.col(key_col).cast("string"))
-        )
-        < F.lit(sample_hex)
-    ).select(
+    base = df.select(
         F.col(key_col).cast("bigint").alias("_k"),
         F.col(t_col).cast("double").alias("_t"),
         F.col(v_col).cast("double").alias("_v"),
     )
+    s = fixed_budget_sample(base, "_k", sample_budget, seed_tag)
     n_sample = s.groupBy().agg(F.count("*").alias("n_sample"))
     a, b = s.alias("a"), s.alias("b")
     slopes = (
@@ -324,4 +325,141 @@ def cross_correlation(
             portable_round(r, 6).alias("r"),
         )
         .orderBy("lag")
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    t_col,
+    v_col,
+    sample_budget: int = 300,
+    seed_tag: str = "mk",
+    key_col: str = "event_id",
+) -> DataFrame:
+    """Mann–Kendall trend TEST — the hypothesis-test companion to the
+    Theil–Sen slope (same fixed-budget sample machinery): S = Σ
+    sign(v_j − v_i) over time-ordered pairs; under H0 (no trend) S is
+    ~N(0, var) with var = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18
+    (the tie-group correction over duplicated values). Pairs with tied
+    timestamps are excluded from S (one-observation-per-time is the
+    test's premise; the md5 sample makes exact ts collisions rare).
+
+    Everything is exact integer arithmetic (sign sums, tie counts,
+    the var numerator) except the final z = (S ∓ 1)/sqrt(var) — fixed
+    arithmetic, 1e-6 grain. The pair join is budget², constant at any
+    corpus size.
+
+    Returns one row: (n_sample, s_stat, z).
+    """
+    from flytemosaic_spark.operators.sampling import fixed_budget_sample
+    from flytemosaic_spark.operators.text import portable_round
+
+    base = df.select(
+        F.col(key_col).cast("bigint").alias("_k"),
+        F.col(t_col).cast("double").alias("_t"),
+        F.col(v_col).cast("double").alias("_v"),
+    )
+    s = fixed_budget_sample(base, "_k", sample_budget, seed_tag)
+    n_sample = s.groupBy().agg(F.count("*").alias("n_sample"))
+    a = s.select(
+        F.col("_t").alias("_ta"), F.col("_v").alias("_va"),
+        F.col("_k").alias("_kab"),
+    )
+    b = s.select(F.col("_t").alias("_tb"), F.col("_v").alias("_vb"))
+    ss = (
+        a.join(b, F.col("_ta") < F.col("_tb"))
+        .groupBy()
+        .agg(
+            F.sum(
+                F.signum(F.col("_vb") - F.col("_va")).cast("bigint")
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        s.groupBy("_v")
+        .agg(F.count("*").alias("_tg"))
+        .groupBy()
+        .agg(
+            F.sum(
+                F.col("_tg") * (F.col("_tg") - 1) * (2 * F.col("_tg") + 5)
+            ).alias("_tie_term")
+        )
+    )
+    n = F.col("n_sample")
+    var_num = n * (n - 1) * (2 * n + 5) - F.col("_tie_term")
+    z = F.when(
+        F.col("s_stat") > 0,
+        (F.col("s_stat") - 1)
+        / F.sqrt(var_num.cast("double") / F.lit(18.0)),
+    ).when(
+        F.col("s_stat") < 0,
+        (F.col("s_stat") + 1)
+        / F.sqrt(var_num.cast("double") / F.lit(18.0)),
+    ).otherwise(F.lit(0.0))
+    return (
+        n_sample.crossJoin(F.broadcast(ss))
+        .crossJoin(F.broadcast(ties))
+        .select("n_sample", "s_stat", portable_round(z, 6).alias("z"))
+    )
+
+
+def mean_shift_split(
+    series: DataFrame,
+    t_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Single change-point detection by binary segmentation (first
+    split): the time index k maximizing the between-segment sum of
+    squares n1·n2·(m1 − m2)²/n — the series-level "when did the mean
+    move" detector (CUSUM x110 flags per-key anomalies; this names the
+    corpus-level break day).
+
+    ``series`` is one row per ``t_col`` with INTEGER ``v_col`` (cents,
+    counts — caller quantizes). Prefix sums over the bounded time axis
+    via :func:`flytemosaic_spark.plans.prefix.bounded_window` (exact
+    BIGINT cumsums), candidate scores as fixed arithmetic per row,
+    argmax via ORDER BY (score desc, t) LIMIT 1 — engine-identical.
+
+    Returns one row: (split_t, n_before, n_after, mean_before,
+    mean_after, score) — the split is the LAST time index of the
+    "before" segment.
+    """
+    from pyspark.sql import Window
+
+    from flytemosaic_spark.operators.text import portable_round
+    from flytemosaic_spark.plans.prefix import bounded_window
+
+    s = series.select(
+        F.col(t_col).cast("bigint").alias("_t"),
+        F.col(v_col).cast("bigint").alias("_v"),
+    )
+    g = s.groupBy().agg(F.count("*").alias("_n"), F.sum("_v").alias("_sv"))
+    w = bounded_window("_t", F.col("_t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = s.select(
+        "_t",
+        F.count("*").over(w).alias("_n1"),
+        F.sum("_v").over(w).alias("_c1"),
+    )
+    n1 = F.col("_n1").cast("double")
+    n2 = (F.col("_n") - F.col("_n1")).cast("double")
+    m1 = F.col("_c1") / n1
+    m2 = (F.col("_sv") - F.col("_c1")) / n2
+    score = portable_round(
+        n1 * n2 * (m1 - m2) * (m1 - m2) / F.col("_n").cast("double"), 6
+    )
+    return (
+        pre.crossJoin(F.broadcast(g))
+        .where(F.col("_n1") < F.col("_n"))
+        .select(
+            F.col("_t").alias("split_t"),
+            F.col("_n1").cast("bigint").alias("n_before"),
+            (F.col("_n") - F.col("_n1")).cast("bigint").alias("n_after"),
+            portable_round(m1, 6).alias("mean_before"),
+            portable_round(m2, 6).alias("mean_after"),
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("split_t"))
+        .limit(1)
     )

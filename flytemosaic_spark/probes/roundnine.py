@@ -1,17 +1,19 @@
-"""Round-9 probes: time-series diagnostics (ACF, Theil–Sen, lagged
-cross-correlation), itemset mining one level deeper (frequent
-triples), the l-diversity and t-closeness privacy audits, and two
-corpus-distribution screens (Zipf fit, Jensen–Shannon divergence) —
-each backed by a reusable operator and an engine-portable DuckDB
-oracle.
+"""Round-9 probes: time-series diagnostics (ACF, Theil–Sen,
+Mann–Kendall, lagged cross-correlation, mean-shift change-point),
+itemset mining one level deeper (frequent triples), the l-diversity
+and t-closeness privacy audits, corpus-distribution screens (Zipf
+fit, Jensen–Shannon divergence, lexical diversity), the bias-baseline
+recommender, Nelson–Aalen cumulative hazard, diff-in-diff A/B, and
+the streaming windowed-JS drift monitor — each backed by a reusable
+operator and an engine-portable DuckDB oracle.
 
-ACF reads seasonality/persistence off an ingest-volume series,
-Theil–Sen is the outlier-immune trend slope for drift monitors,
-cross-correlation is the lead/lag detector between volume and value,
-frequent triples extend the pair-level rule surface to bundles,
-l-diversity/t-closeness close the gaps k-anonymity leaves, the Zipf
-slope is a one-number corpus-quality screen, and JS divergence is the
-bounded symmetric corpus distance for domain-mixture monitoring.
+The recurring scale move this round: every potentially-quadratic
+estimator (Theil–Sen, Mann–Kendall) runs on a FIXED-BUDGET md5 sample
+whose threshold is derived in-plan from the exact row count
+(sampling.py:fixed_budget_sample), so pair stages stay constant-size
+at any corpus scale; every order-sensitive float aggregate is
+quantized to 1e-9 integer units and summed in BIGINT/DECIMAL(38,0)
+(the x168 recipe), so results are engine- and partitioning-exact.
 """
 
 from __future__ import annotations
@@ -80,11 +82,20 @@ def x190_acf(spark: SparkSession, sf: str) -> DataFrame:
 @probe(
     "x191_theil_sen",
     sql="""
-        WITH s AS (
+        WITH base AS (
             SELECT event_id AS k, floor(epoch(ts)) AS t, value AS v
             FROM events
-            WHERE substr(md5('ts:' || CAST(event_id AS VARCHAR)), 1, 4)
-                  < '0147'
+        ),
+        th AS (
+            SELECT CAST(floor((300 * 65536 + count(*) - 1)
+                              / CAST(count(*) AS DOUBLE)) AS BIGINT) AS tt
+            FROM base
+        ),
+        s AS (
+            SELECT k, t, v FROM base CROSS JOIN th
+            WHERE tt >= 65536
+               OR substr(md5('ts:' || CAST(k AS VARCHAR)), 1, 4)
+                  < printf('%04x', tt)
         ),
         ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sample FROM s),
         sl AS (
@@ -105,9 +116,12 @@ def x190_acf(spark: SparkSession, sf: str) -> DataFrame:
     """,
     note="Theil-Sen robust trend slope of event value over time "
     "(operators/timeseries.py:theil_sen_slope): median of pairwise "
-    "slopes on a deterministic ~0.5% md5 sample (all-pairs is "
-    "quadratic by definition; a few hundred points give a stable "
-    "median and the sample reproduces under retry/engine swap) — "
+    "slopes on a deterministic FIXED-BUDGET md5 sample (~300 points "
+    "— the 16-bit threshold is derived in-plan from the exact row "
+    "count, so the pair stage stays ~budget-squared at ANY corpus "
+    "size; all-pairs is quadratic by definition and a few hundred "
+    "points give a stable median, reproducible under retry/engine "
+    "swap) — "
     "slopes quantized at 1e-9, the exact middle order statistic(s) "
     "selected by global rank via plans/prefix.py:"
     "distributed_row_number (oracle's plain window is the semantic "
@@ -123,7 +137,7 @@ def x191_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
         "value",
     )
     return theil_sen_slope(
-        ev, "t_sec", "value", sample_hex="0147", seed_tag="ts",
+        ev, "t_sec", "value", sample_budget=300, seed_tag="ts",
         key_col="event_id",
     )
 
@@ -474,3 +488,548 @@ def x197_xcorr(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("y"),
     )
     return cross_correlation(series, "t", "x", "y", max_lag=3)
+
+
+# ---------------------------------------------------------------------------
+# x198 — bias-baseline recommender (Koren baseline predictors)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x198_bias_baseline",
+    sql=r"""
+        WITH r AS (
+            SELECT user_id AS u,
+                   CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+                       AS i,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events
+        ),
+        g AS (SELECT sum(c) AS sc, count(*) AS n FROM r),
+        bi AS (
+            SELECT i,
+                   floor((sum(c) - count(*) * (g.sc / CAST(g.n AS DOUBLE)))
+                         / (10 + count(*)) / 100.0 * 1e9 + 0.5) / 1e9 AS b_i
+            FROM r CROSS JOIN g GROUP BY i, g.sc, g.n
+        ),
+        ru AS (
+            SELECT u, i, c,
+                   CAST(floor((c / 100.0
+                               - (g.sc / CAST(g.n AS DOUBLE)) / 100.0
+                               - b_i) * 1e9 + 0.5) AS BIGINT) AS resid_u
+            FROM r JOIN bi USING (i) CROSS JOIN g
+        ),
+        bu AS (
+            SELECT u,
+                   CAST(floor(sum(resid_u) / (10.0 + count(*)) + 0.5)
+                        AS BIGINT) / 1e9 AS b_u
+            FROM ru GROUP BY u
+        ),
+        sq AS (
+            SELECT g.n,
+                   CAST(floor(
+                       (r.c / 100.0 - (g.sc / CAST(g.n AS DOUBLE)) / 100.0
+                        - bu.b_u - bi.b_i)
+                       * (r.c / 100.0 - (g.sc / CAST(g.n AS DOUBLE)) / 100.0
+                          - bu.b_u - bi.b_i) * 1e9 + 0.5) AS BIGINT) AS e2,
+                   CAST(floor(
+                       (r.c / 100.0 - (g.sc / CAST(g.n AS DOUBLE)) / 100.0)
+                       * (r.c / 100.0 - (g.sc / CAST(g.n AS DOUBLE)) / 100.0)
+                       * 1e9 + 0.5) AS BIGINT) AS g2
+            FROM r JOIN bi USING (i) JOIN bu USING (u) CROSS JOIN g
+        )
+        SELECT CAST(n AS BIGINT) AS n_ratings,
+               floor(sqrt(sum(e2) / 1e9 / CAST(n AS DOUBLE)) * 1e6 + 0.5)
+                   / 1e6 AS rmse_baseline,
+               floor(sqrt(sum(g2) / 1e9 / CAST(n AS DOUBLE)) * 1e6 + 0.5)
+                   / 1e6 AS rmse_global
+        FROM sq GROUP BY n
+    """,
+    note="bias-baseline recommender (Koren 2009 baseline predictors "
+    "b_ui = mu + b_u + b_i, lambda=10): item then user biases from "
+    "regularized residual means, RMSE vs the global-mean strawman — "
+    "the mandatory pre-factorization baseline; ratings become exact "
+    "integer cents so mu is fixed arithmetic, item table is "
+    "item-cardinality-scale (broadcast back), per-row squared errors "
+    "quantized to 1e-9 integer units and summed in BIGINT — no "
+    "float-order sensitivity; items parsed from the props JSON via "
+    "an anchored regexp (Spark/DuckDB regexp_extract group-1 parity)",
+)
+def x198_bias_baseline(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.recsys import bias_baseline
+
+    ev = T(spark, sf, "events")
+    r = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+        .cast("bigint")
+        .alias("i"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    return bias_baseline(r, "u", "i", "c", lam=10)
+
+
+# ---------------------------------------------------------------------------
+# x199 — Nelson–Aalen cumulative hazard over user activity lifetimes
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x199_nelson_aalen",
+    sql="""
+        WITH life AS (
+            SELECT user_id,
+                   max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+                       AS last_d
+            FROM events GROUP BY 1
+        ),
+        horizon AS (SELECT max(last_d) AS maxd FROM life),
+        ev AS (
+            SELECT last_d AS d,
+                   count(*) AS n_end,
+                   sum(CASE WHEN last_d < maxd THEN 1 ELSE 0 END) AS n_churn
+            FROM life CROSS JOIN horizon GROUP BY last_d, maxd
+        ),
+        risk AS (
+            SELECT d, n_churn,
+                   sum(n_end) OVER (ORDER BY d DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS n_risk
+            FROM ev
+        ),
+        hz AS (
+            SELECT d, n_churn, n_risk,
+                   CAST(floor(n_churn / CAST(n_risk AS DOUBLE)
+                              * 1000000000 + 0.5) AS BIGINT) AS h_u
+            FROM risk
+        )
+        SELECT CAST(d AS BIGINT) AS day,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(n_churn AS BIGINT) AS n_churn,
+               floor(sum(h_u) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / 1000000000.0 * 1000000 + 0.5) / 1000000
+                   AS cum_hazard
+        FROM hz
+    """,
+    note="Nelson-Aalen cumulative hazard H(t) = sum d_i/n_i over user "
+    "activity lifetimes — the Kaplan-Meier companion (x164, same "
+    "censoring convention and risk-set machinery): per-day hazard "
+    "increments quantized to integer nano-units BEFORE the cumsum "
+    "(exact BIGINT prefix sums, engine-identical), risk set via "
+    "reverse cumsum on the calendar-bounded day axis "
+    "(plans/prefix.py:bounded_window); H(t) ~ -ln S(t) ties the two "
+    "curves together as a consistency check",
+)
+def x199_nelson_aalen(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flytemosaic_spark.plans.prefix import bounded_window
+
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    life = (
+        T(spark, sf, "events").groupBy("user_id").agg(F.max(day).alias("last_d"))
+    )
+    horizon = life.agg(F.max("last_d").alias("maxd"))
+    ev = (
+        life.crossJoin(F.broadcast(horizon))
+        .groupBy(F.col("last_d").alias("d"))
+        .agg(
+            F.count("*").alias("n_end"),
+            F.sum((F.col("last_d") < F.col("maxd")).cast("bigint")).alias(
+                "n_churn"
+            ),
+        )
+    )
+    w_risk = bounded_window("d", F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = ev.select(
+        "d", "n_churn", F.sum("n_end").over(w_risk).alias("n_risk")
+    )
+    h_u = F.floor(
+        F.col("n_churn") / F.col("n_risk").cast("double") * 1e9 + F.lit(0.5)
+    ).cast("bigint")
+    w_cum = bounded_window("d", F.col("d").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return risk.select(
+        F.col("d").cast("bigint").alias("day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("n_churn").cast("bigint").alias("n_churn"),
+        (
+            F.floor(
+                F.sum(h_u).over(w_cum) / F.lit(1e9) * F.lit(1e6) + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("cum_hazard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x200 — lexical diversity per source (TTR, hapax rate)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x200_lexical_diversity",
+    sql=r"""
+        WITH toks AS (
+            SELECT source AS src,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents
+        ),
+        tf AS (SELECT src, w, count(*) AS c FROM toks GROUP BY 1, 2)
+        SELECT src AS source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               floor(count(*) / CAST(sum(c) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS ttr,
+               floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS hapax_rate
+        FROM tf GROUP BY src
+    """,
+    note="lexical diversity per source: type-token ratio and hapax-"
+    "legomenon rate — the vocabulary-health companion to the Zipf "
+    "slope (x195): templated/boilerplate sources show low TTR and low "
+    "hapax rate, spammy/garbage sources show anomalously high ones; "
+    "one (source, word) partial-aggregating shuffle then a "
+    "source-scale rollup, exact integer counts with two fixed "
+    "divisions at the end",
+)
+def x200_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import portable_round, tokens
+
+    tf = (
+        T(spark, sf, "documents")
+        .select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy(F.col("source").alias("src"), "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        tf.groupBy(F.col("src").alias("source"))
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("bigint")).alias("n_hapax"),
+            portable_round(
+                F.count("*") / F.sum("c").cast("double"), 6
+            ).alias("ttr"),
+            portable_round(
+                F.sum((F.col("c") == 1).cast("bigint"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("hapax_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x201 — windowed JS drift vs a static reference distribution
+# ---------------------------------------------------------------------------
+
+_X201_REF = {
+    "click": 0.2,
+    "error": 0.2,
+    "purchase": 0.2,
+    "signup": 0.2,
+    "view": 0.2,
+}
+
+
+def _x201_sql() -> str:
+    cats = sorted(_X201_REF)
+    counts = ",\n               ".join(
+        "sum(CASE WHEN event_type = '%s' THEN 1 ELSE 0 END) AS c%d"
+        % (c, i)
+        for i, c in enumerate(cats)
+    )
+    terms = []
+    for i, c in enumerate(cats):
+        q = repr(float(_X201_REF[c]))
+        p = f"(c{i} / CAST(n AS DOUBLE))"
+        m = f"(({p} + {q}) / 2.0)"
+        terms.append(
+            f"(CASE WHEN c{i} > 0 THEN {p} * ln({p} / {m}) / 2.0 "
+            f"ELSE 0.0 END + {q} * ln({q} / {m}) / 2.0)"
+        )
+    js = "\n                 + ".join(terms)
+    return f"""
+        WITH w AS (
+            SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
+               count(*) AS n,
+               {counts}
+            FROM events GROUP BY 1
+        )
+        SELECT bucket, CAST(n AS BIGINT) AS n,
+               floor(({js}) * 1e6 + 0.5) / 1e6 AS js
+        FROM w
+    """
+
+
+@probe(
+    "x201_windowed_js_drift",
+    sql=_x201_sql(),
+    note="per-day Jensen-Shannon drift of the event-type distribution "
+    "vs a static uniform reference "
+    "(streaming/events.py:windowed_js_drift): the LIVE drift monitor "
+    "— streaming-legal by construction (per-category conditional "
+    "counts inside ONE windowed aggregation, JS as fixed column "
+    "arithmetic — a projection, not a second aggregation; chained "
+    "aggs are unsupported on streams), identical plan on batch and "
+    "stream so the batch run is the streaming oracle "
+    "(test_streaming.py equality test); deterministic fixed-order "
+    "5-term sum, 1e-6 grain",
+)
+def x201_windowed_js_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.streaming.events import windowed_js_drift
+
+    return windowed_js_drift(
+        T(spark, sf, "events"), _X201_REF, window="1 day"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x202 — Mann–Kendall trend test
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x202_mann_kendall",
+    sql="""
+        WITH base AS (
+            SELECT event_id AS k, floor(epoch(ts)) AS t, value AS v
+            FROM events
+        ),
+        th AS (
+            SELECT CAST(floor((300 * 65536 + count(*) - 1)
+                              / CAST(count(*) AS DOUBLE)) AS BIGINT) AS tt
+            FROM base
+        ),
+        s AS (
+            SELECT k, t, v FROM base CROSS JOIN th
+            WHERE tt >= 65536
+               OR substr(md5('mk:' || CAST(k AS VARCHAR)), 1, 4)
+                  < printf('%04x', tt)
+        ),
+        ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        sst AS (
+            SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+                                 WHEN b.v < a.v THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM s a JOIN s b ON a.t < b.t
+        ),
+        tie AS (
+            SELECT sum(tg * (tg - 1) * (2 * tg + 5)) AS tie_term
+            FROM (SELECT count(*) AS tg FROM s GROUP BY v)
+        )
+        SELECT n AS n_sample, s_stat,
+               floor(CASE
+                   WHEN s_stat > 0 THEN (s_stat - 1)
+                       / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+                                   AS DOUBLE) / 18.0)
+                   WHEN s_stat < 0 THEN (s_stat + 1)
+                       / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+                                   AS DOUBLE) / 18.0)
+                   ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS z
+        FROM ns CROSS JOIN sst CROSS JOIN tie
+    """,
+    note="Mann-Kendall trend test on event value over time "
+    "(operators/timeseries.py:mann_kendall): the hypothesis-test "
+    "companion to the x191 Theil-Sen slope, same fixed-budget md5 "
+    "sample machinery (sampling.py:fixed_budget_sample — pair stage "
+    "constant at any corpus size); S and the tie-corrected variance "
+    "numerator are exact integers, z is fixed arithmetic at 1e-6; "
+    "time-tied pairs excluded per the one-observation-per-time "
+    "premise",
+)
+def x202_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.timeseries import mann_kendall
+
+    ev = T(spark, sf, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("t_sec"),
+        "value",
+    )
+    return mann_kendall(
+        ev, "t_sec", "value", sample_budget=300, seed_tag="mk",
+        key_col="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x203 — difference-in-differences A/B estimator
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x203_diff_in_diff",
+    sql="""
+        WITH r AS (
+            SELECT substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 4)
+                       < '8000' AS a,
+                   ts >= TIMESTAMP '2024-01-16' AS p,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events
+        ),
+        cells AS (
+            SELECT a, p, count(*) AS n, sum(c) AS s,
+                   sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
+            FROM r GROUP BY a, p
+        ),
+        one AS (
+            SELECT
+                max(CASE WHEN a AND p THEN n END) AS n_11,
+                max(CASE WHEN a AND p THEN s END) AS s_11,
+                max(CASE WHEN a AND p THEN ss END) AS ss_11,
+                max(CASE WHEN a AND NOT p THEN n END) AS n_10,
+                max(CASE WHEN a AND NOT p THEN s END) AS s_10,
+                max(CASE WHEN a AND NOT p THEN ss END) AS ss_10,
+                max(CASE WHEN NOT a AND p THEN n END) AS n_01,
+                max(CASE WHEN NOT a AND p THEN s END) AS s_01,
+                max(CASE WHEN NOT a AND p THEN ss END) AS ss_01,
+                max(CASE WHEN NOT a AND NOT p THEN n END) AS n_00,
+                max(CASE WHEN NOT a AND NOT p THEN s END) AS s_00,
+                max(CASE WHEN NOT a AND NOT p THEN ss END) AS ss_00
+            FROM cells
+        )
+        SELECT CAST(n_11 + n_10 + n_01 + n_00 AS BIGINT) AS n,
+               floor(s_10 / CAST(n_10 AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6
+                   AS mean_treat_pre,
+               floor(s_11 / CAST(n_11 AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6
+                   AS mean_treat_post,
+               floor(s_00 / CAST(n_00 AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6
+                   AS mean_ctrl_pre,
+               floor(s_01 / CAST(n_01 AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6
+                   AS mean_ctrl_post,
+               floor(((s_11 / CAST(n_11 AS DOUBLE) / 100.0
+                       - s_10 / CAST(n_10 AS DOUBLE) / 100.0)
+                      - (s_01 / CAST(n_01 AS DOUBLE) / 100.0
+                         - s_00 / CAST(n_00 AS DOUBLE) / 100.0))
+                     * 1e6 + 0.5) / 1e6 AS did,
+               floor(sqrt(
+                   (CAST(ss_11 AS DOUBLE) - CAST(s_11 AS DOUBLE)
+                        * CAST(s_11 AS DOUBLE) / CAST(n_11 AS DOUBLE))
+                       / (CAST(n_11 AS DOUBLE) - 1) / CAST(n_11 AS DOUBLE)
+                   + (CAST(ss_10 AS DOUBLE) - CAST(s_10 AS DOUBLE)
+                        * CAST(s_10 AS DOUBLE) / CAST(n_10 AS DOUBLE))
+                       / (CAST(n_10 AS DOUBLE) - 1) / CAST(n_10 AS DOUBLE)
+                   + (CAST(ss_01 AS DOUBLE) - CAST(s_01 AS DOUBLE)
+                        * CAST(s_01 AS DOUBLE) / CAST(n_01 AS DOUBLE))
+                       / (CAST(n_01 AS DOUBLE) - 1) / CAST(n_01 AS DOUBLE)
+                   + (CAST(ss_00 AS DOUBLE) - CAST(s_00 AS DOUBLE)
+                        * CAST(s_00 AS DOUBLE) / CAST(n_00 AS DOUBLE))
+                       / (CAST(n_00 AS DOUBLE) - 1) / CAST(n_00 AS DOUBLE)
+               ) / 100.0 * 1e6 + 0.5) / 1e6 AS se,
+               floor(((s_11 / CAST(n_11 AS DOUBLE) / 100.0
+                       - s_10 / CAST(n_10 AS DOUBLE) / 100.0)
+                      - (s_01 / CAST(n_01 AS DOUBLE) / 100.0
+                         - s_00 / CAST(n_00 AS DOUBLE) / 100.0))
+                     / (sqrt(
+                   (CAST(ss_11 AS DOUBLE) - CAST(s_11 AS DOUBLE)
+                        * CAST(s_11 AS DOUBLE) / CAST(n_11 AS DOUBLE))
+                       / (CAST(n_11 AS DOUBLE) - 1) / CAST(n_11 AS DOUBLE)
+                   + (CAST(ss_10 AS DOUBLE) - CAST(s_10 AS DOUBLE)
+                        * CAST(s_10 AS DOUBLE) / CAST(n_10 AS DOUBLE))
+                       / (CAST(n_10 AS DOUBLE) - 1) / CAST(n_10 AS DOUBLE)
+                   + (CAST(ss_01 AS DOUBLE) - CAST(s_01 AS DOUBLE)
+                        * CAST(s_01 AS DOUBLE) / CAST(n_01 AS DOUBLE))
+                       / (CAST(n_01 AS DOUBLE) - 1) / CAST(n_01 AS DOUBLE)
+                   + (CAST(ss_00 AS DOUBLE) - CAST(s_00 AS DOUBLE)
+                        * CAST(s_00 AS DOUBLE) / CAST(n_00 AS DOUBLE))
+                       / (CAST(n_00 AS DOUBLE) - 1) / CAST(n_00 AS DOUBLE)
+               ) / 100.0) * 1e6 + 0.5) / 1e6 AS z
+        FROM one
+    """,
+    note="difference-in-differences estimator "
+    "(operators/metrics.py:diff_in_diff): DID = (treat post-pre) - "
+    "(ctrl post-pre) removes the arm baseline gap AND the common time "
+    "trend — the panel-data companion to CUPED (x188); md5 arms, "
+    "literal date split, exact integer cents with sum-squares in "
+    "DECIMAL(38,0)/HUGEINT (x168 recipe), Welch SE from the four "
+    "cells' exact moments — all fixed arithmetic, one 4-row shuffle",
+)
+def x203_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.metrics import diff_in_diff
+    from flytemosaic_spark.operators.sampling import hash_bucket
+
+    ev = T(spark, sf, "events")
+    return diff_in_diff(
+        ev,
+        hash_bucket(
+            F.concat(F.lit("did:"), F.col("user_id").cast("string"))
+        )
+        < F.lit("8000"),
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp_ntz"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x204 — mean-shift change-point (binary segmentation, first split)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x204_mean_shift_split",
+    sql="""
+        WITH s AS (
+            SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+            FROM events GROUP BY 1
+        ),
+        g AS (SELECT count(*) AS n, sum(v) AS sv FROM s),
+        pre AS (
+            SELECT t,
+                   count(*) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS n1,
+                   sum(v) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS c1
+            FROM s
+        )
+        SELECT CAST(t AS BIGINT) AS split_t,
+               CAST(n1 AS BIGINT) AS n_before,
+               CAST(n - n1 AS BIGINT) AS n_after,
+               floor(c1 / CAST(n1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS mean_before,
+               floor((sv - c1) / CAST(n - n1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS mean_after,
+               floor(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+                     * (c1 / CAST(n1 AS DOUBLE)
+                        - (sv - c1) / CAST(n - n1 AS DOUBLE))
+                     * (c1 / CAST(n1 AS DOUBLE)
+                        - (sv - c1) / CAST(n - n1 AS DOUBLE))
+                     / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS score
+        FROM pre CROSS JOIN g
+        WHERE n1 < n
+        ORDER BY score DESC, split_t
+        LIMIT 1
+    """,
+    note="single change-point by binary segmentation "
+    "(operators/timeseries.py:mean_shift_split): the split day "
+    "maximizing the between-segment sum of squares n1*n2*(m1-m2)^2/n "
+    "over the daily value-cents series — the corpus-level 'when did "
+    "the mean move' detector (x110 CUSUM flags per-key anomalies); "
+    "exact BIGINT prefix sums on the bounded day axis "
+    "(plans/prefix.py:bounded_window — oracle's plain window is the "
+    "semantic spec), candidate scores fixed arithmetic, argmax via "
+    "ORDER BY+LIMIT",
+)
+def x204_mean_shift_split(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.timeseries import mean_shift_split
+
+    ev = T(spark, sf, "events")
+    series = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("t")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("v")
+    )
+    return mean_shift_split(series, "t", "v")

@@ -574,3 +574,61 @@ def upsert_sink(
             batch_df.write.mode("overwrite").parquet(table_path)
 
     return apply
+
+
+def windowed_js_drift(
+    events: DataFrame,
+    ref: dict,
+    window: str = "1 day",
+    watermark: str = "2 days",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-window Jensen–Shannon drift of the event-type distribution
+    against a static reference — the live twin of the batch JS
+    operator (operators/drift.py:js_divergence): each window's
+    empirical distribution is compared to ``ref`` (category →
+    probability), and a window whose JS spikes is drifting.
+
+    Streaming-legal by construction: the reference categories are
+    known at plan time, so the per-category counts are conditional
+    aggregates inside ONE windowed groupBy (chained aggregations are
+    unsupported on streams), and the JS itself is fixed column
+    arithmetic over those counts — a projection, not a second
+    aggregation. Works identically on batch and streaming inputs
+    (same Catalyst plan → the batch run is the oracle); deterministic
+    fixed-order sum over len(ref) terms, rounded at 1e-6.
+
+    Returns (bucket, n, js).
+    """
+    from flytemosaic_spark.operators.text import portable_round
+
+    events = _as_event_time(events, ts_col)
+    src = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming
+        else events
+    )
+    cats = sorted(ref)
+    aggs = [
+        F.sum((F.col(type_col) == c).cast("bigint")).alias(f"_c{i}")
+        for i, c in enumerate(cats)
+    ]
+    agg = src.groupBy(F.window(ts_col, window).alias("w")).agg(
+        F.count("*").alias("n"), *aggs
+    )
+    n = F.col("n").cast("double")
+    js = None
+    for i, c in enumerate(cats):
+        q = float(ref[c])
+        p = F.col(f"_c{i}") / n
+        m = (p + F.lit(q)) / F.lit(2.0)
+        term = F.when(
+            F.col(f"_c{i}") > 0, p * F.log(p / m) / F.lit(2.0)
+        ).otherwise(F.lit(0.0)) + F.lit(q) * F.log(F.lit(q) / m) / F.lit(2.0)
+        js = term if js is None else js + term
+    return agg.select(
+        F.col("w.start").alias("bucket"),
+        F.col("n"),
+        portable_round(js, 6).alias("js"),
+    )

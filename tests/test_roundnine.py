@@ -17,12 +17,15 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from flytemosaic_spark.operators.drift import js_divergence
+from flytemosaic_spark.operators.metrics import diff_in_diff
 from flytemosaic_spark.operators.privacy import l_diversity_report, t_closeness_report
-from flytemosaic_spark.operators.recsys import frequent_triples
+from flytemosaic_spark.operators.recsys import bias_baseline, frequent_triples
 from flytemosaic_spark.operators.text import zipf_fit
 from flytemosaic_spark.operators.timeseries import (
     autocorrelation,
     cross_correlation,
+    mann_kendall,
+    mean_shift_split,
     theil_sen_slope,
 )
 
@@ -77,11 +80,12 @@ class TestAutocorrelation:
 
 
 class TestTheilSen:
-    def _reference(self, pts, sample_hex, seed_tag):
+    def _reference(self, pts, budget, seed_tag):
+        tt = (budget * 65536 + len(pts) - 1) // len(pts)
         s = [
             (k, t, v)
             for k, t, v in pts
-            if _bucket(f"{seed_tag}:{k}") < sample_hex
+            if tt >= 65536 or _bucket(f"{seed_tag}:{k}") < format(tt, "04x")
         ]
         slopes = []
         for (ka, ta, va), (kb, tb, vb) in itertools.combinations(
@@ -95,10 +99,10 @@ class TestTheilSen:
         hi = slopes[n // 2][0]
         return len(s), n, _q((lo + hi) / 2, 6)
 
-    def _run(self, spark, pts, sample_hex):
+    def _run(self, spark, pts, budget):
         df = spark.createDataFrame(pts, "k long, t double, v double")
         row = theil_sen_slope(
-            df, "t", "v", sample_hex=sample_hex, seed_tag="ts", key_col="k"
+            df, "t", "v", sample_budget=budget, seed_tag="ts", key_col="k"
         ).collect()[0]
         return row.n_sample, row.n_pairs, row.slope
 
@@ -108,24 +112,35 @@ class TestTheilSen:
             (k, float(k), 2.5 * k + float(rng.normal(0, 1)))
             for k in range(300)
         ]
-        # wide-open sample so both parities of n_pairs get exercised
-        # across the two tests below
-        assert self._run(spark, pts, "ffff") == self._reference(
-            pts, "ffff", "ts"
+        # budget >= n takes everything (threshold saturates at 65536)
+        assert self._run(spark, pts, 10**6) == self._reference(
+            pts, 10**6, "ts"
         )
+
+    def test_fixed_budget_subsample(self, spark):
+        rng = np.random.default_rng(4)
+        pts = [
+            (k, float(k), 1.5 * k + float(rng.normal(0, 1)))
+            for k in range(300)
+        ]
+        got = self._run(spark, pts, 50)
+        ref = self._reference(pts, 50, "ts")
+        assert got == ref
+        # the budget actually bounds the sample (within md5 variance)
+        assert got[0] < 120
 
     def test_outlier_immune(self, spark):
         pts = [(k, float(k), 1.0 * k) for k in range(50)]
         pts[10] = (10, 10.0, 1e6)  # one wild outlier
-        _, _, slope = self._run(spark, pts, "ffff")
+        _, _, slope = self._run(spark, pts, 10**6)
         assert abs(slope - 1.0) < 0.05
 
     def test_duplicate_timestamps_skipped(self, spark):
         pts = [(0, 1.0, 1.0), (1, 1.0, 9.0), (2, 2.0, 2.0), (3, 3.0, 3.0)]
-        n_sample, n_pairs, slope = self._run(spark, pts, "ffff")
+        n_sample, n_pairs, slope = self._run(spark, pts, 10**6)
         assert n_sample == 4
         assert n_pairs == 5  # C(4,2)=6 minus the dt==0 pair
-        assert self._reference(pts, "ffff", "ts") == (4, 5, slope)
+        assert self._reference(pts, 10**6, "ts") == (4, 5, slope)
 
 
 class TestFrequentTriples:
@@ -343,3 +358,197 @@ class TestCrossCorrelation:
                     ys.append(by_t[t + lag][1])
             r = np.corrcoef(xs, ys)[0, 1]
             assert abs(got[lag] - r) < 1e-6
+
+
+class TestBiasBaseline:
+    def _reference(self, triples, lam=10):
+        sc = sum(c for _, _, c in triples)
+        n = len(triples)
+        mu = sc / n
+        items: dict[int, list[int]] = {}
+        for _, i, c in triples:
+            items.setdefault(i, []).append(c)
+        bi = {
+            i: _q((sum(cs) - len(cs) * mu) / (lam + len(cs)) / 100.0, 9)
+            for i, cs in items.items()
+        }
+        users: dict[int, int] = {}
+        ucnt: dict[int, int] = {}
+        for u, i, c in triples:
+            ru = math.floor((c / 100.0 - mu / 100.0 - bi[i]) * 1e9 + 0.5)
+            users[u] = users.get(u, 0) + ru
+            ucnt[u] = ucnt.get(u, 0) + 1
+        bu = {
+            u: math.floor(users[u] / (float(lam) + ucnt[u]) + 0.5) / 1e9
+            for u in users
+        }
+        se = sg = 0
+        for u, i, c in triples:
+            e = c / 100.0 - mu / 100.0 - bu[u] - bi[i]
+            ge = c / 100.0 - mu / 100.0
+            se += math.floor(e * e * 1e9 + 0.5)
+            sg += math.floor(ge * ge * 1e9 + 0.5)
+        return (
+            n,
+            _q(math.sqrt(se / 1e9 / n), 6),
+            _q(math.sqrt(sg / 1e9 / n), 6),
+        )
+
+    def test_matches_python_reference(self, spark):
+        rng = np.random.default_rng(21)
+        # user/item structure: user bias + item bias + noise
+        triples = []
+        ub = {u: int(rng.integers(-200, 200)) for u in range(30)}
+        ib = {i: int(rng.integers(-300, 300)) for i in range(12)}
+        for _ in range(600):
+            u = int(rng.integers(0, 30))
+            i = int(rng.integers(0, 12))
+            c = 1000 + ub[u] + ib[i] + int(rng.integers(-50, 50))
+            triples.append((u, i, c))
+        df = spark.createDataFrame(triples, "u long, i long, c long")
+        row = bias_baseline(df, "u", "i", "c", lam=10).collect()[0]
+        got = (row.n_ratings, row.rmse_baseline, row.rmse_global)
+        assert got == self._reference(triples)
+        # the baseline must beat the global-mean strawman on biased data
+        assert row.rmse_baseline < row.rmse_global * 0.6
+
+
+class TestNelsonAalen:
+    def test_ties_to_kaplan_meier(self, spark):
+        # H(t) >= -ln S(t) (Jensen); both computed from events at sf0.001
+        from flytemosaic_spark.probes import get_probe
+
+        sfdir = "/root/testdata/sf0.001"
+        km = {
+            r.day: r.survival
+            for r in get_probe("x164_kaplan_meier").fn(spark, sfdir).collect()
+        }
+        na = {
+            r.day: r.cum_hazard
+            for r in get_probe("x199_nelson_aalen").fn(spark, sfdir).collect()
+        }
+        assert set(km) == set(na)
+        # -ln S = -sum ln(1 - d/n) >= sum d/n = H  (pointwise)
+        for d in km:
+            if km[d] > 0:
+                assert na[d] <= -math.log(km[d]) + 1e-6
+        # hazard is nondecreasing
+        days = sorted(na)
+        assert all(na[a] <= na[b] for a, b in zip(days, days[1:]))
+
+
+class TestMannKendall:
+    def _reference(self, pts, budget=10**6):
+        tt = (budget * 65536 + len(pts) - 1) // len(pts)
+        s = [
+            (k, t, v)
+            for k, t, v in pts
+            if tt >= 65536 or _bucket(f"mk:{k}") < format(tt, "04x")
+        ]
+        st = 0
+        for (_, ta, va), (_, tb, vb) in itertools.permutations(s, 2):
+            if ta < tb:
+                st += (vb > va) - (vb < va)
+        n = len(s)
+        ties: dict[float, int] = {}
+        for _, _, v in s:
+            ties[v] = ties.get(v, 0) + 1
+        tie_term = sum(tg * (tg - 1) * (2 * tg + 5) for tg in ties.values())
+        var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        if st > 0:
+            z = (st - 1) / math.sqrt(var)
+        elif st < 0:
+            z = (st + 1) / math.sqrt(var)
+        else:
+            z = 0.0
+        return n, st, _q(z, 6)
+
+    def _run(self, spark, pts):
+        df = spark.createDataFrame(pts, "k long, t double, v double")
+        row = mann_kendall(
+            df, "t", "v", sample_budget=10**6, seed_tag="mk", key_col="k"
+        ).collect()[0]
+        return row.n_sample, row.s_stat, row.z
+
+    def test_increasing_trend(self, spark):
+        pts = [(k, float(k), 2.0 * k) for k in range(40)]
+        n, st, z = self._run(spark, pts)
+        assert (n, st, z) == self._reference(pts)
+        assert st == 40 * 39 // 2  # every pair concordant
+        assert z > 5
+
+    def test_no_trend_with_ties(self, spark):
+        rng = np.random.default_rng(23)
+        pts = [(k, float(k), float(rng.integers(0, 5))) for k in range(60)]
+        got = self._run(spark, pts)
+        assert got == self._reference(pts)
+        assert abs(got[2]) < 2.5  # no systematic trend
+
+
+class TestDiffInDiff:
+    def test_matches_python_reference(self, spark):
+        rng = np.random.default_rng(29)
+        rows = []
+        # treat post gets +300 cents on top of a +100 common time trend
+        for arm in (True, False):
+            for post in (True, False):
+                base = 1000 + 100 * post + 300 * (arm and post) - 50 * arm
+                for _ in range(200):
+                    rows.append((arm, post, base + int(rng.integers(-80, 80))))
+        df = spark.createDataFrame(rows, "a boolean, p boolean, c long")
+        row = diff_in_diff(df, F.col("a"), F.col("p"), F.col("c")).collect()[0]
+
+        def cell(a, p):
+            cs = [c for aa, pp, c in rows if aa == a and pp == p]
+            n = len(cs)
+            s = sum(cs)
+            ss = sum(c * c for c in cs)
+            var = (ss - s * s / n) / (n - 1)
+            return n, s / n / 100.0, var
+
+        _, m11, v11 = cell(True, True)
+        n, m10, v10 = cell(True, False)
+        _, m01, v01 = cell(False, True)
+        _, m00, v00 = cell(False, False)
+        did = (m11 - m10) - (m01 - m00)
+        se = math.sqrt(v11 / 200 + v10 / 200 + v01 / 200 + v00 / 200) / 100.0
+        assert row.n == 800
+        assert abs(row.did - did) < 1e-6
+        assert abs(row.se - se) < 1e-6
+        # the +300 effect is recovered within noise, strongly significant
+        assert abs(row.did - 3.0) < 0.3
+        assert row.z > 5
+
+
+class TestMeanShiftSplit:
+    def test_finds_constructed_break(self, spark):
+        # mean jumps from 100 to 200 at t=30
+        rows = [(t, 100 if t < 30 else 200) for t in range(60)]
+        df = spark.createDataFrame(rows, "t long, v long")
+        row = mean_shift_split(df, "t", "v").collect()[0]
+        assert row.split_t == 29  # last index of the before segment
+        assert row.mean_before == 100.0
+        assert row.mean_after == 200.0
+        assert row.n_before == 30 and row.n_after == 30
+
+    def test_matches_python_argmax(self, spark):
+        rng = np.random.default_rng(31)
+        vals = [int(rng.integers(90, 110)) for _ in range(25)] + [
+            int(rng.integers(140, 160)) for _ in range(35)
+        ]
+        rows = list(enumerate(vals))
+        df = spark.createDataFrame(rows, "t long, v long")
+        row = mean_shift_split(df, "t", "v").collect()[0]
+        n, sv = len(vals), sum(vals)
+        best = None
+        for k in range(1, n):
+            n1, n2 = k, n - k
+            c1 = sum(vals[:k])
+            m1, m2 = c1 / n1, (sv - c1) / n2
+            score = _q(n1 * n2 * (m1 - m2) * (m1 - m2) / n, 6)
+            cand = (score, -(k - 1))
+            if best is None or cand > best:
+                best = cand
+                best_k = k - 1
+        assert row.split_t == best_k
+        assert row.score == best[0]

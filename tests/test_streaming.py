@@ -610,3 +610,50 @@ def test_session_paths_stream_matches_batch(spark, events, tmp_path):
         r["path"] for r in spark.sql("select * from sess_paths").collect()
     )
     assert got == want
+
+
+def test_windowed_js_drift_stream_matches_batch(spark, events, tmp_path):
+    """The live drift monitor: per-window JS vs a static reference is
+    one windowed aggregation + fixed column arithmetic, so the SAME
+    plan runs on batch and stream — batch is the oracle. Also checks
+    the drift signal itself: a window drawn from the reference
+    distribution scores near 0, a skewed window scores higher."""
+    from pyspark.sql import functions as F
+
+    from flytemosaic_spark.streaming.events import windowed_js_drift
+
+    ref = {
+        "click": 0.2,
+        "error": 0.2,
+        "purchase": 0.2,
+        "signup": 0.2,
+        "view": 0.2,
+    }
+    src = str(tmp_path / "src")
+    events.limit(3000).coalesce(1).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    want = {
+        (str(r.bucket), r.n, r.js)
+        for r in windowed_js_drift(batch, ref, window="1 day").collect()
+    }
+    assert want, "fixture produced no windows"
+
+    stream = stream_new_files(spark, src, batch.schema)
+    run_available_now(
+        windowed_js_drift(stream, ref, window="1 day"),
+        str(tmp_path / "ckpt_js"),
+        "js_drift",
+    )
+    got = {
+        (str(r.bucket), r.n, r.js)
+        for r in spark.sql("select * from js_drift").collect()
+    }
+    assert got == want
+
+    # drift direction: a click-only stream is far from uniform
+    skew = batch.withColumn("event_type", F.lit("click"))
+    skew_js = [
+        r.js for r in windowed_js_drift(skew, ref, window="1 day").collect()
+    ]
+    base_js = [r.js for r in windowed_js_drift(batch, ref, window="1 day").collect()]
+    assert min(skew_js) > max(base_js)

@@ -143,6 +143,14 @@ CROSS_OK = {
     "x196_js_divergence",
     # constant 7-row lag grid (x111/x190 shape)
     "x197_xcorr",
+    # 1-row global-moment (mu) broadcast into item/user bias tables
+    "x198_bias_baseline",
+    # 1-row horizon (max day) broadcast (x164 shape)
+    "x199_nelson_aalen",
+    # constant fixed-budget sample pair join (x191 shape) + 1-row stats
+    "x202_mann_kendall",
+    # 1-row global (n, sum) broadcast into the prefix candidates
+    "x204_mean_shift_split",
     # 1-row global-count crossJoin feeding the ntile closed form (x68)
     "x166_rfm_segments",
     # 1-row digit-total crossJoin into the constant 9-row digit table
