@@ -940,3 +940,58 @@ def prefix_jaccard_pairs(
         .where(jacc >= t)
         .select("id_a", "id_b", portable_round(jacc).alias("jaccard"))
     )
+
+
+def survivorship(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+    prefix_len: int | None = None,
+) -> DataFrame:
+    """Survivorship / canonicalization — the step AFTER dedup
+    detection: every duplicate cluster (exact content hash, or a
+    leading-``prefix_len``-chars fingerprint for near-dup families
+    that share a head) elects one canonical record (highest
+    ``quality_col``, then lowest id — the deterministic golden-record
+    rule) and the output maps each redundant member to its canonical
+    id, ready to drive a MERGE rewrite or a training-data drop list.
+
+    One content-hash shuffle; the canonical pick is a row_number
+    window PARTITIONED by the hash (bounded per-cluster state, never
+    a global sort); singleton clusters are filtered out map-side
+    after the window. Emits (doc_id, canonical_id, cluster_size) for
+    members of multi-record clusters only — data-scale output, never
+    wider than the duplicate subset.
+    """
+    from pyspark.sql import Window
+
+    content = (
+        F.substring(F.col(text_col), 1, prefix_len)
+        if prefix_len
+        else F.col(text_col)
+    )
+    h = docs.select(
+        F.col(id_col).alias("_id"),
+        F.md5(content).alias("_h"),
+        F.col(quality_col).alias("_q"),
+    )
+    w = Window.partitionBy("_h").orderBy(F.desc("_q"), F.asc("_id"))
+    ranked = h.select(
+        "_id",
+        "_h",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy("_h")).alias("_sz"),
+        F.first("_id").over(
+            Window.partitionBy("_h").orderBy(F.desc("_q"), F.asc("_id"))
+        ).alias("_canon"),
+    )
+    return (
+        ranked.where((F.col("_sz") > 1) & (F.col("_rn") > 1))
+        .select(
+            F.col("_id").alias("doc_id"),
+            F.col("_canon").alias("canonical_id"),
+            F.col("_sz").cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )

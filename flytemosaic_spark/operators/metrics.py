@@ -386,3 +386,159 @@ def diff_in_diff(
         portable_round(se, 6).alias("se"),
         portable_round(did / se, 6).alias("z"),
     )
+
+
+def weighted_median_by(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    weight_col,
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value v such that
+    the cumulative weight of rows ≤ v reaches half the group's total
+    (the lower weighted median — deterministic, no interpolation).
+    The robust center when rows carry importance (revenue-weighted
+    latency, token-weighted quality).
+
+    One (group, value) partial-aggregating shuffle, then the
+    cumulative weight runs over the AGGREGATE — value-cardinality
+    rows per group, NOT data-scale (a low-cardinality group key would
+    otherwise sort the whole fact table in a handful of window
+    partitions; the roc_auc_by move). Weights and the 2·cum ≥ tot
+    boundary test are exact integers, so the selected value is
+    engine-identical (no rate/ratio floats anywhere).
+
+    Returns (group, n, total_w, wmedian).
+    """
+    from pyspark.sql import Window
+
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    agg = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            value.cast("bigint").alias("_v"),
+            weight.cast("bigint").alias("_w"),
+        )
+        .groupBy("_g", "_v")
+        .agg(F.sum("_w").alias("_wv"), F.count("*").alias("_cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("_g")
+    ranked = agg.select(
+        "_g",
+        "_v",
+        F.sum("_wv").over(w_cum).alias("_cw"),
+        F.sum("_wv").over(w_all).alias("_tw"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    return (
+        ranked.where(2 * F.col("_cw") >= F.col("_tw"))
+        .groupBy("_g")
+        .agg(
+            F.max("_n").alias("n"),
+            F.max("_tw").alias("total_w"),
+            F.min("_v").alias("wmedian"),
+        )
+        .select(
+            F.col("_g").alias("grp"), "n", "total_w", "wmedian"
+        )
+    )
+
+
+def winsorized_mean_by(
+    df: DataFrame,
+    group_col: str,
+    cents_col,
+    pct: int = 5,
+) -> DataFrame:
+    """Winsorized mean per group: values below the group's p-th /
+    above the (100−p)-th percentile are CLAMPED to those bounds (not
+    dropped — the estimator keeps n constant, unlike trimming) before
+    averaging. The outlier-robust mean for heavy-tailed metrics.
+
+    Percentile bounds are exact nearest-rank order statistics
+    computed over the (group, value) AGGREGATE — value-cardinality
+    rows per group, never data-scale (a low-cardinality group key
+    would otherwise sort the fact table in a handful of window
+    partitions; the roc_auc_by move): bound index =
+    max(1, ceil(p/100·n)) / n+1−that in integer arithmetic, the bound
+    value is the smallest value whose cumulative count reaches the
+    index. The winsorized sum is Σ clamp(value)·count over the same
+    aggregate — an exact BIGINT with NO join back to raw rows — so
+    the mean is one fixed division: engine-identical.
+
+    Returns (group, n, lo_bound, hi_bound, wins_mean).
+    """
+    from pyspark.sql import Window
+
+    from flytemosaic_spark.operators.text import portable_round
+
+    cents = F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    agg = (
+        df.select(
+            F.col(group_col).alias("_g"), cents.cast("bigint").alias("_c")
+        )
+        .groupBy("_g", "_c")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = agg.select(
+        "_g",
+        "_c",
+        "_cnt",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(Window.partitionBy("_g")).alias("_n"),
+    ).localCheckpoint()
+    lo_idx = F.greatest(
+        F.lit(1), F.ceil(F.col("_n") * pct / F.lit(100)).cast("bigint")
+    )
+    hi_idx = F.col("_n") + 1 - lo_idx
+    bounds = (
+        ranked.select(
+            "_g",
+            "_c",
+            "_cum",
+            lo_idx.alias("_li"),
+            hi_idx.alias("_hi_i"),
+        )
+        .groupBy("_g")
+        .agg(
+            F.min(F.when(F.col("_cum") >= F.col("_li"), F.col("_c"))).alias(
+                "_lo"
+            ),
+            F.min(
+                F.when(F.col("_cum") >= F.col("_hi_i"), F.col("_c"))
+            ).alias("_hi"),
+        )
+    )
+    clamped = ranked.join(F.broadcast(bounds), "_g").select(
+        "_g",
+        "_n",
+        "_lo",
+        "_hi",
+        (
+            F.least(F.greatest(F.col("_c"), F.col("_lo")), F.col("_hi"))
+            * F.col("_cnt")
+        ).alias("_cc"),
+    )
+    return (
+        clamped.groupBy("_g")
+        .agg(
+            F.max("_n").alias("n"),
+            F.max("_lo").alias("lo_bound"),
+            F.max("_hi").alias("hi_bound"),
+            portable_round(
+                F.sum("_cc") / F.max("_n").cast("double") / F.lit(100.0), 6
+            ).alias("wins_mean"),
+        )
+        .select(F.col("_g").alias("grp"), "n", "lo_bound", "hi_bound", "wins_mean")
+    )

@@ -260,6 +260,13 @@ def fixed_budget_sample(
     grows them quadratically. budget ≥ n saturates the threshold and
     takes everything. Retry/engine-stable; the DuckDB oracle replays
     the identical threshold and filter.
+
+    The returned sample is localCheckpoint-materialized (~budget rows):
+    callers fan it into several subplans (self-join sides, count
+    aggregates), and without the checkpoint EACH reference re-executes
+    the full-corpus md5 filter — the 30x sweep showed the Theil-Sen
+    estimator re-scanning 18M rows eight times (43.9s) for a 300-row
+    sample.
     """
     th = df.groupBy().agg(
         F.floor(
@@ -283,4 +290,5 @@ def fixed_budget_sample(
             )
         )
         .drop("_fbs_tt")
+        .localCheckpoint()
     )

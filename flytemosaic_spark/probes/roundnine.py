@@ -1033,3 +1033,168 @@ def x204_mean_shift_split(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("v")
     )
     return mean_shift_split(series, "t", "v")
+
+
+# ---------------------------------------------------------------------------
+# x205 — survivorship / golden-record canonicalization
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x205_survivorship",
+    sql="""
+        WITH h AS (
+            SELECT doc_id AS id, md5(substr(text, 1, 200)) AS h,
+                   n_chars AS q
+            FROM documents
+        ),
+        r AS (
+            SELECT id, h,
+                   row_number() OVER (PARTITION BY h
+                       ORDER BY q DESC, id) AS rn,
+                   count(*) OVER (PARTITION BY h) AS sz,
+                   first_value(id) OVER (PARTITION BY h
+                       ORDER BY q DESC, id) AS canon
+            FROM h
+        )
+        SELECT id AS doc_id, canon AS canonical_id,
+               CAST(sz AS BIGINT) AS cluster_size
+        FROM r WHERE sz > 1 AND rn > 1
+        ORDER BY doc_id
+    """,
+    note="survivorship / golden-record canonicalization "
+    "(operators/dedup.py:survivorship): the step AFTER dedup "
+    "detection — each duplicate family (leading-200-char fingerprint; "
+    "exact hash has no collisions at sf0.01) elects one canonical by "
+    "(quality desc, id), members map to it for a MERGE rewrite or "
+    "training-data drop list; one fingerprint shuffle, the election "
+    "is a hash-PARTITIONED window (bounded per-cluster state), "
+    "singleton clusters dropped",
+)
+def x205_survivorship(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.dedup import survivorship
+
+    return survivorship(
+        T(spark, sf, "documents"), "doc_id", "text", "n_chars",
+        prefix_len=200,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x206 — exact weighted median per group
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x206_weighted_median",
+    sql=r"""
+        WITH s AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                   CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+                       AS w
+            FROM events
+        ),
+        r AS (
+            SELECT g, v,
+                   sum(w) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cw,
+                   sum(w) OVER (PARTITION BY g) AS tw,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM s
+        )
+        SELECT g AS grp, CAST(max(n) AS BIGINT) AS n,
+               CAST(max(tw) AS BIGINT) AS total_w,
+               CAST(min(v) AS BIGINT) AS wmedian
+        FROM r WHERE 2 * cw >= tw GROUP BY g
+    """,
+    note="exact weighted median per event type, weights from the "
+    "props JSON (operators/metrics.py:weighted_median_by): smallest "
+    "value whose cumulative weight reaches half the group total (the "
+    "lower weighted median) — the robust center when rows carry "
+    "importance; group-PARTITIONED cumulative-weight window over "
+    "integer cents/weights, the 2·cum ≥ tot boundary exact integer "
+    "arithmetic (no floats anywhere), tie-order-invariant by "
+    "construction (min over crossing rows)",
+)
+def x206_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.metrics import weighted_median_by
+
+    ev = T(spark, sf, "events")
+    return weighted_median_by(
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v"),
+            F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+            .cast("bigint")
+            .alias("w"),
+        ),
+        "event_type",
+        "v",
+        "w",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x207 — winsorized mean per group
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x207_winsorized_mean",
+    sql="""
+        WITH s AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events
+        ),
+        r AS (
+            SELECT g, c,
+                   row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM s
+        ),
+        b AS (
+            SELECT g, min(c) AS lo, max(c) AS hi
+            FROM r
+            WHERE rn = greatest(1, CAST(ceil(n * 5 / 100) AS BIGINT))
+               OR rn = n + 1 - greatest(1, CAST(ceil(n * 5 / 100) AS BIGINT))
+            GROUP BY g
+        ),
+        w AS (
+            SELECT s.g, b.lo, b.hi,
+                   least(greatest(s.c, b.lo), b.hi) AS cc
+            FROM s JOIN b USING (g)
+        )
+        SELECT g AS grp, CAST(count(*) AS BIGINT) AS n,
+               max(lo) AS lo_bound, max(hi) AS hi_bound,
+               floor(sum(cc) / CAST(count(*) AS DOUBLE) / 100.0 * 1e6 + 0.5)
+                   / 1e6 AS wins_mean
+        FROM w GROUP BY g
+    """,
+    note="5% winsorized mean per event type "
+    "(operators/metrics.py:winsorized_mean_by): values clamped to the "
+    "group's exact p5/p95 order statistics (nearest-rank, integer "
+    "index arithmetic) before averaging — the outlier-robust mean "
+    "that keeps n constant (unlike trimming); group-partitioned "
+    "rank window, group-scale bounds joined back, winsorized sum an "
+    "exact BIGINT so the mean is one fixed division",
+)
+def x207_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.metrics import winsorized_mean_by
+
+    ev = T(spark, sf, "events")
+    return winsorized_mean_by(
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("c"),
+        ),
+        "event_type",
+        "c",
+        pct=5,
+    )

@@ -17,7 +17,12 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from flytemosaic_spark.operators.drift import js_divergence
-from flytemosaic_spark.operators.metrics import diff_in_diff
+from flytemosaic_spark.operators.dedup import survivorship
+from flytemosaic_spark.operators.metrics import (
+    diff_in_diff,
+    weighted_median_by,
+    winsorized_mean_by,
+)
 from flytemosaic_spark.operators.privacy import l_diversity_report, t_closeness_report
 from flytemosaic_spark.operators.recsys import bias_baseline, frequent_triples
 from flytemosaic_spark.operators.text import zipf_fit
@@ -552,3 +557,93 @@ class TestMeanShiftSplit:
                 best_k = k - 1
         assert row.split_t == best_k
         assert row.score == best[0]
+
+
+class TestSurvivorship:
+    def test_golden_record_election(self, spark):
+        rows = [
+            (1, "aaa", 10),
+            (2, "aaa", 30),  # canonical: highest quality
+            (3, "aaa", 30),  # quality tie -> loses on id
+            (4, "bbb", 5),   # singleton: not emitted
+            (5, "ccc", 7),
+            (6, "ccc", 7),   # tie -> id 5 canonical
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+        got = {
+            r.doc_id: (r.canonical_id, r.cluster_size)
+            for r in survivorship(df, "doc_id", "text", "n_chars").collect()
+        }
+        # canonicals themselves are not emitted, only redundant members
+        assert got == {1: (2, 3), 3: (2, 3), 6: (5, 2)}
+
+    def test_prefix_fingerprint(self, spark):
+        # same 200-char head, different tails -> same cluster
+        head = "x" * 200
+        rows = [(1, head + "tail-a", 206), (2, head + "tail-bb", 207)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+        got = survivorship(
+            df, "doc_id", "text", "n_chars", prefix_len=200
+        ).collect()
+        assert [(r.doc_id, r.canonical_id) for r in got] == [(1, 2)]
+        # without the fingerprint they are distinct documents
+        assert (
+            survivorship(df, "doc_id", "text", "n_chars").count() == 0
+        )
+
+
+class TestWeightedMedian:
+    def _reference(self, rows):
+        out = {}
+        for g in {g for g, _, _ in rows}:
+            vw = sorted((v, w) for gg, v, w in rows if gg == g)
+            tw = sum(w for _, w in vw)
+            cum = 0
+            for v, w in vw:
+                cum += w
+                if 2 * cum >= tw:
+                    out[g] = (len(vw), tw, v)
+                    break
+        return out
+
+    def test_matches_python(self, spark):
+        rng = np.random.default_rng(37)
+        rows = [
+            (f"g{int(rng.integers(0, 3))}", int(rng.integers(0, 1000)),
+             int(rng.integers(1, 50)))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "g string, v long, w long")
+        got = {
+            r.grp: (r.n, r.total_w, r.wmedian)
+            for r in weighted_median_by(df, "g", "v", "w").collect()
+        }
+        assert got == self._reference(rows)
+
+    def test_weight_dominance(self, spark):
+        # one huge-weight row IS the weighted median
+        rows = [("a", v, 1) for v in range(100)] + [("a", 7, 1000)]
+        df = spark.createDataFrame(rows, "g string, v long, w long")
+        assert weighted_median_by(df, "g", "v", "w").collect()[0].wmedian == 7
+
+
+class TestWinsorizedMean:
+    def _reference(self, vals, pct=5):
+        n = len(vals)
+        s = sorted(vals)
+        lo_i = max(1, math.ceil(n * pct / 100))
+        lo, hi = s[lo_i - 1], s[n - lo_i]
+        cc = [min(max(c, lo), hi) for c in vals]
+        return n, lo, hi, _q(sum(cc) / n / 100.0, 6)
+
+    def test_matches_python(self, spark):
+        rng = np.random.default_rng(41)
+        vals = [int(rng.integers(100, 10000)) for _ in range(300)]
+        vals += [10**7, -(10**6)]  # wild outliers, clamped not dropped
+        df = spark.createDataFrame([("a", c) for c in vals], "g string, c long")
+        r = winsorized_mean_by(df, "g", "c", pct=5).collect()[0]
+        n, lo, hi, wm = self._reference(vals)
+        assert (r.n, r.lo_bound, r.hi_bound, r.wins_mean) == (n, lo, hi, wm)
+        # robust: outliers moved the plain mean far more
+        plain = sum(vals) / len(vals) / 100.0
+        assert abs(plain - wm) > 10
