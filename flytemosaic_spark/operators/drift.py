@@ -371,3 +371,84 @@ def js_divergence(
             portable_round(F.col("_su") / F.lit(1e9), 6).alias("js"),
         )
     )
+
+
+def conditional_entropy_rate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Entropy rate of the empirical event-flow Markov chain:
+    H(next | current) = −Σ_{ij} p(i,j)·ln p(j|i) over per-key adjacent
+    transitions — the predictability number for session flows (low =
+    rigid funnels, high ≈ H(next) = no sequential structure). Also
+    reports H(next) and their difference (the information the current
+    state carries about the next — the sequential-signal readout).
+
+    Transitions come from a key-PARTITIONED lead window (key is
+    data-scale — a real partitioning); everything after is
+    category²-scale: exact integer cell/marginal counts, per-cell
+    terms quantized to 1e-9 integer units and summed in BIGINT (the
+    x189 recipe).
+
+    Returns one row: (n_transitions, h_cond, h_next, seq_info).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    tr = (
+        df.select(
+            F.col(state_col).alias("_cur"),
+            F.lead(F.col(state_col)).over(w).alias("_nxt"),
+        )
+        .where(F.col("_nxt").isNotNull())
+        .groupBy("_cur", "_nxt")
+        .agg(F.count("*").alias("_o"))
+        .localCheckpoint()
+    )
+    ri = tr.groupBy("_cur").agg(F.sum("_o").alias("_ni"))
+    cj = tr.groupBy("_nxt").agg(F.sum("_o").alias("_nj"))
+    tot = tr.groupBy().agg(F.sum("_o").alias("_n"))
+    hcond_units = F.floor(
+        (F.col("_o") / F.col("_n").cast("double"))
+        * F.log(F.col("_ni") / F.col("_o").cast("double"))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    hc = (
+        tr.join(F.broadcast(ri), "_cur")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("_n"), hcond_units.alias("_u"))
+        .groupBy("_n")
+        .agg(F.sum("_u").alias("_su"))
+        .select(
+            "_n", portable_round(F.col("_su") / F.lit(1e9), 6).alias("h_cond")
+        )
+    )
+    hnext_units = F.floor(
+        (F.col("_nj") / F.col("_n").cast("double"))
+        * F.log(F.col("_n") / F.col("_nj").cast("double"))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    hn = (
+        cj.crossJoin(F.broadcast(tot))
+        .select(hnext_units.alias("_u"))
+        .groupBy()
+        .agg(
+            portable_round(F.sum("_u") / F.lit(1e9), 6).alias("h_next")
+        )
+    )
+    return (
+        hc.crossJoin(F.broadcast(hn))
+        .select(
+            F.col("_n").cast("bigint").alias("n_transitions"),
+            "h_cond",
+            "h_next",
+            portable_round(F.col("h_next") - F.col("h_cond"), 6).alias(
+                "seq_info"
+            ),
+        )
+    )

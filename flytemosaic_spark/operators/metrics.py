@@ -542,3 +542,54 @@ def winsorized_mean_by(
         )
         .select(F.col("_g").alias("grp"), "n", "lo_bound", "hi_bound", "wins_mean")
     )
+
+
+def hhi_by(
+    df: DataFrame,
+    market_col: str,
+    member_col: str,
+    cents_col,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per market:
+    HHI = Σ_i (s_i/S)² over member revenue shares — the
+    dominance/concentration readout next to Gini (x168, inequality)
+    and Pareto (x169, how-many-carry-80%).
+
+    Per-(market, member) revenue sums are exact integer cents; the
+    index is Σ s_i² / S² computed as EXACT DECIMAL(38,0) integer
+    cross-multiplication (no per-member share floats) with ONE double
+    division at the end — engine- and partitioning-exact. Two
+    partial-aggregating shuffles: (market, member), then market.
+
+    Returns (market, n_members, hhi) — HHI in [1/n, 1], ·10000 for
+    the antitrust convention.
+    """
+    from flytemosaic_spark.operators.text import portable_round
+
+    cents = F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    dec = "decimal(38,0)"
+    per = (
+        df.select(
+            F.col(market_col).alias("_m"),
+            F.col(member_col).alias("_i"),
+            cents.cast("bigint").alias("_c"),
+        )
+        .groupBy("_m", "_i")
+        .agg(F.sum("_c").alias("_s"))
+    )
+    agg = per.groupBy("_m").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.col("_s").cast(dec) * F.col("_s").cast(dec)).alias("_sq"),
+        F.sum("_s").alias("_tot"),
+    )
+    return agg.select(
+        F.col("_m").alias("market"),
+        "n_members",
+        portable_round(
+            F.col("_sq").cast("double")
+            / (
+                F.col("_tot").cast(dec) * F.col("_tot").cast(dec)
+            ).cast("double"),
+            6,
+        ).alias("hhi"),
+    )

@@ -437,3 +437,74 @@ def bias_baseline(
             F.sqrt(F.sum("_g2") / F.lit(1e9) / F.col("_n").cast("double")), 6
         ).alias("rmse_global"),
     ).select("n_ratings", "rmse_baseline", "rmse_global")
+
+
+def coldstart_coverage(
+    df: DataFrame,
+    user_col,
+    item_col,
+    train_hex: str = "cccd",
+    seed_tag: str = "cs",
+) -> DataFrame:
+    """Cold-start coverage audit for a recommender split: with users
+    md5-split into train/test (deterministic, the x19 recipe), what
+    share of TEST interactions — and of distinct test items — involve
+    an item never seen in train? High cold rates mean offline metrics
+    will overstate production quality and the serving path needs a
+    content-based fallback.
+
+    One (user-hash) filter pass each side, distinct item tables
+    (item-cardinality scale), a left-anti-style existence join on the
+    item key. All counts exact integers; two fixed divisions.
+
+    Returns one row: (n_test_rows, n_cold_rows, cold_row_rate,
+    n_test_items, n_cold_items, cold_item_rate).
+    """
+    from flytemosaic_spark.operators.sampling import hash_bucket
+    from flytemosaic_spark.operators.text import portable_round
+
+    user = F.col(user_col) if isinstance(user_col, str) else user_col
+    item = F.col(item_col) if isinstance(item_col, str) else item_col
+    base = df.select(
+        hash_bucket(
+            F.concat(F.lit(seed_tag + ":"), user.cast("string"))
+        ).alias("_b"),
+        item.alias("_i"),
+    )
+    train_items = (
+        base.where(F.col("_b") < train_hex).select("_i").distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    test = base.where(F.col("_b") >= train_hex)
+    joined = test.join(F.broadcast(train_items), "_i", "left")
+    rows = joined.groupBy().agg(
+        F.count("*").alias("n_test_rows"),
+        F.sum(F.col("_seen").isNull().cast("bigint")).alias("n_cold_rows"),
+    )
+    items = (
+        joined.select("_i", "_seen")
+        .distinct()
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_test_items"),
+            F.sum(F.col("_seen").isNull().cast("bigint")).alias(
+                "n_cold_items"
+            ),
+        )
+    )
+    return (
+        rows.crossJoin(F.broadcast(items))
+        .select(
+            "n_test_rows",
+            "n_cold_rows",
+            portable_round(
+                F.col("n_cold_rows") / F.col("n_test_rows").cast("double"), 6
+            ).alias("cold_row_rate"),
+            "n_test_items",
+            "n_cold_items",
+            portable_round(
+                F.col("n_cold_items") / F.col("n_test_items").cast("double"),
+                6,
+            ).alias("cold_item_rate"),
+        )
+    )

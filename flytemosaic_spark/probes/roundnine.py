@@ -1198,3 +1198,168 @@ def x207_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
         "c",
         pct=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# x208 — entropy rate of the event-flow Markov chain
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x208_entropy_rate",
+    sql="""
+        WITH tr0 AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        tr AS (SELECT cur, nxt, count(*) AS o FROM tr0
+               WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        ri AS (SELECT cur, sum(o) AS ni FROM tr GROUP BY 1),
+        cj AS (SELECT nxt, sum(o) AS nj FROM tr GROUP BY 1),
+        tot AS (SELECT sum(o) AS n FROM tr),
+        hc AS (
+            SELECT n,
+                   floor(sum(CAST(floor((o / CAST(n AS DOUBLE))
+                       * ln(ni / CAST(o AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+                       / 1e9 * 1e6 + 0.5) / 1e6 AS h_cond
+            FROM tr JOIN ri USING (cur) CROSS JOIN tot GROUP BY n
+        ),
+        hn AS (
+            SELECT floor(sum(CAST(floor((nj / CAST(n AS DOUBLE))
+                       * ln(n / CAST(nj AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+                       / 1e9 * 1e6 + 0.5) / 1e6 AS h_next
+            FROM cj CROSS JOIN tot
+        )
+        SELECT CAST(n AS BIGINT) AS n_transitions, h_cond, h_next,
+               floor((h_next - h_cond) * 1e6 + 0.5) / 1e6 AS seq_info
+        FROM hc CROSS JOIN hn
+    """,
+    note="entropy rate H(next|current) of the event-flow Markov chain "
+    "(operators/drift.py:conditional_entropy_rate): the predictability "
+    "number for session flows — low means rigid funnels, ~H(next) "
+    "means no sequential structure; seq_info = H(next) - H(next|cur) "
+    "is the information the current state carries. Transitions from a "
+    "user-PARTITIONED lead window (data-scale key), then everything "
+    "is category-squared-scale: exact integer cells/marginals, "
+    "per-cell terms as 1e-9 integer units summed in BIGINT (x189 "
+    "recipe)",
+)
+def x208_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.drift import conditional_entropy_rate
+
+    ev = T(spark, sf, "events")
+    return conditional_entropy_rate(
+        ev, "user_id", "ts", "event_type", "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x209 — Herfindahl concentration per market
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x209_hhi",
+    sql="""
+        WITH per AS (
+            SELECT n_name AS m, l_suppkey AS i,
+                   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                       AS s
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT m, count(*) AS n_members,
+                   sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS sq,
+                   sum(s) AS tot
+            FROM per GROUP BY m
+        )
+        SELECT m AS market, CAST(n_members AS BIGINT) AS n_members,
+               floor(CAST(sq AS DOUBLE)
+                     / CAST(CAST(tot AS HUGEINT) * CAST(tot AS HUGEINT)
+                            AS DOUBLE) * 1e6 + 0.5) / 1e6 AS hhi
+        FROM agg
+    """,
+    note="Herfindahl-Hirschman concentration of supplier revenue "
+    "shares per nation (operators/metrics.py:hhi_by): the dominance "
+    "readout completing the Gini (x168) / Pareto (x169) inequality "
+    "family — HHI = sum(s_i^2)/S^2 as EXACT DECIMAL(38,0)/HUGEINT "
+    "integer cross-multiplication (no per-member share floats), one "
+    "double division at the end; two partial-aggregating shuffles, "
+    "supplier/nation dims broadcast",
+)
+def x209_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.metrics import hhi_by
+
+    li = T(spark, sf, "lineitem")
+    su = T(spark, sf, "supplier")
+    na = T(spark, sf, "nation")
+    joined = li.join(
+        F.broadcast(su), li.l_suppkey == su.s_suppkey
+    ).join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+    return hhi_by(
+        joined,
+        "n_name",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x210 — cold-start coverage of a recommender train/test split
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x210_coldstart_coverage",
+    sql=r"""
+        WITH base AS (
+            SELECT substr(md5('cs:' || CAST(user_id AS VARCHAR)), 1, 4)
+                       AS b,
+                   CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+                       AS i
+            FROM events
+        ),
+        ti AS (SELECT DISTINCT i FROM base WHERE b < 'cccd'),
+        test AS (
+            SELECT base.i,
+                   CASE WHEN ti.i IS NULL THEN 1 ELSE 0 END AS cold
+            FROM base LEFT JOIN ti ON base.i = ti.i
+            WHERE b >= 'cccd'
+        ),
+        r AS (SELECT CAST(count(*) AS BIGINT) AS n_test_rows,
+                     CAST(sum(cold) AS BIGINT) AS n_cold_rows FROM test),
+        it AS (SELECT CAST(count(*) AS BIGINT) AS n_test_items,
+                      CAST(sum(cold) AS BIGINT) AS n_cold_items
+               FROM (SELECT DISTINCT i, cold FROM test))
+        SELECT n_test_rows, n_cold_rows,
+               floor(n_cold_rows / CAST(n_test_rows AS DOUBLE) * 1e6 + 0.5)
+                   / 1e6 AS cold_row_rate,
+               n_test_items, n_cold_items,
+               floor(n_cold_items / CAST(n_test_items AS DOUBLE) * 1e6 + 0.5)
+                   / 1e6 AS cold_item_rate
+        FROM r CROSS JOIN it
+    """,
+    note="cold-start coverage audit of an 80/20 md5 user split "
+    "(operators/recsys.py:coldstart_coverage): share of TEST "
+    "interactions and of distinct test items whose item never appears "
+    "in train — high cold rates mean offline recsys metrics overstate "
+    "production quality and serving needs a content fallback; "
+    "deterministic split (x19 recipe), item-cardinality distinct "
+    "tables, broadcast existence join, exact integer counts",
+)
+def x210_coldstart_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.recsys import coldstart_coverage
+
+    ev = T(spark, sf, "events")
+    return coldstart_coverage(
+        ev,
+        "user_id",
+        F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("bigint"),
+        train_hex="cccd",
+        seed_tag="cs",
+    )

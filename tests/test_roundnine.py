@@ -16,15 +16,23 @@ import math
 import numpy as np
 from pyspark.sql import functions as F
 
-from flytemosaic_spark.operators.drift import js_divergence
+from flytemosaic_spark.operators.drift import (
+    conditional_entropy_rate,
+    js_divergence,
+)
 from flytemosaic_spark.operators.dedup import survivorship
 from flytemosaic_spark.operators.metrics import (
     diff_in_diff,
+    hhi_by,
     weighted_median_by,
     winsorized_mean_by,
 )
 from flytemosaic_spark.operators.privacy import l_diversity_report, t_closeness_report
-from flytemosaic_spark.operators.recsys import bias_baseline, frequent_triples
+from flytemosaic_spark.operators.recsys import (
+    bias_baseline,
+    coldstart_coverage,
+    frequent_triples,
+)
 from flytemosaic_spark.operators.text import zipf_fit
 from flytemosaic_spark.operators.timeseries import (
     autocorrelation,
@@ -647,3 +655,99 @@ class TestWinsorizedMean:
         # robust: outliers moved the plain mean far more
         plain = sum(vals) / len(vals) / 100.0
         assert abs(plain - wm) > 10
+
+
+class TestEntropyRate:
+    def test_deterministic_chain_zero_cond_entropy(self, spark):
+        # a -> b -> c -> a ... : next is fully determined by current
+        seq = ["a", "b", "c"] * 20
+        rows = [(1, float(t), s, t) for t, s in enumerate(seq)]
+        df = spark.createDataFrame(rows, "u long, ts double, s string, k long")
+        r = conditional_entropy_rate(df, "u", "ts", "s", "k").collect()[0]
+        assert r.h_cond == 0.0
+        assert r.h_next > 1.0  # ~ln 3
+        assert r.seq_info == r.h_next
+
+    def test_matches_python(self, spark):
+        rng = np.random.default_rng(43)
+        rows = []
+        for u in range(20):
+            for t in range(30):
+                rows.append((u, float(t), f"s{int(rng.integers(0, 4))}", t))
+        df = spark.createDataFrame(rows, "u long, ts double, s string, k long")
+        r = conditional_entropy_rate(df, "u", "ts", "s", "k").collect()[0]
+        # python replay with identical quantization
+        tr: dict[tuple, int] = {}
+        by_u: dict[int, list] = {}
+        for u, t, s, _ in rows:
+            by_u.setdefault(u, []).append((t, s))
+        for u, seq in by_u.items():
+            seq.sort()
+            for (_, a), (_, b) in zip(seq, seq[1:]):
+                tr[(a, b)] = tr.get((a, b), 0) + 1
+        n = sum(tr.values())
+        ni: dict[str, int] = {}
+        nj: dict[str, int] = {}
+        for (a, b), o in tr.items():
+            ni[a] = ni.get(a, 0) + o
+            nj[b] = nj.get(b, 0) + o
+        su = sum(
+            math.floor((o / n) * math.log(ni[a] / o) * 1e9 + 0.5)
+            for (a, b), o in tr.items()
+        )
+        sn = sum(
+            math.floor((c / n) * math.log(n / c) * 1e9 + 0.5)
+            for c in nj.values()
+        )
+        assert r.n_transitions == n
+        assert r.h_cond == _q(su / 1e9, 6)
+        assert r.h_next == _q(sn / 1e9, 6)
+
+
+class TestHHI:
+    def test_hand_values(self, spark):
+        # monopoly -> 1.0; two equal members -> 0.5; 4 equal -> 0.25
+        rows = (
+            [("mono", 1, 500)]
+            + [("duo", i, 300) for i in (1, 2)]
+            + [("quad", i, 100) for i in (1, 2, 3, 4)]
+        )
+        df = spark.createDataFrame(rows, "m string, i long, c long")
+        got = {
+            r.market: (r.n_members, r.hhi)
+            for r in hhi_by(df, "m", "i", "c").collect()
+        }
+        assert got == {"mono": (1, 1.0), "duo": (2, 0.5), "quad": (4, 0.25)}
+
+    def test_member_sums_first(self, spark):
+        # shares are of MEMBER totals, not per-row
+        rows = [("m", 1, 100), ("m", 1, 100), ("m", 2, 200)]
+        df = spark.createDataFrame(rows, "m string, i long, c long")
+        r = hhi_by(df, "m", "i", "c").collect()[0]
+        assert (r.n_members, r.hhi) == (2, 0.5)
+
+
+class TestColdstartCoverage:
+    def test_constructed_split(self, spark):
+        # users chosen so the md5 bucket puts u in train iff bucket<cccd;
+        # we instead pick a threshold of '8000' is avoided — just verify
+        # against a python replay of the same rule
+        rng = np.random.default_rng(47)
+        rows = [
+            (int(rng.integers(0, 50)), int(rng.integers(0, 30)))
+            for _ in range(800)
+        ]
+        df = spark.createDataFrame(rows, "u long, i long")
+        r = coldstart_coverage(df, "u", "i", train_hex="cccd", seed_tag="cs")
+        row = r.collect()[0]
+        train_items = {
+            i for u, i in rows if _bucket(f"cs:{u}") < "cccd"
+        }
+        test_rows = [(u, i) for u, i in rows if _bucket(f"cs:{u}") >= "cccd"]
+        n_cold = sum(1 for _, i in test_rows if i not in train_items)
+        test_items = {i for _, i in test_rows}
+        cold_items = {i for i in test_items if i not in train_items}
+        assert row.n_test_rows == len(test_rows)
+        assert row.n_cold_rows == n_cold
+        assert row.n_test_items == len(test_items)
+        assert row.n_cold_items == len(cold_items)

@@ -149,6 +149,10 @@ CROSS_OK = {
     "x199_nelson_aalen",
     # constant fixed-budget sample pair join (x191 shape) + 1-row stats
     "x202_mann_kendall",
+    # 1-row transition-total broadcast into the entropy terms (x189)
+    "x208_entropy_rate",
+    # two 1-row (rows, items) summary crossJoins
+    "x210_coldstart_coverage",
     # 1-row global (n, sum) broadcast into the prefix candidates
     "x204_mean_shift_split",
     # 1-row global-count crossJoin feeding the ntile closed form (x68)
