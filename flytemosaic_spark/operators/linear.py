@@ -94,3 +94,67 @@ def logreg_train_gd(
         for c in names
     ]
     return spark.range(1).select(*out_cols)
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+) -> DataFrame:
+    """Per-group simple OLS (slope, intercept, R²) with EXACT moment
+    accumulation — the grouped-regression readout (per-brand log-log
+    price elasticity, per-segment trend): x and y are quantized to
+    1e-9 integer units per row, the five moments (Σx, Σy in BIGINT;
+    Σxy, Σx², Σy² in DECIMAL(38,0) — the x168 recipe) are exact
+    integer sums, and slope/intercept/R² are fixed arithmetic over
+    them: engine- and partitioning-exact with zero float-summation
+    order sensitivity. One partial-aggregating shuffle on the group
+    key; per-group state is five numbers.
+
+    R² crosses to double before squaring (num² would overflow even
+    128-bit for large groups) — still deterministic fixed arithmetic.
+    Groups with zero x-variance report NULL slope via try_divide.
+
+    Returns (grp, n, slope, intercept, r2).
+    """
+    from pyspark.sql import functions as F
+
+    from flytemosaic_spark.operators.text import portable_round
+
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    dec = "decimal(38,0)"
+    pts = df.select(
+        F.col(group_col).alias("_g"),
+        F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("_x"),
+        F.floor(y * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("_y"),
+    )
+    m = pts.groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_y").cast(dec)).alias("_sxy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_x").cast(dec)).alias("_sxx"),
+        F.sum(F.col("_y").cast(dec) * F.col("_y").cast(dec)).alias("_syy"),
+    )
+    n = F.col("_n").cast(dec)
+    num = n * F.col("_sxy") - F.col("_sx").cast(dec) * F.col("_sy").cast(dec)
+    vx = n * F.col("_sxx") - F.col("_sx").cast(dec) * F.col("_sx").cast(dec)
+    vy = n * F.col("_syy") - F.col("_sy").cast(dec) * F.col("_sy").cast(dec)
+    slope = F.try_divide(num.cast("double"), vx.cast("double"))
+    intercept = (
+        F.col("_sy").cast("double") / 1e9
+        - slope * F.col("_sx").cast("double") / 1e9
+    ) / F.col("_n").cast("double")
+    r2 = F.try_divide(
+        num.cast("double") * num.cast("double"),
+        vx.cast("double") * vy.cast("double"),
+    )
+    return m.select(
+        F.col("_g").alias("grp"),
+        F.col("_n").cast("bigint").alias("n"),
+        portable_round(slope, 6).alias("slope"),
+        portable_round(intercept, 6).alias("intercept"),
+        portable_round(r2, 6).alias("r2"),
+    )

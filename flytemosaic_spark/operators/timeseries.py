@@ -463,3 +463,70 @@ def mean_shift_split(
         .orderBy(F.desc("score"), F.asc("split_t"))
         .limit(1)
     )
+
+
+def seasonal_strength(
+    series: DataFrame,
+    t_col: str,
+    v_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal strength of an integer series: the share of variance
+    explained by the time-index phase (t mod period) — R² of the
+    one-way phase ANOVA, between-SS / total-SS. Near 1 = hard weekly
+    pattern (model per-DOW), near 0 = no calendar structure. The
+    quantitative companion to the ACF peak (x190).
+
+    between = Σ_d s_d²/n_d − S²/N and total = SS − S²/N from EXACT
+    integer sums only (phase sums/counts, global S/SS — DECIMAL(38,0)
+    squares per the x168 recipe), combined in one fixed-arithmetic
+    expression: engine-exact at 1e-6. ``series`` is time-scale (one
+    row per t); phase rollup is a period-cardinality aggregate.
+
+    Returns one row: (n_periods, period, strength).
+    """
+    from flytemosaic_spark.operators.text import portable_round
+
+    dec = "decimal(38,0)"
+    s = series.select(
+        (F.col(t_col).cast("bigint") % period).alias("_d"),
+        F.col(v_col).cast("bigint").alias("_v"),
+    )
+    ph = s.groupBy("_d").agg(
+        F.count("*").alias("_nd"), F.sum("_v").alias("_sd")
+    )
+    # per-phase s_d²/n_d quantized to 1e-6 integer units BEFORE the
+    # (period-cardinality) sum — a bare float sum would be engine-
+    # order-sensitive even over 7 terms; DECIMAL keeps it exact at
+    # any magnitude
+    between_num = ph.select(
+        F.floor(
+            (F.col("_sd").cast(dec) * F.col("_sd").cast(dec)).cast("double")
+            / F.col("_nd").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast(dec)
+        .alias("_t")
+    )
+    g = s.groupBy().agg(
+        F.count("*").alias("_n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v").cast(dec) * F.col("_v").cast(dec)).alias("_ss"),
+    )
+    bt = between_num.groupBy().agg(F.sum("_t").alias("_b"))
+    corr = (
+        F.col("_s").cast(dec) * F.col("_s").cast(dec)
+    ).cast("double") / F.col("_n").cast("double")
+    strength = F.try_divide(
+        F.col("_b").cast("double") / F.lit(1e6) - corr,
+        F.col("_ss").cast("double") - corr,
+    )
+    return (
+        g.crossJoin(F.broadcast(bt))
+        .select(
+            F.col("_n").cast("bigint").alias("n_periods"),
+            F.lit(period).cast("bigint").alias("period"),
+            portable_round(strength, 6).alias("strength"),
+        )
+    )

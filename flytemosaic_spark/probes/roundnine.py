@@ -1363,3 +1363,127 @@ def x210_coldstart_coverage(spark: SparkSession, sf: str) -> DataFrame:
         train_hex="cccd",
         seed_tag="cs",
     )
+
+
+# ---------------------------------------------------------------------------
+# x211 — per-brand log-log OLS (grouped regression, exact moments)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x211_grouped_ols",
+    sql="""
+        WITH pts AS (
+            SELECT p_brand AS g,
+                   CAST(floor(ln(CAST(l_quantity AS DOUBLE)) * 1e9 + 0.5)
+                        AS BIGINT) AS x,
+                   CAST(floor(ln(l_extendedprice) * 1e9 + 0.5) AS BIGINT)
+                       AS y
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        m AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                   sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                   sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+            FROM pts GROUP BY g
+        ),
+        d AS (
+            SELECT g, n,
+                   CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
+                        AS DOUBLE) AS num,
+                   CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                        AS DOUBLE) AS vx,
+                   CAST(n * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT)
+                        AS DOUBLE) AS vy,
+                   sx, sy
+            FROM m
+        )
+        SELECT g AS grp, n,
+               floor(num / vx * 1e6 + 0.5) / 1e6 AS slope,
+               floor((sy / 1e9 - (num / vx) * sx / 1e9)
+                     / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept,
+               floor(num * num / (vx * vy) * 1e6 + 0.5) / 1e6 AS r2
+        FROM d
+    """,
+    note="per-brand log-log OLS of extended price on quantity "
+    "(operators/linear.py:grouped_ols): the grouped-regression shape "
+    "— slope ~ 1 says price scales linearly with quantity, intercept "
+    "is the brand's mean log unit price, R² the fit; per-row ln "
+    "values quantized to 1e-9 integer units, five moments as exact "
+    "BIGINT/DECIMAL(38,0)/HUGEINT sums (x168 recipe), "
+    "slope/intercept/R² fixed arithmetic (R² crosses to double "
+    "before squaring — num² would pass 128 bits); one "
+    "partial-aggregating shuffle, five numbers of state per group",
+)
+def x211_grouped_ols(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.linear import grouped_ols
+
+    li = T(spark, sf, "lineitem")
+    pa = T(spark, sf, "part")
+    joined = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    return grouped_ols(
+        joined,
+        "p_brand",
+        F.log(F.col("l_quantity").cast("double")),
+        F.log(F.col("l_extendedprice")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x212 — seasonal strength (phase-ANOVA R² at period 7)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x212_seasonal_strength",
+    sql="""
+        WITH s AS (
+            SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t,
+                   count(*) AS c
+            FROM events GROUP BY 1
+        ),
+        sp AS (SELECT t % 7 AS d, CAST(c AS BIGINT) AS v FROM s),
+        ph AS (SELECT d, count(*) AS nd, sum(v) AS sd FROM sp GROUP BY d),
+        bt AS (
+            SELECT sum(CAST(floor(
+                       CAST(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)
+                            AS DOUBLE) / CAST(nd AS DOUBLE) * 1e6 + 0.5)
+                       AS HUGEINT)) AS b
+            FROM ph
+        ),
+        g AS (
+            SELECT count(*) AS n, sum(v) AS sv,
+                   sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS ss
+            FROM sp
+        )
+        SELECT CAST(n AS BIGINT) AS n_periods,
+               CAST(7 AS BIGINT) AS period,
+               floor((CAST(b AS DOUBLE) / 1e6
+                      - CAST(CAST(sv AS HUGEINT) * CAST(sv AS HUGEINT)
+                             AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(ss AS DOUBLE)
+                        - CAST(CAST(sv AS HUGEINT) * CAST(sv AS HUGEINT)
+                               AS DOUBLE) / CAST(n AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS strength
+        FROM g CROSS JOIN bt
+    """,
+    note="seasonal strength of the daily event-count series at period "
+    "7 (operators/timeseries.py:seasonal_strength): share of variance "
+    "explained by day-of-week — the one-way phase-ANOVA R², the "
+    "quantitative companion to x190's ACF peak; phase sums/counts and "
+    "global S/SS are exact integers, the 7 per-phase s_d^2/n_d terms "
+    "are quantized to 1e-6 integer units BEFORE their sum (even a "
+    "7-term bare float sum is engine-order-sensitive), strength is "
+    "one fixed-arithmetic expression",
+)
+def x212_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.timeseries import seasonal_strength
+
+    ev = T(spark, sf, "events")
+    series = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("t")
+    ).agg(F.count("*").alias("c"))
+    return seasonal_strength(series, "t", "c", period=7)

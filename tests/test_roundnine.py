@@ -21,6 +21,7 @@ from flytemosaic_spark.operators.drift import (
     js_divergence,
 )
 from flytemosaic_spark.operators.dedup import survivorship
+from flytemosaic_spark.operators.linear import grouped_ols
 from flytemosaic_spark.operators.metrics import (
     diff_in_diff,
     hhi_by,
@@ -39,6 +40,7 @@ from flytemosaic_spark.operators.timeseries import (
     cross_correlation,
     mann_kendall,
     mean_shift_split,
+    seasonal_strength,
     theil_sen_slope,
 )
 
@@ -751,3 +753,85 @@ class TestColdstartCoverage:
         assert row.n_cold_rows == n_cold
         assert row.n_test_items == len(test_items)
         assert row.n_cold_items == len(cold_items)
+
+
+class TestGroupedOLS:
+    def _reference(self, rows):
+        out = {}
+        for g in {g for g, _, _ in rows}:
+            pts = [
+                (math.floor(x * 1e9 + 0.5), math.floor(y * 1e9 + 0.5))
+                for gg, x, y in rows
+                if gg == g
+            ]
+            n = len(pts)
+            sx = sum(x for x, _ in pts)
+            sy = sum(y for _, y in pts)
+            sxy = sum(x * y for x, y in pts)
+            sxx = sum(x * x for x, _ in pts)
+            syy = sum(y * y for _, y in pts)
+            num = n * sxy - sx * sy
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            slope = num / vx
+            intercept = (sy / 1e9 - slope * sx / 1e9) / n
+            r2 = float(num) * float(num) / (float(vx) * float(vy))
+            out[g] = (n, _q(slope, 6), _q(intercept, 6), _q(r2, 6))
+        return out
+
+    def test_matches_python(self, spark):
+        rng = np.random.default_rng(53)
+        rows = []
+        for g, (a, b) in {"g1": (2.0, 1.0), "g2": (-0.5, 3.0)}.items():
+            for _ in range(200):
+                x = float(rng.uniform(1, 10))
+                rows.append((g, x, a * x + b + float(rng.normal(0, 0.1))))
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        got = {
+            r.grp: (r.n, r.slope, r.intercept, r.r2)
+            for r in grouped_ols(df, "g", F.col("x"), F.col("y")).collect()
+        }
+        assert got == self._reference(rows)
+        # slopes recovered within noise
+        assert abs(got["g1"][1] - 2.0) < 0.05
+        assert abs(got["g2"][1] + 0.5) < 0.05
+        assert got["g1"][3] > 0.99
+
+    def test_zero_variance_null_slope(self, spark):
+        rows = [("g", 1.0, float(v)) for v in range(5)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        r = grouped_ols(df, "g", F.col("x"), F.col("y")).collect()[0]
+        assert r.slope is None
+
+
+class TestSeasonalStrength:
+    def test_pure_weekly_pattern(self, spark):
+        rows = [(t, 100 + 50 * (t % 7)) for t in range(70)]
+        df = spark.createDataFrame(rows, "t long, v long")
+        r = seasonal_strength(df, "t", "v", period=7).collect()[0]
+        assert r.strength == 1.0
+
+    def test_no_pattern_low_strength(self, spark):
+        rng = np.random.default_rng(59)
+        rows = [(t, int(rng.integers(90, 110))) for t in range(140)]
+        df = spark.createDataFrame(rows, "t long, v long")
+        r = seasonal_strength(df, "t", "v", period=7).collect()[0]
+        assert r.strength < 0.15
+
+    def test_matches_python(self, spark):
+        rng = np.random.default_rng(61)
+        vals = [int(100 + 20 * (t % 7 == 2) + rng.integers(0, 10)) for t in range(84)]
+        rows = list(enumerate(vals))
+        df = spark.createDataFrame(rows, "t long, v long")
+        r = seasonal_strength(df, "t", "v", period=7).collect()[0]
+        n, sv, ss = len(vals), sum(vals), sum(v * v for v in vals)
+        ph: dict[int, list] = {}
+        for t, v in rows:
+            ph.setdefault(t % 7, []).append(v)
+        b = sum(
+            math.floor(sum(vs) ** 2 / len(vs) * 1e6 + 0.5)
+            for vs in ph.values()
+        )
+        corr = sv * sv / n
+        want = _q((b / 1e6 - corr) / (ss - corr), 6)
+        assert r.strength == want

@@ -153,6 +153,8 @@ CROSS_OK = {
     "x208_entropy_rate",
     # two 1-row (rows, items) summary crossJoins
     "x210_coldstart_coverage",
+    # 1-row global-moment x 1-row between-SS crossJoin
+    "x212_seasonal_strength",
     # 1-row global (n, sum) broadcast into the prefix candidates
     "x204_mean_shift_split",
     # 1-row global-count crossJoin feeding the ntile closed form (x68)
