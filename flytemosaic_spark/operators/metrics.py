@@ -593,3 +593,151 @@ def hhi_by(
             6,
         ).alias("hhi"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    arm_col,
+    score_col: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Cliff's delta — the nonparametric A/B effect size:
+    δ = P(x_A > x_B) − P(x_A < x_B) ∈ [−1, 1], the magnitude number a
+    significance test (x185 SPRT, x203 DID) does not give you. δ is
+    the Mann–Whitney statistic re-scaled (δ = 2·AUC − 1 with arm A as
+    the positive label), so it reuses :func:`roc_auc`'s EXACT
+    tie-corrected rank-sum machinery: DECIMAL(38,0) half-rank units,
+    distributed cumsum, one double division at the end — computed
+    directly from the exact numerator (not from the rounded AUC).
+
+    Returns one row: (n_a, n_b, delta, magnitude) — magnitude per the
+    standard |δ| cuts (0.147 / 0.33 / 0.474: Romano et al. 2006).
+    """
+    from flytemosaic_spark.plans.prefix import distributed_cumsum
+
+    arm = F.col(arm_col) if isinstance(arm_col, str) else arm_col
+    v = (
+        df.select(
+            F.col(score_col).alias("sc"), arm.cast("bigint").alias("y")
+        )
+        .groupBy("sc")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("np"))
+    )
+    r = distributed_cumsum(v, "sc", "n", out_col="cum", n_buckets=n_buckets)
+    rp2 = F.col("np").cast("decimal(38,0)") * (
+        2 * (F.col("cum") - F.col("n")) + F.col("n") + F.lit(1)
+    )
+    t = r.agg(
+        F.sum(rp2).alias("rp2"),
+        F.sum("np").alias("npos"),
+        F.sum(F.col("n") - F.col("np")).alias("nneg"),
+    )
+    num = F.col("rp2") - F.col("npos").cast("decimal(38,0)") * (
+        F.col("npos") + F.lit(1)
+    )
+    # delta = 2*AUC - 1 = num/(npos*nneg) - 1, from the EXACT numerator
+    delta = portable_round(
+        num.cast("double")
+        / (F.col("npos").cast("double") * F.col("nneg").cast("double"))
+        - F.lit(1.0),
+        6,
+    )
+    mag = (
+        F.when(F.abs(F.col("delta")) < 0.147, F.lit("negligible"))
+        .when(F.abs(F.col("delta")) < 0.33, F.lit("small"))
+        .when(F.abs(F.col("delta")) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return (
+        t.select(
+            F.col("npos").cast("bigint").alias("n_a"),
+            F.col("nneg").cast("bigint").alias("n_b"),
+            delta.alias("delta"),
+        )
+        .select("n_a", "n_b", "delta", mag.alias("magnitude"))
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    cents_col,
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test (Levene with group
+    MEDIANS — the robust form): F = ((N−k)/(k−1)) · between/within
+    over z = |x − median_g|. The "are these segments' variances even
+    comparable" gate in front of any pooled-variance readout (x66,
+    x203).
+
+    Exactness chain: group medians are exact lower medians from the
+    (group, value) aggregate cumulative (the x206 machinery, never a
+    data-scale window); z values are exact integer cents; Σz / Σz²
+    are BIGINT / DECIMAL(38,0); the k per-group (Σz_g)²/n_g terms are
+    quantized to 1e-6 integer units BEFORE their k-term sum (x212
+    rule); F is one fixed-arithmetic expression.
+
+    Returns one row: (k, n, f_stat).
+    """
+    from pyspark.sql import Window
+
+    cents = F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    dec = "decimal(38,0)"
+    s = df.select(
+        F.col(group_col).alias("_g"), cents.cast("bigint").alias("_c")
+    )
+    agg = s.groupBy("_g", "_c").agg(F.count("*").alias("_cnt"))
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = agg.select(
+        "_g",
+        "_c",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(Window.partitionBy("_g")).alias("_ng"),
+    )
+    med = (
+        ranked.where(2 * F.col("_cum") >= F.col("_ng"))
+        .groupBy("_g")
+        .agg(F.min("_c").alias("_med"))
+    )
+    z = s.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(F.col("_c") - F.col("_med")).alias("_z")
+    )
+    per = z.groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        F.sum("_z").alias("_sz"),
+        F.sum(F.col("_z").cast(dec) * F.col("_z").cast(dec)).alias("_szz"),
+    )
+    term = F.floor(
+        (F.col("_sz").cast(dec) * F.col("_sz").cast(dec)).cast("double")
+        / F.col("_n").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast(dec)
+    g = per.groupBy().agg(
+        F.count("*").alias("_k"),
+        F.sum("_n").alias("_nn"),
+        F.sum("_sz").alias("_s"),
+        F.sum("_szz").alias("_ss"),
+        F.sum(term).alias("_bt"),
+    )
+    from flytemosaic_spark.operators.text import portable_round
+
+    bt = F.col("_bt").cast("double") / F.lit(1e6)
+    corr = (
+        F.col("_s").cast(dec) * F.col("_s").cast(dec)
+    ).cast("double") / F.col("_nn").cast("double")
+    between = bt - corr
+    within = F.col("_ss").cast("double") - bt
+    f_stat = (
+        (F.col("_nn") - F.col("_k")).cast("double")
+        / (F.col("_k") - 1).cast("double")
+        * F.try_divide(between, within)
+    )
+    return g.select(
+        F.col("_k").cast("bigint").alias("k"),
+        F.col("_nn").cast("bigint").alias("n"),
+        portable_round(f_stat, 6).alias("f_stat"),
+    )

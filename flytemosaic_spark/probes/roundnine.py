@@ -1487,3 +1487,141 @@ def x212_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
         .alias("t")
     ).agg(F.count("*").alias("c"))
     return seasonal_strength(series, "t", "c", period=7)
+
+
+# ---------------------------------------------------------------------------
+# x213 — Cliff's delta A/B effect size
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x213_cliffs_delta",
+    sql="""
+        WITH s AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS sc,
+                   CASE WHEN substr(md5('cd:' || CAST(user_id AS VARCHAR)),
+                                    1, 4) < '8000'
+                        THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        v AS (SELECT sc, count(*) AS n, sum(y) AS np FROM s GROUP BY sc),
+        r AS (
+            SELECT sc, n, np,
+                   coalesce(sum(n) OVER (ORDER BY sc
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS cb
+            FROM v
+        ),
+        t AS (
+            SELECT sum(np * (2 * cb + n + 1)) AS rp2,
+                   sum(np) AS npos, sum(n - np) AS nneg
+            FROM r
+        ),
+        d AS (
+            SELECT CAST(npos AS BIGINT) AS n_a,
+                   CAST(nneg AS BIGINT) AS n_b,
+                   floor((CAST(rp2 - npos * (npos + 1) AS DOUBLE)
+                          / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE))
+                          - 1.0) * 1e6 + 0.5) / 1e6 AS delta
+            FROM t
+        )
+        SELECT n_a, n_b, delta,
+               CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+                    WHEN abs(delta) < 0.33 THEN 'small'
+                    WHEN abs(delta) < 0.474 THEN 'medium'
+                    ELSE 'large' END AS magnitude
+        FROM d
+    """,
+    note="Cliff's delta A/B effect size "
+    "(operators/metrics.py:cliffs_delta): P(A>B) - P(A<B) over md5 "
+    "arms — the MAGNITUDE number significance tests (x185, x203) "
+    "don't give; = 2*AUC - 1, so it reuses x106's exact tie-corrected "
+    "Mann-Whitney rank sum (DECIMAL(38,0) half-rank units, "
+    "distributed cumsum) computed from the EXACT numerator, not the "
+    "rounded AUC; Romano et al. 2006 magnitude cuts on the rounded "
+    "delta (identical CASE both engines)",
+)
+def x213_cliffs_delta(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.metrics import cliffs_delta
+    from flytemosaic_spark.operators.sampling import hash_bucket
+
+    ev = T(spark, sf, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("sc"),
+        (
+            hash_bucket(
+                F.concat(F.lit("cd:"), F.col("user_id").cast("string"))
+            )
+            < F.lit("8000")
+        ).alias("arm"),
+    )
+    return cliffs_delta(ev, "arm", "sc")
+
+
+# ---------------------------------------------------------------------------
+# x214 — Brown–Forsythe variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x214_brown_forsythe",
+    sql="""
+        WITH s AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events
+        ),
+        a AS (SELECT g, c, count(*) AS cnt FROM s GROUP BY 1, 2),
+        r AS (
+            SELECT g, c,
+                   sum(cnt) OVER (PARTITION BY g ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   sum(cnt) OVER (PARTITION BY g) AS ng
+            FROM a
+        ),
+        med AS (SELECT g, min(c) AS med FROM r WHERE 2 * cum >= ng
+                GROUP BY g),
+        z AS (SELECT s.g, abs(s.c - med.med) AS z
+              FROM s JOIN med USING (g)),
+        per AS (
+            SELECT g, count(*) AS n, sum(z) AS sz,
+                   sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz
+            FROM z GROUP BY g
+        ),
+        g2 AS (
+            SELECT count(*) AS k, sum(n) AS nn, sum(sz) AS s2,
+                   sum(szz) AS ss,
+                   sum(CAST(floor(
+                       CAST(CAST(sz AS HUGEINT) * CAST(sz AS HUGEINT)
+                            AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+                       AS HUGEINT)) AS bt
+            FROM per
+        )
+        SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+               floor(CAST(nn - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+                     * ((CAST(bt AS DOUBLE) / 1e6
+                         - CAST(CAST(s2 AS HUGEINT) * CAST(s2 AS HUGEINT)
+                                AS DOUBLE) / CAST(nn AS DOUBLE))
+                        / (CAST(ss AS DOUBLE) - CAST(bt AS DOUBLE) / 1e6))
+                     * 1e6 + 0.5) / 1e6 AS f_stat
+        FROM g2
+    """,
+    note="Brown-Forsythe variance-homogeneity test across event types "
+    "(operators/metrics.py:brown_forsythe): Levene on |x - median_g| "
+    "— the robust 'are these segments' variances comparable' gate in "
+    "front of pooled-variance readouts (x66/x203); exact lower "
+    "medians from the (group, value) aggregate cumulative (x206 "
+    "machinery, never a data-scale window), z exact integer cents, "
+    "sums BIGINT/DECIMAL(38,0)/HUGEINT, the k per-group (sum z)^2/n "
+    "terms quantized to 1e-6 units BEFORE their k-term sum (x212 "
+    "rule), F one fixed-arithmetic expression",
+)
+def x214_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.metrics import brown_forsythe
+
+    ev = T(spark, sf, "events")
+    return brown_forsythe(
+        ev,
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+    )

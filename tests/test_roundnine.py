@@ -23,6 +23,8 @@ from flytemosaic_spark.operators.drift import (
 from flytemosaic_spark.operators.dedup import survivorship
 from flytemosaic_spark.operators.linear import grouped_ols
 from flytemosaic_spark.operators.metrics import (
+    brown_forsythe,
+    cliffs_delta,
     diff_in_diff,
     hhi_by,
     weighted_median_by,
@@ -835,3 +837,79 @@ class TestSeasonalStrength:
         corr = sv * sv / n
         want = _q((b / 1e6 - corr) / (ss - corr), 6)
         assert r.strength == want
+
+
+class TestCliffsDelta:
+    def test_hand_values(self, spark):
+        # A strictly above B: delta = +1; interleaved equal: delta = 0
+        rows = [(True, v) for v in (10, 11, 12)] + [
+            (False, v) for v in (1, 2, 3)
+        ]
+        df = spark.createDataFrame(rows, "arm boolean, sc long")
+        r = cliffs_delta(df, "arm", "sc").collect()[0]
+        assert (r.n_a, r.n_b, r.delta, r.magnitude) == (3, 3, 1.0, "large")
+        rows2 = [(True, v) for v in (1, 2)] + [(False, v) for v in (1, 2)]
+        df2 = spark.createDataFrame(rows2, "arm boolean, sc long")
+        r2 = cliffs_delta(df2, "arm", "sc").collect()[0]
+        assert r2.delta == 0.0
+        assert r2.magnitude == "negligible"
+
+    def test_matches_python(self, spark):
+        rng = np.random.default_rng(67)
+        rows = [(bool(rng.random() < 0.5), int(rng.integers(0, 40))) for _ in range(400)]
+        df = spark.createDataFrame(rows, "arm boolean, sc long")
+        r = cliffs_delta(df, "arm", "sc").collect()[0]
+        a = [v for arm, v in rows if arm]
+        b = [v for arm, v in rows if not arm]
+        gt = sum(1 for x in a for y in b if x > y)
+        lt = sum(1 for x in a for y in b if x < y)
+        want = _q((gt - lt) / (len(a) * len(b)), 6)
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert abs(r.delta - want) < 2e-6
+
+
+class TestBrownForsythe:
+    def _reference(self, rows):
+        groups: dict[str, list] = {}
+        for g, c in rows:
+            groups.setdefault(g, []).append(c)
+        zs = {}
+        for g, cs in groups.items():
+            s = sorted(cs)
+            n = len(s)
+            # lower median: smallest value whose cum count reaches n/2
+            med = s[(n - 1) // 2] if n % 2 else s[n // 2 - 1]
+            zs[g] = [abs(c - med) for c in cs]
+        k = len(zs)
+        nn = sum(len(z) for z in zs.values())
+        s_all = sum(sum(z) for z in zs.values())
+        ss = sum(v * v for z in zs.values() for v in z)
+        bt = sum(
+            math.floor(sum(z) ** 2 / len(z) * 1e6 + 0.5) for z in zs.values()
+        )
+        corr = s_all * s_all / nn
+        between = bt / 1e6 - corr
+        within = ss - bt / 1e6
+        return k, nn, _q((nn - k) / (k - 1) * (between / within), 6)
+
+    def test_matches_python(self, spark):
+        rng = np.random.default_rng(71)
+        rows = []
+        for g, spread in (("a", 10), ("b", 50), ("c", 10)):
+            for _ in range(150):
+                rows.append((g, int(1000 + rng.integers(-spread, spread))))
+        df = spark.createDataFrame(rows, "g string, c long")
+        r = brown_forsythe(df, "g", "c").collect()[0]
+        assert (r.k, r.n, r.f_stat) == self._reference(rows)
+        # the constructed variance gap is detected
+        assert r.f_stat > 10
+
+    def test_equal_variances_small_f(self, spark):
+        rng = np.random.default_rng(73)
+        rows = [
+            (f"g{i % 4}", int(1000 + rng.integers(-30, 30)))
+            for i in range(1200)
+        ]
+        df = spark.createDataFrame(rows, "g string, c long")
+        r = brown_forsythe(df, "g", "c").collect()[0]
+        assert r.f_stat < 3
