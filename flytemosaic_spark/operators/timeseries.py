@@ -530,3 +530,56 @@ def seasonal_strength(
             portable_round(strength, 6).alias("strength"),
         )
     )
+
+
+def ljung_box(
+    series: DataFrame,
+    t_col: str,
+    v_col: str,
+    max_lag: int = 7,
+    critical: float = 14.067,
+) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test on the series' ACF:
+    Q = n(n+2) Σ_{k≤h} r_k²/(n−k), ~χ²(h) under "no autocorrelation"
+    — the formal yes/no on top of :func:`autocorrelation`'s per-lag
+    readout (a residual/ingest series failing it has structure a
+    model should absorb). ``critical`` defaults to the χ²(7) 5% value.
+
+    Built literally on :func:`autocorrelation`'s output (r_k already
+    engine-identical at 1e-6; n recovered as n_pairs + lag), the h
+    per-lag r²/(n−k) terms quantized to 1e-12 integer units before
+    their h-term sum (the x212 rule), Q one fixed-arithmetic
+    expression.
+
+    Returns one row: (n_obs, h, q_stat, reject_white).
+    """
+    from flytemosaic_spark.operators.text import portable_round
+
+    acf = autocorrelation(series, t_col, v_col, max_lag=max_lag)
+    # n - k is exactly n_pairs (the lag-k overlap length)
+    units = F.floor(
+        F.col("acf")
+        * F.col("acf")
+        / F.col("n_pairs").cast("double")
+        * F.lit(1e12)
+        + F.lit(0.5)
+    ).cast("bigint")
+    g = acf.select(
+        (F.col("n_pairs") + F.col("lag")).alias("_n"),
+        units.alias("_u"),
+    ).groupBy().agg(
+        F.max("_n").alias("_n"),
+        F.count("*").alias("h"),
+        F.sum("_u").alias("_su"),
+    )
+    q = (
+        F.col("_n").cast("double")
+        * (F.col("_n") + 2).cast("double")
+        * (F.col("_su") / F.lit(1e12))
+    )
+    return g.select(
+        F.col("_n").cast("bigint").alias("n_obs"),
+        F.col("h").cast("bigint").alias("h"),
+        portable_round(q, 6).alias("q_stat"),
+        (portable_round(q, 6) > F.lit(critical)).alias("reject_white"),
+    )

@@ -1625,3 +1625,140 @@ def x214_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x215 — Ljung–Box whiteness test on the daily series
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x215_ljung_box",
+    sql="""
+        WITH s AS (
+            SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t,
+                   count(*) AS c
+            FROM events GROUP BY 1
+        ),
+        g AS (SELECT count(*) AS n, sum(c) AS sc, sum(c * c) AS ss FROM s),
+        p AS (
+            SELECT gs.lag AS lag, count(*) AS n_pairs,
+                   sum(a.c * b.c) AS sxy, sum(a.c) AS sh, sum(b.c) AS st
+            FROM s a
+            CROSS JOIN generate_series(1, 7) gs(lag)
+            JOIN s b ON b.t = a.t + gs.lag
+            GROUP BY 1
+        ),
+        acf AS (
+            SELECT lag, n_pairs,
+                   floor((sxy - (sc / CAST(n AS DOUBLE)) * (sh + st)
+                          + n_pairs * (sc / CAST(n AS DOUBLE))
+                            * (sc / CAST(n AS DOUBLE)))
+                         / (ss - n * (sc / CAST(n AS DOUBLE))
+                                 * (sc / CAST(n AS DOUBLE)))
+                         * 1e6 + 0.5) / 1e6 AS r
+            FROM p CROSS JOIN g
+        ),
+        q0 AS (
+            SELECT max(n_pairs + lag) AS n, count(*) AS h,
+                   sum(CAST(floor(r * r / CAST(n_pairs AS DOUBLE) * 1e12
+                                  + 0.5) AS BIGINT)) AS su
+            FROM acf
+        )
+        SELECT CAST(n AS BIGINT) AS n_obs, CAST(h AS BIGINT) AS h,
+               floor(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                     * (su / 1e12) * 1e6 + 0.5) / 1e6 AS q_stat,
+               floor(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                     * (su / 1e12) * 1e6 + 0.5) / 1e6 > 14.067
+                   AS reject_white
+        FROM q0
+    """,
+    note="Ljung-Box portmanteau whiteness test at lags 1-7 on the "
+    "daily event-count series (operators/timeseries.py:ljung_box): "
+    "Q = n(n+2) sum r_k^2/(n-k) ~ chi2(7), the formal yes/no on top "
+    "of x190's per-lag ACF — a series failing it has structure a "
+    "model should absorb; built literally on the x190 machinery (r_k "
+    "engine-identical at 1e-6, n-k = n_pairs), the 7 per-lag terms "
+    "quantized to 1e-12 integer units before their sum (x212 rule), "
+    "Q one fixed-arithmetic expression vs the literal chi2(7) 5% "
+    "critical value",
+)
+def x215_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.timeseries import ljung_box
+
+    ev = T(spark, sf, "events")
+    series = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("t")
+    ).agg(F.count("*").alias("c"))
+    return ljung_box(series, "t", "c", max_lag=7)
+
+
+# ---------------------------------------------------------------------------
+# x216 — exact distributed Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x216_spearman",
+    sql="""
+        WITH s AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        vx AS (SELECT x, count(*) AS cnt FROM s GROUP BY x),
+        rx AS (
+            SELECT x,
+                   2 * (sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) - cnt) + cnt + 1 AS r2x
+            FROM vx
+        ),
+        vy AS (SELECT y, count(*) AS cnt FROM s GROUP BY y),
+        ry AS (
+            SELECT y,
+                   2 * (sum(cnt) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) - cnt) + cnt + 1 AS r2y
+            FROM vy
+        ),
+        j AS (SELECT r2x, r2y FROM s JOIN rx USING (x) JOIN ry USING (y)),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(r2x) AS sa, sum(r2y) AS sb,
+                   sum(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sab,
+                   sum(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) AS saa,
+                   sum(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sbb
+            FROM j
+        )
+        SELECT n,
+               floor(CAST(n * sab - CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT)
+                          AS DOUBLE)
+                     / (sqrt(CAST(n * saa
+                                  - CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT)
+                                  AS DOUBLE))
+                        * sqrt(CAST(n * sbb
+                                    - CAST(sb AS HUGEINT)
+                                      * CAST(sb AS HUGEINT) AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS rho
+        FROM m
+    """,
+    note="exact distributed Spearman rank correlation WITH tie "
+    "midranks, quantity vs extended price "
+    "(operators/linear.py:spearman_corr): the monotone-association "
+    "number Pearson misses — midranks in integer DOUBLE-RANK units "
+    "(2-rank, so tied halves stay integers) from each column's "
+    "(value, count) aggregate via plans/prefix.py:distributed_cumsum "
+    "(value-scale state, no single-partition window — the roc_auc "
+    "recipe; oracle's plain window is the semantic spec), two equi "
+    "joins back, five exact BIGINT/DECIMAL(38,0) Pearson moments, "
+    "rho fixed arithmetic",
+)
+def x216_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.linear import spearman_corr
+
+    li = T(spark, sf, "lineitem")
+    return spearman_corr(
+        li,
+        F.col("l_quantity"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"),
+    )

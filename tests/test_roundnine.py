@@ -21,7 +21,7 @@ from flytemosaic_spark.operators.drift import (
     js_divergence,
 )
 from flytemosaic_spark.operators.dedup import survivorship
-from flytemosaic_spark.operators.linear import grouped_ols
+from flytemosaic_spark.operators.linear import grouped_ols, spearman_corr
 from flytemosaic_spark.operators.metrics import (
     brown_forsythe,
     cliffs_delta,
@@ -40,6 +40,7 @@ from flytemosaic_spark.operators.text import zipf_fit
 from flytemosaic_spark.operators.timeseries import (
     autocorrelation,
     cross_correlation,
+    ljung_box,
     mann_kendall,
     mean_shift_split,
     seasonal_strength,
@@ -913,3 +914,76 @@ class TestBrownForsythe:
         df = spark.createDataFrame(rows, "g string, c long")
         r = brown_forsythe(df, "g", "c").collect()[0]
         assert r.f_stat < 3
+
+
+class TestLjungBox:
+    def test_white_noise_accepts(self, spark):
+        rng = np.random.default_rng(79)
+        rows = [(t, int(rng.integers(90, 110))) for t in range(200)]
+        df = spark.createDataFrame(rows, "t long, c long")
+        r = ljung_box(df, "t", "c", max_lag=7).collect()[0]
+        assert r.n_obs == 200 and r.h == 7
+        assert not r.reject_white
+
+    def test_weekly_pattern_rejects_and_replays(self, spark):
+        rows = [(t, 100 + 40 * (t % 7 == 0)) for t in range(140)]
+        df = spark.createDataFrame(rows, "t long, c long")
+        r = ljung_box(df, "t", "c", max_lag=7).collect()[0]
+        assert r.reject_white
+        # python replay from the operator's own ACF output
+        acf = {
+            a.lag: (a.n_pairs, a.acf)
+            for a in __import__(
+                "flytemosaic_spark.operators.timeseries",
+                fromlist=["autocorrelation"],
+            ).autocorrelation(df, "t", "c", max_lag=7).collect()
+        }
+        n = 140
+        su = sum(
+            math.floor(r_ * r_ / np_ * 1e12 + 0.5)
+            for np_, r_ in acf.values()
+        )
+        assert r.q_stat == _q(n * (n + 2) * (su / 1e12), 6)
+
+
+class TestSpearman:
+    def test_monotone_transform_invariance(self, spark):
+        rng = np.random.default_rng(83)
+        xs = [int(rng.integers(1, 1000)) for _ in range(300)]
+        rows = [(x, x * x) for x in xs]  # monotone map -> rho == 1
+        df = spark.createDataFrame(rows, "x long, y long")
+        r = spearman_corr(df, "x", "y").collect()[0]
+        assert r.rho == 1.0
+
+    def test_matches_scipy_style_reference(self, spark):
+        rng = np.random.default_rng(89)
+        rows = [
+            (int(rng.integers(0, 50)), int(rng.integers(0, 50)))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(rows, "x long, y long")
+        r = spearman_corr(df, "x", "y").collect()[0]
+
+        def midranks(vals):
+            order = sorted(range(len(vals)), key=lambda i: vals[i])
+            out = [0.0] * len(vals)
+            i = 0
+            while i < len(order):
+                j = i
+                while j < len(order) and vals[order[j]] == vals[order[i]]:
+                    j += 1
+                mr = (i + 1 + j) / 2.0
+                for k in range(i, j):
+                    out[order[k]] = mr
+                i = j
+            return out
+
+        ra = np.array(midranks([x for x, _ in rows]))
+        rb = np.array(midranks([y for _, y in rows]))
+        want = np.corrcoef(ra, rb)[0, 1]
+        assert abs(r.rho - want) < 1e-6
+
+    def test_anticorrelated(self, spark):
+        rows = [(x, 1000 - x) for x in range(100)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        assert spearman_corr(df, "x", "y").collect()[0].rho == -1.0

@@ -155,6 +155,8 @@ CROSS_OK = {
     "x210_coldstart_coverage",
     # 1-row global-moment x 1-row between-SS crossJoin
     "x212_seasonal_strength",
+    # constant 7-row lag grid + 1-row moments (x190 shape)
+    "x215_ljung_box",
     # 1-row global (n, sum) broadcast into the prefix candidates
     "x204_mean_shift_split",
     # 1-row global-count crossJoin feeding the ntile closed form (x68)
