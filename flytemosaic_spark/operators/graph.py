@@ -391,7 +391,10 @@ def hits(
     Same execution shape as :func:`pagerank`: per round one shuffle
     join of the (deduplicated, cached) edge list against a node-scale
     score table plus one hash aggregation, with the score table
-    broadcast under the node gate; the L1 norm is a 1-row aggregate
+    broadcast ONLY while the distinct node count fits
+    ``_BROADCAST_NODE_LIMIT`` (same gate as pagerank — past it the
+    joins fall back to shuffle hash joins against the checkpointed
+    edges); the L1 norm is a 1-row aggregate
     crossJoined back (constant-size). Per-round scores are rounded
     half-up at 1e-10 (the pagerank recipe), so the mutual-recursion
     fixpoint reproduces across engines — raw per-node sums are rounded
@@ -403,19 +406,29 @@ def hits(
     (kind in ('hub', 'authority'), node, rank, score) with score
     rounded at 1e-6 — each side an ORDER BY + LIMIT, no windows.
     """
+    if iterations < 1:
+        raise ValueError("hits() needs iterations >= 1")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
         .localCheckpoint()
     )
+    n_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .count()
+    )
+    small = n_nodes <= _BROADCAST_NODE_LIMIT
+    maybe_b = F.broadcast if small else (lambda d: d)
     auth = e.select(F.col("v").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("score")
     )
     for _ in range(iterations):
         h_raw = (
             e.join(
-                F.broadcast(auth.withColumnRenamed("node", "v")), "v"
+                maybe_b(auth.withColumnRenamed("node", "v")), "v"
             )
             .groupBy(F.col("u").alias("node"))
             .agg(_round_at(F.sum("score"), _ITER_DIGITS).alias("raw"))
@@ -430,7 +443,7 @@ def hits(
             "node", _round_at(F.col("raw") / F.col("nrm"), _ITER_DIGITS).alias("score")
         )
         a_raw = (
-            e.join(F.broadcast(hub.withColumnRenamed("node", "u")), "u")
+            e.join(maybe_b(hub.withColumnRenamed("node", "u")), "u")
             .groupBy(F.col("v").alias("node"))
             .agg(_round_at(F.sum("score"), _ITER_DIGITS).alias("raw"))
         )
@@ -465,6 +478,7 @@ def adamic_adar(
     src: str = "src",
     dst: str = "dst",
     top_n: int = 20,
+    max_center_degree: int | None = None,
 ) -> DataFrame:
     """Adamic–Adar link prediction over an undirected graph: for every
     non-adjacent pair (u, v), score = sum over common neighbors w of
@@ -473,11 +487,15 @@ def adamic_adar(
 
     Distributed shape: canonicalize to distinct undirected edges, build
     the symmetric adjacency once, wedge-join it with itself on the
-    center w (the triangle-enumeration shape — Σ deg(w)² wedges; the
-    1/ln weight means hub centers contribute negligibly, and the same
-    degree-ordering cap as ``enumerate_triangles`` applies if a hub
-    blows the wedge count), broadcast-join the node-scale degree
-    table, anti-join the existing edge set, aggregate per pair.
+    center w (the triangle-enumeration shape — Σ deg(w)² wedges), join
+    the node-scale degree table, anti-join the existing edge set,
+    aggregate per pair. One hub center contributes deg(w)² wedges, so
+    a single celebrity node can blow the wedge stage:
+    ``max_center_degree`` (when set) drops wedge CENTERS above that
+    degree BEFORE the self-join — a lossy but standard cap (the
+    dropped centers' 1/ln(deg) terms are the smallest ones; e.g. cap
+    10_000 loses terms <= 1/ln(10^4) ≈ 0.109 each). Default ``None``
+    keeps the exact score (the oracle-gated form).
     Per-wedge terms are quantized at 1e-9 before the sum and the final
     score at 1e-6, so the top-N cut (score desc, u, v — ORDER BY +
     LIMIT, no window) is engine-identical.
@@ -495,8 +513,17 @@ def adamic_adar(
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
     # wedges u - w - v with u < v, weighted by the center's degree
-    left = sym.select(F.col("v").alias("w"), F.col("u").alias("a"))
-    right = sym.select(F.col("v").alias("w"), F.col("u").alias("b"))
+    adj = sym
+    if max_center_degree is not None:
+        ok = deg.where(F.col("deg") <= max_center_degree).select(
+            F.col("node").alias("v")
+        )
+        # drop over-cap CENTERS before the quadratic self-join (w is
+        # the adjacency row's v side); node-scale semi join, AQE picks
+        # broadcast when the survivor set is small
+        adj = sym.join(ok, "v", "left_semi")
+    left = adj.select(F.col("v").alias("w"), F.col("u").alias("a"))
+    right = adj.select(F.col("v").alias("w"), F.col("u").alias("b"))
     wedges = (
         left.join(right, "w")
         .where(F.col("a") < F.col("b"))

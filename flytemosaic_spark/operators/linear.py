@@ -176,11 +176,24 @@ def spearman_corr(
     (value, count) aggregate, rank2 = 2·cum_before + cnt + 1 via
     :func:`flytemosaic_spark.plans.prefix.distributed_cumsum` —
     value-cardinality state, never a single-partition window, the
-    roc_auc recipe. The rank tables join back by value (two equi
-    joins), then all five Pearson moments are exact
-    BIGINT/DECIMAL(38,0) sums and ρ is fixed arithmetic: engine- and
-    partitioning-exact at 1e-6 with zero float-summation order
-    sensitivity.
+    roc_auc recipe.
+
+    ONE data-scale pass: the raw rows are reduced to the JOINT
+    (x, y) → count aggregate first (one shuffle), localCheckpointed
+    (three downstream subplans read it — the x191 rule), and BOTH
+    marginal value tables, both rank joins, and the five Pearson
+    moments (count-weighted) run over that aggregate — never back to
+    raw rows. (The previous form joined each rank table back to the
+    full fact twice: 2 scans + 2 data-scale sort-merge joins; this is
+    1 scan + 1 shuffle + joins at joint-distinct scale, and AQE
+    broadcasts a low-cardinality side's rank table outright.)
+
+    Values are ranked AS-IS — any numeric type, no integer
+    quantization (fractional inputs rank by their true order; the
+    caller only needs integer units if IT wants engine-portable
+    grouping of floats). Moments are exact BIGINT/DECIMAL(38,0) sums,
+    ρ is fixed arithmetic: engine- and partitioning-exact at 1e-6
+    with zero float-summation order sensitivity.
 
     Returns one row: (n, rho).
     """
@@ -192,31 +205,46 @@ def spearman_corr(
     x = F.col(x_col) if isinstance(x_col, str) else x_col
     y = F.col(y_col) if isinstance(y_col, str) else y_col
     dec = "decimal(38,0)"
-    s = df.select(
-        x.cast("bigint").alias("_x"), y.cast("bigint").alias("_y")
+    j = (
+        df.select(x.alias("_x"), y.alias("_y"))
+        .groupBy("_x", "_y")
+        .agg(F.count("*").alias("_cnt"))
+        .cache()
     )
+    # ONE quantile job covers both columns' bucket boundaries
+    # (boundaries only steer window parallelism, any set is exact) AND
+    # doubles as the job that populates j's cache — the three
+    # downstream subplans (two marginals + the moment join) then read
+    # the materialized joint, the x191 share-don't-recompute rule
+    nb = n_buckets or df.sparkSession.sparkContext.defaultParallelism
+    probs = [i / nb for i in range(1, nb)]
+    qx, qy = j.approxQuantile(["_x", "_y"], probs, 0.01)
 
-    def rank2(col: str) -> DataFrame:
-        v = s.groupBy(col).agg(F.count("*").alias("_cnt"))
+    def rank2(col: str, bounds: list[float]) -> DataFrame:
+        # value-scale table, read twice downstream (the bucketed
+        # window and the offsets branch) — checkpoint it so neither
+        # re-runs the aggregate over j
+        v = j.groupBy(col).agg(F.sum("_cnt").alias("_c")).localCheckpoint()
         r = distributed_cumsum(
-            v, col, "_cnt", out_col="_cum", n_buckets=n_buckets
+            v, col, "_c", out_col="_cum", bounds=bounds
         )
         return r.select(
             col,
-            (2 * (F.col("_cum") - F.col("_cnt")) + F.col("_cnt") + 1).alias(
+            (2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1).alias(
                 f"_r2{col}"
             ),
         )
 
-    joined = s.join(rank2("_x"), "_x").join(rank2("_y"), "_y")
+    joined = j.join(rank2("_x", qx), "_x").join(rank2("_y", qy), "_y")
     a, b = F.col("_r2_x"), F.col("_r2_y")
+    c = F.col("_cnt").cast(dec)
     m = joined.groupBy().agg(
-        F.count("*").alias("_n"),
-        F.sum(a).alias("_sa"),
-        F.sum(b).alias("_sb"),
-        F.sum(a.cast(dec) * b.cast(dec)).alias("_sab"),
-        F.sum(a.cast(dec) * a.cast(dec)).alias("_saa"),
-        F.sum(b.cast(dec) * b.cast(dec)).alias("_sbb"),
+        F.coalesce(F.sum("_cnt"), F.lit(0)).alias("_n"),
+        F.sum(c * a.cast(dec)).alias("_sa"),
+        F.sum(c * b.cast(dec)).alias("_sb"),
+        F.sum(c * a.cast(dec) * b.cast(dec)).alias("_sab"),
+        F.sum(c * a.cast(dec) * a.cast(dec)).alias("_saa"),
+        F.sum(c * b.cast(dec) * b.cast(dec)).alias("_sbb"),
     )
     n = F.col("_n").cast(dec)
     num = n * F.col("_sab") - F.col("_sa").cast(dec) * F.col("_sb").cast(dec)

@@ -292,22 +292,35 @@ def kmv_set_similarity(
     makes every estimate engine-portable (the DuckDB oracle recomputes
     it bit-for-bit).
 
-    Scale shape: the sketches are bounded top-k aggregates (shuffle
-    carries <= k hashes per side); the exact twin is two distinct
-    aggregations — drop it (``with_exact=False``) when the point is to
-    NOT pay the exact cost. Output: one row.
+    Scale shape: truly bounded per-task state. The naive
+    ``collect_set`` over a whole side holds O(distinct values) in one
+    task's array — an OOM hazard at high cardinality — so the sketch
+    is built in two levels: (1) distinct (side, hash) pairs via a
+    partially-aggregated hash shuffle (spill-safe), (2) a
+    per-partition top-k over the distinct pairs (state bounded by one
+    partition, output <= k hashes per (side, partition)), (3) a merge
+    level that flattens <= k·n_partitions pre-sliced arrays and
+    re-slices to k. Because level (1) makes pairs globally unique, the
+    per-partition counts sum to the EXACT distinct count — no second
+    scan. The exact-intersection twin is two distinct aggregations —
+    drop it (``with_exact=False``) when the point is to NOT pay the
+    exact cost. Output: one row.
     """
     sides = df.select(
         F.col(side_col).alias("_s"), _h60(F.col(value_col)).alias("_h")
     ).where(F.col("_s").isin([side_a, side_b]))
-    per_side = (
-        sides.groupBy("_s")
-        .agg(F.collect_set("_h").alias("_hs"))
-        .select(
-            "_s",
-            F.slice(F.array_sort("_hs"), 1, k).alias("_mins"),
-            F.size("_hs").alias("_nd"),
-        )
+    dist = sides.distinct()
+    part = dist.groupBy("_s", F.spark_partition_id().alias("_p")).agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_pm"),
+        F.count("*").alias("_pn"),
+    )
+    per_side = part.groupBy("_s").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_pm")))),
+            1,
+            k,
+        ).alias("_mins"),
+        F.sum("_pn").alias("_nd"),
     )
     a = per_side.where(F.col("_s") == side_a).select(
         F.col("_mins").alias("_ma"), F.col("_nd").alias("_na")

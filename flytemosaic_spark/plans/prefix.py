@@ -122,14 +122,24 @@ def distributed_cumsum(
     out_col: str = "cumsum",
     n_buckets: int | None = None,
     tie_cols: tuple[str, ...] = (),
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Running sum of ``value_col`` in ``order_col`` order (ties broken
     by ``tie_cols``), computed with bounded per-task state at any input
-    size. ``order_col`` must be numeric (range-bucketable)."""
+    size. ``order_col`` must be numeric (range-bucketable).
+
+    ``bounds``: optional precomputed bucket boundaries (ascending
+    ``order_col`` split points). ANY boundary set yields the exact
+    same result — boundaries only steer parallelism — so a caller
+    that already has quantiles (e.g. one multi-column approxQuantile
+    over a shared upstream, the spearman pattern) can skip the
+    per-call approxQuantile job."""
     spark = df.sparkSession
-    n = n_buckets or spark.sparkContext.defaultParallelism
-    probs = [i / n for i in range(1, n)]
-    bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001)))
+    if bounds is None:
+        n = n_buckets or spark.sparkContext.defaultParallelism
+        probs = [i / n for i in range(1, n)]
+        bounds = df.approxQuantile(order_col, probs, 0.001)
+    bounds = sorted(set(bounds))
 
     order = [F.col(order_col), *[F.col(c) for c in tie_cols]]
     w_local = (

@@ -1749,9 +1749,12 @@ def x215_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
     "(2-rank, so tied halves stay integers) from each column's "
     "(value, count) aggregate via plans/prefix.py:distributed_cumsum "
     "(value-scale state, no single-partition window — the roc_auc "
-    "recipe; oracle's plain window is the semantic spec), two equi "
-    "joins back, five exact BIGINT/DECIMAL(38,0) Pearson moments, "
-    "rho fixed arithmetic",
+    "recipe; oracle's plain window is the semantic spec); ONE "
+    "data-scale pass: raw rows reduce to the checkpointed JOINT "
+    "(x, y, cnt) aggregate, rank tables join to THAT (joint-distinct "
+    "scale, AQE broadcasts the 50-value quantity side), five exact "
+    "count-weighted DECIMAL(38,0) Pearson moments, rho fixed "
+    "arithmetic",
 )
 def x216_spearman(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.linear import spearman_corr

@@ -12,6 +12,7 @@ import hashlib
 import math
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from flytemosaic_spark.operators.bayes import naive_bayes_confusion
@@ -362,6 +363,39 @@ class TestAdamicAdar:
 
         got = {(r.u, r.v) for r in adamic_adar(df, top_n=10).collect()}
         assert got == {(1, 4), (2, 4)}
+
+    def test_max_center_degree_drops_hub_wedges(self, spark):
+        # star: hub 0 adjacent to 1..5 (deg 5); every predicted pair
+        # routes through the hub, so capping centers at deg 4 leaves
+        # nothing, while the uncapped run predicts all C(5,2) pairs
+        df = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], "src long, dst long"
+        )
+        from flytemosaic_spark.operators.graph import adamic_adar
+
+        full = adamic_adar(df, top_n=100).collect()
+        assert len(full) == 10
+        capped = adamic_adar(df, top_n=100, max_center_degree=4).collect()
+        assert capped == []
+
+    def test_cap_above_max_degree_is_exact(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+        )
+        from flytemosaic_spark.operators.graph import adamic_adar
+
+        want = adamic_adar(df, top_n=10).collect()
+        got = adamic_adar(df, top_n=10, max_center_degree=1000).collect()
+        assert got == want
+
+
+class TestHitsGuards:
+    def test_zero_iterations_raises(self, spark):
+        from flytemosaic_spark.operators.graph import hits
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="iterations"):
+            hits(df, iterations=0)
 
 
 class TestPoissonBootstrap:

@@ -987,3 +987,24 @@ class TestSpearman:
         rows = [(x, 1000 - x) for x in range(100)]
         df = spark.createDataFrame(rows, "x long, y long")
         assert spearman_corr(df, "x", "y").collect()[0].rho == -1.0
+
+    def test_fractional_inputs_rank_exactly(self, spark):
+        # values in (0, 1): the old bigint quantization collapsed them
+        # all to 0 (rho degenerate); raw-value ranking must see the
+        # true monotone order -> rho == 1 even with sub-integer gaps
+        rows = [(i / 97.0, math.exp(i / 97.0)) for i in range(120)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        r = spearman_corr(df, "x", "y").collect()[0]
+        assert r.n == 120
+        assert r.rho == 1.0
+
+    def test_fractional_ties_midranked(self, spark):
+        # fractional duplicates must tie with each other but NOT with
+        # neighbors that a floor-to-int would have merged
+        rows = [(0.1, 1.0), (0.1, 2.0), (0.2, 3.0), (0.9, 4.0)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        ra = np.array([1.5, 1.5, 3.0, 4.0])
+        rb = np.array([1.0, 2.0, 3.0, 4.0])
+        want = np.corrcoef(ra, rb)[0, 1]
+        r = spearman_corr(df, "x", "y").collect()[0]
+        assert abs(r.rho - want) < 1e-6

@@ -229,6 +229,24 @@ class TestKmvSetSimilarity:
         assert row.jaccard_est == pytest.approx(10 / 30, abs=1e-6)
         assert row.union_est == pytest.approx(30.0)
 
+    def test_partitioning_invariant(self, spark):
+        # the bounded two-level sketch (per-partition top-k, then
+        # merge) must give the SAME minima and EXACT distinct counts
+        # at any physical partitioning — and duplicates must not
+        # inflate the distinct counts
+        rows = [(v % 700, "A") for v in range(2100)] + [
+            (v % 900, "B") for v in range(350, 2150)
+        ]
+        df = spark.createDataFrame(rows, "v long, s string")
+        one = kmv_set_similarity(
+            df.coalesce(1), "v", "s", "A", "B", k=128
+        ).collect()[0]
+        many = kmv_set_similarity(
+            df.repartition(13), "v", "s", "A", "B", k=128
+        ).collect()[0]
+        assert one == many
+        assert one.n_distinct_a == 700 and one.n_distinct_b == 900
+
 
 class TestMrrMap:
     def test_hand_ranked(self, spark):
