@@ -1,17 +1,20 @@
-"""TPC-H-derived query suite (17 queries), adapted to the driver's
+"""TPC-H-derived query suite (21 queries), adapted to the driver's
 reduced schema.
 
 The driver's testdata is a reduced TPC-H: no partsupp table, and the
 comment/address/phone/shipmode/commitdate columns are absent. The
 queries below keep each TPC-H query's *shape* (join graph, aggregate
-structure, subquery pattern) on the columns that exist; queries whose
-essence needs partsupp (Q2, Q11, Q16, Q20) or the shipmode/commitdate
-columns (Q12 — its entire point is the per-shipmode lateness split)
-are out of scope, and the rest are marked `_lite` where a predicate
-had to move to a surviving column (Q21's receipt-after-commit marker
-becomes l_returnflag = 'R', keeping its EXISTS/NOT EXISTS essence).
-That makes this suite maximal for the reduced schema: 17 of 22
-queries, the other 5 impossible rather than skipped.
+structure, subquery pattern) on the columns that exist, marked `_lite`
+where a predicate had to move to a surviving column (Q21's
+receipt-after-commit marker becomes l_returnflag = 'R', keeping its
+EXISTS/NOT EXISTS essence). The four partsupp queries (Q2, Q11, Q16,
+Q20) are adapted with LINEITEM as the part-supplier bridge — each
+keeps the decorrelation shape that is its optimizer point (correlated
+scalar-min; HAVING vs a global-total scalar subquery; NOT IN +
+count-distinct; nested semi whose inner HAVING holds a correlated
+scalar aggregate). Only Q12 stays out of scope (its entire point is
+the per-shipmode lateness split and shipmode/commitdate don't exist):
+21 of 22 queries, the last one impossible rather than skipped.
 
 Every probe here executes the SAME SQL text on both engines: the
 Spark side goes through the engine's SQL frontend
@@ -424,6 +427,122 @@ _tpch(
     "engine-identical",
 )
 
+
+_tpch(
+    "q02_min_cost_supplier",
+    """
+    SELECT DISTINCT p_partkey, p_name, s_name, n_name,
+           floor(s_acctbal * 100 + 0.5) / 100 AS s_acctbal,
+           floor(l_extendedprice * 100 + 0.5) / 100 AS best_price
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND p_size = 11
+      AND l_extendedprice = (
+          SELECT min(l2.l_extendedprice)
+          FROM lineitem l2
+          JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    "TPC-H Q2 shape (no partsupp -> lineitem is the part-supplier "
+    "bridge, min supply cost becomes min extended price in-region): "
+    "the CORRELATED SCALAR-MIN subquery — Catalyst decorrelates it "
+    "into a per-part min aggregate joined back on (p_partkey, price); "
+    "raw-double equality is engine-safe (same parquet doubles, no "
+    "arithmetic), display values rounded, full-key tiebreak on the "
+    "LIMIT",
+)
+
+_tpch(
+    "q11_important_parts",
+    """
+    SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+    GROUP BY l_partkey
+    HAVING sum(l_quantity) > (
+        SELECT CAST(2.0 AS DOUBLE) * sum(l_quantity)
+               / count(DISTINCT l_partkey)
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7')
+    )
+    ORDER BY total_qty DESC, l_partkey
+    """,
+    "TPC-H Q11 shape (stock value becomes shipped quantity): HAVING "
+    "against a GLOBAL-TOTAL scalar subquery — the classic "
+    "aggregate-vs-aggregate decorrelation; the cut is 2x the MEAN "
+    "per-part quantity, not TPC-H's fixed global fraction, so "
+    "selectivity survives scale-up (a fixed fraction returns 0 rows "
+    "at 10x the part count); quantity sums are integer-valued "
+    "doubles (exact in any order) and the threshold is one IEEE "
+    "multiply+divide, engine-deterministic with no rounding grain",
+)
+
+_tpch(
+    "q16_supplier_count_by_part",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_type NOT LIKE 'ECONOMY%'
+      AND p_size IN (2, 5, 11, 28, 37)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0 AS DOUBLE)
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 100
+    """,
+    "TPC-H Q16 shape (complaint suppliers become negative-balance "
+    "suppliers): NOT IN null-aware anti join + count(DISTINCT) per "
+    "(brand, type, size) — the distinct-agg-over-anti-join plan "
+    "nothing else in the registry exercises; s_suppkey is "
+    "non-nullable so the null-aware anti degenerates to a plain anti "
+    "hash join on both engines",
+)
+
+_tpch(
+    "q20_part_promotion_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+          SELECT l1.l_suppkey
+          FROM lineitem l1
+          WHERE l1.l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND l1.l_shipdate >= DATE '1997-01-01'
+            AND l1.l_shipdate < DATE '1998-01-01'
+          GROUP BY l1.l_suppkey, l1.l_partkey
+          HAVING sum(l1.l_quantity) > (
+              SELECT CAST(0.5 AS DOUBLE) * sum(l2.l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = l1.l_partkey
+                AND l2.l_shipdate >= DATE '1997-01-01'
+                AND l2.l_shipdate < DATE '1998-01-01')
+      )
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q20 shape (availqty > half-of-shipped becomes 'supplier "
+    "ships the majority of a red part's 1997 volume'): NESTED SEMI "
+    "over an aggregate whose HAVING holds a CORRELATED scalar "
+    "aggregate on the group key — Catalyst must decorrelate the inner "
+    "per-part total into a join under a semi under a semi, the "
+    "deepest rewrite in the suite; quantity sums exact, threshold one "
+    "IEEE multiply",
+)
 
 from pyspark.sql import functions as F  # noqa: E402
 
