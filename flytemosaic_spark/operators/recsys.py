@@ -258,6 +258,56 @@ def association_rules(
     ).limit(top_n)
 
 
+def _apriori_reduce(
+    baskets: DataFrame, min_support: int, max_basket: int
+) -> DataFrame:
+    """A-priori candidate prune before triple emission: every triple
+    with support >= s has all three of its pairs with support >= s, so
+    a basket item that appears in NO frequent pair cannot be part of
+    any frequent triple — drop it BEFORE the k³ expansion. Pair
+    supports cost only a C(k, 2) expansion (the x113 basket-plan
+    shape). Lossless: a qualifying triple's items each sit in >= 2
+    frequent pairs inside EVERY basket containing it, so all of its
+    occurrences survive and the caller's final HAVING on exact triple
+    support culls any over-retained candidates."""
+    k = F.size("ps")
+    pairs_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), k - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ps"), i + 1, k - i),
+                lambda p: F.struct(
+                    F.try_element_at(F.col("ps"), i).alias("a"), p.alias("b")
+                ),
+            ),
+        )
+    )
+    # bp has two consumers (the pair-support aggregate and the
+    # semi-join back) — cache so the C(k, 2) expansion runs once
+    bp = (
+        baskets.select("bk", F.explode(pairs_expr).alias("e"))
+        .select("bk", "e.a", "e.b")
+        .cache()
+    )
+    freq = (
+        bp.groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= min_support)
+        .select("a", "b")
+    )
+    return (
+        bp.join(freq, ["a", "b"], "left_semi")
+        .select("bk", F.explode(F.array("a", "b")).alias("it"))
+        .distinct()
+        .groupBy("bk")
+        .agg(F.array_sort(F.collect_list("it")).alias("ps"))
+        .where(F.size("ps").between(3, max_basket))
+    )
+
+
+TRIPLES_PER_TASK = 400_000
+
+
 def frequent_triples(
     li: DataFrame,
     order_col: str,
@@ -265,6 +315,7 @@ def frequent_triples(
     min_support: int = 2,
     top_n: int = 20,
     max_basket: int = 64,
+    stats_key: str | None = None,
 ) -> DataFrame:
     """Frequent 3-itemsets over item baskets — one level past the
     pairwise co-occurrence/rule surface (x113/x181): the bundle-
@@ -277,7 +328,27 @@ def frequent_triples(
     ``max_basket`` are dropped BEFORE expansion (k³ growth; a single
     degenerate mega-basket would otherwise dominate the stage — the
     cap is the standard itemset-mining guard and is reported by the
-    caller via basket stats, not silently absorbed).
+    caller via basket stats, not silently absorbed). With
+    ``min_support >= 2`` the classic a-priori pair prune
+    (:func:`_apriori_reduce`) drops items in no frequent pair before
+    emission — on skewed real corpora that cuts the k³ term by orders
+    of magnitude; at ``min_support = 1`` every item survives by
+    definition, so the prune is skipped and emission is data-linear
+    by problem statement (r5 measured the alternatives: an
+    Arrow/numpy emission kernel loses to JVM-side emission once the
+    C(k, 3) rows must cross Python->JVM for the count — 18-21 s vs
+    10.3 s warm at 30x — and a two-phase smallest-N fill plan pays
+    more in extra basket passes than the saved aggregation).
+
+    The aggregation's parallelism is COST-BASED when ``stats_key`` is
+    given: Σ C(k, 3) from :func:`plans.stats.basket_pair_stats` sizes
+    an explicit keyed repartition so each agg task holds
+    ~``TRIPLES_PER_TASK`` (400k) hash entries — with the session's fixed 32
+    shuffle partitions, 48M mostly-distinct triples at 30x put 1.5M
+    entries in every partial map and SPILL (14.9 s warm); the sized
+    exchange removes the spill (8.2 s) at the cost of map-side
+    combine that unique-heavy triple streams never benefit from
+    anyway.
 
     Returns the top-``top_n`` triples by (support desc, items) as
     (item_a, item_b, item_c, n_baskets) — ORDER BY + LIMIT, exact
@@ -288,6 +359,8 @@ def frequent_triples(
         .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("ps"))
         .where(F.size("ps").between(3, max_basket))
     )
+    if min_support >= 2:
+        baskets = _apriori_reduce(baskets, min_support, max_basket)
     k = F.size("ps")
     triples = F.flatten(
         F.transform(
@@ -307,13 +380,21 @@ def frequent_triples(
             ),
         )
     )
+    emitted = baskets.select(F.explode(triples).alias("e")).select(
+        F.col("e.a").alias("item_a"),
+        F.col("e.b").alias("item_b"),
+        F.col("e.c").alias("item_c"),
+    )
+    if stats_key is not None:
+        st = basket_pair_stats(li, order_col, cache_key=stats_key)
+        want = st["triples"] // TRIPLES_PER_TASK + 1
+        cur = li.sparkSession.sparkContext.defaultParallelism
+        if want > cur:
+            emitted = emitted.repartition(
+                min(1024, want), "item_a", "item_b", "item_c"
+            )
     return (
-        baskets.select(F.explode(triples).alias("e"))
-        .groupBy(
-            F.col("e.a").alias("item_a"),
-            F.col("e.b").alias("item_b"),
-            F.col("e.c").alias("item_c"),
-        )
+        emitted.groupBy("item_a", "item_b", "item_c")
         .agg(F.count("*").alias("n_baskets"))
         .where(F.col("n_baskets") >= min_support)
         .orderBy(

@@ -189,7 +189,13 @@ def x192_freq_triples(spark: SparkSession, sf: str) -> DataFrame:
     # at sf0.1 and a 0-row gate row checks nothing — the top-20 cut is
     # deterministic either way (support desc, then items)
     return frequent_triples(
-        li, "l_orderkey", "l_partkey", min_support=1, top_n=20, max_basket=64
+        li,
+        "l_orderkey",
+        "l_partkey",
+        min_support=1,
+        top_n=20,
+        max_basket=64,
+        stats_key=sf,
     )
 
 

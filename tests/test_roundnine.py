@@ -206,6 +206,25 @@ class TestFrequentTriples:
         # mega-basket dropped before expansion: only the small pair survives
         assert got == [(1, 2, 3, 2)]
 
+    def test_apriori_prune_lossless(self, spark):
+        # denser fixture + higher support so the pair prune genuinely
+        # removes items, then the result must still match brute force
+        rng = np.random.default_rng(11)
+        baskets = {
+            bk: [int(rng.integers(0, 8)) for _ in range(int(rng.integers(3, 7)))]
+            for bk in range(120)
+        }
+        rows = [(bk, it) for bk, items in baskets.items() for it in items]
+        df = spark.createDataFrame(rows, "o long, i long")
+        for s in (2, 3, 5):
+            got = [
+                (r.item_a, r.item_b, r.item_c, r.n_baskets)
+                for r in frequent_triples(
+                    df, "o", "i", min_support=s, top_n=50, max_basket=64
+                ).collect()
+            ]
+            assert got == self._reference(baskets, s, 50, 64), s
+
 
 class TestLDiversity:
     def test_hand_fixture(self, spark):
