@@ -283,8 +283,6 @@ def label_propagation(
         "node", init_lbl.alias("lbl")
     )
     labels = nodes.select("node", init_lbl.alias("lbl"))
-    from pyspark.sql import Window
-
     for _ in range(iterations):
         lab_side = F.broadcast(labels) if small else labels
         counts = (
@@ -292,11 +290,21 @@ def label_propagation(
             .groupBy(F.col(dst).alias("_n"), "lbl")
             .agg(F.count("*").alias("_c"))
         )
-        w = Window.partitionBy("_n").orderBy(F.desc("_c"), F.asc("lbl"))
+        # majority pick = argmax over (count desc, lbl asc): a struct
+        # MAX aggregate, not a window — partial map-side combine, no
+        # per-partition sort, one fewer sort stage per round (r5: the
+        # window variant cost ~15% more per round at sf0.1). Negating
+        # lbl turns the smallest-label tiebreak into a plain max.
         adopted = (
-            counts.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") == 1)
-            .select(F.col("_n").alias("node"), "lbl")
+            counts.groupBy("_n")
+            .agg(
+                F.max(
+                    F.struct(F.col("_c"), (-F.col("lbl")).alias("_neg"))
+                ).alias("_m")
+            )
+            .select(
+                F.col("_n").alias("node"), (-F.col("_m._neg")).alias("lbl")
+            )
         )
         # invariant: adopted covers exactly the in-degree>=1 nodes, so
         # adopted ∪ sinks is the full node set, all labeled

@@ -2,15 +2,17 @@
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side plumbing is fully real — schema, partitioning, UDF
-signatures, Arrow batch shapes — while the codec layer is stubbed
-behind a deterministic fake format (the container has no image/audio
-libraries; a real deployment swaps ``_decode_payload`` for
-PIL/ffmpeg/torchaudio and nothing else changes).
+signatures, Arrow batch shapes — and the codec layer (r5) now has
+REAL tiers next to the deterministic fake: PNG decodes via PIL when
+importable, else a built-in stdlib-zlib decoder (all five scanline
+unfilters, 8-bit gray/GA/RGB/RGBA); WAV decodes via the stdlib
+``wave`` module (16-bit PCM, multichannel downmix). Formats that
+genuinely need an external library (JPEG/MP4/MP3/FLAC) raise
+NotImplementedError naming the swap point — that part of the seam is
+honest, not hidden.
 
 Fake payload format (deterministic from media_id):
     b"FAKE" | width:int32 | height:int32 | channels:uint8 | pixels...
-Anything not starting with b"FAKE" raises NotImplementedError from the
-decode stub — the clearly-marked seam for real codecs.
 """
 
 from __future__ import annotations
@@ -35,18 +37,143 @@ def _fake_payload(media_id: int, width: int, height: int, channels: int) -> byte
     return _MAGIC + struct.pack("<iiB", width, height, channels) + pixels.tobytes()
 
 
-def _decode_payload(payload: bytes) -> np.ndarray:
-    """THE CODEC SEAM. Real formats (JPEG/PNG/WAV/MP4) belong here via
-    PIL / ffmpeg; this container has none, so only the deterministic
-    FAKE container is supported."""
-    if not payload.startswith(_MAGIC):
-        raise NotImplementedError(
-            "real media codecs are stubbed in this environment; "
-            "payload must use the deterministic FAKE container"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> channel count (8-bit, non-interlaced support)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decoder — pure stdlib zlib + numpy, no image library
+    needed: chunk walk, concatenated-IDAT inflate, and all five
+    scanline unfilters (None/Sub/Up/Average/Paeth) per the PNG spec.
+    Supports 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced —
+    the overwhelmingly common lossless case; everything else raises
+    with the exact unsupported feature named."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in _PNG_CHANNELS or ilace != 0:
+                raise NotImplementedError(
+                    f"PNG feature unsupported by the built-in decoder: "
+                    f"depth={depth} color={color} interlace={ilace} "
+                    "(install PIL for full coverage)"
+                )
+            meta = (w, h, _PNG_CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, ch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                upleft = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    return out.reshape(h, w, ch)
+
+
+def _encode_png(arr: np.ndarray) -> bytes:
+    """Minimal spec-valid PNG encoder (filter 0 rows) for round-trip
+    tests and for producing portable sink payloads without PIL."""
+    import zlib
+
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
-    width, height, channels = struct.unpack_from("<iiB", payload, 4)
-    pixels = np.frombuffer(payload, dtype=np.uint8, offset=4 + 9)
-    return pixels.reshape(height, width, channels)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    body = b"".join(
+        b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_payload(payload: bytes) -> np.ndarray:
+    """THE CODEC SEAM — now three tiers:
+
+    1. deterministic FAKE container (synthetic tests);
+    2. REAL PNG: PIL when importable (full format coverage), else the
+       built-in stdlib-zlib decoder (:func:`_decode_png` — 8-bit
+       gray/GA/RGB/RGBA, all five unfilters), so PNG round-trips work
+       even in this no-image-library sandbox;
+    3. anything else (JPEG/MP4/...) raises NotImplementedError naming
+       the swap point (PIL/ffmpeg).
+    """
+    if payload.startswith(_MAGIC):
+        width, height, channels = struct.unpack_from("<iiB", payload, 4)
+        pixels = np.frombuffer(payload, dtype=np.uint8, offset=4 + 9)
+        return pixels.reshape(height, width, channels)
+    if payload.startswith(_PNG_MAGIC):
+        try:
+            import io
+
+            from PIL import Image  # noqa: F401 — optional full decoder
+        except ImportError:
+            return _decode_png(payload)
+        a = np.asarray(Image.open(io.BytesIO(payload)))
+        return a.reshape(a.shape[0], a.shape[1], -1)
+    raise NotImplementedError(
+        "codec not available: payload is neither the FAKE container nor "
+        "PNG; JPEG/MP4/... need PIL or ffmpeg at this seam"
+    )
 
 
 def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
@@ -238,16 +365,44 @@ def _fake_audio_payload(media_id: int, n_frames: int = 50, frame: int = 400) -> 
 
 
 def _decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
-    """THE AUDIO CODEC SEAM (WAV/MP3/FLAC go here via soundfile or
-    ffmpeg in a real deployment)."""
-    if not payload.startswith(_AUDIO_MAGIC):
-        raise NotImplementedError(
-            "real audio codecs are stubbed in this environment; "
-            "payload must use the deterministic FAKS container"
+    """THE AUDIO CODEC SEAM — two REAL tiers plus the fake:
+
+    1. deterministic FAKS container (synthetic tests);
+    2. REAL RIFF/WAVE PCM via the stdlib ``wave`` module (16-bit mono
+       or interleaved-averaged-to-mono) — no external library needed;
+    3. MP3/FLAC/... raise NotImplementedError naming the swap point
+       (soundfile/ffmpeg).
+    """
+    if payload.startswith(_AUDIO_MAGIC):
+        rate, n = struct.unpack_from("<ii", payload, 4)
+        samples = np.frombuffer(
+            payload, dtype=np.int16, offset=4 + 8, count=n
         )
-    rate, n = struct.unpack_from("<ii", payload, 4)
-    samples = np.frombuffer(payload, dtype=np.int16, offset=4 + 8, count=n)
-    return rate, samples
+        return rate, samples
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError(
+                    f"WAV sample width {w.getsampwidth()} unsupported "
+                    "(16-bit PCM only)"
+                )
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            frames = np.frombuffer(
+                w.readframes(w.getnframes()), dtype=np.int16
+            )
+        if nch > 1:  # downmix: average channels, keep int16
+            frames = (
+                frames.reshape(-1, nch).mean(axis=1).astype(np.int16)
+            )
+        return rate, frames
+    raise NotImplementedError(
+        "codec not available: payload is neither the FAKS container nor "
+        "RIFF/WAVE; MP3/FLAC/... need soundfile or ffmpeg at this seam"
+    )
 
 
 def synthesize_audio(spark: SparkSession, n: int = 32) -> DataFrame:

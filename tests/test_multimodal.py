@@ -131,3 +131,181 @@ def test_audio_vad_rejects_unknown_container(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|stubbed"):
         frame_energy_vad(bad).collect()
+
+
+class TestRealPngCodec:
+    def _roundtrip(self, arr):
+        from flytemosaic_spark.operators.multimodal import (
+            _decode_png,
+            _encode_png,
+        )
+
+        return _decode_png(_encode_png(arr))
+
+    def test_roundtrip_all_color_types(self):
+        rng = np.random.default_rng(3)
+        for ch in (1, 2, 3, 4):
+            arr = rng.integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+            assert np.array_equal(self._roundtrip(arr), arr), ch
+
+    def test_all_five_unfilters(self):
+        # hand-build a PNG whose rows use filters 0..4 and check the
+        # decoder against an independent reference (filters applied
+        # forward here, decoder must invert them)
+        import struct
+        import zlib
+
+        from flytemosaic_spark.operators.multimodal import (
+            _decode_png,
+            _paeth,
+        )
+
+        rng = np.random.default_rng(9)
+        h, w, ch = 5, 7, 3
+        img = rng.integers(0, 256, size=(h, w * ch), dtype=np.int64)
+        body = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int64)
+        for y in range(h):
+            ft = y % 5
+            body.append(ft)
+            row = img[y]
+            enc = np.zeros(w * ch, dtype=np.int64)
+            for i in range(w * ch):
+                left = row[i - ch] if i >= ch else 0
+                upleft = prev[i - ch] if i >= ch else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = left
+                elif ft == 2:
+                    pred = prev[i]
+                elif ft == 3:
+                    pred = (left + prev[i]) // 2
+                else:
+                    pred = _paeth(int(left), int(prev[i]), int(upleft))
+                enc[i] = (row[i] - pred) % 256
+            body.extend(int(v) for v in enc)
+            prev = row
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(body)))
+            + chunk(b"IEND", b"")
+        )
+        got = _decode_png(png)
+        assert np.array_equal(got, img.reshape(h, w, ch).astype(np.uint8))
+
+    def test_decode_payload_routes_png(self):
+        rng = np.random.default_rng(5)
+        from flytemosaic_spark.operators.multimodal import _encode_png
+
+        arr = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+        assert np.array_equal(_decode_payload(_encode_png(arr)), arr)
+
+    def test_unsupported_png_depth_raises(self):
+        import struct
+        import zlib
+
+        from flytemosaic_spark.operators.multimodal import _decode_png
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        png16 = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match="depth=16"):
+            _decode_png(png16)
+
+    def test_decode_stats_over_png_payloads(self, spark):
+        # the decode/feature pipeline runs unchanged on REAL payloads
+        import pandas as pd  # noqa: F401
+
+        from flytemosaic_spark.operators.multimodal import _encode_png
+
+        rng = np.random.default_rng(7)
+        rows = []
+        arrs = {}
+        for i in range(6):
+            arr = rng.integers(0, 256, size=(10 + i, 12, 3), dtype=np.uint8)
+            arrs[i] = arr
+            rows.append((i, "image", bytearray(_encode_png(arr)), 12, 10 + i, None, None))
+        from flytemosaic_spark.schemas import MEDIA
+
+        media = spark.createDataFrame(rows, MEDIA)
+        got = {r.media_id: r for r in decode_stats(media).collect()}
+        for i, arr in arrs.items():
+            assert got[i].height == arr.shape[0]
+            assert got[i].width == arr.shape[1]
+
+
+class TestRealWavCodec:
+    def _wav_bytes(self, samples, rate=16000, nch=1):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(samples.astype(np.int16).tobytes())
+        return buf.getvalue()
+
+    def test_wav_roundtrip(self):
+        from flytemosaic_spark.operators.multimodal import _decode_audio
+
+        rng = np.random.default_rng(4)
+        s = rng.integers(-30000, 30000, size=4000).astype(np.int16)
+        rate, got = _decode_audio(self._wav_bytes(s))
+        assert rate == 16000 and np.array_equal(got, s)
+
+    def test_wav_stereo_downmix(self):
+        from flytemosaic_spark.operators.multimodal import _decode_audio
+
+        left = np.full(100, 1000, dtype=np.int16)
+        right = np.full(100, 3000, dtype=np.int16)
+        inter = np.empty(200, dtype=np.int16)
+        inter[0::2], inter[1::2] = left, right
+        rate, got = _decode_audio(self._wav_bytes(inter, nch=2))
+        assert np.array_equal(got, np.full(100, 2000, dtype=np.int16))
+
+    def test_vad_over_real_wav_matches_faks_twin(self, spark):
+        # identical PCM through the FAKS container and a REAL WAV file
+        # must give identical VAD rows
+        from flytemosaic_spark.operators.multimodal import (
+            _fake_audio_payload,
+            frame_energy_vad,
+        )
+
+        fake = _fake_audio_payload(7)
+        samples = np.frombuffer(fake[12:], dtype=np.int16)  # 4B magic + 2x int32
+        df = spark.createDataFrame(
+            [(0, bytearray(fake)), (1, bytearray(self._wav_bytes(samples)))],
+            "media_id long, payload binary",
+        )
+        out = {r.media_id: r for r in frame_energy_vad(df).collect()}
+        a, b = out[0], out[1]
+        assert (a.n_frames, a.n_voiced, a.longest_voiced_run) == (
+            b.n_frames,
+            b.n_voiced,
+            b.longest_voiced_run,
+        )
+        assert a.sample_rate == b.sample_rate == 16000
