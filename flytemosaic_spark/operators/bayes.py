@@ -60,6 +60,10 @@ def naive_bayes_confusion(
         "_is_test",
         hash_bucket(F.concat(F.lit(seed_tag + ":"), F.col("_key"))) < F.lit(thr),
     )
+    # NOT checkpointed deliberately: four subplans re-derive the folds,
+    # but each is a cheap columnar scan + md5 — materializing a
+    # fact-scale copy would trade cheap re-scans for data-scale
+    # storage (measured neutral at sf0.1, r5)
     train = base.where(~F.col("_is_test"))
     test = base.where(F.col("_is_test"))
 

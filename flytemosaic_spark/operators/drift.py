@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from flytemosaic_spark.operators.text import portable_round
 from flytemosaic_spark.plans.prefix import (
     distributed_cumsum,
-    distributed_row_number,
 )
 
 
@@ -56,11 +55,10 @@ def ks_two_sample(
         F.sum((F.col("_s") == side_a).cast("bigint")).alias("_na"),
         F.sum((F.col("_s") == side_b).cast("bigint")).alias("_nb"),
     )
+    # both ECDFs in ONE bucketed pass (r5 — was two nested
+    # decompositions, each with its own quantile probe and window)
     cum = distributed_cumsum(
-        distributed_cumsum(per_value, "v", "_na", "_ca"),
-        "v",
-        "_nb",
-        "_cb",
+        per_value, "v", ["_na", "_nb"], out_col=["_ca", "_cb"]
     )
     totals = per_value.agg(
         F.sum("_na").alias("n_a"), F.sum("_nb").alias("n_b")
@@ -178,9 +176,11 @@ def sprt_bernoulli(
 
     Batch-replay shape: cumulative successes and trial counts in
     ``order_col`` (arrival) order come from
-    :func:`flytemosaic_spark.plans.prefix.distributed_cumsum` /
-    ``distributed_row_number`` — bounded per-task state at any stream
-    length; the crossing is a 1-row min aggregate joined back to read
+    ONE multi-value pass of
+    :func:`flytemosaic_spark.plans.prefix.distributed_cumsum`
+    (cumulative successes and cumulative ones — ``order_col`` is
+    unique by contract, so the ones-cumsum IS the row number) —
+    bounded per-task state at any stream length; the crossing is a 1-row min aggregate joined back to read
     off the stopping state.
 
     Determinism: the LLR is s_t * L1 + (n_t - s_t) * L0 with L1/L0
@@ -203,16 +203,24 @@ def sprt_bernoulli(
     base = df.select(
         F.col(order_col).cast("bigint").alias("_t"),
         success.cast("bigint").alias("_x"),
+        F.lit(1).cast("bigint").alias("_1"),
     )
-    cum = distributed_cumsum(base, "_t", "_x", out_col="_s")
-    cum = distributed_row_number(cum, ("_t",), out_col="_n").select(
+    # ONE bucketed pass for both running sums (successes + trial
+    # count; _t is unique-by-contract so cumsum of ones == row
+    # number), then checkpoint: three subplans read `cum` (the
+    # crossing min, the last-row max, the readout filter) and would
+    # otherwise re-execute the full decomposition each — the x191
+    # share-don't-recompute rule (r5: 5.1 s -> 2.2 s hot at sf0.1)
+    cum = distributed_cumsum(
+        base, "_t", ["_x", "_1"], out_col=["_s", "_n"]
+    ).select(
         "_t",
         "_n",
         "_s",
         (
             F.col("_s") * F.lit(l1) + (F.col("_n") - F.col("_s")) * F.lit(l0)
         ).alias("_llr"),
-    )
+    ).localCheckpoint()
     stop = cum.where(
         (F.col("_llr") >= F.lit(upper)) | (F.col("_llr") <= F.lit(lower))
     ).groupBy().agg(F.min("_n").alias("_n_stop"))

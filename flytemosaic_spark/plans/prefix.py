@@ -118,8 +118,8 @@ def ntile_from_rn(rn: Column, n_rows: Column, n_tiles: int) -> Column:
 def distributed_cumsum(
     df: DataFrame,
     order_col: str,
-    value_col: str,
-    out_col: str = "cumsum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cumsum",
     n_buckets: int | None = None,
     tie_cols: tuple[str, ...] = (),
     bounds: list[float] | None = None,
@@ -128,6 +128,12 @@ def distributed_cumsum(
     by ``tie_cols``), computed with bounded per-task state at any input
     size. ``order_col`` must be numeric (range-bucketable).
 
+    ``value_col``/``out_col`` accept parallel LISTS to compute several
+    running sums in ONE bucketed pass (one window, one offsets
+    broadcast) — a caller needing both a cumulative metric and a
+    cumulative count (the SPRT shape) pays one decomposition instead
+    of two.
+
     ``bounds``: optional precomputed bucket boundaries (ascending
     ``order_col`` split points). ANY boundary set yields the exact
     same result — boundaries only steer parallelism — so a caller
@@ -135,6 +141,10 @@ def distributed_cumsum(
     over a shared upstream, the spearman pattern) can skip the
     per-call approxQuantile job."""
     spark = df.sparkSession
+    vals = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vals) != len(outs):
+        raise ValueError("value_col and out_col lists must align")
     if bounds is None:
         n = n_buckets or spark.sparkContext.defaultParallelism
         probs = [i / n for i in range(1, n)]
@@ -147,23 +157,27 @@ def distributed_cumsum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = df.withColumn("_bucket", _bucket_expr(order_col, bounds)).withColumn(
-        "_local", F.sum(value_col).over(w_local)
-    )
+    local = df.withColumn("_bucket", _bucket_expr(order_col, bounds))
+    for i, v in enumerate(vals):
+        local = local.withColumn(f"_local{i}", F.sum(v).over(w_local))
     # exclusive cumsum over the per-bucket totals: n rows, driver scale
     w_off = bounded_window("_bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = (
-        local.groupBy("_bucket")
-        .agg(F.sum(value_col).alias("_t"))
-        .select(
-            "_bucket",
-            F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"),
-        )
+    offsets = local.groupBy("_bucket").agg(
+        *[F.sum(v).alias(f"_t{i}") for i, v in enumerate(vals)]
     )
-    return (
-        local.join(F.broadcast(offsets), "_bucket")
-        .withColumn(out_col, F.col("_local") + F.col("_off"))
-        .drop("_bucket", "_local", "_off")
+    offsets = offsets.select(
+        "_bucket",
+        *[
+            F.coalesce(F.sum(f"_t{i}").over(w_off), F.lit(0)).alias(f"_off{i}")
+            for i in range(len(vals))
+        ],
     )
+    res = local.join(F.broadcast(offsets), "_bucket")
+    for i, oc in enumerate(outs):
+        res = res.withColumn(oc, F.col(f"_local{i}") + F.col(f"_off{i}"))
+    drop = ["_bucket"] + [f"_local{i}" for i in range(len(vals))] + [
+        f"_off{i}" for i in range(len(vals))
+    ]
+    return res.drop(*drop)

@@ -265,10 +265,17 @@ def x109_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
 @probe(
     "x124_knn_accuracy",
     sql="""
-        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
-                          label AS true_label
-                   FROM embeddings
-                   WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '4000'),
+        WITH th AS (
+            SELECT CAST(floor((250 * 65536 + count(*) - 1)
+                              / CAST(count(*) AS DOUBLE)) AS BIGINT) AS tt
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+                     label AS true_label
+              FROM embeddings CROSS JOIN th
+              WHERE tt >= 65536
+                 OR substr(md5('knn:' || CAST(vec_id AS VARCHAR)), 1, 4)
+                    < printf('%04x', tt)),
         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
                      label FROM embeddings),
         scored AS (
@@ -306,21 +313,20 @@ def x109_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     "with (count desc, label) tie-break, integer correct-counts, one "
     "final division — the intrinsic-quality readout for an embedding "
     "column before it is trusted for near-dup or retrieval work. "
-    "Queries are a deterministic ~25% md5 sample of the corpus (the "
-    "curation-split recipe), so eval cost is O(sample x corpus), not "
-    "corpus². The sample here is a RATE, so the broadcast query side "
-    "still grows with the corpus — at 100 TB tighten the md5 prefix "
-    "cut to a FIXED sample budget (e.g. '0040' ≈ 0.1%) so the "
-    "broadcast side stays bounded; the cut is the only knob",
+    "Queries are a FIXED-BUDGET deterministic md5 sample (~250 — "
+    "r5: was a 25% RATE whose broadcast side grew with the corpus; "
+    "the 16-bit threshold now derives in-plan from the exact count "
+    "via sampling.py:fixed_budget_sample, so eval cost is "
+    "O(budget x corpus) and the broadcast query side is bounded at "
+    "ANY corpus size, the x191 recipe)",
 )
 def x124_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.sampling import fixed_budget_sample
     from flytemosaic_spark.operators.similarity import brute_force_topk
 
     emb = T(spark, sf, "embeddings")
     labels = emb.select("vec_id", "label")
-    queries = emb.where(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4) < "4000"
-    )
+    queries = fixed_budget_sample(emb, "vec_id", 250, seed_tag="knn")
     topk = brute_force_topk(corpus=emb, queries=queries, k=5)
     votes = (
         topk.join(

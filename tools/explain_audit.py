@@ -86,10 +86,9 @@ CROSS_OK = {
     # (constant n_planes rows) — linear in corpus, constant broadcast
     "x111_acf",
     "x115_random_projection",
-    # query-sample broadcast: the md5 sample is a RATE (~25%), so the
-    # broadcast side grows with the corpus — acceptable at gate scale;
-    # at 100 TB the prefix cut must tighten to a fixed sample budget
-    # (the probe note states the knob)
+    # query-sample broadcast: FIXED-budget md5 sample (~250 rows via
+    # fixed_budget_sample, r5) — the broadcast side is bounded at any
+    # corpus size
     "x124_knn_accuracy",
     # 1-row global-count crossJoin feeding the ntile closed form
     "x68_value_deciles",

@@ -93,7 +93,12 @@ PROBES = [
     "x181_assoc_rules",  # cost-based selfjoin <-> basket rule mining
     "x182_hits",  # iterative normalize (localCheckpoint rounds)
     "x183_conformal",  # order-statistic qhat via distributed rank
-    "x185_sprt",  # prefix cumsum stopping-time scan
+    "x185_sprt",  # one multi-value prefix-cumsum pass + checkpointed readout
+    "x190_acf",  # constant lag grid over day-scale series
+    "x191_theil_sen",  # fixed-budget sampled pair slopes
+    "x192_freq_triples",  # stats-sized triple aggregation exchange
+    "x216_spearman",  # joint-aggregate midrank correlation
+    "q20_part_promotion_suppliers",  # nested semi + correlated scalar agg
 ]
 
 
