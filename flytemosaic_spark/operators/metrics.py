@@ -741,3 +741,99 @@ def brown_forsythe(
         F.col("_nn").cast("bigint").alias("n"),
         portable_round(f_stat, 6).alias("f_stat"),
     )
+
+
+def isotonic_fit(
+    scored: DataFrame,
+    score_col,
+    label_col,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Weighted isotonic regression of an integer-valued label against
+    a score on a QUANTIZED score axis — the monotone calibration curve
+    (Zadrozny & Elkan 2002's isotonic calibration; the
+    sklearn-IsotonicRegression readout a model-eval pipeline runs
+    before trusting probabilities).
+
+    Exact via the minimax characterization: with buckets i ordered by
+    quantized score, fitted[i] = max_{j<=i} min_{k>=i} wavg(y, j..k).
+    The score axis is quantized to round(score * n_buckets) — a
+    PROVABLY bounded axis (<= n_buckets+1 observed buckets for scores
+    in [0, 1]), so the O(B²) (j, k) grid is constant-size regardless
+    of data scale: ONE data-scale aggregation reduces the input to
+    (bucket, w, s), prefix sums run on :func:`plans.prefix.
+    bounded_window` (the sanctioned bounded-axis window), the grid is
+    a bounded crossJoin (<= B² ~ 1e6 cells), the inner min is a
+    per-j suffix-min window (partitions <= B), and the outer max is a
+    plain groupBy — no iteration, no driver-side PAVA stack.
+
+    Determinism: w and s are exact integer sums, every grid average is
+    one division of exact integers, and min/max over identical IEEE
+    doubles is engine-identical — the only rounding is the final 1e-6
+    output grain. Equivalent to sequential PAVA (equivalence-tested
+    against a numpy pool-adjacent-violators reference).
+
+    Returns (bucket, score_mid, n, rate, iso_rate) ordered by bucket:
+    ``iso_rate`` is non-decreasing in ``bucket``.
+    """
+    from flytemosaic_spark.plans.prefix import bounded_window
+
+    s_col = F.col(score_col) if isinstance(score_col, str) else score_col
+    y_col = F.col(label_col) if isinstance(label_col, str) else label_col
+    b = F.floor(s_col * F.lit(float(n_buckets)) + F.lit(0.5)).cast("bigint")
+    agg = scored.groupBy(b.alias("b")).agg(
+        F.count("*").alias("w"), F.sum(y_col.cast("bigint")).alias("s")
+    )
+    from pyspark.sql.window import Window as _W
+
+    # (cumulative minus own) = exclusive prefix, so a(j, k) needs only
+    # each endpoint row's cumulatives
+    wcum = bounded_window("b").rowsBetween(_W.unboundedPreceding, 0)
+    c = agg.select(
+        "b",
+        "w",
+        "s",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("s").over(wcum).alias("cs"),
+    )
+    j = c.select(
+        F.col("b").alias("bj"),
+        (F.col("cw") - F.col("w")).alias("cwx"),
+        (F.col("cs") - F.col("s")).alias("csx"),
+    )
+    k = c.select(
+        F.col("b").alias("bk"), F.col("cw").alias("cwk"), F.col("cs").alias("csk")
+    )
+    grid = j.join(k, F.col("bj") <= F.col("bk")).select(
+        "bj",
+        "bk",
+        (
+            (F.col("csk") - F.col("csx"))
+            / (F.col("cwk") - F.col("cwx")).cast("double")
+        ).alias("a"),
+    )
+    w_suf = (
+        _W.partitionBy("bj")
+        .orderBy(F.desc("bk"))
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    fit = (
+        grid.select("bj", "bk", F.min("a").over(w_suf).alias("m"))
+        .groupBy(F.col("bk").alias("b"))
+        .agg(F.max("m").alias("_iso"))
+    )
+    return (
+        agg.join(fit, "b")
+        .select(
+            F.col("b").alias("bucket"),
+            portable_round(F.col("b") / F.lit(float(n_buckets)), 6).alias(
+                "score_mid"
+            ),
+            F.col("w").alias("n"),
+            portable_round(
+                F.col("s") / F.col("w").cast("double"), 6
+            ).alias("rate"),
+            portable_round(F.col("_iso"), 6).alias("iso_rate"),
+        )
+        .orderBy("bucket")
+    )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flytemosaic_spark.operators.text import portable_round
+
 HEX_BUCKETS = 1 << 16  # 4 hex chars -> 65536 uniform buckets
 
 
@@ -291,4 +293,60 @@ def fixed_budget_sample(
         )
         .drop("_fbs_tt")
         .localCheckpoint()
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    category_col,
+    slice_col,
+    source_val,
+    target_val,
+    alpha: float = 1.0,
+    clip: float = 10.0,
+) -> DataFrame:
+    """Per-category density-ratio importance weights for covariate-shift
+    reweighting (Shimodaira 2000; the dataset-curation knob that makes
+    a source corpus LOOK like a target distribution without resampling
+    it): weight(c) = p_target(c) / p_source(c) with Laplace smoothing
+    alpha on both sides and symmetric clipping to [1/clip, clip] (the
+    standard variance guard — an unseen-in-source category would
+    otherwise get an unbounded weight).
+
+    Exact shape: one (category, slice) partial-aggregating shuffle
+    builds both histograms; totals and the category count K are 1-row
+    aggregates broadcast back; the smoothed ratio
+    ((n_t + a) / (N_t + aK)) / ((n_s + a) / (N_s + aK)) is fixed
+    arithmetic over exact integers, so the output is engine-identical
+    at the 1e-6 grain. Category-scale output.
+
+    Returns (category, n_source, n_target, weight) — weight already
+    clipped; downstream either multiplies per-example losses or feeds
+    :func:`weighted_sample`.
+    """
+    c_col = F.col(category_col) if isinstance(category_col, str) else category_col
+    s_col = F.col(slice_col) if isinstance(slice_col, str) else slice_col
+    base = df.select(
+        c_col.alias("_c"), s_col.alias("_s")
+    ).where(F.col("_s").isin([source_val, target_val]))
+    hist = base.groupBy("_c").agg(
+        F.sum((F.col("_s") == source_val).cast("bigint")).alias("n_source"),
+        F.sum((F.col("_s") == target_val).cast("bigint")).alias("n_target"),
+    )
+    tot = hist.groupBy().agg(
+        F.sum("n_source").alias("_ns"),
+        F.sum("n_target").alias("_nt"),
+        F.count("*").alias("_k"),
+    )
+    a = F.lit(float(alpha))
+    p_t = (F.col("n_target") + a) / (F.col("_nt") + a * F.col("_k"))
+    p_s = (F.col("n_source") + a) / (F.col("_ns") + a * F.col("_k"))
+    w = F.least(
+        F.greatest(p_t / p_s, F.lit(1.0 / float(clip))), F.lit(float(clip))
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        F.col("_c").alias("category"),
+        "n_source",
+        "n_target",
+        portable_round(w, 6).alias("weight"),
     )

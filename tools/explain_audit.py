@@ -164,6 +164,12 @@ CROSS_OK = {
     "x167_benford_test",
     # 1-row (total, n_cust) crossJoin into the ranked customer table
     "x169_pareto_report",
+    # bounded isotonic minimax grid: both crossJoin sides are the
+    # quantized score-bucket table (<= n_buckets+1 rows by
+    # construction), so the O(B^2) grid is constant-size at any data
+    # scale; 1-row totals crossJoin in the importance-weight twin
+    "x217_isotonic_calibration",
+    "x218_importance_weights",
 }
 
 # probes where a Window with an empty partition spec is acceptable —
