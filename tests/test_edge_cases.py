@@ -5,6 +5,8 @@ empty groups are routine at scale."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flytemosaic_spark.operators.fuzzy import blocked_fuzzy_pairs
@@ -280,3 +282,74 @@ def test_gini_rank_weighted_sum_past_int64(spark):
         ).alias("g")
     ).first()
     assert got.g / 1e6 == want
+
+
+def test_spearman_degenerate_inputs(spark):
+    from flytemosaic_spark.operators.linear import spearman_corr
+
+    # constant column -> zero variance -> rho NULL (try_divide), n exact
+    df = spark.createDataFrame([(1.0, float(i)) for i in range(10)], "x double, y double")
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r.n == 10 and r.rho is None
+    # single row -> both variances zero
+    one = spark.createDataFrame([(3.0, 4.0)], "x double, y double")
+    r1 = spearman_corr(one, "x", "y").collect()[0]
+    assert r1.n == 1 and r1.rho is None
+    # empty input -> n = 0, rho NULL
+    empty = spark.createDataFrame([], "x double, y double")
+    r0 = spearman_corr(empty, "x", "y").collect()[0]
+    assert r0.n == 0 and r0.rho is None
+
+
+def test_isotonic_single_bucket_and_empty(spark):
+    from flytemosaic_spark.operators.metrics import isotonic_fit
+
+    one = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1)], "score double, label int"
+    )
+    got = isotonic_fit(one, "score", "label", n_buckets=10).collect()
+    assert len(got) == 1
+    assert got[0].iso_rate == pytest.approx(2 / 3, abs=1e-6)
+    assert got[0].rate == got[0].iso_rate
+    empty = spark.createDataFrame([], "score double, label int")
+    assert isotonic_fit(empty, "score", "label").collect() == []
+
+
+def test_frequent_triples_empty_and_all_small_baskets(spark):
+    from flytemosaic_spark.operators.recsys import frequent_triples
+
+    # all baskets below the 3-item floor -> no triples, any min_support
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "o long, i long"
+    )
+    assert frequent_triples(df, "o", "i", min_support=1).collect() == []
+    assert frequent_triples(df, "o", "i", min_support=2).collect() == []
+    empty = spark.createDataFrame([], "o long, i long")
+    assert frequent_triples(empty, "o", "i", min_support=2).collect() == []
+
+
+def test_kmv_one_side_empty(spark):
+    from flytemosaic_spark.operators.sketch import kmv_set_similarity
+
+    df = spark.createDataFrame(
+        [(v, "A") for v in range(50)], "v long, s string"
+    )
+    # side B has no rows: the A/B crossJoin is empty -> no estimate row
+    assert kmv_set_similarity(df, "v", "s", "A", "B", k=16).collect() == []
+
+
+def test_importance_weights_missing_slice(spark):
+    from flytemosaic_spark.operators.sampling import importance_weights
+
+    df = spark.createDataFrame(
+        [("a", "S")] * 5 + [("b", "S")] * 5, "c string, s string"
+    )
+    got = {
+        r.category: r
+        for r in importance_weights(df, "c", "s", "S", "T").collect()
+    }
+    # no target rows at all: every smoothed ratio collapses to the
+    # same prior-over-prior value, clipped within bounds
+    assert set(got) == {"a", "b"}
+    for r in got.values():
+        assert r.n_target == 0 and 0.1 <= r.weight <= 10.0

@@ -146,3 +146,43 @@ def test_ntile_closed_form_fewer_rows_than_tiles(spark):
         ).collect()
     )
     assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_multi_value_cumsum_equals_two_single_passes(spark):
+    import numpy as np
+
+    from flytemosaic_spark.plans.prefix import distributed_cumsum
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (int(t), int(rng.integers(0, 100)), int(rng.integers(-50, 50)))
+        for t in rng.permutation(5000)
+    ]
+    df = spark.createDataFrame(rows, "t long, a long, b long")
+    multi = {
+        r.t: (r.ca, r.cb)
+        for r in distributed_cumsum(
+            df, "t", ["a", "b"], out_col=["ca", "cb"]
+        ).collect()
+    }
+    sa = {
+        r.t: r.ca
+        for r in distributed_cumsum(df, "t", "a", out_col="ca").collect()
+    }
+    sb = {
+        r.t: r.cb
+        for r in distributed_cumsum(df, "t", "b", out_col="cb").collect()
+    }
+    assert len(multi) == 5000
+    for t, (ca, cb) in multi.items():
+        assert (ca, cb) == (sa[t], sb[t])
+
+
+def test_multi_value_cumsum_mismatched_lists_raise(spark):
+    import pytest
+
+    from flytemosaic_spark.plans.prefix import distributed_cumsum
+
+    df = spark.createDataFrame([(1, 2)], "t long, a long")
+    with pytest.raises(ValueError, match="align"):
+        distributed_cumsum(df, "t", ["a"], out_col=["x", "y"])
