@@ -258,3 +258,73 @@ def spearman_corr(
         F.col("_n").cast("bigint").alias("n"),
         portable_round(rho, 6).alias("rho"),
     )
+
+
+def quantile_reg_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    tau: float = 0.5,
+    lr: float = 0.05,
+    iterations: int = 3,
+) -> DataFrame:
+    """Full-batch subgradient descent for LINEAR QUANTILE regression
+    (pinball / check loss, Koenker & Bassett 1978) — the robust
+    regression twin of :func:`logreg_train_gd`: predicts the
+    conditional ``tau``-quantile instead of the mean, immune to label
+    outliers, the p50/p90-SLO model a pipeline-health dashboard fits.
+
+    Subgradient per row: d rho_tau(y - z) / dz = (1 - tau) when
+    z >= y else -tau (the z == y tie resolved to the right branch as
+    a FIXED convention — a comparison of identical IEEE doubles, so
+    every engine picks the same branch). Per-row gradient
+    contributions quantize to integer nano-units before the sum
+    (order-independent), weights round at 1e-9 per step — the whole
+    trajectory replays bit-identically (same recipe as x136, which
+    the DuckDB oracle unrolls step by step).
+
+    Each step = one scan of the cached feature table + one 1-row
+    aggregate; the corpus never moves, weights are the only
+    cross-step state. Returns ONE row: n, one ``w_<col>`` per
+    feature, ``w_bias``.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    names = list(feature_cols) + ["_bias"]
+    feats = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.lit(1.0).alias("_bias"),
+        F.col(label_col).cast("double").alias("_y"),
+    ).cache()
+    weights = {c: 0.0 for c in names}
+    n = None
+    for _ in range(iterations):
+        z = None
+        for c in names:
+            term = F.lit(weights[c]) * F.col(c)
+            z = term if z is None else z + term
+        g = F.when(z >= F.col("_y"), F.lit(1.0 - tau)).otherwise(
+            F.lit(-tau)
+        )
+        aggs = [F.count("*").alias("_n")] + [
+            F.sum(
+                F.floor(g * F.col(c) * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+            ).alias(f"_g_{c}")
+            for c in names
+        ]
+        row = feats.agg(*aggs).first()
+        n = row["_n"]
+        for c in names:
+            # float(g) first — replays SQL's CAST(g AS DOUBLE)/1e9
+            step = lr * ((float(row[f"_g_{c}"]) / 1e9) / n)
+            w = weights[c] - step
+            weights[c] = math.floor(w * 1e9 + 0.5) / 1e9
+    feats.unpersist()
+    spark = df.sparkSession
+    out_cols = [F.lit(n).cast("bigint").alias("n")] + [
+        F.lit(weights[c]).alias(f"w_{c}" if c != "_bias" else "w_bias")
+        for c in names
+    ]
+    return spark.range(1).select(*out_cols)

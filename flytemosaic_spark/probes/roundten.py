@@ -140,3 +140,80 @@ def x218_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
         alpha=1.0,
         clip=10.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# x219 — quantile (pinball) linear regression, unrolled subgradient GD
+# ---------------------------------------------------------------------------
+
+_QR_FEATS = """
+            SELECT CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+                        THEN 1.0 ELSE 0.0 END AS urgent,
+                   1.0 AS _bias,
+                   o_totalprice / 1000000.0 AS y
+            FROM orders"""
+
+# one subgradient step at tau = 0.5: g = 0.5 if z >= y else -0.5,
+# per-row contributions quantized to integer nano-units before the
+# sum; new weight = round9(w - lr * ((g/1e9)/n)), lr = 0.2
+_QR_STEP = """
+        g{k} AS (
+            SELECT count(*) AS n,
+                   sum(CAST(floor(g * urgent * 1e9 + 0.5) AS BIGINT)) AS g1,
+                   sum(CAST(floor(g * _bias * 1e9 + 0.5) AS BIGINT)) AS g2
+            FROM (
+                SELECT urgent, _bias,
+                       CASE WHEN z >= y THEN 0.5 ELSE -0.5 END AS g
+                FROM (SELECT d.*, wp.w1 * urgent + wp.w2 * _bias AS z
+                      FROM d CROSS JOIN w{p} wp)
+            )
+        ),
+        w{k} AS (
+            SELECT floor((wp.w1 - 0.2 * ((CAST(g1 AS DOUBLE) / 1e9) / gg.n))
+                         * 1e9 + 0.5) / 1e9 AS w1,
+                   floor((wp.w2 - 0.2 * ((CAST(g2 AS DOUBLE) / 1e9) / gg.n))
+                         * 1e9 + 0.5) / 1e9 AS w2,
+                   gg.n AS n
+            FROM g{k} gg CROSS JOIN w{p} wp
+        )"""
+
+
+@probe(
+    "x219_quantile_reg",
+    sql="WITH d AS ("
+    + _QR_FEATS
+    + """),
+        w0 AS (SELECT 0.0 AS w1, 0.0 AS w2),"""
+    + _QR_STEP.format(k=1, p=0)
+    + ","
+    + _QR_STEP.format(k=2, p=1)
+    + ","
+    + _QR_STEP.format(k=3, p=2)
+    + """
+        SELECT n, w1 AS w_urgent, w2 AS w_bias FROM w3
+    """,
+    note="in-engine QUANTILE regression training "
+    "(operators/linear.py:quantile_reg_gd — Koenker & Bassett pinball "
+    "loss, tau=0.5): 3 full-batch subgradient steps toward the "
+    "conditional median of order value given urgency — the robust/"
+    "SLO-model twin of x136's mean-style trainer. The subgradient is "
+    "a BRANCH on z >= y (identical IEEE doubles both engines, z==y "
+    "tie fixed to the right branch), per-row contributions quantize "
+    "to integer nano-units before the sum, weights round at 1e-9 per "
+    "step — the trajectory replays bit-identically and the oracle "
+    "unrolls the same three steps. Each step = one scan of the "
+    "cached feature table + one 1-row aggregate; corpus never moves",
+)
+def x219_quantile_reg(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.linear import quantile_reg_gd
+
+    d = T(spark, sf, "orders").select(
+        F.substring("o_orderpriority", 1, 1)
+        .isin("1", "2")
+        .cast("double")
+        .alias("urgent"),
+        (F.col("o_totalprice") / F.lit(1000000.0)).alias("y"),
+    )
+    return quantile_reg_gd(
+        d, ["urgent"], label_col="y", tau=0.5, lr=0.2, iterations=3
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from flytemosaic_spark.operators.linear import quantile_reg_gd
 from flytemosaic_spark.operators.metrics import isotonic_fit
 from flytemosaic_spark.operators.sampling import importance_weights
 
@@ -127,3 +128,61 @@ class TestImportanceWeights:
         wx = got["x"].n_source * got["x"].weight
         wy = got["y"].n_source * got["y"].weight
         assert wy / (wx + wy) == pytest.approx(0.7, abs=0.03)
+
+
+class TestQuantileRegGd:
+    def _replay(self, rows, feats, tau, lr, iters):
+        import math
+
+        names = feats + ["_bias"]
+        data = [tuple(r) + (1.0,) for r in rows]  # append bias
+        w = {c: 0.0 for c in names}
+        idx = {c: i for i, c in enumerate(feats)}
+        n = len(rows)
+        for _ in range(iters):
+            g = {c: 0 for c in names}
+            for r in data:
+                y = r[len(feats)]
+                z = sum(
+                    w[c] * (r[idx[c]] if c in idx else 1.0) for c in names
+                )
+                gr = (1.0 - tau) if z >= y else -tau
+                for c in names:
+                    x = r[idx[c]] if c in idx else 1.0
+                    g[c] += math.floor(gr * x * 1e9 + 0.5)
+            for c in names:
+                step = lr * ((float(g[c]) / 1e9) / n)
+                w[c] = math.floor((w[c] - step) * 1e9 + 0.5) / 1e9
+        return w, n
+
+    def test_matches_python_replay(self, spark):
+        import numpy as np
+
+        from flytemosaic_spark.operators.linear import quantile_reg_gd
+
+        rng = np.random.default_rng(23)
+        rows = [
+            (float(rng.integers(0, 2)), float(rng.gamma(2.0, 0.2)))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "x double, y double")
+        r = quantile_reg_gd(
+            df, ["x"], label_col="y", tau=0.9, lr=0.1, iterations=4
+        ).collect()[0]
+        w, n = self._replay(rows, ["x"], 0.9, 0.1, 4)
+        assert r.n == n
+        assert r.w_x == w["x"] and r.w_bias == w["_bias"]
+
+    def test_moves_toward_quantile(self, spark):
+        # constant features, many iterations: the bias should head
+        # toward the tau-quantile of y (subgradient flips sign there)
+        ys = [float(v) for v in range(1, 101)]  # median 50.5
+        df = spark.createDataFrame([(y,) for y in ys], "y double")
+        lo = quantile_reg_gd(
+            df, [], label_col="y", tau=0.5, lr=20.0, iterations=40
+        ).collect()[0]
+        assert 40 <= lo.w_bias <= 61  # converges near the median
+        hi = quantile_reg_gd(
+            df, [], label_col="y", tau=0.9, lr=20.0, iterations=40
+        ).collect()[0]
+        assert hi.w_bias > lo.w_bias  # higher quantile -> higher fit
