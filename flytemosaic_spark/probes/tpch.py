@@ -629,3 +629,97 @@ def q21b_waiting_suppliers_agg(spark, sf):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
+
+
+_Q02_SQL = """
+    SELECT DISTINCT p_partkey, p_name, s_name, n_name,
+           floor(s_acctbal * 100 + 0.5) / 100 AS s_acctbal,
+           floor(l_extendedprice * 100 + 0.5) / 100 AS best_price
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND p_size = 11
+      AND l_extendedprice = (
+          SELECT min(l2.l_extendedprice)
+          FROM lineitem l2
+          JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+@probe(
+    "q02b_min_cost_supplier_agg",
+    sql=_Q02_SQL,
+    note="q02's SCALE-PATH twin (same oracle, hand-reformulated plan "
+    "— the q21b pattern): prune the fact by BOTH selective dimensions "
+    "FIRST (broadcast semi of size-11 parts AND in-region suppliers — "
+    "the first draft that aggregated mins over ALL parts measured 10x "
+    "WORSE than Catalyst at x10, because Catalyst pushes the part "
+    "filter below its decorrelated scalar-min; lesson recorded), then "
+    "ONE partial-aggregating min per surviving part over the pruned "
+    "slice, join back on (partkey, price). The pruned slice is built "
+    "once and read twice — both reads are broadcast-join chains off "
+    "the same scan, no fact shuffle until the tiny (partkey, price) "
+    "refine; full-key tiebreak on the LIMIT",
+)
+def q02b_min_cost_supplier_agg(spark, sf):
+    sup_region = (
+        _T(spark, sf, "supplier")
+        .join(
+            _T(spark, sf, "nation").join(
+                _T(spark, sf, "region").where(F.col("r_name") == "EUROPE"),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        _T(spark, sf, "part")
+        .where(F.col("p_size") == 11)
+        .select("p_partkey", "p_name")
+    )
+    li = _T(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    # prune the fact by BOTH selective dims before any aggregation:
+    # ~(1/50 parts) x (1/5 regions) of lineitem survives
+    sliced = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(sup_region), F.col("l_suppkey") == F.col("s_suppkey"))
+    min_price = sliced.groupBy(
+        F.col("l_partkey").alias("_mk")
+    ).agg(F.min("l_extendedprice").alias("_minp"))
+    r100 = F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)) / 100
+    p100 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) / 100
+    return (
+        sliced.join(
+            min_price,
+            (F.col("l_partkey") == F.col("_mk"))
+            & (F.col("l_extendedprice") == F.col("_minp")),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            r100.alias("s_acctbal"),
+            p100.alias("best_price"),
+        )
+        .distinct()
+        .orderBy(
+            F.desc("s_acctbal"),
+            F.asc("n_name"),
+            F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
