@@ -1,4 +1,5 @@
-"""TPC-H-derived query suite (21 queries), adapted to the driver's
+"""TPC-H-derived query suite (21 of the 22 queries, plus two
+hand-reformulated scale twins q21b/q02b), adapted to the driver's
 reduced schema.
 
 The driver's testdata is a reduced TPC-H: no partsupp table, and the
