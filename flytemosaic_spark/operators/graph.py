@@ -241,9 +241,9 @@ def label_propagation(
     label table (broadcast under ``_BROADCAST_NODE_LIMIT``, else the
     edges are pre-partitioned on src once and only labels shuffle),
     one hash aggregation on (dst, lbl) — partial map-side combine
-    bounds it — one per-node window whose partition size is at most
-    the number of distinct labels (<= init_mod), never the degree,
-    and a union with the static zero-in-degree label table.
+    bounds it — one struct-MAX argmax aggregation per node (never a
+    window, never the degree), and a union with the static
+    zero-in-degree label table.
 
     The edge and sink caches intentionally outlive this call: the
     returned DataFrame is lazy and references them once per iteration
@@ -292,8 +292,9 @@ def label_propagation(
         )
         # majority pick = argmax over (count desc, lbl asc): a struct
         # MAX aggregate, not a window — partial map-side combine, no
-        # per-partition sort, one fewer sort stage per round (r5: the
-        # window variant cost ~15% more per round at sf0.1). Negating
+        # per-partition sort, one fewer sort stage per round (measured
+        # neutral at sf0.1 where |labels| <= init_mod bounds the window
+        # partitions; the win is the deleted sort at scale). Negating
         # lbl turns the smallest-label tiebreak into a plain max.
         adopted = (
             counts.groupBy("_n")
