@@ -170,9 +170,13 @@ def _decode_payload(payload: bytes) -> np.ndarray:
             return _decode_png(payload)
         a = np.asarray(Image.open(io.BytesIO(payload)))
         return a.reshape(a.shape[0], a.shape[1], -1)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from flytemosaic_spark.sources.geotiff import decode_geotiff
+
+        return decode_geotiff(payload)[0]
     raise NotImplementedError(
-        "codec not available: payload is neither the FAKE container nor "
-        "PNG; JPEG/MP4/... need PIL or ffmpeg at this seam"
+        "codec not available: payload is not the FAKE container, PNG, or "
+        "TIFF/GeoTIFF; JPEG/MP4/... need PIL or ffmpeg at this seam"
     )
 
 

@@ -92,9 +92,18 @@ def build_mosaic(
     window_days: int = 365,
     skip_existing: bool = False,
     resample_factor: int = 1,
+    scene_reader=None,
 ) -> dict:
     """Run the full §3.1 lifecycle into ``store_path``. Returns the
     store layout (shape/chunks/tile origins/time order) for readers.
+
+    ``scene_reader`` is the COG seam made injectable: a callable
+    ``(tile_id, period, n_bands, tile_px) -> np.ndarray`` run INSIDE
+    each fused task (default: the deterministic synthetic source). A
+    real deployment passes a reader that fetches + decodes the scene
+    COG — ``sources/geotiff.decode_geotiff`` handles the
+    tiled-DEFLATE baseline without GDAL, and the pipeline test proves
+    the kernel is bit-identical over real GeoTIFF payloads.
 
     The store is (time, band, y, x): value bands only (QA consumed by
     the composite), chunks = one tile slab — tile-aligned writes are
@@ -205,6 +214,8 @@ def build_mosaic(
     level = (meta.get("compressor") or {}).get("level")
     stats_schema = "tile_id string, time timestamp, n_chunks int"
 
+    reader = scene_reader or synthetic_scene
+
     def load_composite_write(pdf: pd.DataFrame) -> pd.DataFrame:
         tile = pdf["tile_id"].iloc[0]
         time = pdf["time"].iloc[0]
@@ -218,7 +229,7 @@ def build_mosaic(
             acc = np.zeros((n_bands - 1, tile_px, tile_px), "f8")
             cnt = np.zeros((tile_px, tile_px), "i4")
             for p in pdf["period"]:
-                s = synthetic_scene(tile, int(p), n_bands, tile_px)
+                s = reader(tile, int(p), n_bands, tile_px)
                 ok = s[n_bands - 1] == QA_CLEAR
                 np.add(acc, s[: n_bands - 1], out=acc, where=ok[None, :, :])
                 cnt += ok
@@ -228,7 +239,7 @@ def build_mosaic(
         else:
             stack = np.stack(
                 [
-                    synthetic_scene(tile, int(p), n_bands, tile_px)
+                    reader(tile, int(p), n_bands, tile_px)
                     for p in pdf["period"]
                 ]
             )

@@ -1,0 +1,316 @@
+"""Minimal REAL GeoTIFF codec — pure stdlib (struct + zlib) + numpy.
+
+The reference reads scene COGs and writes feature GeoTIFFs through
+GDAL (reference flytemosaic/datasets/utils.py:123-126,
+flytemosaic/datasets/glad.py:140-151). This container has no GDAL, so
+this module implements the TIFF 6.0 baseline subset that covers the
+reference's actual files — tiled or stripped, DEFLATE-compressed or
+raw, 8/16/32-bit integer and 32/64-bit float samples, horizontal-
+differencing predictor, chunky multi-band, GeoTIFF ModelPixelScale +
+ModelTiepoint georeferencing — so the raster seams (`pipeline.py`
+stage 2, `operators/multimodal.py`) can decode REAL payloads
+end-to-end in this sandbox. Formats beyond the subset (BigTIFF, LZW/
+JPEG compression, planar configuration 2) raise NotImplementedError
+naming the feature, same honesty contract as the other codec tiers.
+
+Decode supports both byte orders; encode emits little-endian with a
+single IFD. Everything is byte-deterministic — the encoder is a
+valid test oracle for the decoder and vice versa.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# tag ids (TIFF 6.0 + GeoTIFF)
+_T_WIDTH = 256
+_T_LENGTH = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_STRIP_OFFSETS = 273
+_T_SPP = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+_T_PREDICTOR = 317
+_T_TILE_W = 322
+_T_TILE_L = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
+_T_SAMPLE_FORMAT = 339
+_T_PIXEL_SCALE = 33550
+_T_TIEPOINT = 33922
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+# (bits, sample_format) -> numpy dtype char
+_DTYPES = {
+    (8, 1): "u1",
+    (16, 1): "u2",
+    (32, 1): "u4",
+    (8, 2): "i1",
+    (16, 2): "i2",
+    (32, 2): "i4",
+    (32, 3): "f4",
+    (64, 3): "f8",
+}
+_FMT_OF_KIND = {"u": 1, "i": 2, "f": 3}
+
+
+def _read_ifd(buf: bytes, bo: str, off: int) -> dict[int, list]:
+    (n,) = struct.unpack_from(bo + "H", buf, off)
+    tags: dict[int, list] = {}
+    for i in range(n):
+        e = off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, e)
+        if typ not in _TYPE_SIZES:
+            continue  # unknown value type: skip the tag, per spec
+        size = _TYPE_SIZES[typ] * cnt
+        voff = e + 8 if size <= 4 else struct.unpack_from(bo + "I", buf, e + 8)[0]
+        if typ == 5:  # RATIONAL: pairs of uint32
+            vals = [
+                a / b if b else float("nan")
+                for a, b in struct.iter_unpack(
+                    bo + "II", buf[voff : voff + size]
+                )
+            ]
+        elif typ == 2:  # ASCII
+            vals = [buf[voff : voff + cnt].rstrip(b"\0").decode("latin-1")]
+        else:
+            vals = list(
+                struct.unpack_from(bo + str(cnt) + _TYPE_FMT[typ], buf, voff)
+            )
+        tags[tag] = vals
+    return tags
+
+
+def _undiff(block: np.ndarray) -> np.ndarray:
+    """Invert predictor 2 (horizontal differencing) along the row axis
+    with the spec's modulo-2^bits wraparound — accumulate in the
+    same-width unsigned view so overflow wraps exactly."""
+    if block.dtype.kind == "f":
+        raise NotImplementedError("predictor 2 on float samples")
+    u = block.view(f"u{block.dtype.itemsize}")
+    np.add.accumulate(u, axis=1, out=u)
+    return block
+
+
+def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a baseline(-subset) TIFF/GeoTIFF into
+    ``(array[H, W, bands], meta)``. ``meta`` carries ``pixel_scale``
+    (3 doubles) and ``tiepoint`` (6 doubles) when the GeoTIFF tags are
+    present, plus ``transform`` = (x0, dx, y0, dy) derived from them
+    (north-up affine, the reference's COG case)."""
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    elif payload[:4] in (b"II+\x00", b"MM\x00+"):
+        raise NotImplementedError("BigTIFF")
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    t = _read_ifd(payload, bo, ifd_off)
+
+    w, h = int(t[_T_WIDTH][0]), int(t[_T_LENGTH][0])
+    spp = int(t.get(_T_SPP, [1])[0])
+    bits = t.get(_T_BITS, [8])
+    fmt = t.get(_T_SAMPLE_FORMAT, [1] * spp)
+    if len(set(bits)) != 1 or len(set(fmt)) != 1:
+        raise NotImplementedError("mixed per-band sample types")
+    key = (int(bits[0]), int(fmt[0]))
+    if key not in _DTYPES:
+        raise NotImplementedError(f"sample type bits={key[0]} format={key[1]}")
+    dt = np.dtype(bo + _DTYPES[key])
+    comp = int(t.get(_T_COMPRESSION, [1])[0])
+    if comp not in (1, 8, 32946):  # none / zlib ("Adobe") / old deflate
+        raise NotImplementedError(
+            f"TIFF compression {comp} (only none/deflate; LZW/JPEG need GDAL)"
+        )
+    if int(t.get(_T_PLANAR, [1])[0]) != 1:
+        raise NotImplementedError("planar configuration 2")
+    pred = int(t.get(_T_PREDICTOR, [1])[0])
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred}")
+
+    def blocks(offsets, counts):
+        for o, c in zip(offsets, counts):
+            raw = payload[int(o) : int(o) + int(c)]
+            yield zlib.decompress(raw) if comp != 1 else raw
+
+    out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
+    if _T_TILE_OFFSETS in t:
+        tw, tl = int(t[_T_TILE_W][0]), int(t[_T_TILE_L][0])
+        across = (w + tw - 1) // tw
+        for i, data in enumerate(
+            blocks(t[_T_TILE_OFFSETS], t[_T_TILE_COUNTS])
+        ):
+            tile = np.frombuffer(data, dtype=dt).reshape(tl, tw, spp)
+            if pred == 2:
+                tile = _undiff(tile.copy().reshape(tl, tw * spp)).reshape(
+                    tl, tw, spp
+                )
+            ty, tx = (i // across) * tl, (i % across) * tw
+            ey, ex = min(tl, h - ty), min(tw, w - tx)
+            out[ty : ty + ey, tx : tx + ex] = tile[:ey, :ex]
+    else:
+        rps = int(t.get(_T_ROWS_PER_STRIP, [h])[0])
+        y = 0
+        for data in blocks(t[_T_STRIP_OFFSETS], t[_T_STRIP_COUNTS]):
+            rows = min(rps, h - y)
+            strip = np.frombuffer(data, dtype=dt).reshape(rows, w, spp)
+            if pred == 2:
+                strip = _undiff(
+                    strip.copy().reshape(rows, w * spp)
+                ).reshape(rows, w, spp)
+            out[y : y + rows] = strip
+            y += rows
+
+    meta: dict = {}
+    if _T_PIXEL_SCALE in t:
+        meta["pixel_scale"] = tuple(t[_T_PIXEL_SCALE])
+    if _T_TIEPOINT in t:
+        meta["tiepoint"] = tuple(t[_T_TIEPOINT])
+    if "pixel_scale" in meta and "tiepoint" in meta:
+        sx, sy = meta["pixel_scale"][0], meta["pixel_scale"][1]
+        i, j, _, x, y_, _ = meta["tiepoint"][:6]
+        # north-up affine: x = x0 + col*dx, y = y0 - row*dy
+        meta["transform"] = (x - i * sx, sx, y_ + j * sy, -sy)
+    return out, meta
+
+
+def encode_geotiff(
+    arr: np.ndarray,
+    tile: int | None = 256,
+    compress: bool = True,
+    predictor: bool = False,
+    pixel_scale: tuple[float, float, float] | None = None,
+    tiepoint: tuple[float, ...] | None = None,
+) -> bytes:
+    """Encode ``arr`` ((H, W) or (H, W, bands), supported dtype) as a
+    little-endian tiled (or single-strip when ``tile=None``) TIFF.
+    ``tile`` is rounded up to the spec's multiple of 16; edge tiles
+    are zero-padded exactly like GDAL writes them. ``predictor``
+    enables horizontal differencing (integer dtypes only — the COG
+    default for integer imagery). GeoTIFF georeferencing goes in via
+    ``pixel_scale`` (sx, sy, sz) + ``tiepoint`` (i, j, k, x, y, z)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, spp = arr.shape
+    kind, bits = arr.dtype.kind, arr.dtype.itemsize * 8
+    if kind not in _FMT_OF_KIND or (bits, _FMT_OF_KIND[kind]) not in _DTYPES:
+        raise NotImplementedError(f"dtype {arr.dtype} not encodable")
+    if predictor and kind == "f":
+        raise NotImplementedError("predictor 2 on float samples")
+    a = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
+
+    def diff(block2d: np.ndarray) -> np.ndarray:
+        u = block2d.view(f"u{block2d.dtype.itemsize}").copy()
+        u[:, 1:] = u[:, 1:] - u[:, :-1]
+        return u.view(block2d.dtype)
+
+    chunks: list[bytes] = []
+    if tile is not None:
+        tw = tl = max(16, ((tile + 15) // 16) * 16)
+        for ty in range(0, h, tl):
+            for tx in range(0, w, tw):
+                block = np.zeros((tl, tw, spp), dtype=a.dtype)
+                ey, ex = min(tl, h - ty), min(tw, w - tx)
+                block[:ey, :ex] = a[ty : ty + ey, tx : tx + ex]
+                flat = block.reshape(tl, tw * spp)
+                if predictor:
+                    flat = diff(flat)
+                raw = flat.tobytes()
+                chunks.append(zlib.compress(raw) if compress else raw)
+    else:
+        flat = a.reshape(h, w * spp)
+        if predictor:
+            flat = diff(flat)
+        raw = flat.tobytes()
+        chunks.append(zlib.compress(raw) if compress else raw)
+
+    entries: list[tuple[int, int, list]] = [
+        (_T_WIDTH, 4, [w]),
+        (_T_LENGTH, 4, [h]),
+        (_T_BITS, 3, [bits] * spp),
+        (_T_COMPRESSION, 3, [8 if compress else 1]),
+        (_T_SPP, 3, [spp]),
+        (_T_PLANAR, 3, [1]),
+        (_T_SAMPLE_FORMAT, 3, [_FMT_OF_KIND[kind]] * spp),
+    ]
+    if predictor:
+        entries.append((_T_PREDICTOR, 3, [2]))
+    if tile is not None:
+        entries += [
+            (_T_TILE_W, 3, [tw]),
+            (_T_TILE_L, 3, [tl]),
+            (_T_TILE_OFFSETS, 4, [0] * len(chunks)),  # patched below
+            (_T_TILE_COUNTS, 4, [len(c) for c in chunks]),
+        ]
+    else:
+        entries += [
+            (_T_STRIP_OFFSETS, 4, [0]),
+            (_T_ROWS_PER_STRIP, 4, [h]),
+            (_T_STRIP_COUNTS, 4, [len(chunks[0])]),
+        ]
+    if pixel_scale is not None:
+        entries.append((_T_PIXEL_SCALE, 12, list(pixel_scale)))
+    if tiepoint is not None:
+        entries.append((_T_TIEPOINT, 12, list(tiepoint)))
+    entries.sort(key=lambda e: e[0])
+
+    # layout: header(8) | IFD | external values | pixel chunks
+    ifd_off = 8
+    ifd_size = 2 + len(entries) * 12 + 4
+    ext_off = ifd_off + ifd_size
+    ext = bytearray()
+    fields = []
+    for tag, typ, vals in entries:
+        size = _TYPE_SIZES[typ] * len(vals)
+        if size <= 4:
+            packed = struct.pack(
+                "<" + str(len(vals)) + _TYPE_FMT[typ], *vals
+            ).ljust(4, b"\0")
+            fields.append((tag, typ, len(vals), packed, None))
+        else:
+            fields.append((tag, typ, len(vals), None, ext_off + len(ext)))
+            ext.extend(
+                struct.pack("<" + str(len(vals)) + _TYPE_FMT[typ], *vals)
+            )
+    data_off = ext_off + len(ext)
+    offsets = []
+    pos = data_off
+    for c in chunks:
+        offsets.append(pos)
+        pos += len(c)
+    # patch the offsets array now that positions are known
+    out_fields = []
+    for tag, typ, cnt, packed, voff in fields:
+        if tag in (_T_TILE_OFFSETS, _T_STRIP_OFFSETS):
+            vals = offsets
+            size = 4 * len(vals)
+            if size <= 4:
+                packed = struct.pack("<" + str(len(vals)) + "I", *vals).ljust(
+                    4, b"\0"
+                )
+                voff = None
+            else:
+                blob = struct.pack("<" + str(len(vals)) + "I", *vals)
+                ext[voff - ext_off : voff - ext_off + size] = blob
+        out_fields.append((tag, typ, cnt, packed, voff))
+
+    buf = bytearray()
+    buf += b"II*\x00" + struct.pack("<I", ifd_off)
+    buf += struct.pack("<H", len(out_fields))
+    for tag, typ, cnt, packed, voff in out_fields:
+        buf += struct.pack("<HHI", tag, typ, cnt)
+        buf += packed if packed is not None else struct.pack("<I", voff)
+    buf += struct.pack("<I", 0)  # no next IFD
+    buf += ext
+    for c in chunks:
+        buf += c
+    return bytes(buf)
