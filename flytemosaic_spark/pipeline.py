@@ -284,3 +284,84 @@ def build_mosaic(
         "times": t_order,
         "n_chunks_written": n_chunks,
     }
+
+
+def export_feature_geotiffs(
+    spark: SparkSession,
+    store_path: str,
+    out_dir: str,
+    pixel_scale: tuple[float, float, float] = (1.0, 1.0, 0.0),
+) -> DataFrame:
+    """S8 feature-COG export — the reference's per-(tile, date) GeoTIFF
+    output (``build_tile_date_feature_cog_task`` writes one COG per
+    tile/date, reference flyte/scenes.py:235-249, glad.py:140-151)
+    over the engine's chunk store: every store chunk (one tile slab
+    per time step) becomes one REAL tiled-DEFLATE GeoTIFF via
+    ``sources/geotiff.encode_geotiff``, georeferenced by the chunk's
+    pixel origin (tiepoint places raster (0,0) at world
+    (x0·sx, -y0·sy) — swap ``pixel_scale`` for the deployment's CRS
+    grid).
+
+    Distributed shape: the chunk MANIFEST (metadata-scale) shuffles to
+    executors; each task reads its chunk file, encodes, and writes the
+    .tif next to a temp+rename (idempotent retries) — pixel payloads
+    never cross the JVM boundary, the same fused-task granularity as
+    the build itself. Returns (file, t, yi, xi, ok) per exported COG.
+    """
+    from flytemosaic_spark.sources.geotiff import encode_geotiff
+
+    meta = read_template(store_path)
+    zdtype, zchunks = meta["dtype"], meta["chunks"]
+    level = (meta.get("compressor") or {}).get("level")
+    names = [n for n in os.listdir(store_path) if not n.startswith(".")]
+    manifest = spark.createDataFrame(
+        [(os.path.join(store_path, n), *map(int, n.split("."))) for n in names],
+        "file string, t int, b int, yi int, xi int",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    schema = "file string, t int, yi int, xi int, ok boolean"
+
+    def export(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = []
+            for f, t, yi, xi in zip(
+                pdf["file"], pdf["t"], pdf["yi"], pdf["xi"]
+            ):
+                dst = os.path.join(out_dir, f"t{t}_y{yi}_x{xi}.tif")
+                if os.path.exists(dst):  # rerun-is-cheap recheck
+                    out.append((dst, t, yi, xi, True))
+                    continue
+                with open(f, "rb") as fh:
+                    raw = fh.read()
+                if level is not None:
+                    raw = zlib.decompress(raw)
+                arr = np.frombuffer(raw, dtype=zdtype).reshape(zchunks[1:])
+                ny = zchunks[2]
+                tif = encode_geotiff(
+                    np.moveaxis(arr, 0, -1),  # (b, y, x) -> chunky
+                    tile=max(16, ((zchunks[2] + 15) // 16) * 16),
+                    compress=True,
+                    pixel_scale=pixel_scale,
+                    tiepoint=(
+                        0.0,
+                        0.0,
+                        0.0,
+                        float(xi * zchunks[3]) * pixel_scale[0],
+                        -float(yi * ny) * pixel_scale[1],
+                        0.0,
+                    ),
+                )
+                tmp = f"{dst}.tmp-{os.getpid()}"
+                with open(tmp, "wb") as fh:
+                    fh.write(tif)
+                os.replace(tmp, dst)
+                out.append((dst, t, yi, xi, True))
+            yield pd.DataFrame(
+                out, columns=["file", "t", "yi", "xi", "ok"]
+            )
+
+    return manifest.select("file", "t", "yi", "xi").mapInPandas(
+        export, schema
+    )

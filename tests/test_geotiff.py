@@ -201,3 +201,72 @@ class TestPipelineOverRealGeoTiff:
             a = open(os.path.join(ref_store, f), "rb").read()
             b = open(os.path.join(got_store, f), "rb").read()
             assert a == b, f
+
+
+class TestFeatureCogExport:
+    def test_export_round_trips_store_chunks(self, spark, tmp_path):
+        """S8 completion: every store chunk exports as one real GeoTIFF
+        whose pixels decode back identical and whose transform places
+        the tile at its store origin (the reference's one-COG-per-
+        (tile, date) output, scenes.py:235-249)."""
+        import datetime as dt
+        import os
+        import zlib as _z
+
+        from flytemosaic_spark.pipeline import (
+            build_mosaic,
+            export_feature_geotiffs,
+        )
+        from flytemosaic_spark.sources.chunkstore import read_template
+        from flytemosaic_spark.sources.geotiff import decode_geotiff as _dec
+
+        tiles = spark.createDataFrame(
+            [
+                ("t00", 0.0, 0.0, 1.0, 1.0, 0, 0),
+                ("t01", 1.0, 0.0, 2.0, 1.0, 0, 16),
+            ],
+            "tile_id string, minx double, miny double, maxx double, "
+            "maxy double, oy int, ox int",
+        )
+        store = str(tmp_path / "store")
+        build_mosaic(
+            spark,
+            tiles,
+            (0.0, 0.0, 2.0, 1.0),
+            [dt.datetime(2024, 6, 1)],
+            store,
+            n_bands=3,
+            tile_px=16,
+            window_days=40,
+        )
+        out_dir = str(tmp_path / "cogs")
+        res = export_feature_geotiffs(spark, store, out_dir).collect()
+        assert res and all(r.ok for r in res)
+        meta = read_template(store)
+        level = (meta.get("compressor") or {}).get("level")
+        chunk_files = [
+            n for n in os.listdir(store) if not n.startswith(".")
+        ]
+        assert len(res) == len(chunk_files)
+        for n in chunk_files:
+            t, b, yi, xi = map(int, n.split("."))
+            raw = open(os.path.join(store, n), "rb").read()
+            if level is not None:
+                raw = _z.decompress(raw)
+            want = np.frombuffer(raw, dtype=meta["dtype"]).reshape(
+                meta["chunks"][1:]
+            )
+            px, gmeta = _dec(
+                open(
+                    os.path.join(out_dir, f"t{t}_y{yi}_x{xi}.tif"), "rb"
+                ).read()
+            )
+            assert np.array_equal(
+                np.moveaxis(px, -1, 0), want, equal_nan=True
+            )
+            x0, dx, y0, dy = gmeta["transform"]
+            assert x0 == xi * meta["chunks"][3] and dx == 1.0
+
+        # rerun is cheap and idempotent: same files, all ok
+        res2 = export_feature_geotiffs(spark, store, out_dir).collect()
+        assert len(res2) == len(res) and all(r.ok for r in res2)
