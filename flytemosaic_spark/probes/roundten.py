@@ -217,3 +217,99 @@ def x219_quantile_reg(spark: SparkSession, sf: str) -> DataFrame:
     return quantile_reg_gd(
         d, ["urgent"], label_col="y", tau=0.5, lr=0.2, iterations=3
     )
+
+
+# ---------------------------------------------------------------------------
+# x15c — full COG lifecycle on REAL GeoTIFF payloads (no GDAL)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x15c_mosaic_geotiff_lifecycle",
+    sql=None,
+    note="the flagship workflow over REAL raster formats end-to-end "
+    "(reference utils.py:123-126 reads scene COGs, scenes.py:235-249 "
+    "writes feature COGs — both via GDAL; here via the r5 pure-stdlib "
+    "codec sources/geotiff.py): scenes are materialized as "
+    "tiled-DEFLATE GeoTIFF files, the fused kernel DECODES them "
+    "(scene_reader seam), the store is exported back to per-chunk "
+    "feature GeoTIFFs, and every exported COG is decoded and checked "
+    "byte-equal to its store chunk. Driver smoke-checks the per-tile "
+    "summary (rows-only — no SQL-expressible oracle for a codec "
+    "lifecycle); the bit-identity vs the synthetic-source run is "
+    "asserted in tests/test_geotiff.py.",
+)
+def x15c_mosaic_geotiff_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+    import os
+    import tempfile
+    import zlib as _z
+
+    import numpy as np
+
+    from flytemosaic_spark.fixtures import tile_grid
+    from flytemosaic_spark.pipeline import (
+        build_mosaic,
+        export_feature_geotiffs,
+        synthetic_scene,
+    )
+    from flytemosaic_spark.sources.chunkstore import read_template
+    from flytemosaic_spark.sources.geotiff import (
+        decode_geotiff,
+        encode_geotiff,
+    )
+
+    tiles = tile_grid(spark, n=4)
+    with tempfile.TemporaryDirectory() as d:
+        scene_dir = os.path.join(d, "scenes")
+        os.makedirs(scene_dir)
+
+        def reader(tile_id, period, n_bands, tile_px):
+            path = os.path.join(scene_dir, f"{tile_id}_{period}.tif")
+            if not os.path.exists(path):
+                arr = synthetic_scene(tile_id, period, n_bands, tile_px)
+                tmp = f"{path}.tmp-{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(encode_geotiff(np.moveaxis(arr, 0, -1), tile=16))
+                os.replace(tmp, path)
+            px, _ = decode_geotiff(open(path, "rb").read())
+            return np.moveaxis(px, -1, 0)
+
+        store = os.path.join(d, "mosaic")
+        layout = build_mosaic(
+            spark,
+            tiles,
+            (0.0, 0.0, 3.0, 2.0),
+            [dt.datetime(2020, 6, 1)],
+            store,
+            n_bands=4,
+            tile_px=16,
+            scene_reader=reader,
+        )
+        cogs = os.path.join(d, "cogs")
+        exported = export_feature_geotiffs(spark, store, cogs).collect()
+        meta = read_template(store)
+        level = (meta.get("compressor") or {}).get("level")
+        n_match = 0
+        for r in exported:
+            t, yi, xi = r.t, r.yi, r.xi
+            raw = open(os.path.join(store, f"{t}.0.{yi}.{xi}"), "rb").read()
+            if level is not None:
+                raw = _z.decompress(raw)
+            want = np.frombuffer(raw, dtype=meta["dtype"]).reshape(
+                meta["chunks"][1:]
+            )
+            px, _ = decode_geotiff(open(r.file, "rb").read())
+            if np.array_equal(np.moveaxis(px, -1, 0), want, equal_nan=True):
+                n_match += 1
+        rows = [
+            (
+                layout["n_chunks_written"],
+                len(exported),
+                sum(bool(r.ok) for r in exported),
+                n_match,
+            )
+        ]
+    return spark.createDataFrame(
+        rows, "chunks_built int, cogs_exported int, cogs_ok int, cogs_match int"
+    )
