@@ -4,13 +4,14 @@ The reference reads scene COGs and writes feature GeoTIFFs through
 GDAL (reference flytemosaic/datasets/utils.py:123-126,
 flytemosaic/datasets/glad.py:140-151). This container has no GDAL, so
 this module implements the TIFF 6.0 baseline subset that covers the
-reference's actual files — tiled or stripped, DEFLATE-compressed or
-raw, 8/16/32-bit integer and 32/64-bit float samples, horizontal-
+reference's actual files — tiled or stripped, DEFLATE- or
+LZW-compressed or raw (LZW with the spec's early code-width change),
+8/16/32-bit integer and 32/64-bit float samples, horizontal-
 differencing predictor, chunky multi-band, GeoTIFF ModelPixelScale +
 ModelTiepoint georeferencing — so the raster seams (`pipeline.py`
 stage 2, `operators/multimodal.py`) can decode REAL payloads
-end-to-end in this sandbox. Formats beyond the subset (BigTIFF, LZW/
-JPEG compression, planar configuration 2) raise NotImplementedError
+end-to-end in this sandbox. Formats beyond the subset (BigTIFF, JPEG
+compression, planar configuration 2) raise NotImplementedError
 naming the feature, same honesty contract as the other codec tiers.
 
 Decode supports both byte orders; encode emits little-endian with a
@@ -127,9 +128,10 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         raise NotImplementedError(f"sample type bits={key[0]} format={key[1]}")
     dt = np.dtype(bo + _DTYPES[key])
     comp = int(t.get(_T_COMPRESSION, [1])[0])
-    if comp not in (1, 8, 32946):  # none / zlib ("Adobe") / old deflate
+    if comp not in (1, 5, 8, 32946):  # none / LZW / deflate (both codes)
         raise NotImplementedError(
-            f"TIFF compression {comp} (only none/deflate; LZW/JPEG need GDAL)"
+            f"TIFF compression {comp} (none/LZW/deflate supported; "
+            "JPEG needs GDAL or PIL)"
         )
     if int(t.get(_T_PLANAR, [1])[0]) != 1:
         raise NotImplementedError("planar configuration 2")
@@ -140,7 +142,12 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     def blocks(offsets, counts):
         for o, c in zip(offsets, counts):
             raw = payload[int(o) : int(o) + int(c)]
-            yield zlib.decompress(raw) if comp != 1 else raw
+            if comp == 5:
+                yield _lzw_decode(raw)
+            elif comp != 1:
+                yield zlib.decompress(raw)
+            else:
+                yield raw
 
     out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
     if _T_TILE_OFFSETS in t:
@@ -186,7 +193,7 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
 def encode_geotiff(
     arr: np.ndarray,
     tile: int | None = 256,
-    compress: bool = True,
+    compress: bool | str = True,
     predictor: bool = False,
     pixel_scale: tuple[float, float, float] | None = None,
     tiepoint: tuple[float, ...] | None = None,
@@ -206,6 +213,14 @@ def encode_geotiff(
         raise NotImplementedError(f"dtype {arr.dtype} not encodable")
     if predictor and kind == "f":
         raise NotImplementedError("predictor 2 on float samples")
+    comp_code = {
+        True: 8, "deflate": 8, "lzw": 5, False: 1, None: 1
+    }[compress]
+    pack = (
+        _lzw_encode
+        if comp_code == 5
+        else (zlib.compress if comp_code == 8 else (lambda b: b))
+    )
     a = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
 
     def diff(block2d: np.ndarray) -> np.ndarray:
@@ -224,20 +239,18 @@ def encode_geotiff(
                 flat = block.reshape(tl, tw * spp)
                 if predictor:
                     flat = diff(flat)
-                raw = flat.tobytes()
-                chunks.append(zlib.compress(raw) if compress else raw)
+                chunks.append(pack(flat.tobytes()))
     else:
         flat = a.reshape(h, w * spp)
         if predictor:
             flat = diff(flat)
-        raw = flat.tobytes()
-        chunks.append(zlib.compress(raw) if compress else raw)
+        chunks.append(pack(flat.tobytes()))
 
     entries: list[tuple[int, int, list]] = [
         (_T_WIDTH, 4, [w]),
         (_T_LENGTH, 4, [h]),
         (_T_BITS, 3, [bits] * spp),
-        (_T_COMPRESSION, 3, [8 if compress else 1]),
+        (_T_COMPRESSION, 3, [comp_code]),
         (_T_SPP, 3, [spp]),
         (_T_PLANAR, 3, [1]),
         (_T_SAMPLE_FORMAT, 3, [_FMT_OF_KIND[kind]] * spp),
@@ -314,3 +327,115 @@ def encode_geotiff(
     for c in chunks:
         buf += c
     return bytes(buf)
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW (compression code 5) — MSB-first variable-width codes with
+# the spec's EARLY code-width change (libtiff semantics); the other
+# compression real-world COGs commonly use besides DEFLATE.
+# ---------------------------------------------------------------------------
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, next_code, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        next_code = 258
+        prev = None
+
+    reset()
+    buf = nbits = 0
+    for b in data:
+        buf = (buf << 8) | b
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == _LZW_CLEAR:
+                reset()
+                continue
+            if code == _LZW_EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+                next_code += 1
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+                next_code += 1
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            # TIFF early change, decoder side: the decoder's table is
+            # ONE entry behind the encoder's (it completes the previous
+            # entry on each code), so it widens at 510/1022/2046 —
+            # (1<<width)-2 — to change width at the same point in the
+            # code stream where the encoder changed at (1<<width)-1
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {}
+    width = 9
+    next_code = 258
+
+    def reset():
+        nonlocal table, width, next_code
+        table = {bytes([i]): i for i in range(256)}
+        width = 9
+        next_code = 258
+
+    reset()
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # early change: the writer widens as soon as next_code can no
+        # longer be represented MINUS the spec's off-by-one
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        w = c
+        if next_code >= 4094:  # table nearly full: flush and restart
+            emit(table[w], width)
+            emit(_LZW_CLEAR, width)
+            reset()
+            w = b""
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)

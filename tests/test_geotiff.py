@@ -96,11 +96,11 @@ class TestSpecDetails:
     def test_unsupported_compression_raises(self):
         a = np.zeros((4, 4), dtype="u1")
         p = bytearray(encode_geotiff(a, tile=None, compress=False))
-        # patch the Compression entry value to 5 (LZW)
+        # patch the Compression entry value to 7 (JPEG)
         idx = p.find(struct.pack("<HHI", 259, 3, 1))
         assert idx > 0
-        p[idx + 8 : idx + 10] = struct.pack("<H", 5)
-        with pytest.raises(NotImplementedError, match="compression 5"):
+        p[idx + 8 : idx + 10] = struct.pack("<H", 7)
+        with pytest.raises(NotImplementedError, match="compression 7"):
             decode_geotiff(bytes(p))
 
     def test_not_a_tiff(self):
@@ -270,3 +270,63 @@ class TestFeatureCogExport:
         # rerun is cheap and idempotent: same files, all ok
         res2 = export_feature_geotiffs(spark, store, out_dir).collect()
         assert len(res2) == len(res) and all(r.ok for r in res2)
+
+
+class TestLzw:
+    def test_hand_vector(self):
+        # codes [CLEAR, 65, 258, EOI] at 9 bits MUST decode to b"AAA"
+        # (independent of the encoder — bitstream built by hand)
+        from flytemosaic_spark.sources.geotiff import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        bits = "".join(format(c, "09b") for c in (256, 65, 258, 257))
+        bits += "0" * ((8 - len(bits) % 8) % 8)
+        vec = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+        assert _lzw_decode(vec) == b"AAA"
+        assert _lzw_encode(b"AAA") == vec
+
+    def test_kwkwk_case(self):
+        from flytemosaic_spark.sources.geotiff import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        # ABABABAB... forces the code == next_code branch
+        d = b"AB" * 50
+        assert _lzw_decode(_lzw_encode(d)) == d
+
+    def test_width_changes_and_table_reset(self):
+        from flytemosaic_spark.sources.geotiff import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        rng = np.random.default_rng(5)
+        # 300k random bytes cross every width boundary and force
+        # multiple table resets at 4094
+        d = rng.integers(0, 256, 300_000).astype("u1").tobytes()
+        assert _lzw_decode(_lzw_encode(d)) == d
+
+    @pytest.mark.parametrize("dt", ["u1", "u2", "f4"])
+    def test_tiff_lzw_round_trip(self, dt):
+        rng = np.random.default_rng(11)
+        if dt[0] == "f":
+            a = rng.standard_normal((37, 23, 2)).astype(dt)
+        else:
+            a = rng.integers(0, np.iinfo(dt).max, (37, 23, 2)).astype(dt)
+        got, _ = decode_geotiff(encode_geotiff(a, tile=16, compress="lzw"))
+        assert np.array_equal(got, a)
+
+    def test_lzw_with_predictor(self):
+        # the COG classic: LZW + horizontal differencing
+        a = (
+            np.cumsum(
+                np.random.default_rng(13).integers(0, 3, (40, 40)), axis=1
+            )
+            .astype("u2")
+        )
+        p = encode_geotiff(a, tile=16, compress="lzw", predictor=True)
+        got, _ = decode_geotiff(p)
+        assert np.array_equal(got[:, :, 0], a)
