@@ -14,9 +14,12 @@ end-to-end in this sandbox. Formats beyond the subset (BigTIFF, JPEG
 compression, planar configuration 2) raise NotImplementedError
 naming the feature, same honesty contract as the other codec tiers.
 
-Decode supports both byte orders; encode emits little-endian with a
-single IFD. Everything is byte-deterministic — the encoder is a
-valid test oracle for the decoder and vice versa.
+Decode supports both byte orders, WINDOWED reads (only blocks
+intersecting the window are ever decompressed — the cloud-optimized
+access pattern), and chained IFDs (COG overviews, ``ifd=k``); encode
+emits little-endian with optional nearest-subsampled overview IFDs.
+Everything is byte-deterministic — the encoder is a valid test
+oracle for the decoder and vice versa.
 """
 
 from __future__ import annotations
@@ -62,7 +65,9 @@ _DTYPES = {
 _FMT_OF_KIND = {"u": 1, "i": 2, "f": 3}
 
 
-def _read_ifd(buf: bytes, bo: str, off: int) -> dict[int, list]:
+def _read_ifd(buf: bytes, bo: str, off: int) -> tuple[dict[int, list], int]:
+    """Parse one IFD; returns (tags, next_ifd_offset) — 0 = end of the
+    chain (a COG chains full resolution -> overviews)."""
     (n,) = struct.unpack_from(bo + "H", buf, off)
     tags: dict[int, list] = {}
     for i in range(n):
@@ -86,7 +91,8 @@ def _read_ifd(buf: bytes, bo: str, off: int) -> dict[int, list]:
                 struct.unpack_from(bo + str(cnt) + _TYPE_FMT[typ], buf, voff)
             )
         tags[tag] = vals
-    return tags
+    (nxt,) = struct.unpack_from(bo + "I", buf, off + 2 + n * 12)
+    return tags, nxt
 
 
 def _undiff(block: np.ndarray) -> np.ndarray:
@@ -100,12 +106,24 @@ def _undiff(block: np.ndarray) -> np.ndarray:
     return block
 
 
-def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
+def decode_geotiff(
+    payload: bytes,
+    window: tuple[int, int, int, int] | None = None,
+    ifd: int = 0,
+) -> tuple[np.ndarray, dict]:
     """Decode a baseline(-subset) TIFF/GeoTIFF into
     ``(array[H, W, bands], meta)``. ``meta`` carries ``pixel_scale``
     (3 doubles) and ``tiepoint`` (6 doubles) when the GeoTIFF tags are
     present, plus ``transform`` = (x0, dx, y0, dy) derived from them
-    (north-up affine, the reference's COG case)."""
+    (north-up affine, the reference's COG case), and ``n_ifds`` (the
+    IFD-chain length — a COG's overview count + 1).
+
+    ``window`` = (row0, col0, height, width) decodes ONLY the tiles /
+    strips intersecting that region — blocks outside it are never
+    decompressed, the cloud-optimized access pattern (the reference
+    reads per-tile windows from scene COGs, utils.py:123-126; over
+    HTTP the skipped blocks are skipped range requests). ``ifd``
+    selects a chained IFD (0 = full resolution, 1.. = overviews)."""
     if payload[:4] == b"II*\x00":
         bo = "<"
     elif payload[:4] == b"MM\x00*":
@@ -115,7 +133,14 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     else:
         raise ValueError("not a TIFF payload")
     (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
-    t = _read_ifd(payload, bo, ifd_off)
+    chain = []
+    off = ifd_off
+    while off:
+        tags, off = _read_ifd(payload, bo, off)
+        chain.append(tags)
+    if not 0 <= ifd < len(chain):
+        raise ValueError(f"ifd {ifd} out of range (file has {len(chain)})")
+    t = chain[ifd]
 
     w, h = int(t[_T_WIDTH][0]), int(t[_T_LENGTH][0])
     spp = int(t.get(_T_SPP, [1])[0])
@@ -139,45 +164,61 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred}")
 
-    def blocks(offsets, counts):
-        for o, c in zip(offsets, counts):
-            raw = payload[int(o) : int(o) + int(c)]
-            if comp == 5:
-                yield _lzw_decode(raw)
-            elif comp != 1:
-                yield zlib.decompress(raw)
-            else:
-                yield raw
+    wy, wx, oh, ow = (0, 0, h, w) if window is None else window
+    if not (0 <= wy and 0 <= wx and oh > 0 and ow > 0
+            and wy + oh <= h and wx + ow <= w):
+        raise ValueError(f"window {window} out of bounds for {h}x{w}")
 
-    out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
+    def unpack(o, c):
+        raw = payload[int(o) : int(o) + int(c)]
+        if comp == 5:
+            return _lzw_decode(raw)
+        if comp != 1:
+            return zlib.decompress(raw)
+        return raw
+
+    out = np.zeros((oh, ow, spp), dtype=dt.newbyteorder("="))
     if _T_TILE_OFFSETS in t:
         tw, tl = int(t[_T_TILE_W][0]), int(t[_T_TILE_L][0])
         across = (w + tw - 1) // tw
-        for i, data in enumerate(
-            blocks(t[_T_TILE_OFFSETS], t[_T_TILE_COUNTS])
-        ):
-            tile = np.frombuffer(data, dtype=dt).reshape(tl, tw, spp)
+        offsets, counts = t[_T_TILE_OFFSETS], t[_T_TILE_COUNTS]
+        for i in range(len(offsets)):
+            ty, tx = (i // across) * tl, (i % across) * tw
+            # blocks outside the window are never read or decompressed
+            if (ty >= wy + oh or ty + tl <= wy
+                    or tx >= wx + ow or tx + tw <= wx):
+                continue
+            tile = np.frombuffer(unpack(offsets[i], counts[i]), dtype=dt)
+            tile = tile.reshape(tl, tw, spp)
             if pred == 2:
                 tile = _undiff(tile.copy().reshape(tl, tw * spp)).reshape(
                     tl, tw, spp
                 )
-            ty, tx = (i // across) * tl, (i % across) * tw
-            ey, ex = min(tl, h - ty), min(tw, w - tx)
-            out[ty : ty + ey, tx : tx + ex] = tile[:ey, :ex]
+            sy, sx = max(ty, wy), max(tx, wx)
+            ey = min(ty + tl, wy + oh, h)
+            ex = min(tx + tw, wx + ow, w)
+            out[sy - wy : ey - wy, sx - wx : ex - wx] = tile[
+                sy - ty : ey - ty, sx - tx : ex - tx
+            ]
     else:
         rps = int(t.get(_T_ROWS_PER_STRIP, [h])[0])
-        y = 0
-        for data in blocks(t[_T_STRIP_OFFSETS], t[_T_STRIP_COUNTS]):
+        offsets, counts = t[_T_STRIP_OFFSETS], t[_T_STRIP_COUNTS]
+        for i in range(len(offsets)):
+            y = i * rps
             rows = min(rps, h - y)
-            strip = np.frombuffer(data, dtype=dt).reshape(rows, w, spp)
+            if y >= wy + oh or y + rows <= wy:
+                continue
+            strip = np.frombuffer(unpack(offsets[i], counts[i]), dtype=dt)
+            strip = strip.reshape(rows, w, spp)
             if pred == 2:
                 strip = _undiff(
                     strip.copy().reshape(rows, w * spp)
                 ).reshape(rows, w, spp)
-            out[y : y + rows] = strip
-            y += rows
+            sy = max(y, wy)
+            ey = min(y + rows, wy + oh)
+            out[sy - wy : ey - wy] = strip[sy - y : ey - y, wx : wx + ow]
 
-    meta: dict = {}
+    meta: dict = {"n_ifds": len(chain)}
     if _T_PIXEL_SCALE in t:
         meta["pixel_scale"] = tuple(t[_T_PIXEL_SCALE])
     if _T_TIEPOINT in t:
@@ -197,6 +238,7 @@ def encode_geotiff(
     predictor: bool = False,
     pixel_scale: tuple[float, float, float] | None = None,
     tiepoint: tuple[float, ...] | None = None,
+    overviews: list[int] | None = None,
 ) -> bytes:
     """Encode ``arr`` ((H, W) or (H, W, bands), supported dtype) as a
     little-endian tiled (or single-strip when ``tile=None``) TIFF.
@@ -204,10 +246,12 @@ def encode_geotiff(
     are zero-padded exactly like GDAL writes them. ``predictor``
     enables horizontal differencing (integer dtypes only — the COG
     default for integer imagery). GeoTIFF georeferencing goes in via
-    ``pixel_scale`` (sx, sy, sz) + ``tiepoint`` (i, j, k, x, y, z)."""
+    ``pixel_scale`` (sx, sy, sz) + ``tiepoint`` (i, j, k, x, y, z).
+    ``overviews`` (e.g. ``[2, 4, 8]``) appends nearest-subsampled
+    reduced-resolution IFDs to the chain — the structure that makes a
+    TIFF a COG (decode them with ``decode_geotiff(..., ifd=k)``)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
-    h, w, spp = arr.shape
     kind, bits = arr.dtype.kind, arr.dtype.itemsize * 8
     if kind not in _FMT_OF_KIND or (bits, _FMT_OF_KIND[kind]) not in _DTYPES:
         raise NotImplementedError(f"dtype {arr.dtype} not encodable")
@@ -221,111 +265,116 @@ def encode_geotiff(
         if comp_code == 5
         else (zlib.compress if comp_code == 8 else (lambda b: b))
     )
-    a = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
+    base = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
+    levels = [base] + [
+        np.ascontiguousarray(base[::f, ::f]) for f in (overviews or [])
+    ]
 
     def diff(block2d: np.ndarray) -> np.ndarray:
         u = block2d.view(f"u{block2d.dtype.itemsize}").copy()
         u[:, 1:] = u[:, 1:] - u[:, :-1]
         return u.view(block2d.dtype)
 
-    chunks: list[bytes] = []
-    if tile is not None:
-        tw = tl = max(16, ((tile + 15) // 16) * 16)
-        for ty in range(0, h, tl):
-            for tx in range(0, w, tw):
-                block = np.zeros((tl, tw, spp), dtype=a.dtype)
-                ey, ex = min(tl, h - ty), min(tw, w - tx)
-                block[:ey, :ex] = a[ty : ty + ey, tx : tx + ex]
-                flat = block.reshape(tl, tw * spp)
-                if predictor:
-                    flat = diff(flat)
-                chunks.append(pack(flat.tobytes()))
-    else:
-        flat = a.reshape(h, w * spp)
-        if predictor:
-            flat = diff(flat)
-        chunks.append(pack(flat.tobytes()))
-
-    entries: list[tuple[int, int, list]] = [
-        (_T_WIDTH, 4, [w]),
-        (_T_LENGTH, 4, [h]),
-        (_T_BITS, 3, [bits] * spp),
-        (_T_COMPRESSION, 3, [comp_code]),
-        (_T_SPP, 3, [spp]),
-        (_T_PLANAR, 3, [1]),
-        (_T_SAMPLE_FORMAT, 3, [_FMT_OF_KIND[kind]] * spp),
-    ]
-    if predictor:
-        entries.append((_T_PREDICTOR, 3, [2]))
-    if tile is not None:
-        entries += [
-            (_T_TILE_W, 3, [tw]),
-            (_T_TILE_L, 3, [tl]),
-            (_T_TILE_OFFSETS, 4, [0] * len(chunks)),  # patched below
-            (_T_TILE_COUNTS, 4, [len(c) for c in chunks]),
-        ]
-    else:
-        entries += [
-            (_T_STRIP_OFFSETS, 4, [0]),
-            (_T_ROWS_PER_STRIP, 4, [h]),
-            (_T_STRIP_COUNTS, 4, [len(chunks[0])]),
-        ]
-    if pixel_scale is not None:
-        entries.append((_T_PIXEL_SCALE, 12, list(pixel_scale)))
-    if tiepoint is not None:
-        entries.append((_T_TIEPOINT, 12, list(tiepoint)))
-    entries.sort(key=lambda e: e[0])
-
-    # layout: header(8) | IFD | external values | pixel chunks
-    ifd_off = 8
-    ifd_size = 2 + len(entries) * 12 + 4
-    ext_off = ifd_off + ifd_size
-    ext = bytearray()
-    fields = []
-    for tag, typ, vals in entries:
-        size = _TYPE_SIZES[typ] * len(vals)
-        if size <= 4:
-            packed = struct.pack(
-                "<" + str(len(vals)) + _TYPE_FMT[typ], *vals
-            ).ljust(4, b"\0")
-            fields.append((tag, typ, len(vals), packed, None))
+    def build_level(a: np.ndarray):
+        """-> (entries, chunks) for one IFD; offsets patched later."""
+        h, w, spp = a.shape
+        chunks: list[bytes] = []
+        if tile is not None:
+            tw = tl = max(16, ((tile + 15) // 16) * 16)
+            for ty in range(0, h, tl):
+                for tx in range(0, w, tw):
+                    block = np.zeros((tl, tw, spp), dtype=a.dtype)
+                    ey, ex = min(tl, h - ty), min(tw, w - tx)
+                    block[:ey, :ex] = a[ty : ty + ey, tx : tx + ex]
+                    flat = block.reshape(tl, tw * spp)
+                    if predictor:
+                        flat = diff(flat)
+                    chunks.append(pack(flat.tobytes()))
         else:
-            fields.append((tag, typ, len(vals), None, ext_off + len(ext)))
-            ext.extend(
-                struct.pack("<" + str(len(vals)) + _TYPE_FMT[typ], *vals)
-            )
-    data_off = ext_off + len(ext)
-    offsets = []
-    pos = data_off
-    for c in chunks:
-        offsets.append(pos)
-        pos += len(c)
-    # patch the offsets array now that positions are known
-    out_fields = []
-    for tag, typ, cnt, packed, voff in fields:
-        if tag in (_T_TILE_OFFSETS, _T_STRIP_OFFSETS):
-            vals = offsets
-            size = 4 * len(vals)
-            if size <= 4:
-                packed = struct.pack("<" + str(len(vals)) + "I", *vals).ljust(
-                    4, b"\0"
-                )
-                voff = None
-            else:
-                blob = struct.pack("<" + str(len(vals)) + "I", *vals)
-                ext[voff - ext_off : voff - ext_off + size] = blob
-        out_fields.append((tag, typ, cnt, packed, voff))
+            flat = a.reshape(h, w * spp)
+            if predictor:
+                flat = diff(flat)
+            chunks.append(pack(flat.tobytes()))
+        entries: list[tuple[int, int, list]] = [
+            (_T_WIDTH, 4, [w]),
+            (_T_LENGTH, 4, [h]),
+            (_T_BITS, 3, [bits] * spp),
+            (_T_COMPRESSION, 3, [comp_code]),
+            (_T_SPP, 3, [spp]),
+            (_T_PLANAR, 3, [1]),
+            (_T_SAMPLE_FORMAT, 3, [_FMT_OF_KIND[kind]] * spp),
+        ]
+        if predictor:
+            entries.append((_T_PREDICTOR, 3, [2]))
+        if tile is not None:
+            entries += [
+                (_T_TILE_W, 3, [tw]),
+                (_T_TILE_L, 3, [tl]),
+                (_T_TILE_OFFSETS, 4, [0] * len(chunks)),  # patched later
+                (_T_TILE_COUNTS, 4, [len(c) for c in chunks]),
+            ]
+        else:
+            entries += [
+                (_T_STRIP_OFFSETS, 4, [0]),
+                (_T_ROWS_PER_STRIP, 4, [h]),
+                (_T_STRIP_COUNTS, 4, [len(chunks[0])]),
+            ]
+        if pixel_scale is not None:
+            entries.append((_T_PIXEL_SCALE, 12, list(pixel_scale)))
+        if tiepoint is not None:
+            entries.append((_T_TIEPOINT, 12, list(tiepoint)))
+        entries.sort(key=lambda e: e[0])
+        return entries, chunks
+
+    built = [build_level(a) for a in levels]
+    # layout: header(8) | [IFD_i | ext_i]* | all pixel chunks
+    pos = 8
+    ifd_offs, ext_sizes = [], []
+    for entries, _ in built:
+        ifd_offs.append(pos)
+        ext_size = sum(
+            _TYPE_SIZES[typ] * len(vals)
+            for _, typ, vals in entries
+            if _TYPE_SIZES[typ] * len(vals) > 4
+        )
+        ext_sizes.append(ext_size)
+        pos += (2 + len(entries) * 12 + 4) + ext_size
+    data_pos = pos
+    chunk_offsets: list[list[int]] = []
+    for _, chunks in built:
+        offs = []
+        for c in chunks:
+            offs.append(data_pos)
+            data_pos += len(c)
+        chunk_offsets.append(offs)
 
     buf = bytearray()
-    buf += b"II*\x00" + struct.pack("<I", ifd_off)
-    buf += struct.pack("<H", len(out_fields))
-    for tag, typ, cnt, packed, voff in out_fields:
-        buf += struct.pack("<HHI", tag, typ, cnt)
-        buf += packed if packed is not None else struct.pack("<I", voff)
-    buf += struct.pack("<I", 0)  # no next IFD
-    buf += ext
-    for c in chunks:
-        buf += c
+    buf += b"II*\x00" + struct.pack("<I", ifd_offs[0])
+    for li, (entries, chunks) in enumerate(built):
+        ext_off = ifd_offs[li] + 2 + len(entries) * 12 + 4
+        ext = bytearray()
+        body = bytearray()
+        body += struct.pack("<H", len(entries))
+        for tag, typ, vals in entries:
+            if tag in (_T_TILE_OFFSETS, _T_STRIP_OFFSETS):
+                vals = chunk_offsets[li]
+            size = _TYPE_SIZES[typ] * len(vals)
+            body += struct.pack("<HHI", tag, typ, len(vals))
+            if size <= 4:
+                body += struct.pack(
+                    "<" + str(len(vals)) + _TYPE_FMT[typ], *vals
+                ).ljust(4, b"\0")
+            else:
+                body += struct.pack("<I", ext_off + len(ext))
+                ext += struct.pack(
+                    "<" + str(len(vals)) + _TYPE_FMT[typ], *vals
+                )
+        nxt = ifd_offs[li + 1] if li + 1 < len(built) else 0
+        body += struct.pack("<I", nxt)
+        buf += body + ext
+    for _, chunks in built:
+        for c in chunks:
+            buf += c
     return bytes(buf)
 
 

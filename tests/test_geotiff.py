@@ -330,3 +330,66 @@ class TestLzw:
         p = encode_geotiff(a, tile=16, compress="lzw", predictor=True)
         got, _ = decode_geotiff(p)
         assert np.array_equal(got[:, :, 0], a)
+
+
+class TestCogFeatures:
+    def test_windowed_decode_matches_full(self):
+        rng = np.random.default_rng(21)
+        a = rng.integers(0, 65535, (130, 90, 3)).astype("u2")
+        for comp in [True, "lzw", False]:
+            for tile in [16, 32, None]:
+                p = encode_geotiff(a, tile=tile, compress=comp)
+                full, _ = decode_geotiff(p)
+                for win in [
+                    (0, 0, 130, 90),
+                    (17, 5, 40, 33),
+                    (100, 80, 30, 10),
+                    (0, 0, 1, 1),
+                    (129, 89, 1, 1),
+                ]:
+                    y, x, hh, ww = win
+                    gw, _ = decode_geotiff(p, window=win)
+                    assert np.array_equal(
+                        gw, full[y : y + hh, x : x + ww]
+                    ), (comp, tile, win)
+
+    def test_window_out_of_bounds_raises(self):
+        a = np.zeros((20, 20), dtype="u1")
+        p = encode_geotiff(a, tile=16)
+        with pytest.raises(ValueError, match="window"):
+            decode_geotiff(p, window=(10, 0, 20, 5))
+
+    def test_window_skips_block_decompression(self, monkeypatch):
+        # the COG point: a 1-tile window must decompress exactly ONE
+        # of the 9 tiles
+        import flytemosaic_spark.sources.geotiff as G
+
+        a = np.random.default_rng(3).integers(0, 255, (48, 48)).astype("u1")
+        p = encode_geotiff(a, tile=16, compress=True)
+        calls = []
+        real = zlib.decompress
+
+        def spy(b):
+            calls.append(1)
+            return real(b)
+
+        monkeypatch.setattr(G.zlib, "decompress", spy)
+        got, _ = decode_geotiff(p, window=(17, 17, 10, 10))
+        assert np.array_equal(got[:, :, 0], a[17:27, 17:27])
+        assert len(calls) == 1
+
+    def test_overview_chain(self):
+        rng = np.random.default_rng(2)
+        a = rng.integers(0, 65535, (130, 90, 3)).astype("u2")
+        p = encode_geotiff(a, tile=16, compress="lzw", overviews=[2, 4])
+        full, meta = decode_geotiff(p)
+        assert meta["n_ifds"] == 3
+        assert np.array_equal(full, a)
+        for k, f in [(1, 2), (2, 4)]:
+            ov, _ = decode_geotiff(p, ifd=k)
+            assert np.array_equal(ov, a[::f, ::f])
+        # windowed read of an overview level
+        gw, _ = decode_geotiff(p, window=(3, 5, 20, 11), ifd=1)
+        assert np.array_equal(gw, a[::2, ::2][3:23, 5:16])
+        with pytest.raises(ValueError, match="ifd 3 out of range"):
+            decode_geotiff(p, ifd=3)
