@@ -393,3 +393,57 @@ class TestCogFeatures:
         assert np.array_equal(gw, a[::2, ::2][3:23, 5:16])
         with pytest.raises(ValueError, match="ifd 3 out of range"):
             decode_geotiff(p, ifd=3)
+
+
+class TestPropertyBased:
+    """Hypothesis sweeps: any byte string survives LZW, any supported
+    array survives the full TIFF path, any in-bounds window equals the
+    full decode's slice."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=2000))
+    def test_lzw_round_trip_any_bytes(self, data):
+        from flytemosaic_spark.sources.geotiff import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 70),
+        st.integers(1, 70),
+        st.integers(1, 4),
+        st.sampled_from(["u1", "u2", "i2", "i4", "f4"]),
+        st.sampled_from([True, "lzw", False]),
+        st.sampled_from([16, None]),
+        st.integers(0, 2**31 - 1),
+    )
+    def test_tiff_round_trip_any_shape(self, h, w, c, dt, comp, tile, seed):
+        rng = np.random.default_rng(seed)
+        if dt[0] == "f":
+            a = rng.standard_normal((h, w, c)).astype(dt)
+        else:
+            info = np.iinfo(dt)
+            a = rng.integers(info.min, info.max, size=(h, w, c)).astype(dt)
+        got, _ = decode_geotiff(encode_geotiff(a, tile=tile, compress=comp))
+        assert np.array_equal(got, a)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def test_window_equals_full_slice(self, data):
+        from hypothesis import strategies as st
+
+        rng = np.random.default_rng(17)
+        a = rng.integers(0, 255, (53, 41, 2)).astype("u1")
+        p = encode_geotiff(a, tile=16)
+        y = data.draw(st.integers(0, 52))
+        x = data.draw(st.integers(0, 40))
+        hh = data.draw(st.integers(1, 53 - y))
+        ww = data.draw(st.integers(1, 41 - x))
+        gw, _ = decode_geotiff(p, window=(y, x, hh, ww))
+        assert np.array_equal(gw, a[y : y + hh, x : x + ww])
