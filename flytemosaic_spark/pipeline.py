@@ -291,6 +291,7 @@ def export_feature_geotiffs(
     store_path: str,
     out_dir: str,
     pixel_scale: tuple[float, float, float] = (1.0, 1.0, 0.0),
+    overviews: list[int] | None = None,
 ) -> DataFrame:
     """S8 feature-COG export — the reference's per-(tile, date) GeoTIFF
     output (``build_tile_date_feature_cog_task`` writes one COG per
@@ -343,6 +344,7 @@ def export_feature_geotiffs(
                     np.moveaxis(arr, 0, -1),  # (b, y, x) -> chunky
                     tile=max(16, ((zchunks[2] + 15) // 16) * 16),
                     compress=True,
+                    overviews=overviews,
                     pixel_scale=pixel_scale,
                     tiepoint=(
                         0.0,

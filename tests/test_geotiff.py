@@ -447,3 +447,31 @@ class TestPropertyBased:
         ww = data.draw(st.integers(1, 41 - x))
         gw, _ = decode_geotiff(p, window=(y, x, hh, ww))
         assert np.array_equal(gw, a[y : y + hh, x : x + ww])
+
+
+def test_export_with_overviews(spark, tmp_path):
+    import datetime as dt
+
+    from flytemosaic_spark.pipeline import (
+        build_mosaic,
+        export_feature_geotiffs,
+    )
+
+    tiles = spark.createDataFrame(
+        [("t00", 0.0, 0.0, 1.0, 1.0, 0, 0)],
+        "tile_id string, minx double, miny double, maxx double, "
+        "maxy double, oy int, ox int",
+    )
+    store = str(tmp_path / "store")
+    build_mosaic(
+        spark, tiles, (0.0, 0.0, 1.0, 1.0), [dt.datetime(2024, 6, 1)],
+        store, n_bands=3, tile_px=16, window_days=40,
+    )
+    out = str(tmp_path / "cogs")
+    res = export_feature_geotiffs(spark, store, out, overviews=[2]).collect()
+    assert res and all(r.ok for r in res)
+    payload = open(res[0].file, "rb").read()
+    full, meta = decode_geotiff(payload)
+    assert meta["n_ifds"] == 2
+    ov, _ = decode_geotiff(payload, ifd=1)
+    assert np.array_equal(ov, full[::2, ::2], equal_nan=True)
