@@ -29,6 +29,7 @@ NO_ORACLE_OK = {
     "x14_media_decode",
     "x15_mosaic_pipeline",
     "x15b_mosaic_resampled",
+    "x15c_mosaic_geotiff_lifecycle",
     "x23_kmeans_clusters",
     "x147_audio_vad",
 }
