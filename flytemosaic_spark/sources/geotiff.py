@@ -10,7 +10,7 @@ LZW-compressed or raw (LZW with the spec's early code-width change),
 differencing predictor, chunky multi-band, GeoTIFF ModelPixelScale +
 ModelTiepoint georeferencing — so the raster seams (`pipeline.py`
 stage 2, `operators/multimodal.py`) can decode REAL payloads
-end-to-end in this sandbox. Formats beyond the subset (BigTIFF, JPEG
+end-to-end in this sandbox. Formats beyond the subset (JPEG
 compression, planar configuration 2) raise NotImplementedError
 naming the feature, same honesty contract as the other codec tiers.
 
@@ -48,8 +48,14 @@ _T_SAMPLE_FORMAT = 339
 _T_PIXEL_SCALE = 33550
 _T_TIEPOINT = 33922
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZES = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 11: 4, 12: 8,
+    16: 8, 17: 8,  # BigTIFF LONG8 / SLONG8
+}
+_TYPE_FMT = {
+    1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+    16: "Q", 17: "q",
+}
 
 # (bits, sample_format) -> numpy dtype char
 _DTYPES = {
@@ -65,18 +71,34 @@ _DTYPES = {
 _FMT_OF_KIND = {"u": 1, "i": 2, "f": 3}
 
 
-def _read_ifd(buf: bytes, bo: str, off: int) -> tuple[dict[int, list], int]:
+def _read_ifd(
+    buf: bytes, bo: str, off: int, big: bool = False
+) -> tuple[dict[int, list], int]:
     """Parse one IFD; returns (tags, next_ifd_offset) — 0 = end of the
-    chain (a COG chains full resolution -> overviews)."""
-    (n,) = struct.unpack_from(bo + "H", buf, off)
+    chain (a COG chains full resolution -> overviews). ``big`` =
+    BigTIFF layout (8-byte counts/offsets, 20-byte entries)."""
+    if big:
+        (n,) = struct.unpack_from(bo + "Q", buf, off)
+    else:
+        (n,) = struct.unpack_from(bo + "H", buf, off)
+    hdr, esz, inline, ofmt = (8, 20, 8, "Q") if big else (2, 12, 4, "I")
     tags: dict[int, list] = {}
-    for i in range(n):
-        e = off + 2 + i * 12
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, e)
+    for i in range(int(n)):
+        e = off + hdr + i * esz
+        if big:
+            tag, typ = struct.unpack_from(bo + "HH", buf, e)
+            (cnt,) = struct.unpack_from(bo + "Q", buf, e + 4)
+        else:
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, e)
         if typ not in _TYPE_SIZES:
             continue  # unknown value type: skip the tag, per spec
         size = _TYPE_SIZES[typ] * cnt
-        voff = e + 8 if size <= 4 else struct.unpack_from(bo + "I", buf, e + 8)[0]
+        vpos = e + (12 if big else 8)
+        voff = (
+            vpos
+            if size <= inline
+            else struct.unpack_from(bo + ofmt, buf, vpos)[0]
+        )
         if typ == 5:  # RATIONAL: pairs of uint32
             vals = [
                 a / b if b else float("nan")
@@ -91,7 +113,7 @@ def _read_ifd(buf: bytes, bo: str, off: int) -> tuple[dict[int, list], int]:
                 struct.unpack_from(bo + str(cnt) + _TYPE_FMT[typ], buf, voff)
             )
         tags[tag] = vals
-    (nxt,) = struct.unpack_from(bo + "I", buf, off + 2 + n * 12)
+    (nxt,) = struct.unpack_from(bo + ofmt, buf, off + hdr + int(n) * esz)
     return tags, nxt
 
 
@@ -124,19 +146,28 @@ def decode_geotiff(
     reads per-tile windows from scene COGs, utils.py:123-126; over
     HTTP the skipped blocks are skipped range requests). ``ifd``
     selects a chained IFD (0 = full resolution, 1.. = overviews)."""
+    big = False
     if payload[:4] == b"II*\x00":
         bo = "<"
     elif payload[:4] == b"MM\x00*":
         bo = ">"
     elif payload[:4] in (b"II+\x00", b"MM\x00+"):
-        raise NotImplementedError("BigTIFF")
+        # BigTIFF: magic 43, then offset-size (8) + 0, then Q offset
+        bo = "<" if payload[:2] == b"II" else ">"
+        osz, zero = struct.unpack_from(bo + "HH", payload, 4)
+        if osz != 8 or zero != 0:
+            raise NotImplementedError(f"BigTIFF offset size {osz}")
+        big = True
     else:
         raise ValueError("not a TIFF payload")
-    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if big:
+        (ifd_off,) = struct.unpack_from(bo + "Q", payload, 8)
+    else:
+        (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
     chain = []
     off = ifd_off
     while off:
-        tags, off = _read_ifd(payload, bo, off)
+        tags, off = _read_ifd(payload, bo, off, big=big)
         chain.append(tags)
     if not 0 <= ifd < len(chain):
         raise ValueError(f"ifd {ifd} out of range (file has {len(chain)})")
@@ -239,6 +270,7 @@ def encode_geotiff(
     pixel_scale: tuple[float, float, float] | None = None,
     tiepoint: tuple[float, ...] | None = None,
     overviews: list[int] | None = None,
+    big: bool = False,
 ) -> bytes:
     """Encode ``arr`` ((H, W) or (H, W, bands), supported dtype) as a
     little-endian tiled (or single-strip when ``tile=None``) TIFF.
@@ -249,7 +281,10 @@ def encode_geotiff(
     ``pixel_scale`` (sx, sy, sz) + ``tiepoint`` (i, j, k, x, y, z).
     ``overviews`` (e.g. ``[2, 4, 8]``) appends nearest-subsampled
     reduced-resolution IFDs to the chain — the structure that makes a
-    TIFF a COG (decode them with ``decode_geotiff(..., ifd=k)``)."""
+    TIFF a COG (decode them with ``decode_geotiff(..., ifd=k)``).
+    ``big=True`` emits BigTIFF (8-byte offsets — required past 4 GB,
+    which a 100 TB deployment's scene COGs do hit; classic TIFF's
+    uint32 offsets silently wrap there)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     kind, bits = arr.dtype.kind, arr.dtype.itemsize * 8
@@ -327,18 +362,42 @@ def encode_geotiff(
         return entries, chunks
 
     built = [build_level(a) for a in levels]
-    # layout: header(8) | [IFD_i | ext_i]* | all pixel chunks
-    pos = 8
-    ifd_offs, ext_sizes = [], []
+    if big:
+        # BigTIFF: offsets/counts carried as LONG8 so values past 4 GB
+        # are representable
+        built = [
+            (
+                [
+                    (tag, 16, vals)
+                    if tag
+                    in (
+                        _T_TILE_OFFSETS,
+                        _T_STRIP_OFFSETS,
+                        _T_TILE_COUNTS,
+                        _T_STRIP_COUNTS,
+                    )
+                    else (tag, typ, vals)
+                    for tag, typ, vals in entries
+                ],
+                chunks,
+            )
+            for entries, chunks in built
+        ]
+    hdr_len = 16 if big else 8
+    ifd_hdr, entry_sz, inline, ofmt = (
+        (8, 20, 8, "Q") if big else (2, 12, 4, "I")
+    )
+    # layout: header | [IFD_i | ext_i]* | all pixel chunks
+    pos = hdr_len
+    ifd_offs = []
     for entries, _ in built:
         ifd_offs.append(pos)
         ext_size = sum(
             _TYPE_SIZES[typ] * len(vals)
             for _, typ, vals in entries
-            if _TYPE_SIZES[typ] * len(vals) > 4
+            if _TYPE_SIZES[typ] * len(vals) > inline
         )
-        ext_sizes.append(ext_size)
-        pos += (2 + len(entries) * 12 + 4) + ext_size
+        pos += (ifd_hdr + len(entries) * entry_sz + len(struct.pack("<" + ofmt, 0))) + ext_size
     data_pos = pos
     chunk_offsets: list[list[int]] = []
     for _, chunks in built:
@@ -349,28 +408,36 @@ def encode_geotiff(
         chunk_offsets.append(offs)
 
     buf = bytearray()
-    buf += b"II*\x00" + struct.pack("<I", ifd_offs[0])
+    if big:
+        buf += b"II+\x00" + struct.pack("<HHQ", 8, 0, ifd_offs[0])
+    else:
+        buf += b"II*\x00" + struct.pack("<I", ifd_offs[0])
     for li, (entries, chunks) in enumerate(built):
-        ext_off = ifd_offs[li] + 2 + len(entries) * 12 + 4
+        ext_off = ifd_offs[li] + ifd_hdr + len(entries) * entry_sz + (
+            8 if big else 4
+        )
         ext = bytearray()
         body = bytearray()
-        body += struct.pack("<H", len(entries))
+        body += struct.pack("<Q" if big else "<H", len(entries))
         for tag, typ, vals in entries:
             if tag in (_T_TILE_OFFSETS, _T_STRIP_OFFSETS):
                 vals = chunk_offsets[li]
             size = _TYPE_SIZES[typ] * len(vals)
-            body += struct.pack("<HHI", tag, typ, len(vals))
-            if size <= 4:
+            if big:
+                body += struct.pack("<HHQ", tag, typ, len(vals))
+            else:
+                body += struct.pack("<HHI", tag, typ, len(vals))
+            if size <= inline:
                 body += struct.pack(
                     "<" + str(len(vals)) + _TYPE_FMT[typ], *vals
-                ).ljust(4, b"\0")
+                ).ljust(inline, b"\0")
             else:
-                body += struct.pack("<I", ext_off + len(ext))
+                body += struct.pack("<" + ofmt, ext_off + len(ext))
                 ext += struct.pack(
                     "<" + str(len(vals)) + _TYPE_FMT[typ], *vals
                 )
         nxt = ifd_offs[li + 1] if li + 1 < len(built) else 0
-        body += struct.pack("<I", nxt)
+        body += struct.pack("<" + ofmt, nxt)
         buf += body + ext
     for _, chunks in built:
         for c in chunks:

@@ -475,3 +475,33 @@ def test_export_with_overviews(spark, tmp_path):
     assert meta["n_ifds"] == 2
     ov, _ = decode_geotiff(payload, ifd=1)
     assert np.array_equal(ov, full[::2, ::2], equal_nan=True)
+
+
+class TestBigTiff:
+    def test_bigtiff_round_trip_matrix(self):
+        rng = np.random.default_rng(31)
+        a = rng.integers(0, 65535, (70, 45, 3)).astype("u2")
+        for comp in [True, "lzw", False]:
+            for tile in [16, None]:
+                p = encode_geotiff(a, tile=tile, compress=comp, big=True)
+                assert p[:4] == b"II+\x00"
+                got, _ = decode_geotiff(p)
+                assert np.array_equal(got, a), (comp, tile)
+
+    def test_bigtiff_overviews_and_windows(self):
+        rng = np.random.default_rng(33)
+        a = rng.standard_normal((64, 48, 2)).astype("f4")
+        p = encode_geotiff(a, tile=16, overviews=[2], big=True)
+        full, meta = decode_geotiff(p)
+        assert meta["n_ifds"] == 2 and np.array_equal(full, a)
+        ov, _ = decode_geotiff(p, ifd=1)
+        assert np.array_equal(ov, a[::2, ::2])
+        gw, _ = decode_geotiff(p, window=(10, 3, 30, 20))
+        assert np.array_equal(gw, a[10:40, 3:23])
+
+    def test_bigtiff_bad_offset_size_raises(self):
+        a = np.zeros((4, 4), dtype="u1")
+        p = bytearray(encode_geotiff(a, tile=None, big=True))
+        p[4:6] = struct.pack("<H", 4)  # claim 4-byte offsets
+        with pytest.raises(NotImplementedError, match="offset size 4"):
+            decode_geotiff(bytes(p))
