@@ -73,10 +73,14 @@ def basket_pair_stats(
             return _BASKET_STATS[key]
         path = _stats_path(key)
         if os.path.exists(path):
-            with open(path) as f:
-                stats = {k: int(v) for k, v in json.load(f).items()}
-            _BASKET_STATS[key] = stats
-            return stats
+            try:
+                with open(path) as f:
+                    stats = {k: int(v) for k, v in json.load(f).items()}
+            except (ValueError, OSError):
+                pass  # torn/corrupt cache file: recompute and rewrite
+            else:
+                _BASKET_STATS[key] = stats
+                return stats
     k = F.col("k")
     row = (
         df.select(order_col)

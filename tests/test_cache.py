@@ -85,3 +85,20 @@ def test_basket_stats_persist_across_processes(spark, tmp_path, monkeypatch):
     s3 = stats_mod.basket_pair_stats(df.limit(10), "o", cache_key="ds2")
     assert len(list(tmp_path.glob("basket-*.json"))) == 2
     assert s3["n_baskets"] <= 10
+
+
+def test_basket_stats_corrupt_cache_recomputes(spark, tmp_path, monkeypatch):
+    import flytemosaic_spark.plans.stats as stats_mod
+
+    monkeypatch.setenv("SPARK_GRAFT_STATS_DIR", str(tmp_path))
+    monkeypatch.setattr(stats_mod, "_BASKET_STATS", {})
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 1)], "o int, i int")
+    s1 = stats_mod.basket_pair_stats(df, "o", cache_key="ds")
+    path = next(tmp_path.glob("basket-*.json"))
+    path.write_text("{ torn json")
+    monkeypatch.setattr(stats_mod, "_BASKET_STATS", {})
+    s2 = stats_mod.basket_pair_stats(df, "o", cache_key="ds")
+    assert s2 == s1  # recomputed through the corruption and rewrote
+    import json as _j
+
+    assert _j.loads(path.read_text()) == s1
