@@ -47,14 +47,15 @@ _T_TILE_COUNTS = 325
 _T_SAMPLE_FORMAT = 339
 _T_PIXEL_SCALE = 33550
 _T_TIEPOINT = 33922
+_T_GDAL_NODATA = 42113  # ASCII float, written by every GDAL GeoTIFF
 
 _TYPE_SIZES = {
     1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 11: 4, 12: 8,
     16: 8, 17: 8,  # BigTIFF LONG8 / SLONG8
 }
 _TYPE_FMT = {
-    1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
-    16: "Q", 17: "q",
+    1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+    12: "d", 16: "Q", 17: "q",
 }
 
 # (bits, sample_format) -> numpy dtype char
@@ -250,6 +251,11 @@ def decode_geotiff(
             out[sy - wy : ey - wy] = strip[sy - y : ey - y, wx : wx + ow]
 
     meta: dict = {"n_ifds": len(chain)}
+    if _T_GDAL_NODATA in t:
+        try:
+            meta["nodata"] = float(t[_T_GDAL_NODATA][0])
+        except ValueError:
+            pass  # malformed ascii: omit rather than crash
     if _T_PIXEL_SCALE in t:
         meta["pixel_scale"] = tuple(t[_T_PIXEL_SCALE])
     if _T_TIEPOINT in t:
@@ -271,6 +277,7 @@ def encode_geotiff(
     tiepoint: tuple[float, ...] | None = None,
     overviews: list[int] | None = None,
     big: bool = False,
+    nodata: float | None = None,
 ) -> bytes:
     """Encode ``arr`` ((H, W) or (H, W, bands), supported dtype) as a
     little-endian tiled (or single-strip when ``tile=None``) TIFF.
@@ -354,6 +361,15 @@ def encode_geotiff(
                 (_T_ROWS_PER_STRIP, 4, [h]),
                 (_T_STRIP_COUNTS, 4, [len(chunks[0])]),
             ]
+        if nodata is not None:
+            # GDAL convention: ASCII float, NUL-terminated
+            entries.append(
+                (
+                    _T_GDAL_NODATA,
+                    2,
+                    list(f"{nodata:g}".encode("ascii") + b"\0"),
+                )
+            )
         if pixel_scale is not None:
             entries.append((_T_PIXEL_SCALE, 12, list(pixel_scale)))
         if tiepoint is not None:

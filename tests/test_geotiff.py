@@ -505,3 +505,15 @@ class TestBigTiff:
         p[4:6] = struct.pack("<H", 4)  # claim 4-byte offsets
         with pytest.raises(NotImplementedError, match="offset size 4"):
             decode_geotiff(bytes(p))
+
+
+def test_gdal_nodata_tag_round_trip():
+    a = np.random.default_rng(1).standard_normal((20, 20)).astype("f4")
+    for big in [False, True]:
+        p = encode_geotiff(a, tile=16, nodata=-9999.0, big=big)
+        got, meta = decode_geotiff(p)
+        assert meta["nodata"] == -9999.0
+        assert np.array_equal(got, a)
+    # absent tag -> absent key
+    _, m = decode_geotiff(encode_geotiff(a, tile=16))
+    assert "nodata" not in m
