@@ -292,6 +292,7 @@ def export_feature_geotiffs(
     out_dir: str,
     pixel_scale: tuple[float, float, float] = (1.0, 1.0, 0.0),
     overviews: list[int] | None = None,
+    nodata: float | None = float("nan"),
 ) -> DataFrame:
     """S8 feature-COG export — the reference's per-(tile, date) GeoTIFF
     output (``build_tile_date_feature_cog_task`` writes one COG per
@@ -345,6 +346,7 @@ def export_feature_geotiffs(
                     tile=max(16, ((zchunks[2] + 15) // 16) * 16),
                     compress=True,
                     overviews=overviews,
+                    nodata=nodata,
                     pixel_scale=pixel_scale,
                     tiepoint=(
                         0.0,

@@ -517,3 +517,29 @@ def test_gdal_nodata_tag_round_trip():
     # absent tag -> absent key
     _, m = decode_geotiff(encode_geotiff(a, tile=16))
     assert "nodata" not in m
+
+
+def test_export_declares_nan_nodata(spark, tmp_path):
+    import datetime as dt
+    import math
+
+    from flytemosaic_spark.pipeline import (
+        build_mosaic,
+        export_feature_geotiffs,
+    )
+
+    tiles = spark.createDataFrame(
+        [("t00", 0.0, 0.0, 1.0, 1.0, 0, 0)],
+        "tile_id string, minx double, miny double, maxx double, "
+        "maxy double, oy int, ox int",
+    )
+    store = str(tmp_path / "store")
+    build_mosaic(
+        spark, tiles, (0.0, 0.0, 1.0, 1.0), [dt.datetime(2024, 6, 1)],
+        store, n_bands=3, tile_px=16, window_days=40,
+    )
+    res = export_feature_geotiffs(
+        spark, store, str(tmp_path / "cogs")
+    ).collect()
+    _, meta = decode_geotiff(open(res[0].file, "rb").read())
+    assert math.isnan(meta["nodata"])
