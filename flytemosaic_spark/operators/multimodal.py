@@ -170,7 +170,7 @@ def _decode_payload(payload: bytes) -> np.ndarray:
             return _decode_png(payload)
         a = np.asarray(Image.open(io.BytesIO(payload)))
         return a.reshape(a.shape[0], a.shape[1], -1)
-    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+    if payload[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
         from flytemosaic_spark.sources.geotiff import decode_geotiff
 
         return decode_geotiff(payload)[0]

@@ -292,7 +292,7 @@ def export_feature_geotiffs(
     out_dir: str,
     pixel_scale: tuple[float, float, float] = (1.0, 1.0, 0.0),
     overviews: list[int] | None = None,
-    nodata: float | None = float("nan"),
+    nodata: float | None | str = "auto",
 ) -> DataFrame:
     """S8 feature-COG export — the reference's per-(tile, date) GeoTIFF
     output (``build_tile_date_feature_cog_task`` writes one COG per
@@ -314,6 +314,10 @@ def export_feature_geotiffs(
 
     meta = read_template(store_path)
     zdtype, zchunks = meta["dtype"], meta["chunks"]
+    if nodata == "auto":
+        # NaN is only representable in float sample types; an integer
+        # store gets no nodata tag unless the caller names a real value
+        nodata = float("nan") if np.dtype(zdtype).kind == "f" else None
     level = (meta.get("compressor") or {}).get("level")
     names = [n for n in os.listdir(store_path) if not n.startswith(".")]
     manifest = spark.createDataFrame(

@@ -124,6 +124,11 @@ def _undiff(block: np.ndarray) -> np.ndarray:
     same-width unsigned view so overflow wraps exactly."""
     if block.dtype.kind == "f":
         raise NotImplementedError("predictor 2 on float samples")
+    if block.dtype != block.dtype.newbyteorder("="):
+        # big-endian (MM) multi-byte samples: the unsigned view below
+        # reinterprets raw bytes, so accumulate AFTER swapping to native
+        # order or the sums are computed on byte-swapped values
+        block = block.astype(block.dtype.newbyteorder("="))
     u = block.view(f"u{block.dtype.itemsize}")
     np.add.accumulate(u, axis=1, out=u)
     return block
@@ -308,8 +313,11 @@ def encode_geotiff(
         else (zlib.compress if comp_code == 8 else (lambda b: b))
     )
     base = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
-    levels = [base] + [
-        np.ascontiguousarray(base[::f, ::f]) for f in (overviews or [])
+    # (array, subsample factor) per IFD — the factor scales the geo
+    # tags so decode_geotiff(..., ifd=k) returns a transform with the
+    # overview's true pixel size, not the full-resolution one
+    levels = [(base, 1)] + [
+        (np.ascontiguousarray(base[::f, ::f]), f) for f in (overviews or [])
     ]
 
     def diff(block2d: np.ndarray) -> np.ndarray:
@@ -317,8 +325,10 @@ def encode_geotiff(
         u[:, 1:] = u[:, 1:] - u[:, :-1]
         return u.view(block2d.dtype)
 
-    def build_level(a: np.ndarray):
-        """-> (entries, chunks) for one IFD; offsets patched later."""
+    def build_level(a: np.ndarray, factor: int = 1):
+        """-> (entries, chunks) for one IFD; offsets patched later.
+        ``factor`` = subsample factor vs the base level (1 for the
+        full-resolution IFD) — geo tags are rescaled by it."""
         h, w, spp = a.shape
         chunks: list[bytes] = []
         if tile is not None:
@@ -371,13 +381,22 @@ def encode_geotiff(
                 )
             )
         if pixel_scale is not None:
-            entries.append((_T_PIXEL_SCALE, 12, list(pixel_scale)))
+            # overview pixels are ``factor``× larger in model units
+            ps = list(pixel_scale)
+            ps[0] *= factor
+            ps[1] *= factor
+            entries.append((_T_PIXEL_SCALE, 12, ps))
         if tiepoint is not None:
-            entries.append((_T_TIEPOINT, 12, list(tiepoint)))
+            # raster coords of the tiepoint shrink by the factor so the
+            # (i*sx)-derived origin is level-invariant
+            tp = list(tiepoint)
+            tp[0] /= factor
+            tp[1] /= factor
+            entries.append((_T_TIEPOINT, 12, tp))
         entries.sort(key=lambda e: e[0])
         return entries, chunks
 
-    built = [build_level(a) for a in levels]
+    built = [build_level(a, f) for a, f in levels]
     if big:
         # BigTIFF: offsets/counts carried as LONG8 so values past 4 GB
         # are representable

@@ -543,3 +543,87 @@ def test_export_declares_nan_nodata(spark, tmp_path):
     ).collect()
     _, meta = decode_geotiff(open(res[0].file, "rb").read())
     assert math.isnan(meta["nodata"])
+
+
+def test_mm_predictor_multibyte_decode():
+    # ADVICE r5: big-endian (MM) + predictor 2 + 16-bit samples must
+    # byte-swap BEFORE accumulating — row [1000, 2000, 3000] is stored
+    # as big-endian diffs [1000, 1000, 1000]
+    diffs = struct.pack(">HHH", 1000, 1000, 1000)
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack(">HHI", tag, typ, cnt) + val
+
+    n = 8
+    ifd_off = 8
+    data_off = ifd_off + 2 + n * 12 + 4
+    ifd = struct.pack(">H", n)
+    ifd += entry(256, 3, 1, struct.pack(">H", 3) + b"\0\0")  # width
+    ifd += entry(257, 3, 1, struct.pack(">H", 1) + b"\0\0")  # length
+    ifd += entry(258, 3, 1, struct.pack(">H", 16) + b"\0\0")  # bits
+    ifd += entry(259, 3, 1, struct.pack(">H", 1) + b"\0\0")  # comp none
+    ifd += entry(273, 4, 1, struct.pack(">I", data_off))  # strip off
+    ifd += entry(278, 4, 1, struct.pack(">I", 1))  # rows/strip
+    ifd += entry(279, 4, 1, struct.pack(">I", len(diffs)))  # strip bytes
+    ifd += entry(317, 3, 1, struct.pack(">H", 2) + b"\0\0")  # predictor
+    ifd += struct.pack(">I", 0)
+    payload = b"MM\x00*" + struct.pack(">I", ifd_off) + ifd + diffs
+    got, _ = decode_geotiff(payload)
+    assert got[0, :, 0].tolist() == [1000, 2000, 3000]
+
+
+def test_overview_geo_transform_scaled():
+    # ADVICE r5: overview IFDs must carry the overview's true pixel
+    # size, not the full-resolution one
+    a = np.arange(32 * 32, dtype="u2").reshape(32, 32)
+    p = encode_geotiff(
+        a,
+        tile=16,
+        overviews=[2, 4],
+        pixel_scale=(30.0, 30.0, 0.0),
+        tiepoint=(0.0, 0.0, 0.0, 500000.0, 4600000.0, 0.0),
+    )
+    for k, f in [(0, 1), (1, 2), (2, 4)]:
+        _, meta = decode_geotiff(p, ifd=k)
+        assert meta["transform"] == (500000.0, 30.0 * f, 4600000.0, -30.0 * f)
+    # nonzero tiepoint raster coords: origin stays level-invariant
+    p2 = encode_geotiff(
+        a,
+        tile=16,
+        overviews=[2],
+        pixel_scale=(10.0, 10.0, 0.0),
+        tiepoint=(4.0, 2.0, 0.0, 100.0, 200.0, 0.0),
+    )
+    for k in (0, 1):
+        _, m = decode_geotiff(p2, ifd=k)
+        assert m["transform"][0] == 100.0 - 4.0 * 10.0
+        assert m["transform"][2] == 200.0 + 2.0 * 10.0
+
+
+def test_export_integer_store_omits_nodata(spark, tmp_path):
+    # ADVICE r5: an integer-dtype store must not get a GDAL_NODATA tag
+    # of 'nan' (unrepresentable in the sample type)
+    import os
+
+    from flytemosaic_spark.pipeline import export_feature_geotiffs
+    from flytemosaic_spark.sources.chunkstore import write_template
+
+    store = str(tmp_path / "istore")
+    write_template(store, (1, 2, 16, 16), (1, 2, 16, 16), dtype="uint16")
+    chunk = np.arange(2 * 16 * 16, dtype="<u2")
+    with open(os.path.join(store, "0.0.0.0"), "wb") as f:
+        f.write(chunk.tobytes())
+    res = export_feature_geotiffs(
+        spark, store, str(tmp_path / "icogs")
+    ).collect()
+    arr, meta = decode_geotiff(open(res[0].file, "rb").read())
+    assert "nodata" not in meta
+    assert np.array_equal(
+        np.moveaxis(arr, -1, 0).ravel(), chunk.astype("u2")
+    )
+    # an explicit integer nodata still round-trips
+    res2 = export_feature_geotiffs(
+        spark, store, str(tmp_path / "icogs2"), nodata=0.0
+    ).collect()
+    _, meta2 = decode_geotiff(open(res2[0].file, "rb").read())
+    assert meta2["nodata"] == 0.0

@@ -309,3 +309,15 @@ class TestRealWavCodec:
             b.longest_voiced_run,
         )
         assert a.sample_rate == b.sample_rate == 16000
+
+
+def test_decode_payload_routes_bigtiff():
+    # ADVICE r5: BigTIFF magic (II+/MM+) must reach the geotiff codec
+    import numpy as np
+
+    from flytemosaic_spark.operators.multimodal import _decode_payload
+    from flytemosaic_spark.sources.geotiff import encode_geotiff
+
+    a = np.arange(16 * 16, dtype="u2").reshape(16, 16)
+    got = _decode_payload(encode_geotiff(a, tile=16, big=True))
+    assert np.array_equal(got[:, :, 0], a)
