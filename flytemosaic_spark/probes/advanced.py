@@ -1882,7 +1882,9 @@ def x54_class_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
     # global totals via a window over the (few) class rows: the fact
     # table is scanned ONCE; the agg+crossJoin form scans it twice
-    wall = Window.partitionBy()
+    from flytemosaic_spark.plans.prefix import bounded_total
+
+    wall = bounded_total("lang")
     n_total = F.sum("n_class").over(wall)
     k = F.count("*").over(wall)
     w = n_total.cast("double") / (k * F.col("n_class"))
@@ -2142,7 +2144,9 @@ def x60_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
-    w = Window.partitionBy()
+    from flytemosaic_spark.plans.prefix import bounded_total
+
+    w = bounded_total("n_name")
     return rev.select(
         "n_name",
         "revenue",
@@ -2291,7 +2295,9 @@ def x64_column_entropy(spark: SparkSession, sf: str) -> DataFrame:
     c = T(spark, sf, "orders").groupBy("o_orderpriority").agg(
         F.count("*").alias("n")
     )
-    p = F.col("n") / F.sum("n").over(Window.partitionBy())
+    from flytemosaic_spark.plans.prefix import bounded_total
+
+    p = F.col("n") / F.sum("n").over(bounded_total("o_orderpriority"))
     return c.select(p.alias("_p")).agg(
         portable_round(-F.sum(F.col("_p") * F.log("_p"))).alias("entropy"),
         F.count("*").alias("n_values"),

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flytemosaic_spark.operators.text import portable_round, token_count
-from flytemosaic_spark.plans.prefix import bounded_window
+from flytemosaic_spark.plans.prefix import bounded_total, bounded_window
 from flytemosaic_spark.probes.registry import T, probe
 
 # ---------------------------------------------------------------------------
@@ -1264,7 +1264,7 @@ def x146_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
         F.md5("text").alias("h"),
     )
     lc = base.groupBy("lang").agg(F.count("*").alias("n"))
-    p = F.col("n") / F.sum("n").over(Window.partitionBy())
+    p = F.col("n") / F.sum("n").over(bounded_total("lang"))
     ent = lc.select(p.alias("_p")).agg(
         portable_round(-F.sum(F.col("_p") * F.log("_p"))).alias("lang_entropy")
     )

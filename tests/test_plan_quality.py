@@ -141,3 +141,28 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
         .count()
     )
     assert with_bloom == without_bloom
+
+
+def test_audit_flags_unordered_global_window(spark):
+    # VERDICT r5: Window.partitionBy() with no orderBy was invisible to
+    # the UNPART_WINDOW check; bounded_total is the sanctioned form
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flytemosaic_spark.plans.prefix import bounded_total
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    bare = spark.range(10).withColumn(
+        "s", F.sum("id").over(Window.partitionBy())
+    )
+    assert "UNPART_WINDOW" in audit("repro", plan_of(bare))
+    ok = spark.range(10).withColumn(
+        "s", F.sum("id").over(bounded_total("id"))
+    )
+    assert "UNPART_WINDOW" not in audit("repro", plan_of(ok))
+    assert sorted(r.s for r in ok.collect()) == [45] * 10

@@ -211,7 +211,13 @@ def audit(name: str, plan: str) -> list[str]:
                 elif ch == "," and depth == 0:
                     break
                 first_arg.append(ch)
-            if re.search(r" (ASC|DESC)\b", "".join(first_arg)):
+            arg = "".join(first_arg)
+            # ordered global window: first arg is an order expression;
+            # UNordered global window (Window.partitionBy() with no
+            # orderBy): first arg is already the frame spec
+            if re.search(r" (ASC|DESC)\b", arg) or arg.startswith(
+                "specifiedwindowframe"
+            ):
                 flags.append("UNPART_WINDOW")
                 break
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
