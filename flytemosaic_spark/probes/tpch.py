@@ -1,4 +1,4 @@
-"""TPC-H-derived query suite (21 of the 22 queries, plus two
+"""TPC-H-derived query suite (all 22 queries, plus two
 hand-reformulated scale twins q21b/q02b), adapted to the driver's
 reduced schema.
 
@@ -13,9 +13,9 @@ Q20) are adapted with LINEITEM as the part-supplier bridge — each
 keeps the decorrelation shape that is its optimizer point (correlated
 scalar-min; HAVING vs a global-total scalar subquery; NOT IN +
 count-distinct; nested semi whose inner HAVING holds a correlated
-scalar aggregate). Only Q12 stays out of scope (its entire point is
-the per-shipmode lateness split and shipmode/commitdate don't exist):
-21 of 22 queries, the last one impossible rather than skipped.
+scalar aggregate). Q12 keeps its per-mode lateness split with
+l_linestatus as the mode axis and shipped->30-days-late as the
+lateness marker (shipmode/commitdate don't exist in this schema).
 
 Every probe here executes the SAME SQL text on both engines: the
 Spark side goes through the engine's SQL frontend
@@ -543,6 +543,29 @@ _tpch(
     "per-part total into a join under a semi under a semi, the "
     "deepest rewrite in the suite; quantity sums exact, threshold one "
     "IEEE multiply",
+)
+
+_tpch(
+    "q12_shipping_priority_split",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_linestatus IN ('O', 'F')
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    "TPC-H Q12 shape (shipmode/commitdate absent -> linestatus as the "
+    "mode axis, 'shipped >30 days after ordering' as the lateness "
+    "marker): the per-mode URGENT/non-URGENT conditional split with "
+    "both CASE branches in one aggregate pass; integer counts exact, "
+    "completes the 22-query optimizer surface",
 )
 
 from pyspark.sql import functions as F  # noqa: E402
