@@ -25,8 +25,18 @@ _WKB_MULTIPOLYGON = 6
 
 
 def parse_wkb_polygons(wkb: bytes) -> list[list[tuple[float, float]]]:
-    """Exterior rings (holes ignored — conservative for intersects) of
-    a WKB Polygon or MultiPolygon."""
+    """Exterior rings only of a WKB Polygon or MultiPolygon (the
+    bbox/reprojection helpers need just the outer boundary)."""
+    return [rings[0] for rings in parse_wkb_polygon_rings(wkb)]
+
+
+def parse_wkb_polygon_rings(
+    wkb: bytes,
+) -> list[list[list[tuple[float, float]]]]:
+    """All rings of a WKB Polygon or MultiPolygon: one entry per
+    polygon, ``entry[0]`` the exterior ring, ``entry[1:]`` interior
+    rings (holes) — the reference's shapely ``intersects``
+    (glad.py:236-239) honors holes, so the exact refine must too."""
 
     def read(fmt: str, off: int, little: bool):
         pre = "<" if little else ">"
@@ -51,7 +61,7 @@ def parse_wkb_polygons(wkb: bytes) -> list[list[tuple[float, float]]]:
     (gtype,) = struct.unpack_from(("<" if little else ">") + "I", wkb, 1)
     if gtype == _WKB_POLYGON:
         rings, _ = read_polygon(0)
-        return [rings[0]] if rings else []
+        return [rings] if rings else []
     if gtype == _WKB_MULTIPOLYGON:
         off = 5
         (n_polys,) = struct.unpack_from(("<" if little else ">") + "I", wkb, off)
@@ -60,7 +70,7 @@ def parse_wkb_polygons(wkb: bytes) -> list[list[tuple[float, float]]]:
         for _ in range(n_polys):
             rings, off = read_polygon(off)
             if rings:
-                out.append(rings[0])
+                out.append(rings)
         return out
     raise ValueError(f"unsupported WKB geometry type {gtype}")
 
@@ -99,13 +109,12 @@ def _segments_cross(a1, a2, b1, b2) -> bool:
     )
 
 
-def rect_intersects_polygon(
+def _rect_touches_ring(
     minx: float, miny: float, maxx: float, maxy: float,
     ring: list[tuple[float, float]],
 ) -> bool:
-    """Exact rect×polygon(exterior-ring) intersection: any polygon
-    vertex in the rect, any rect corner in the polygon, or any edge
-    crossing."""
+    """Rect × single-ring region intersection: any ring vertex in the
+    rect, any rect corner in the ring, or any edge crossing."""
     for x, y in ring:
         if minx <= x <= maxx and miny <= y <= maxy:
             return True
@@ -124,20 +133,55 @@ def rect_intersects_polygon(
     return False
 
 
+def rect_intersects_polygon(
+    minx: float, miny: float, maxx: float, maxy: float,
+    ring: list[tuple[float, float]],
+    holes: list[list[tuple[float, float]]] = (),
+) -> bool:
+    """Exact rect×polygon intersection, closed-set (shapely
+    ``intersects``) semantics including interior rings: the rect meets
+    the exterior-ring region AND is not strictly inside a hole. A rect
+    that crosses or merely touches a hole's boundary still intersects
+    (hole boundaries are polygon boundary); a hole fully inside the
+    rect leaves polygon material in the rect on every side."""
+    if not _rect_touches_ring(minx, miny, maxx, maxy, ring):
+        return False
+    corners = [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)]
+    edges = [
+        (corners[0], corners[1]), (corners[1], corners[2]),
+        (corners[2], corners[3]), (corners[3], corners[0]),
+    ]
+    for hole in holes:
+        if not all(_point_in_ring(cx, cy, hole) for cx, cy in corners):
+            continue  # some corner in polygon material (or on boundary)
+        # all corners inside the hole: strictly inside unless a rect
+        # edge crosses/touches the hole boundary
+        crossed = any(
+            _segments_cross(hole[i], hole[i + 1], e1, e2)
+            for i in range(len(hole) - 1)
+            for e1, e2 in edges
+        )
+        if not crossed:
+            return False
+    return True
+
+
 def refine_intersects(tiles: DataFrame, query_wkb: bytes) -> DataFrame:
     """Exact intersects refine over bbox-prefiltered tiles (the second
     phase of J1). Input needs minx/miny/maxx/maxy columns; the query
     geometry is closed over (broadcast with the serialized UDF — it is
     a single geometry, like the reference's single query geo)."""
-    rings = parse_wkb_polygons(query_wkb)
+    polys = parse_wkb_polygon_rings(query_wkb)
     schema = tiles.schema
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             keep = [
                 any(
-                    rect_intersects_polygon(mnx, mny, mxx, mxy, ring)
-                    for ring in rings
+                    rect_intersects_polygon(
+                        mnx, mny, mxx, mxy, rings[0], rings[1:]
+                    )
+                    for rings in polys
                 )
                 for mnx, mny, mxx, mxy in zip(
                     pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"]
@@ -148,13 +192,24 @@ def refine_intersects(tiles: DataFrame, query_wkb: bytes) -> DataFrame:
     return tiles.mapInPandas(refine, schema)
 
 
-def wkb_polygon(coords: list[tuple[float, float]]) -> bytes:
-    """Little-endian WKB Polygon from an (auto-closed) exterior ring —
-    fixture helper and the inverse of :func:`parse_wkb_polygons`."""
-    ring = list(coords)
-    if ring[0] != ring[-1]:
-        ring.append(ring[0])
-    out = struct.pack("<BII", 1, _WKB_POLYGON, 1) + struct.pack("<I", len(ring))
-    for x, y in ring:
-        out += struct.pack("<dd", x, y)
+def wkb_polygon(
+    coords: list[tuple[float, float]],
+    holes: list[list[tuple[float, float]]] = (),
+) -> bytes:
+    """Little-endian WKB Polygon from an (auto-closed) exterior ring
+    plus optional (auto-closed) interior rings — fixture helper and
+    the inverse of :func:`parse_wkb_polygon_rings`."""
+
+    def closed(r):
+        r = list(r)
+        if r[0] != r[-1]:
+            r.append(r[0])
+        return r
+
+    rings = [closed(coords)] + [closed(h) for h in holes]
+    out = struct.pack("<BII", 1, _WKB_POLYGON, len(rings))
+    for ring in rings:
+        out += struct.pack("<I", len(ring))
+        for x, y in ring:
+            out += struct.pack("<dd", x, y)
     return out

@@ -87,3 +87,67 @@ def test_predicate_matches_grid_oracle():
             assert got, (seed, "grid found overlap but predicate says no")
 
     run()
+
+
+def test_donut_polygon_holes():
+    # VERDICT r5 gap: interior rings — reference's shapely intersects
+    # (glad.py:236-239) honors holes; a tile strictly inside a hole
+    # must NOT intersect
+    from flytemosaic_spark.functions.geometry import (
+        parse_wkb_polygon_rings,
+    )
+
+    outer = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    hole = [(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0)]
+    rings = parse_wkb_polygon_rings(wkb_polygon(outer, holes=[hole]))[0]
+    assert len(rings) == 2
+    ext, hol = rings[0], rings[1:]
+    # rect strictly inside the hole: no intersection
+    assert rect_intersects_polygon(4, 4, 6, 6, ext, hol) is False
+    # rect crossing the hole boundary: intersects
+    assert rect_intersects_polygon(2, 4, 5, 6, ext, hol)
+    # rect touching the hole boundary from inside: boundary is polygon
+    assert rect_intersects_polygon(3, 4, 5, 6, ext, hol)
+    # hole entirely inside the rect: material on every side
+    assert rect_intersects_polygon(2, 2, 8, 8, ext, hol)
+    # rect coinciding exactly with the hole: shares its boundary
+    assert rect_intersects_polygon(3, 3, 7, 7, ext, hol)
+    # rect in polygon material between hole and exterior
+    assert rect_intersects_polygon(1, 1, 2, 2, ext, hol)
+    # rect outside the exterior entirely
+    assert rect_intersects_polygon(20, 20, 21, 21, ext, hol) is False
+    # non-convex hole: all 4 corners inside but an edge crosses a
+    # peninsula of the hole boundary
+    notch = [
+        (3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (5.2, 7.0), (5.2, 4.5),
+        (4.8, 4.5), (4.8, 7.0), (3.0, 7.0),
+    ]
+    nrings = parse_wkb_polygon_rings(wkb_polygon(outer, holes=[notch]))[0]
+    assert rect_intersects_polygon(3.5, 5.0, 6.5, 6.5, nrings[0], nrings[1:])
+    # same hole, rect tucked in one lobe away from the peninsula
+    assert (
+        rect_intersects_polygon(3.5, 5.0, 4.5, 6.5, nrings[0], nrings[1:])
+        is False
+    )
+
+
+def test_refine_intersects_honors_holes(spark):
+    # a donut query over the tile grid: tiles inside the hole drop out
+    tiles = tile_grid(spark, n=10)
+    outer = [(0.0, 0.0), (9.0, 0.0), (9.0, 9.0), (0.0, 9.0)]
+    hole = [(2.0, 2.0), (7.0, 2.0), (7.0, 7.0), (2.0, 7.0)]
+    pre = tiles_for_bbox(tiles, (0.0, 0.0, 9.0, 9.0))
+    solid = {
+        (int(r.minx), int(r.miny))
+        for r in refine_intersects(pre, wkb_polygon(outer)).collect()
+    }
+    donut = {
+        (int(r.minx), int(r.miny))
+        for r in refine_intersects(
+            pre, wkb_polygon(outer, holes=[hole])
+        ).collect()
+    }
+    # strictly-interior-to-hole tiles: unit tiles with origin 3..5
+    # (tiles at 2 and 6 touch the hole boundary, which is polygon)
+    dropped = solid - donut
+    assert dropped == {(x, y) for x in (3, 4, 5) for y in (3, 4, 5)}
