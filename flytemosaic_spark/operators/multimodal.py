@@ -153,9 +153,11 @@ def _decode_payload(payload: bytes) -> np.ndarray:
     2. REAL PNG: PIL when importable (full format coverage), else the
        built-in stdlib-zlib decoder (:func:`_decode_png` — 8-bit
        gray/GA/RGB/RGBA, all five unfilters), so PNG round-trips work
-       even in this no-image-library sandbox;
-    3. anything else (JPEG/MP4/...) raises NotImplementedError naming
-       the swap point (PIL/ffmpeg).
+       even in this no-image-library sandbox; REAL baseline JPEG the
+       same way (PIL, else ``sources/jpeg.py``); REAL TIFF/GeoTIFF/
+       BigTIFF via ``sources/geotiff.py``;
+    3. anything else (MP4/...) raises NotImplementedError naming the
+       swap point (ffmpeg).
     """
     if payload.startswith(_MAGIC):
         width, height, channels = struct.unpack_from("<iiB", payload, 4)
@@ -174,9 +176,20 @@ def _decode_payload(payload: bytes) -> np.ndarray:
         from flytemosaic_spark.sources.geotiff import decode_geotiff
 
         return decode_geotiff(payload)[0]
+    if payload[:3] == b"\xff\xd8\xff":
+        try:
+            import io
+
+            from PIL import Image  # optional full decoder
+        except ImportError:
+            from flytemosaic_spark.sources.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
+        a = np.asarray(Image.open(io.BytesIO(payload)))
+        return a.reshape(a.shape[0], a.shape[1], -1)
     raise NotImplementedError(
-        "codec not available: payload is not the FAKE container, PNG, or "
-        "TIFF/GeoTIFF; JPEG/MP4/... need PIL or ffmpeg at this seam"
+        "codec not available: payload is not the FAKE container, PNG, "
+        "JPEG, or TIFF/GeoTIFF; MP4/... need ffmpeg at this seam"
     )
 
 

@@ -5,14 +5,16 @@ GDAL (reference flytemosaic/datasets/utils.py:123-126,
 flytemosaic/datasets/glad.py:140-151). This container has no GDAL, so
 this module implements the TIFF 6.0 baseline subset that covers the
 reference's actual files — tiled or stripped, DEFLATE- or
-LZW-compressed or raw (LZW with the spec's early code-width change),
+LZW-compressed, baseline-JPEG (via the pure-numpy codec in
+``sources/jpeg.py``, including the TIFF ``JPEGTables`` abbreviated
+streams) or raw (LZW with the spec's early code-width change),
 8/16/32-bit integer and 32/64-bit float samples, horizontal-
 differencing predictor, chunky multi-band, GeoTIFF ModelPixelScale +
 ModelTiepoint georeferencing — so the raster seams (`pipeline.py`
 stage 2, `operators/multimodal.py`) can decode REAL payloads
-end-to-end in this sandbox. Formats beyond the subset (JPEG
-compression, planar configuration 2) raise NotImplementedError
-naming the feature, same honesty contract as the other codec tiers.
+end-to-end in this sandbox. Formats beyond the subset (progressive
+JPEG, planar configuration 2) raise NotImplementedError naming the
+feature, same honesty contract as the other codec tiers.
 
 Decode supports both byte orders, WINDOWED reads (only blocks
 intersecting the window are ever decompressed — the cloud-optimized
@@ -34,6 +36,7 @@ _T_WIDTH = 256
 _T_LENGTH = 257
 _T_BITS = 258
 _T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
 _T_STRIP_OFFSETS = 273
 _T_SPP = 277
 _T_ROWS_PER_STRIP = 278
@@ -45,17 +48,18 @@ _T_TILE_L = 323
 _T_TILE_OFFSETS = 324
 _T_TILE_COUNTS = 325
 _T_SAMPLE_FORMAT = 339
+_T_JPEG_TABLES = 347  # abbreviated DQT/DHT stream shared by all tiles
 _T_PIXEL_SCALE = 33550
 _T_TIEPOINT = 33922
 _T_GDAL_NODATA = 42113  # ASCII float, written by every GDAL GeoTIFF
 
 _TYPE_SIZES = {
-    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 11: 4, 12: 8,
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 11: 4, 12: 8,
     16: 8, 17: 8,  # BigTIFF LONG8 / SLONG8
 }
 _TYPE_FMT = {
-    1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
-    12: "d", 16: "Q", 17: "q",
+    1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i",
+    11: "f", 12: "d", 16: "Q", 17: "q",
 }
 
 # (bits, sample_format) -> numpy dtype char
@@ -190,11 +194,17 @@ def decode_geotiff(
         raise NotImplementedError(f"sample type bits={key[0]} format={key[1]}")
     dt = np.dtype(bo + _DTYPES[key])
     comp = int(t.get(_T_COMPRESSION, [1])[0])
-    if comp not in (1, 5, 8, 32946):  # none / LZW / deflate (both codes)
+    # none / LZW / deflate (both codes) / baseline JPEG
+    if comp not in (1, 5, 7, 8, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} (none/LZW/deflate supported; "
-            "JPEG needs GDAL or PIL)"
+            f"TIFF compression {comp} "
+            "(none/LZW/deflate/baseline-JPEG supported)"
         )
+    if comp == 7 and key != (8, 1):
+        raise NotImplementedError("JPEG-in-TIFF with non-uint8 samples")
+    jpeg_tables = (
+        bytes(t[_T_JPEG_TABLES]) if _T_JPEG_TABLES in t else None
+    )
     if int(t.get(_T_PLANAR, [1])[0]) != 1:
         raise NotImplementedError("planar configuration 2")
     pred = int(t.get(_T_PREDICTOR, [1])[0])
@@ -210,9 +220,35 @@ def decode_geotiff(
         raw = payload[int(o) : int(o) + int(c)]
         if comp == 5:
             return _lzw_decode(raw)
-        if comp != 1:
+        if comp in (8, 32946):
             return zlib.decompress(raw)
         return raw
+
+    def block(o, c, bh, bw):
+        """One decoded block as a (bh, bw, spp) array (predictor
+        inverted; JPEG blocks cropped/padded to the block grid)."""
+        if comp == 7:
+            from flytemosaic_spark.sources.jpeg import decode_jpeg
+
+            a = decode_jpeg(
+                payload[int(o) : int(o) + int(c)], tables=jpeg_tables
+            )
+            if a.shape[2] != spp:
+                raise ValueError(
+                    f"JPEG block has {a.shape[2]} components, IFD says {spp}"
+                )
+            if a.shape[:2] == (bh, bw):
+                return a
+            padded = np.zeros((bh, bw, spp), dtype=np.uint8)
+            eh, ew = min(bh, a.shape[0]), min(bw, a.shape[1])
+            padded[:eh, :ew] = a[:eh, :ew]
+            return padded
+        arr = np.frombuffer(unpack(o, c), dtype=dt).reshape(bh, bw, spp)
+        if pred == 2:
+            arr = _undiff(arr.copy().reshape(bh, bw * spp)).reshape(
+                bh, bw, spp
+            )
+        return arr
 
     out = np.zeros((oh, ow, spp), dtype=dt.newbyteorder("="))
     if _T_TILE_OFFSETS in t:
@@ -225,12 +261,7 @@ def decode_geotiff(
             if (ty >= wy + oh or ty + tl <= wy
                     or tx >= wx + ow or tx + tw <= wx):
                 continue
-            tile = np.frombuffer(unpack(offsets[i], counts[i]), dtype=dt)
-            tile = tile.reshape(tl, tw, spp)
-            if pred == 2:
-                tile = _undiff(tile.copy().reshape(tl, tw * spp)).reshape(
-                    tl, tw, spp
-                )
+            tile = block(offsets[i], counts[i], tl, tw)
             sy, sx = max(ty, wy), max(tx, wx)
             ey = min(ty + tl, wy + oh, h)
             ex = min(tx + tw, wx + ow, w)
@@ -245,12 +276,7 @@ def decode_geotiff(
             rows = min(rps, h - y)
             if y >= wy + oh or y + rows <= wy:
                 continue
-            strip = np.frombuffer(unpack(offsets[i], counts[i]), dtype=dt)
-            strip = strip.reshape(rows, w, spp)
-            if pred == 2:
-                strip = _undiff(
-                    strip.copy().reshape(rows, w * spp)
-                ).reshape(rows, w, spp)
+            strip = block(offsets[i], counts[i], rows, w)
             sy = max(y, wy)
             ey = min(y + rows, wy + oh)
             out[sy - wy : ey - wy] = strip[sy - y : ey - y, wx : wx + ow]
@@ -283,6 +309,7 @@ def encode_geotiff(
     overviews: list[int] | None = None,
     big: bool = False,
     nodata: float | None = None,
+    jpeg_quality: int = 90,
 ) -> bytes:
     """Encode ``arr`` ((H, W) or (H, W, bands), supported dtype) as a
     little-endian tiled (or single-strip when ``tile=None``) TIFF.
@@ -305,8 +332,15 @@ def encode_geotiff(
     if predictor and kind == "f":
         raise NotImplementedError("predictor 2 on float samples")
     comp_code = {
-        True: 8, "deflate": 8, "lzw": 5, False: 1, None: 1
+        True: 8, "deflate": 8, "lzw": 5, "jpeg": 7, False: 1, None: 1
     }[compress]
+    if comp_code == 7:
+        if arr.dtype != np.uint8 or arr.shape[2] not in (1, 3):
+            raise NotImplementedError(
+                "JPEG compression: uint8 with 1 or 3 bands only"
+            )
+        if predictor:
+            raise NotImplementedError("predictor with JPEG compression")
     pack = (
         _lzw_encode
         if comp_code == 5
@@ -338,10 +372,23 @@ def encode_geotiff(
                     block = np.zeros((tl, tw, spp), dtype=a.dtype)
                     ey, ex = min(tl, h - ty), min(tw, w - tx)
                     block[:ey, :ex] = a[ty : ty + ey, tx : tx + ex]
+                    if comp_code == 7:
+                        from flytemosaic_spark.sources.jpeg import (
+                            encode_jpeg,
+                        )
+
+                        chunks.append(
+                            encode_jpeg(block, quality=jpeg_quality)
+                        )
+                        continue
                     flat = block.reshape(tl, tw * spp)
                     if predictor:
                         flat = diff(flat)
                     chunks.append(pack(flat.tobytes()))
+        elif comp_code == 7:
+            from flytemosaic_spark.sources.jpeg import encode_jpeg
+
+            chunks.append(encode_jpeg(a, quality=jpeg_quality))
         else:
             flat = a.reshape(h, w * spp)
             if predictor:
@@ -356,6 +403,12 @@ def encode_geotiff(
             (_T_PLANAR, 3, [1]),
             (_T_SAMPLE_FORMAT, 3, [_FMT_OF_KIND[kind]] * spp),
         ]
+        if comp_code == 7:
+            # YCbCr(4:4:4) for color, min-is-black for gray — what the
+            # JFIF streams the tiles hold actually encode
+            entries.append((_T_PHOTOMETRIC, 3, [6 if spp == 3 else 1]))
+            if spp == 3:
+                entries.append((530, 3, [1, 1]))  # YCbCrSubSampling
         if predictor:
             entries.append((_T_PREDICTOR, 3, [2]))
         if tile is not None:
@@ -586,6 +639,14 @@ def _lzw_encode(data: bytes) -> bytes:
             w = b""
     if w:
         emit(table[w], width)
+        # the decoder completes one table entry on EVERY received code,
+        # including this final flush — count it (and widen if that
+        # crosses the early-change boundary) or EOI is written one bit
+        # narrower than the decoder reads it (libtiff LZWPostEncode
+        # does the same free_ent++ before CODE_EOI)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(_LZW_EOI, width)
     if nbits:
         out.append((buf << (8 - nbits)) & 0xFF)
