@@ -74,14 +74,32 @@ def reproject_bbox_cols(
     dst_crs: str,
     cols: tuple[str, str, str, str] = ("minx", "miny", "maxx", "maxy"),
 ) -> DataFrame:
-    """Reproject a bbox-column quartet in place. Both supported maps
-    are strictly monotonic per axis, so min/max corners transform to
-    min/max corners — no densification needed (unlike a general
-    rotational CRS)."""
+    """Reproject a bbox-column quartet in place. The lon/lat <->
+    Web-Mercator maps are strictly monotonic per axis, so min/max
+    corners transform to min/max corners. UTM targets/sources are NOT
+    axis-separable (easting depends on latitude too): those transform
+    all four corners and take the envelope — a conservative superset,
+    which is exactly what the sargable bbox PREFILTER needs (the exact
+    refine downstream keeps the final answer tight)."""
     if src_crs == dst_crs:
         return df
-    fx, fy = _axis_fns(src_crs, dst_crs)
     minx, miny, maxx, maxy = cols
+    utm = _utm_pair(src_crs, dst_crs)
+    if utm is not None:
+        fwd, zone, south = utm
+        fn = lonlat_to_utm_cols if fwd else utm_to_lonlat_cols
+        x0, y0, x1, y1 = (F.col(c) for c in cols)
+        pts = _utm_envelope_candidates(x0, y0, x1, y1, zone, fwd, F.lit)
+        proj = [fn(px, py, zone, south) for px, py in pts]
+        return df.withColumns(
+            {
+                minx: F.least(*[p[0] for p in proj]),
+                miny: F.least(*[p[1] for p in proj]),
+                maxx: F.greatest(*[p[0] for p in proj]),
+                maxy: F.greatest(*[p[1] for p in proj]),
+            }
+        )
+    fx, fy = _axis_fns(src_crs, dst_crs)
     return df.withColumns(
         {
             minx: fx(F.col(minx)),
@@ -90,6 +108,48 @@ def reproject_bbox_cols(
             maxy: fy(F.col(maxy)),
         }
     )
+
+
+def _utm_envelope_candidates(x0, y0, x1, y1, zone: int, fwd: bool, lit):
+    """Points whose transforms bound a lon/lat- (or UTM-) aligned box
+    under the TM map. Corners alone are NOT enough: at fixed latitude,
+    northing is minimized AT the central meridian (the parallel bows
+    upward away from it), and easting offset is maximized at the
+    latitude nearest the equator — so boxes straddling either line
+    have extremes on edge interiors. Candidates: 4 corners + the
+    CM-clamped points on both horizontal edges + (forward only) the
+    equator-clamped points on both vertical edges. Works on Columns
+    (``lit`` = F.lit) and plain floats (``lit`` = float)."""
+    is_col = isinstance(x0, Column)
+
+    def clamp(v, lo, hi):
+        if is_col:
+            return F.greatest(lo, F.least(lit(v), hi))
+        return max(lo, min(v, hi))
+
+    pts = [(x0, y0), (x0, y1), (x1, y0), (x1, y1)]
+    cx = clamp(utm_zone_lon0(zone) if fwd else _UTM_E0, x0, x1)
+    pts += [(cx, y0), (cx, y1)]
+    if fwd:
+        cy = clamp(0.0, y0, y1)
+        pts += [(x0, cy), (x1, cy)]
+    return pts
+
+
+def _utm_pair(src_crs: str, dst_crs: str):
+    """(forward?, zone, south) when exactly one side is a UTM code and
+    the other is EPSG:4326; None when neither side is UTM."""
+    for crs, other, fwd in ((dst_crs, src_crs, True), (src_crs, dst_crs, False)):
+        try:
+            zone, south = parse_utm_epsg(crs)
+        except ValueError:
+            continue
+        if other != EPSG_4326:
+            raise ValueError(
+                f"UTM reprojection only from/to {EPSG_4326}, got {other}"
+            )
+        return fwd, zone, south
+    return None
 
 
 def reproject_manifest(manifest: DataFrame, dst_crs: str) -> DataFrame:
@@ -133,6 +193,292 @@ def _axis_fns(src_crs: str, dst_crs: str):
             f"unsupported CRS pair {src_crs} -> {dst_crs}; "
             f"supported: EPSG:4326 <-> EPSG:3857"
         ) from None
+
+
+# -- UTM / transverse Mercator (ellipsoidal, Krüger series) ----------------
+#
+# The reference honors ANY caller-chosen CRS (build.py:183,
+# mosaics.py:73); GLAD-style work runs in UTM zones (EPSG:326xx north /
+# 327xx south). The 6th-order Krüger series (Karney 2011, "Transverse
+# Mercator with an accuracy of a few nanometers" — public) gives
+# sub-mm accuracy inside a zone ±10°, expressed as unrolled column
+# math: trig/hyperbolic built-ins only, with asinh/atanh spelled as
+# logs so a DuckDB oracle replays the identical expression tree.
+
+_WGS84_F = 1.0 / 298.257223563  # WGS84 flattening
+_UTM_K0 = 0.9996
+_UTM_E0 = 500000.0
+_UTM_N0_SOUTH = 10000000.0
+
+
+def _kruger_consts(f: float = _WGS84_F) -> dict:
+    """n (third flattening), rectifying radius A, forward (alpha) and
+    inverse (beta) series, eccentricity, and the conformal-to-geodetic
+    latitude series (chi) — all plain floats, embedded as literals in
+    both the Column expressions and the oracle SQL."""
+    n = f / (2.0 - f)
+    n2, n3, n4, n5, n6 = n * n, n**3, n**4, n**5, n**6
+    a = R  # WGS84 semi-major axis (R above)
+    big_a = a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    alpha = [
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180
+        - 127 * n5 / 288 + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+        - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880
+        + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    ]
+    beta = [
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512
+        + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105
+        - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480
+        + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800,
+    ]
+    e2 = f * (2.0 - f)
+    e4, e6, e8 = e2 * e2, e2**3, e2**4
+    # conformal -> geodetic latitude series (classic chi expansion)
+    chi = [
+        e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360,
+        7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520,
+        7 * e6 / 120 + 81 * e8 / 1120,
+        4279 * e8 / 161280,
+    ]
+    return {
+        "A": big_a, "alpha": alpha, "beta": beta,
+        "e": math.sqrt(e2), "chi": chi,
+    }
+
+
+_KRUGER = _kruger_consts()
+
+
+def utm_zone_lon0(zone: int) -> float:
+    """Central meridian of a UTM zone (degrees)."""
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone {zone} out of range 1..60")
+    return zone * 6.0 - 183.0
+
+
+def parse_utm_epsg(crs: str) -> tuple[int, bool]:
+    """EPSG:326xx / EPSG:327xx -> (zone, south). Raises on non-UTM."""
+    if crs.startswith("EPSG:326") and len(crs) == 10:
+        zone = int(crs[8:])
+        if 1 <= zone <= 60:
+            return zone, False
+    if crs.startswith("EPSG:327") and len(crs) == 10:
+        zone = int(crs[8:])
+        if 1 <= zone <= 60:
+            return zone, True
+    raise ValueError(f"not a UTM EPSG code: {crs}")
+
+
+# The Krüger expression is authored ONCE over an abstract op set and
+# rendered to BOTH Spark Columns and SQL text — the two engines then
+# evaluate structurally identical IEEE trees, which is what makes the
+# probe's value-hash compare EXACT at the mm grain (hyperbolics are
+# spelled via exp because DuckDB has no sinh/cosh; asinh/atanh via ln
+# for the same reason).
+
+
+class _ColOps:
+    lit = staticmethod(lambda v: F.lit(float(v)))
+    sin = staticmethod(F.sin)
+    cos = staticmethod(F.cos)
+    asin = staticmethod(F.asin)
+    atan2 = staticmethod(F.atan2)
+    log = staticmethod(F.log)
+    exp = staticmethod(F.exp)
+    sqrt = staticmethod(F.sqrt)
+
+
+class _SqlVal:
+    """A SQL scalar expression; every operator parenthesizes, so the
+    rendered text preserves the construction order exactly."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def _b(self, op, o, rev=False):
+        a, b = (o.s, self.s) if rev else (self.s, o.s)
+        return _SqlVal(f"({a} {op} {b})")
+
+    def __add__(self, o):
+        return self._b("+", o)
+
+    def __sub__(self, o):
+        return self._b("-", o)
+
+    def __mul__(self, o):
+        return self._b("*", o)
+
+    def __truediv__(self, o):
+        return self._b("/", o)
+
+    def __neg__(self):
+        return _SqlVal(f"(- {self.s})")
+
+
+class _SqlOps:
+    lit = staticmethod(lambda v: _SqlVal(repr(float(v))))
+    sin = staticmethod(lambda x: _SqlVal(f"sin({x.s})"))
+    cos = staticmethod(lambda x: _SqlVal(f"cos({x.s})"))
+    asin = staticmethod(lambda x: _SqlVal(f"asin({x.s})"))
+    atan2 = staticmethod(lambda y, x: _SqlVal(f"atan2({y.s}, {x.s})"))
+    log = staticmethod(lambda x: _SqlVal(f"ln({x.s})"))
+    exp = staticmethod(lambda x: _SqlVal(f"exp({x.s})"))
+    sqrt = staticmethod(lambda x: _SqlVal(f"sqrt({x.s})"))
+
+
+def _sinh(ops, x):
+    return (ops.exp(x) - ops.exp(-x)) / ops.lit(2.0)
+
+
+def _cosh(ops, x):
+    return (ops.exp(x) + ops.exp(-x)) / ops.lit(2.0)
+
+
+def _kruger_forward(ops, lon, lat, zone: int, south: bool):
+    k, L = _KRUGER, ops.lit
+    lam = (lon - L(utm_zone_lon0(zone))) * L(math.pi / 180.0)
+    phi = lat * L(math.pi / 180.0)
+    s, e = ops.sin(phi), L(k["e"])
+    # atanh spelled as a log so the oracle replays it verbatim
+    atanh_s = L(0.5) * ops.log((L(1.0) + s) / (L(1.0) - s))
+    atanh_es = L(0.5) * ops.log((L(1.0) + e * s) / (L(1.0) - e * s))
+    t = _sinh(ops, atanh_s - e * atanh_es)
+    xi_p = ops.atan2(t, ops.cos(lam))
+    q = ops.sin(lam) / ops.sqrt(t * t + ops.cos(lam) * ops.cos(lam))
+    eta_p = ops.log(q + ops.sqrt(q * q + L(1.0)))  # asinh
+    xi, eta = xi_p, eta_p
+    for j, aj in enumerate(k["alpha"], start=1):
+        xi = xi + L(aj) * ops.sin(L(2.0 * j) * xi_p) * _cosh(
+            ops, L(2.0 * j) * eta_p
+        )
+        eta = eta + L(aj) * ops.cos(L(2.0 * j) * xi_p) * _sinh(
+            ops, L(2.0 * j) * eta_p
+        )
+    scale = L(_UTM_K0 * k["A"])
+    easting = L(_UTM_E0) + scale * eta
+    northing = (L(_UTM_N0_SOUTH) if south else L(0.0)) + scale * xi
+    return easting, northing
+
+
+def _kruger_inverse(ops, easting, northing, zone: int, south: bool):
+    k, L = _KRUGER, ops.lit
+    scale = L(_UTM_K0 * k["A"])
+    xi = (northing - (L(_UTM_N0_SOUTH) if south else L(0.0))) / scale
+    eta = (easting - L(_UTM_E0)) / scale
+    xi_p, eta_p = xi, eta
+    for j, bj in enumerate(k["beta"], start=1):
+        xi_p = xi_p - L(bj) * ops.sin(L(2.0 * j) * xi) * _cosh(
+            ops, L(2.0 * j) * eta
+        )
+        eta_p = eta_p - L(bj) * ops.cos(L(2.0 * j) * xi) * _sinh(
+            ops, L(2.0 * j) * eta
+        )
+    lam = ops.atan2(_sinh(ops, eta_p), ops.cos(xi_p))
+    chi = ops.asin(ops.sin(xi_p) / _cosh(ops, eta_p))  # conformal lat
+    phi = chi
+    for j, cj in enumerate(k["chi"], start=1):
+        phi = phi + L(cj) * ops.sin(L(2.0 * j) * chi)
+    lon = lam * L(180.0 / math.pi) + L(utm_zone_lon0(zone))
+    lat = phi * L(180.0 / math.pi)
+    return lon, lat
+
+
+def lonlat_to_utm_cols(
+    lon: Column, lat: Column, zone: int, south: bool = False
+) -> tuple[Column, Column]:
+    """(easting, northing) Columns for WGS84 lon/lat in degrees —
+    unrolled Krüger forward series, JVM-side codegen only."""
+    return _kruger_forward(_ColOps, lon, lat, zone, south)
+
+
+def utm_to_lonlat_cols(
+    easting: Column, northing: Column, zone: int, south: bool = False
+) -> tuple[Column, Column]:
+    """Inverse Krüger series: (lon, lat) Columns in degrees."""
+    return _kruger_inverse(_ColOps, easting, northing, zone, south)
+
+
+def utm_forward_sql(
+    lon_sql: str, lat_sql: str, zone: int, south: bool = False
+) -> tuple[str, str]:
+    """The forward transform as SQL text — structurally identical to
+    :func:`lonlat_to_utm_cols`, for DuckDB oracle queries."""
+    e, n = _kruger_forward(
+        _SqlOps, _SqlVal(f"({lon_sql})"), _SqlVal(f"({lat_sql})"),
+        zone, south,
+    )
+    return e.s, n.s
+
+
+def utm_inverse_sql(
+    easting_sql: str, northing_sql: str, zone: int, south: bool = False
+) -> tuple[str, str]:
+    """The inverse transform as SQL text (see
+    :func:`utm_forward_sql`)."""
+    lo, la = _kruger_inverse(
+        _SqlOps, _SqlVal(f"({easting_sql})"), _SqlVal(f"({northing_sql})"),
+        zone, south,
+    )
+    return lo.s, la.s
+
+
+def lonlat_to_utm(
+    lon: float, lat: float, zone: int, south: bool = False
+) -> tuple[float, float]:
+    """Python twin of :func:`lonlat_to_utm_cols` (plan-time bboxes and
+    WKB query geometries) — identical arithmetic, libm instead of JVM
+    (differences are last-ulp, far below the mm grain)."""
+    k = _KRUGER
+    lam = math.radians(lon - utm_zone_lon0(zone))
+    phi = math.radians(lat)
+    s, e = math.sin(phi), k["e"]
+    t = math.sinh(math.atanh(s) - e * math.atanh(e * s))
+    xi_p = math.atan2(t, math.cos(lam))
+    eta_p = math.asinh(
+        math.sin(lam) / math.sqrt(t * t + math.cos(lam) ** 2)
+    )
+    xi, eta = xi_p, eta_p
+    for j, aj in enumerate(k["alpha"], start=1):
+        xi += aj * math.sin(2 * j * xi_p) * math.cosh(2 * j * eta_p)
+        eta += aj * math.cos(2 * j * xi_p) * math.sinh(2 * j * eta_p)
+    scale = _UTM_K0 * k["A"]
+    return (
+        _UTM_E0 + scale * eta,
+        (_UTM_N0_SOUTH if south else 0.0) + scale * xi,
+    )
+
+
+def utm_to_lonlat(
+    easting: float, northing: float, zone: int, south: bool = False
+) -> tuple[float, float]:
+    """Python twin of :func:`utm_to_lonlat_cols`."""
+    k = _KRUGER
+    scale = _UTM_K0 * k["A"]
+    xi = (northing - (_UTM_N0_SOUTH if south else 0.0)) / scale
+    eta = (easting - _UTM_E0) / scale
+    xi_p, eta_p = xi, eta
+    for j, bj in enumerate(k["beta"], start=1):
+        xi_p -= bj * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        eta_p -= bj * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+    lam = math.atan2(math.sinh(eta_p), math.cos(xi_p))
+    chi = math.asin(math.sin(xi_p) / math.cosh(eta_p))
+    phi = chi
+    for j, cj in enumerate(k["chi"], start=1):
+        phi += cj * math.sin(2 * j * chi)
+    return math.degrees(lam) + utm_zone_lon0(zone), math.degrees(phi)
 
 
 def lonlat_to_xyz(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
@@ -191,22 +537,41 @@ def reproject_bbox(
     bbox: tuple[float, float, float, float], src_crs: str, dst_crs: str
 ) -> tuple[float, float, float, float]:
     """Plan-time twin of :func:`reproject_bbox_cols` for the query
-    bbox parameter."""
+    bbox parameter (UTM pairs: 4-corner envelope, same as the
+    Column version)."""
     if src_crs == dst_crs:
         return bbox
     fn = _py_fn(src_crs, dst_crs)
+    utm = _utm_pair(src_crs, dst_crs)
+    if utm is not None:
+        fwd, zone, _ = utm
+        cands = _utm_envelope_candidates(
+            bbox[0], bbox[1], bbox[2], bbox[3], zone, fwd, float
+        )
+        pts = [fn(px, py) for px, py in cands]
+        return (
+            min(p[0] for p in pts), min(p[1] for p in pts),
+            max(p[0] for p in pts), max(p[1] for p in pts),
+        )
     x0, y0 = fn(bbox[0], bbox[1])
     x1, y1 = fn(bbox[2], bbox[3])
     return (x0, y0, x1, y1)
 
 
 def _py_fn(src_crs: str, dst_crs: str):
+    utm = _utm_pair(src_crs, dst_crs)
+    if utm is not None:
+        fwd, zone, south = utm
+        if fwd:
+            return lambda x, y: lonlat_to_utm(x, y, zone, south)
+        return lambda x, y: utm_to_lonlat(x, y, zone, south)
     try:
         return _PY_AXIS_FNS[(src_crs, dst_crs)]
     except KeyError:
         raise ValueError(
             f"unsupported CRS pair {src_crs} -> {dst_crs}; "
-            f"supported: EPSG:4326 <-> EPSG:3857"
+            f"supported: EPSG:4326 <-> EPSG:3857, "
+            f"EPSG:4326 <-> EPSG:326xx/327xx (UTM)"
         ) from None
 
 

@@ -157,3 +157,194 @@ def test_reproject_manifest_unsupported_srs_raises(spark):
     )
     with _pytest.raises(Exception, match="unsupported srs"):
         reproject_manifest(df, "EPSG:3857").collect()
+
+
+# -- UTM / transverse Mercator (Krüger series) ------------------------------
+
+
+def test_utm_anchors_and_roundtrip():
+    import math
+
+    from flytemosaic_spark.functions.crs import lonlat_to_utm, utm_to_lonlat
+
+    # central meridian / equator: exactly the false easting, zero north
+    assert lonlat_to_utm(15.0, 0.0, 33) == (500000.0, 0.0)
+    # k0 x WGS84 meridian arc to 45N (published: 4984944.378 m)
+    _, n45 = lonlat_to_utm(15.0, 45.0, 33)
+    assert abs(n45 - 0.9996 * 4984944.378) < 0.005
+    # southern hemisphere false northing
+    e, n = lonlat_to_utm(15.0, -0.0001, 33, south=True)
+    assert 9999980 < n < 10000000
+    # round-trip at sub-mm over the zone and beyond (+-9 deg off-CM)
+    worst = 0.0
+    for lat in (-79.5, -30.0, 0.0, 5.0, 52.5, 84.0):
+        for dlon in (-9.0, -3.0, 0.0, 1.0, 9.0):
+            lon = 15.0 + dlon
+            e, n = lonlat_to_utm(lon, lat, 33, south=lat < 0)
+            lo, la = utm_to_lonlat(e, n, 33, south=lat < 0)
+            worst = max(
+                worst,
+                abs(lo - lon) * 111320 * math.cos(math.radians(lat)),
+                abs(la - lat) * 110574,
+            )
+    assert worst < 1e-3  # metres
+
+
+def test_utm_matches_independent_redfearn_series():
+    # cross-validate the Kruger series against the classic
+    # Redfearn/Snyder expansion (an INDEPENDENT public derivation;
+    # Redfearn itself is only good to ~mm inside a zone)
+    import math
+
+    from flytemosaic_spark.functions.crs import lonlat_to_utm
+
+    a, f, k0 = 6378137.0, 1 / 298.257223563, 0.9996
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    e4, e6 = e2 * e2, e2**3
+
+    def redfearn(lon, lat, zone):
+        lon0 = math.radians(zone * 6 - 183)
+        phi, lam = math.radians(lat), math.radians(lon)
+        nr = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        t = math.tan(phi) ** 2
+        c = ep2 * math.cos(phi) ** 2
+        aa = (lam - lon0) * math.cos(phi)
+        m = a * (
+            (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+            - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
+            + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
+            - (35 * e6 / 3072) * math.sin(6 * phi)
+        )
+        x = k0 * nr * (
+            aa
+            + (1 - t + c) * aa**3 / 6
+            + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * aa**5 / 120
+        ) + 500000
+        y = k0 * (
+            m
+            + nr
+            * math.tan(phi)
+            * (
+                aa * aa / 2
+                + (5 - t + 9 * c + 4 * c * c) * aa**4 / 24
+                + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * aa**6 / 720
+            )
+        )
+        return x, y
+
+    for lat in (0.0, 10.0, 40.0, 52.5, 80.0):
+        for dlon in (-2.9, 0.0, 1.5, 2.9):
+            ke, kn = lonlat_to_utm(15.0 + dlon, lat, 33)
+            re_, rn = redfearn(15.0 + dlon, lat, 33)
+            assert abs(ke - re_) < 2e-3 and abs(kn - rn) < 2e-3
+
+
+def test_utm_column_matches_python_twin(spark):
+    from flytemosaic_spark.functions.crs import (
+        lonlat_to_utm,
+        lonlat_to_utm_cols,
+        utm_to_lonlat_cols,
+    )
+
+    pts = [(i, 12.0 + i * 0.61, -70.0 + i * 15.5) for i in range(10)]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    e, n = lonlat_to_utm_cols(F.col("lon"), F.col("lat"), 33)
+    # compose through a projection, NOT nested column expressions: the
+    # inverse references each input ~20x, so substituting the forward
+    # tree in place explodes codegen (observed: JVM heap OOM)
+    fwd = df.select("id", "lon", "lat", e.alias("e"), n.alias("n"))
+    lo, la = utm_to_lonlat_cols(F.col("e"), F.col("n"), 33)
+    rows = fwd.select(
+        "id", "lon", "lat", "e", "n", lo.alias("lo"), la.alias("la")
+    ).collect()
+    for r in rows:
+        pe, pn = lonlat_to_utm(r.lon, r.lat, 33)
+        assert abs(r.e - pe) < 1e-6 and abs(r.n - pn) < 1e-6  # libm ulps
+        assert abs(r.lo - r.lon) < 1e-9 and abs(r.la - r.lat) < 1e-9
+
+
+def test_utm_bbox_envelope(spark):
+    # UTM is not axis-separable: the reprojected bbox must CONTAIN the
+    # projected corners and edges (conservative superset for the prune)
+    from flytemosaic_spark.functions.crs import (
+        lonlat_to_utm,
+        reproject_bbox,
+        reproject_bbox_cols,
+    )
+
+    bbox = (13.0, 40.0, 17.0, 50.0)
+    env = reproject_bbox(bbox, "EPSG:4326", "EPSG:32633")
+    # densified boundary points all fall inside the envelope
+    for i in range(41):
+        t = i / 40.0
+        for lon, lat in (
+            (13.0 + 4 * t, 40.0), (13.0 + 4 * t, 50.0),
+            (13.0, 40.0 + 10 * t), (17.0, 40.0 + 10 * t),
+        ):
+            e, n = lonlat_to_utm(lon, lat, 33)
+            assert env[0] <= e <= env[2] and env[1] <= n <= env[3]
+    # equator-straddling box: easting extremes sit ON the equator
+    # (edge interior), not at corners
+    ebox = (11.0, -5.0, 13.0, 8.0)
+    env2 = reproject_bbox(ebox, "EPSG:4326", "EPSG:32633")
+    for i in range(41):
+        t = i / 40.0
+        for lon, lat in (
+            (11.0, -5.0 + 13 * t), (13.0, -5.0 + 13 * t),
+            (11.0 + 2 * t, -5.0), (11.0 + 2 * t, 8.0),
+        ):
+            e, n = lonlat_to_utm(lon, lat, 33)
+            assert env2[0] <= e <= env2[2] and env2[1] <= n <= env2[3]
+    # Column version agrees with the plan-time twin
+    df = spark.createDataFrame([bbox], "minx double, miny double, "
+                               "maxx double, maxy double")
+    row = reproject_bbox_cols(df, "EPSG:4326", "EPSG:32633").collect()[0]
+    assert abs(row.minx - env[0]) < 1e-6 and abs(row.maxy - env[3]) < 1e-6
+
+
+def test_utm_wkb_reprojection():
+    from flytemosaic_spark.functions.crs import reproject_wkb
+    from flytemosaic_spark.functions.crs import lonlat_to_utm, utm_to_lonlat
+    from flytemosaic_spark.functions.geometry import (
+        parse_wkb_polygon_rings,
+        wkb_polygon,
+    )
+
+    poly = wkb_polygon(
+        [(13.0, 45.0), (16.0, 45.0), (16.0, 48.0), (13.0, 48.0)],
+        holes=[[(14.0, 46.0), (15.0, 46.0), (15.0, 47.0), (14.0, 47.0)]],
+    )
+    utm = reproject_wkb(poly, "EPSG:4326", "EPSG:32633")
+    rings = parse_wkb_polygon_rings(utm)[0]
+    assert len(rings) == 2  # hole structure preserved
+    for ring, src in zip(
+        rings,
+        [
+            [(13.0, 45.0), (16.0, 45.0), (16.0, 48.0), (13.0, 48.0)],
+            [(14.0, 46.0), (15.0, 46.0), (15.0, 47.0), (14.0, 47.0)],
+        ],
+    ):
+        for (e, n), (lon, lat) in zip(ring, src):
+            pe, pn = lonlat_to_utm(lon, lat, 33)
+            assert abs(e - pe) < 1e-9 and abs(n - pn) < 1e-9
+    # and back
+    back = reproject_wkb(utm, "EPSG:32633", "EPSG:4326")
+    rr = parse_wkb_polygon_rings(back)[0]
+    assert abs(rr[0][0][0] - 13.0) < 1e-9 and abs(rr[0][0][1] - 45.0) < 1e-9
+
+
+def test_utm_epsg_parsing_and_errors():
+    import pytest as _pytest
+
+    from flytemosaic_spark.functions.crs import (
+        parse_utm_epsg,
+        reproject_bbox,
+    )
+
+    assert parse_utm_epsg("EPSG:32633") == (33, False)
+    assert parse_utm_epsg("EPSG:32733") == (33, True)
+    with _pytest.raises(ValueError):
+        parse_utm_epsg("EPSG:32661")  # polar stereographic, not UTM
+    with _pytest.raises(ValueError, match="only from/to"):
+        reproject_bbox((0, 0, 1, 1), "EPSG:3857", "EPSG:32633")
