@@ -293,13 +293,16 @@ def export_feature_geotiffs(
     pixel_scale: tuple[float, float, float] = (1.0, 1.0, 0.0),
     overviews: list[int] | None = None,
     nodata: float | None | str = "auto",
+    compress: bool | str = True,
 ) -> DataFrame:
     """S8 feature-COG export — the reference's per-(tile, date) GeoTIFF
     output (``build_tile_date_feature_cog_task`` writes one COG per
     tile/date, reference flyte/scenes.py:235-249, glad.py:140-151)
     over the engine's chunk store: every store chunk (one tile slab
-    per time step) becomes one REAL tiled-DEFLATE GeoTIFF via
-    ``sources/geotiff.encode_geotiff``, georeferenced by the chunk's
+    per time step) becomes one REAL tiled GeoTIFF via
+    ``sources/geotiff.encode_geotiff`` (``compress``: True/'deflate'
+    (default), 'lzw', 'jpeg' for uint8 visual-band stores, or False),
+    georeferenced by the chunk's
     pixel origin (tiepoint places raster (0,0) at world
     (x0·sx, -y0·sy) — swap ``pixel_scale`` for the deployment's CRS
     grid).
@@ -348,7 +351,7 @@ def export_feature_geotiffs(
                 tif = encode_geotiff(
                     np.moveaxis(arr, 0, -1),  # (b, y, x) -> chunky
                     tile=max(16, ((zchunks[2] + 15) // 16) * 16),
-                    compress=True,
+                    compress=compress,
                     overviews=overviews,
                     nodata=nodata,
                     pixel_scale=pixel_scale,

@@ -30,7 +30,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_DTYPES = {"float32": "<f4", "float64": "<f8", "uint16": "<u2", "int32": "<i4"}
+_DTYPES = {
+    "float32": "<f4",
+    "float64": "<f8",
+    "uint8": "|u1",  # visual-band stores (JPEG-exportable)
+    "uint16": "<u2",
+    "int32": "<i4",
+}
 
 
 def write_template(

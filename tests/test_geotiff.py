@@ -713,3 +713,56 @@ def test_lzw_final_flush_width_boundary():
             "u1"
         ).tobytes()
         assert _lzw_decode(_lzw_encode(d)) == d
+
+
+def test_export_jpeg_visual_band_cogs(spark, tmp_path):
+    # uint8 stores can export as JPEG COGs (the visual-band format);
+    # lossy, so assert shape/metadata + bounded reconstruction error
+    import os
+
+    from flytemosaic_spark.pipeline import export_feature_geotiffs
+    from flytemosaic_spark.sources.chunkstore import write_template
+
+    store = str(tmp_path / "vstore")
+    write_template(store, (1, 3, 32, 32), (1, 3, 32, 32), dtype="uint16")
+    xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+    smooth = (128 + 60 * np.sin(xx / 5.0) + 50 * np.cos(yy / 4.0)).astype(
+        "u2"
+    )
+    chunk = np.stack([smooth, 255 - smooth, smooth[::-1]]).astype("<u2")
+    with open(os.path.join(store, "0.0.0.0"), "wb") as f:
+        f.write(chunk.tobytes())
+    # uint16 store + jpeg -> honest NotImplementedError from the codec
+    with pytest.raises(Exception, match="uint8"):
+        export_feature_geotiffs(
+            spark, store, str(tmp_path / "bad"), compress="jpeg"
+        ).collect()
+
+    # a uint8-valued store exported via deflate stays exact (control)
+    res = export_feature_geotiffs(
+        spark, store, str(tmp_path / "dfl"), compress=True
+    ).collect()
+    arr, _ = decode_geotiff(open(res[0].file, "rb").read())
+    assert np.array_equal(np.moveaxis(arr, -1, 0), chunk.astype("u2"))
+
+    # real uint8 visual-band store -> JPEG COG with bounded loss
+    import math
+
+    vstore = str(tmp_path / "u8store")
+    write_template(vstore, (1, 3, 32, 32), (1, 3, 32, 32), dtype="uint8")
+    chunk8 = chunk.astype("|u1")
+    with open(os.path.join(vstore, "0.0.0.0"), "wb") as f:
+        f.write(chunk8.tobytes())
+    res8 = export_feature_geotiffs(
+        spark, vstore, str(tmp_path / "jpg"), compress="jpeg"
+    ).collect()
+    payload = open(res8[0].file, "rb").read()
+    arr8, meta8 = decode_geotiff(payload)
+    assert "nodata" not in meta8  # integer store: no NaN tag
+    err = np.abs(
+        np.moveaxis(arr8, -1, 0).astype(int) - chunk8.astype(int)
+    )
+    assert err.mean() < 3.0 and arr8.dtype == np.uint8
+    # windowed read over the JPEG COG works too
+    win, _ = decode_geotiff(payload, window=(4, 4, 8, 8))
+    assert np.array_equal(win, arr8[4:12, 4:12])

@@ -99,6 +99,18 @@ PROBES = [
     "x192_freq_triples",  # stats-sized triple aggregation exchange
     "x216_spearman",  # joint-aggregate midrank correlation
     "q20_part_promotion_suppliers",  # nested semi + correlated scalar agg
+    # r6: the previously-unswept high-exchange plans + the composed
+    # pipeline, so no production-shaped plan lacks a sweep row again
+    "x104_clustering_coeff",  # degree-oriented triangle enumeration
+    "x98_series_similarity",  # dense-grid z-norm top-k
+    "x112_khop_reach",  # iterative frontier joins
+    "x119_ndcg",  # per-query rank windows
+    "x92_psi_drift",  # decile-bin drift
+    "x111_acf",  # full-events-axis ACF
+    "x117_seasonal_backtest",  # weekday-profile CV
+    "x24_curation_pipeline",  # composed gate->dedup->components->splits
+    "q12_shipping_priority_split",  # conditional two-way split agg
+    "f24_utm_forward",  # Kruger-series column math
 ]
 
 
