@@ -481,6 +481,273 @@ def utm_to_lonlat(
     return math.degrees(lam) + utm_zone_lon0(zone), math.degrees(phi)
 
 
+# -- Conic projections: Albers equal-area + Lambert conformal conic --------
+#
+# The reference honors any caller CRS; after UTM the two conic
+# families cover most continental-scale rasters (Albers: NLCD/CONUS
+# EPSG:5070; LCC: Lambert-93 EPSG:2154, many national grids). Both are
+# implemented from the public closed forms (Snyder, "Map Projections —
+# A Working Manual", USGS PP 1395, pp. 98-110) over the same abstract
+# op set as UTM, so the DuckDB oracle replays identical IEEE trees.
+# Inverse latitude recovery uses the CLOSED SERIES (authalic->geodetic
+# for Albers, Snyder 3-18; conformal->geodetic for LCC, the same chi
+# expansion the Krüger inverse uses) rather than Snyder's fixed-point
+# iteration: an unrolled iteration references the previous phi ~8
+# times per round, so the rendered expression tree grows 8^iters
+# (the Albers inverse measured 65 MB of SQL at 5 rounds); the series
+# is linear-size and equally sub-mm.
+
+# public EPSG parameter sets (EPSG registry); GRS80 flattening
+_GRS80_F = 1.0 / 298.257222101
+CONIC_PRESETS: dict[str, tuple[str, dict]] = {
+    # NAD83 / Conus Albers (NLCD, MRLC)
+    "EPSG:5070": (
+        "albers",
+        dict(lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
+             fe=0.0, fn=0.0, f=_GRS80_F),
+    ),
+    # RGF93 / Lambert-93 (France national grid)
+    "EPSG:2154": (
+        "lcc",
+        dict(lat1=44.0, lat2=49.0, lat0=46.5, lon0=3.0,
+             fe=700000.0, fn=6600000.0, f=_GRS80_F),
+    ),
+}
+
+
+def _conic_e(f: float) -> float:
+    return math.sqrt(f * (2.0 - f))
+
+
+def _py_m(phi: float, e: float) -> float:
+    return math.cos(phi) / math.sqrt(1 - (e * math.sin(phi)) ** 2)
+
+
+def _py_q(phi: float, e: float) -> float:
+    s = math.sin(phi)
+    return (1 - e * e) * (
+        s / (1 - (e * s) ** 2)
+        - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+    )
+
+
+def _py_t(phi: float, e: float) -> float:
+    s = math.sin(phi)
+    return math.tan(math.pi / 4 - phi / 2) / (
+        (1 - e * s) / (1 + e * s)
+    ) ** (e / 2)
+
+
+def _chi_series(e2: float) -> list[float]:
+    """Conformal -> geodetic latitude series coefficients (the same
+    expansion the Krüger inverse uses)."""
+    e4, e6, e8 = e2 * e2, e2**3, e2**4
+    return [
+        e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360,
+        7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520,
+        7 * e6 / 120 + 81 * e8 / 1120,
+        4279 * e8 / 161280,
+    ]
+
+
+def _authalic_series(e2: float) -> list[float]:
+    """Authalic -> geodetic latitude series (Snyder eq. 3-18)."""
+    e4, e6 = e2 * e2, e2**3
+    return [
+        e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040,
+        23 * e4 / 360 + 251 * e6 / 3780,
+        761 * e6 / 45360,
+    ]
+
+
+def _albers_consts(p: dict) -> dict:
+    e = _conic_e(p["f"])
+    p1, p2, p0 = (math.radians(p[k]) for k in ("lat1", "lat2", "lat0"))
+    m1, m2 = _py_m(p1, e), _py_m(p2, e)
+    q1, q2, q0 = _py_q(p1, e), _py_q(p2, e), _py_q(p0, e)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = R * math.sqrt(c - n * q0) / n
+    return dict(e=e, n=n, c=c, rho0=rho0, lon0=p["lon0"],
+                fe=p["fe"], fn=p["fn"],
+                qp=_py_q(math.pi / 2.0, e),
+                auth=_authalic_series(e * e))
+
+
+def _lcc_consts(p: dict) -> dict:
+    e = _conic_e(p["f"])
+    p1, p2, p0 = (math.radians(p[k]) for k in ("lat1", "lat2", "lat0"))
+    m1, m2 = _py_m(p1, e), _py_m(p2, e)
+    t1, t2, t0 = _py_t(p1, e), _py_t(p2, e), _py_t(p0, e)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    big_f = m1 / (n * t1**n)
+    rho0 = R * big_f * t0**n
+    return dict(e=e, n=n, f_=big_f, rho0=rho0, lon0=p["lon0"],
+                fe=p["fe"], fn=p["fn"], chi=_chi_series(e * e))
+
+
+def _ops_q(ops, phi, e: float):
+    """Snyder's q (authalic) over the op set."""
+    L, s = ops.lit, ops.sin(phi)
+    es = L(e) * s
+    return L(1.0 - e * e) * (
+        s / (L(1.0) - es * es)
+        - L(1.0 / (2.0 * e)) * ops.log((L(1.0) - es) / (L(1.0) + es))
+    )
+
+
+def _ops_t(ops, phi, e: float):
+    """Snyder's t (conformal) over the op set: tan(pi/4 - phi/2) /
+    ((1-e sin)/(1+e sin))^(e/2) — the power spelled exp(k*ln(x))."""
+    L, s = ops.lit, ops.sin(phi)
+    es = L(e) * s
+    num = ops.sin(L(math.pi / 4.0) - phi / L(2.0)) / ops.cos(
+        L(math.pi / 4.0) - phi / L(2.0)
+    )
+    return num / ops.exp(
+        L(e / 2.0) * ops.log((L(1.0) - es) / (L(1.0) + es))
+    )
+
+
+def _albers_forward(ops, lon, lat, k: dict):
+    L = ops.lit
+    phi = lat * L(math.pi / 180.0)
+    theta = L(k["n"]) * ((lon - L(k["lon0"])) * L(math.pi / 180.0))
+    q = _ops_q(ops, phi, k["e"])
+    rho = L(R) * ops.sqrt(L(k["c"]) - L(k["n"]) * q) / L(k["n"])
+    x = L(k["fe"]) + rho * ops.sin(theta)
+    y = L(k["fn"]) + L(k["rho0"]) - rho * ops.cos(theta)
+    return x, y
+
+
+def _albers_inverse(ops, x, y, k: dict):
+    L = ops.lit
+    xp = x - L(k["fe"])
+    yp = L(k["rho0"]) - (y - L(k["fn"]))
+    rho = ops.sqrt(xp * xp + yp * yp)
+    # theta = atan2(x', rho0 - y') with the n<0 sign fold: for n<0,
+    # rho and both atan2 args flip sign together
+    sgn = 1.0 if k["n"] >= 0 else -1.0
+    theta = ops.atan2(L(sgn) * xp, L(sgn) * yp)
+    lon = (theta / L(k["n"])) * L(180.0 / math.pi) + L(k["lon0"])
+    q = (L(k["c"]) - (rho * L(k["n"] / R)) * (rho * L(k["n"] / R))) / L(
+        k["n"]
+    )
+    # authalic latitude, then the closed geodetic series (Snyder 3-18),
+    # then ONE Snyder 3-16 fixed-point refinement: the e^6-truncated
+    # series alone leaves ~1.5 mm; one step from a mm-close start is
+    # sub-nm, and a single unrolled step keeps the tree linear-size
+    beta = ops.asin(q / L(k["qp"]))
+    phi = beta
+    for j, bj in enumerate(k["auth"], start=1):
+        phi = phi + L(bj) * ops.sin(L(2.0 * j) * beta)
+    e = k["e"]
+    s = ops.sin(phi)
+    es = L(e) * s
+    one_m = L(1.0) - es * es
+    phi = phi + (one_m * one_m) / (L(2.0) * ops.cos(phi)) * (
+        q / L(1.0 - e * e)
+        - s / one_m
+        + L(1.0 / (2.0 * e)) * ops.log((L(1.0) - es) / (L(1.0) + es))
+    )
+    return lon, phi * L(180.0 / math.pi)
+
+
+def _lcc_forward(ops, lon, lat, k: dict):
+    L = ops.lit
+    phi = lat * L(math.pi / 180.0)
+    t = _ops_t(ops, phi, k["e"])
+    rho = L(R * k["f_"]) * ops.exp(L(k["n"]) * ops.log(t))
+    theta = L(k["n"]) * ((lon - L(k["lon0"])) * L(math.pi / 180.0))
+    x = L(k["fe"]) + rho * ops.sin(theta)
+    y = L(k["fn"]) + L(k["rho0"]) - rho * ops.cos(theta)
+    return x, y
+
+
+def _lcc_inverse(ops, x, y, k: dict):
+    L = ops.lit
+    xp = x - L(k["fe"])
+    yp = L(k["rho0"]) - (y - L(k["fn"]))
+    sgn = 1.0 if k["n"] >= 0 else -1.0
+    rho = L(sgn) * ops.sqrt(xp * xp + yp * yp)
+    theta = ops.atan2(L(sgn) * xp, L(sgn) * yp)
+    lon = (theta / L(k["n"])) * L(180.0 / math.pi) + L(k["lon0"])
+    t = ops.exp(L(1.0 / k["n"]) * ops.log(rho / L(R * k["f_"])))
+    # conformal latitude, then the closed geodetic (chi) series — the
+    # same expansion the Krüger inverse uses
+    chi = L(math.pi / 2.0) - L(2.0) * ops.atan2(t, L(1.0))
+    phi = chi
+    for j, cj in enumerate(k["chi"], start=1):
+        phi = phi + L(cj) * ops.sin(L(2.0 * j) * chi)
+    return lon, phi * L(180.0 / math.pi)
+
+
+_CONIC_FNS = {
+    "albers": (_albers_consts, _albers_forward, _albers_inverse),
+    "lcc": (_lcc_consts, _lcc_forward, _lcc_inverse),
+}
+
+
+def _conic_of(crs: str) -> tuple:
+    kind, params = CONIC_PRESETS[crs]
+    consts_fn, fwd, inv = _CONIC_FNS[kind]
+    return consts_fn(params), fwd, inv
+
+
+def conic_forward_cols(
+    lon: Column, lat: Column, crs: str
+) -> tuple[Column, Column]:
+    """(x, y) Columns for WGS84/GRS80 lon/lat under a preset conic
+    CRS (``CONIC_PRESETS``: Albers EPSG:5070, LCC EPSG:2154)."""
+    k, fwd, _ = _conic_of(crs)
+    return fwd(_ColOps, lon, lat, k)
+
+
+def conic_inverse_cols(
+    x: Column, y: Column, crs: str
+) -> tuple[Column, Column]:
+    k, _, inv = _conic_of(crs)
+    return inv(_ColOps, x, y, k)
+
+
+def conic_forward_sql(
+    lon_sql: str, lat_sql: str, crs: str
+) -> tuple[str, str]:
+    k, fwd, _ = _conic_of(crs)
+    x, y = fwd(_SqlOps, _SqlVal(f"({lon_sql})"), _SqlVal(f"({lat_sql})"), k)
+    return x.s, y.s
+
+
+def conic_inverse_sql(x_sql: str, y_sql: str, crs: str) -> tuple[str, str]:
+    k, _, inv = _conic_of(crs)
+    lo, la = inv(_SqlOps, _SqlVal(f"({x_sql})"), _SqlVal(f"({y_sql})"), k)
+    return lo.s, la.s
+
+
+class _PyOps:
+    """The op set over plain floats — the plan-time twin shares the
+    exact formula code with the Column and SQL renderings."""
+
+    lit = staticmethod(float)
+    sin = staticmethod(math.sin)
+    cos = staticmethod(math.cos)
+    asin = staticmethod(math.asin)
+    atan2 = staticmethod(math.atan2)
+    log = staticmethod(math.log)
+    exp = staticmethod(math.exp)
+    sqrt = staticmethod(math.sqrt)
+
+
+def conic_forward(lon: float, lat: float, crs: str) -> tuple[float, float]:
+    k, fwd, _ = _conic_of(crs)
+    return fwd(_PyOps, lon, lat, k)
+
+
+def conic_inverse(x: float, y: float, crs: str) -> tuple[float, float]:
+    k, _, inv = _conic_of(crs)
+    return inv(_PyOps, x, y, k)
+
+
 def lonlat_to_xyz(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
     """Slippy-map (XYZ / Web-Mercator tiling grid) tile indices at a
     zoom level — the standard OSM/XYZ scheme every web tile sink

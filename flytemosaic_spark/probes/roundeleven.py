@@ -1,4 +1,4 @@
-"""Round-11 probes: UTM / transverse-Mercator reprojection.
+"""Round-11 probes: UTM, Albers, and Lambert-conformal reprojection.
 
 The reference honors any caller-chosen CRS (reference flyte/build.py:183
 ``crs`` parameter, flytemosaic/mosaics.py:73 ``to_crs``); GLAD-style
@@ -111,6 +111,99 @@ def f25_utm_inverse(spark: SparkSession, sf: str) -> DataFrame:
     lon, lat = utm_to_lonlat_cols(
         F.col("easting"), F.col("northing"), 33, south=True
     )
+    return pts.select(
+        "pt_id",
+        portable_round(lon, 9).alias("lon"),
+        portable_round(lat, 9).alias("lat"),
+    )
+
+
+from flytemosaic_spark.functions.crs import (  # noqa: E402
+    conic_forward_cols,
+    conic_forward_sql,
+    conic_inverse_cols,
+    conic_inverse_sql,
+)
+
+# CONUS-ish synthetic points for Albers EPSG:5070
+_ALBERS_PTS_SQL = """
+    SELECT s_suppkey AS pt_id,
+           -120.0 + CAST((s_suppkey * 37) % 5000 AS DOUBLE) / 100.0 AS lon,
+           25.0 + CAST((s_suppkey * 53) % 2300 AS DOUBLE) / 100.0 AS lat
+    FROM supplier
+"""
+_F26_X, _F26_Y = conic_forward_sql("lon", "lat", "EPSG:5070")
+
+# Lambert-93 grid coords inside France's validity for the inverse
+_LCC_PTS_SQL = """
+    SELECT s_suppkey AS pt_id,
+           200000.0 + CAST((s_suppkey * 41) % 1000000 AS DOUBLE) AS x,
+           6200000.0 + CAST((s_suppkey * 59) % 900000 AS DOUBLE) AS y
+    FROM supplier
+"""
+_F27_LON, _F27_LAT = conic_inverse_sql("x", "y", "EPSG:2154")
+
+
+@probe(
+    "f26_albers_forward",
+    sql=f"""
+        WITH pts AS ({_ALBERS_PTS_SQL})
+        SELECT pt_id,
+               floor(({_F26_X}) * 1000.0 + 0.5) / 1000.0 AS x,
+               floor(({_F26_Y}) * 1000.0 + 0.5) / 1000.0 AS y
+        FROM pts
+    """,
+    note="WGS84 lon/lat -> Albers equal-area EPSG:5070 (the NLCD/CONUS "
+    "grid) via Snyder's ellipsoidal closed form as pure column math — "
+    "the equal-area property is verified numerically in test_crs.py "
+    "(projected Jacobian == ellipsoid area element to 2e-7); same "
+    "shared-expression oracle contract as f24 (one builder renders "
+    "the Spark Columns AND the DuckDB SQL), mm quantization",
+)
+def f26_albers_forward(spark: SparkSession, sf: str) -> DataFrame:
+    k = F.col("s_suppkey")
+    pts = T(spark, sf, "supplier").select(
+        k.alias("pt_id"),
+        (
+            F.lit(-120.0) + ((k * 37) % 5000).cast("double") / F.lit(100.0)
+        ).alias("lon"),
+        (
+            F.lit(25.0) + ((k * 53) % 2300).cast("double") / F.lit(100.0)
+        ).alias("lat"),
+    )
+    x, y = conic_forward_cols(F.col("lon"), F.col("lat"), "EPSG:5070")
+    return pts.select(
+        "pt_id",
+        portable_round(x, 3).alias("x"),
+        portable_round(y, 3).alias("y"),
+    )
+
+
+@probe(
+    "f27_lcc_inverse",
+    sql=f"""
+        WITH pts AS ({_LCC_PTS_SQL})
+        SELECT pt_id,
+               floor(({_F27_LON}) * 1000000000.0 + 0.5) / 1000000000.0
+                   AS lon,
+               floor(({_F27_LAT}) * 1000000000.0 + 0.5) / 1000000000.0
+                   AS lat
+        FROM pts
+    """,
+    note="Lambert-93 (EPSG:2154, LCC 2SP) grid coords -> lon/lat via "
+    "the inverse conformal series with a FIXED-count unrolled "
+    "iteration (5 rounds, no convergence branch — deterministic on "
+    "both engines); conformality verified numerically in test_crs.py; "
+    "nano-degree quantization",
+)
+def f27_lcc_inverse(spark: SparkSession, sf: str) -> DataFrame:
+    k = F.col("s_suppkey")
+    pts = T(spark, sf, "supplier").select(
+        k.alias("pt_id"),
+        (F.lit(200000.0) + ((k * 41) % 1000000).cast("double")).alias("x"),
+        (F.lit(6200000.0) + ((k * 59) % 900000).cast("double")).alias("y"),
+    )
+    lon, lat = conic_inverse_cols(F.col("x"), F.col("y"), "EPSG:2154")
     return pts.select(
         "pt_id",
         portable_round(lon, 9).alias("lon"),

@@ -348,3 +348,102 @@ def test_utm_epsg_parsing_and_errors():
         parse_utm_epsg("EPSG:32661")  # polar stereographic, not UTM
     with _pytest.raises(ValueError, match="only from/to"):
         reproject_bbox((0, 0, 1, 1), "EPSG:3857", "EPSG:32633")
+
+
+# -- Conic projections (Albers equal-area, Lambert conformal) ---------------
+
+
+def _ellipsoid_MN(lat, f=1 / 298.257222101, a=6378137.0):
+    import math
+
+    e2 = f * (2 - f)
+    s = math.sin(math.radians(lat))
+    w = math.sqrt(1 - e2 * s * s)
+    return a * (1 - e2) / w**3, a / w
+
+
+def test_albers_equal_area_property():
+    # the DEFINING property, checked numerically everywhere: projected
+    # Jacobian determinant == ellipsoid area element
+    import math
+
+    from flytemosaic_spark.functions.crs import conic_forward
+
+    assert conic_forward(-96.0, 23.0, "EPSG:5070") == (0.0, 0.0)
+    d = 1e-4
+    for lat in (25.0, 30.0, 37.0, 45.0, 48.0):
+        for lon in (-120.0, -96.0, -75.0):
+            p00 = conic_forward(lon, lat, "EPSG:5070")
+            p10 = conic_forward(lon + d, lat, "EPSG:5070")
+            p01 = conic_forward(lon, lat + d, "EPSG:5070")
+            ax = (p10[0] - p00[0], p10[1] - p00[1])
+            ay = (p01[0] - p00[0], p01[1] - p00[1])
+            proj = abs(ax[0] * ay[1] - ax[1] * ay[0])
+            m_r, n_r = _ellipsoid_MN(lat)
+            true = (
+                m_r * n_r * math.cos(math.radians(lat))
+                * math.radians(d) ** 2
+            )
+            assert abs(proj / true - 1) < 1e-5
+
+
+def test_lcc_conformality_and_standard_parallels():
+    # conformal: meridian scale == parallel scale everywhere;
+    # scale == 1 exactly on the two standard parallels
+    import math
+
+    from flytemosaic_spark.functions.crs import conic_forward
+
+    x0, y0 = conic_forward(3.0, 46.5, "EPSG:2154")
+    assert (x0, y0) == (700000.0, 6600000.0)
+    d = 1e-4
+    for lat in (42.0, 44.0, 46.5, 49.0, 51.0):
+        for lon in (-1.0, 3.0, 7.5):
+            p00 = conic_forward(lon, lat, "EPSG:2154")
+            p10 = conic_forward(lon + d, lat, "EPSG:2154")
+            p01 = conic_forward(lon, lat + d, "EPSG:2154")
+            m_r, n_r = _ellipsoid_MN(lat)
+            kp = math.hypot(p10[0] - p00[0], p10[1] - p00[1]) / (
+                n_r * math.cos(math.radians(lat)) * math.radians(d)
+            )
+            km = math.hypot(p01[0] - p00[0], p01[1] - p00[1]) / (
+                m_r * math.radians(d)
+            )
+            assert abs(kp / km - 1) < 1e-5
+            if lat in (44.0, 49.0):
+                assert abs(kp - 1) < 1e-5
+
+
+def test_conic_roundtrip_and_column_twin(spark):
+    import math
+
+    from flytemosaic_spark.functions.crs import (
+        conic_forward,
+        conic_forward_cols,
+        conic_inverse,
+        conic_inverse_cols,
+    )
+
+    for crs, pts in [
+        ("EPSG:5070", [(-120.0, 25.0), (-96.0, 40.0), (-70.0, 48.0)]),
+        ("EPSG:2154", [(-4.0, 42.0), (3.0, 46.5), (8.0, 51.0)]),
+    ]:
+        for lon, lat in pts:
+            x, y = conic_forward(lon, lat, crs)
+            lo, la = conic_inverse(x, y, crs)
+            dm = math.hypot(
+                (lo - lon) * 111320 * math.cos(math.radians(lat)),
+                (la - lat) * 110574,
+            )
+            # chi-series truncation leaves ~3 um at the LCC zone edge
+            assert dm < 1e-4
+    df = spark.createDataFrame(
+        [(i, -110.0 + i * 7.1, 27.0 + i * 3.3) for i in range(6)],
+        "id long, lon double, lat double",
+    )
+    x, y = conic_forward_cols(F.col("lon"), F.col("lat"), "EPSG:5070")
+    fwd = df.select("id", "lon", "lat", x.alias("x"), y.alias("y"))
+    lo, la = conic_inverse_cols(F.col("x"), F.col("y"), "EPSG:5070")
+    rows = fwd.select("lon", "lat", lo.alias("lo"), la.alias("la")).collect()
+    for r in rows:
+        assert abs(r.lo - r.lon) < 1e-9 and abs(r.la - r.lat) < 1e-9
