@@ -84,21 +84,11 @@ def reproject_bbox_cols(
     if src_crs == dst_crs:
         return df
     minx, miny, maxx, maxy = cols
-    utm = _utm_pair(src_crs, dst_crs)
-    if utm is not None:
-        fwd, zone, south = utm
-        fn = lonlat_to_utm_cols if fwd else utm_to_lonlat_cols
+    pp = _proj_pair(src_crs, dst_crs)
+    if pp is not None:
         x0, y0, x1, y1 = (F.col(c) for c in cols)
-        pts = _utm_envelope_candidates(x0, y0, x1, y1, zone, fwd, F.lit)
-        proj = [fn(px, py, zone, south) for px, py in pts]
-        return df.withColumns(
-            {
-                minx: F.least(*[p[0] for p in proj]),
-                miny: F.least(*[p[1] for p in proj]),
-                maxx: F.greatest(*[p[0] for p in proj]),
-                maxy: F.greatest(*[p[1] for p in proj]),
-            }
-        )
+        env = _envelope_exprs(pp, x0, y0, x1, y1)
+        return df.withColumns(dict(zip(cols, env)))
     fx, fy = _axis_fns(src_crs, dst_crs)
     return df.withColumns(
         {
@@ -110,45 +100,102 @@ def reproject_bbox_cols(
     )
 
 
-def _utm_envelope_candidates(x0, y0, x1, y1, zone: int, fwd: bool, lit):
-    """Points whose transforms bound a lon/lat- (or UTM-) aligned box
-    under the TM map. Corners alone are NOT enough: at fixed latitude,
-    northing is minimized AT the central meridian (the parallel bows
-    upward away from it), and easting offset is maximized at the
-    latitude nearest the equator — so boxes straddling either line
-    have extremes on edge interiors. Candidates: 4 corners + the
-    CM-clamped points on both horizontal edges + (forward only) the
-    equator-clamped points on both vertical edges. Works on Columns
-    (``lit`` = F.lit) and plain floats (``lit`` = float)."""
+def _envelope_candidates(x0, y0, x1, y1, clamp_x, clamp_y):
+    """Points whose transforms bound an axis-aligned box under a
+    non-separable point projection (TM or conic). Corners alone are
+    NOT enough: at fixed latitude the TM northing is minimized AT the
+    central meridian (the parallel bows away from it) and conic y has
+    the same lon0 extremum; TM easting offset peaks at the latitude
+    nearest the equator — so boxes straddling either line have
+    extremes on edge interiors. Candidates: 4 corners + the
+    clamp_x-clamped points on both horizontal edges + (when clamp_y
+    is not None) the clamp_y-clamped points on both vertical edges.
+    Works on Columns and plain floats."""
     is_col = isinstance(x0, Column)
 
     def clamp(v, lo, hi):
         if is_col:
-            return F.greatest(lo, F.least(lit(v), hi))
+            return F.greatest(lo, F.least(F.lit(v), hi))
         return max(lo, min(v, hi))
 
     pts = [(x0, y0), (x0, y1), (x1, y0), (x1, y1)]
-    cx = clamp(utm_zone_lon0(zone) if fwd else _UTM_E0, x0, x1)
+    cx = clamp(clamp_x, x0, x1)
     pts += [(cx, y0), (cx, y1)]
-    if fwd:
-        cy = clamp(0.0, y0, y1)
+    if clamp_y is not None:
+        cy = clamp(clamp_y, y0, y1)
         pts += [(x0, cy), (x1, cy)]
     return pts
 
 
-def _utm_pair(src_crs: str, dst_crs: str):
-    """(forward?, zone, south) when exactly one side is a UTM code and
-    the other is EPSG:4326; None when neither side is UTM."""
-    for crs, other, fwd in ((dst_crs, src_crs, True), (src_crs, dst_crs, False)):
-        try:
-            zone, south = parse_utm_epsg(crs)
-        except ValueError:
-            continue
+def _envelope_exprs(pp: dict, x0, y0, x1, y1) -> tuple:
+    """(minx, miny, maxx, maxy) Columns of the projected envelope."""
+    pts = _envelope_candidates(x0, y0, x1, y1, pp["clamp_x"], pp["clamp_y"])
+    proj = [pp["col"](px, py) for px, py in pts]
+    return (
+        F.least(*[p[0] for p in proj]),
+        F.least(*[p[1] for p in proj]),
+        F.greatest(*[p[0] for p in proj]),
+        F.greatest(*[p[1] for p in proj]),
+    )
+
+
+def _proj_pair(src_crs: str, dst_crs: str):
+    """Descriptor for a NON-axis-separable point projection paired
+    with EPSG:4326 (UTM zones and the conic presets): ``col``/``py``
+    point transforms, plus the envelope clamp values (``clamp_x`` =
+    central meridian forward / false easting inverse; ``clamp_y`` =
+    the equator, TM-forward only). None when both sides are
+    axis-separable; raises when a projected CRS is paired with
+    anything other than EPSG:4326."""
+    for crs, other, fwd in (
+        (dst_crs, src_crs, True), (src_crs, dst_crs, False),
+    ):
+        is_utm, is_conic = False, crs in CONIC_PRESETS
+        if not is_conic:
+            try:
+                zone, south = parse_utm_epsg(crs)
+                is_utm = True
+            except ValueError:
+                continue
         if other != EPSG_4326:
             raise ValueError(
-                f"UTM reprojection only from/to {EPSG_4326}, got {other}"
+                f"projected-CRS reprojection only from/to {EPSG_4326}, "
+                f"got {other}"
             )
-        return fwd, zone, south
+        if is_utm:
+            if fwd:
+                return dict(
+                    col=lambda x, y, z=zone, s=south: lonlat_to_utm_cols(
+                        x, y, z, s
+                    ),
+                    py=lambda x, y, z=zone, s=south: lonlat_to_utm(
+                        x, y, z, s
+                    ),
+                    clamp_x=utm_zone_lon0(zone),
+                    clamp_y=0.0,
+                )
+            return dict(
+                col=lambda x, y, z=zone, s=south: utm_to_lonlat_cols(
+                    x, y, z, s
+                ),
+                py=lambda x, y, z=zone, s=south: utm_to_lonlat(x, y, z, s),
+                clamp_x=_UTM_E0,
+                clamp_y=None,
+            )
+        params = CONIC_PRESETS[crs][1]
+        if fwd:
+            return dict(
+                col=lambda x, y, c=crs: conic_forward_cols(x, y, c),
+                py=lambda x, y, c=crs: conic_forward(x, y, c),
+                clamp_x=params["lon0"],
+                clamp_y=None,
+            )
+        return dict(
+            col=lambda x, y, c=crs: conic_inverse_cols(x, y, c),
+            py=lambda x, y, c=crs: conic_inverse(x, y, c),
+            clamp_x=params["fe"],
+            clamp_y=None,
+        )
     return None
 
 
@@ -156,8 +203,40 @@ def reproject_manifest(manifest: DataFrame, dst_crs: str) -> DataFrame:
     """The reference's ``gdf.to_crs(crs)`` over the mosaic manifest
     (mosaics.py:73): transform the tile bounds columns and restamp the
     ``srs`` metadata column. Rows already in ``dst_crs`` pass through;
-    rows in a supported source CRS transform; any other srs raises at
-    execution (mirroring pyproj's unknown-CRS failure)."""
+    rows in a supported source CRS transform (per-axis for the
+    separable Mercator pair, projected-envelope for UTM/conic
+    targets); any other srs raises at execution (mirroring pyproj's
+    unknown-CRS failure)."""
+    pp = None
+    if dst_crs != EPSG_4326:
+        try:
+            pp = _proj_pair(EPSG_4326, dst_crs)
+        except ValueError:
+            pp = None
+    if pp is not None:
+        env = _envelope_exprs(
+            pp, F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy")
+        )
+        bad = F.raise_error(
+            F.concat(F.lit("unsupported srs: "), F.col("srs"))
+        )
+
+        def _pick(c: str, e: Column) -> Column:
+            return (
+                F.when(F.col("srs") == dst_crs, F.col(c))
+                .when(F.col("srs") == EPSG_4326, e)
+                .otherwise(bad)
+            )
+
+        return manifest.withColumns(
+            {
+                "minx": _pick("minx", env[0]),
+                "miny": _pick("miny", env[1]),
+                "maxx": _pick("maxx", env[2]),
+                "maxy": _pick("maxy", env[3]),
+                "srs": F.lit(dst_crs),
+            }
+        )
     fwd = {}
     for (s, d), (fx, fy) in _AXIS_FNS.items():
         if d == dst_crs:
@@ -809,11 +888,11 @@ def reproject_bbox(
     if src_crs == dst_crs:
         return bbox
     fn = _py_fn(src_crs, dst_crs)
-    utm = _utm_pair(src_crs, dst_crs)
-    if utm is not None:
-        fwd, zone, _ = utm
-        cands = _utm_envelope_candidates(
-            bbox[0], bbox[1], bbox[2], bbox[3], zone, fwd, float
+    pp = _proj_pair(src_crs, dst_crs)
+    if pp is not None:
+        cands = _envelope_candidates(
+            bbox[0], bbox[1], bbox[2], bbox[3],
+            pp["clamp_x"], pp["clamp_y"],
         )
         pts = [fn(px, py) for px, py in cands]
         return (
@@ -826,19 +905,17 @@ def reproject_bbox(
 
 
 def _py_fn(src_crs: str, dst_crs: str):
-    utm = _utm_pair(src_crs, dst_crs)
-    if utm is not None:
-        fwd, zone, south = utm
-        if fwd:
-            return lambda x, y: lonlat_to_utm(x, y, zone, south)
-        return lambda x, y: utm_to_lonlat(x, y, zone, south)
+    pp = _proj_pair(src_crs, dst_crs)
+    if pp is not None:
+        return pp["py"]
     try:
         return _PY_AXIS_FNS[(src_crs, dst_crs)]
     except KeyError:
         raise ValueError(
             f"unsupported CRS pair {src_crs} -> {dst_crs}; "
             f"supported: EPSG:4326 <-> EPSG:3857, "
-            f"EPSG:4326 <-> EPSG:326xx/327xx (UTM)"
+            f"EPSG:4326 <-> EPSG:326xx/327xx (UTM), "
+            f"EPSG:4326 <-> {sorted(CONIC_PRESETS)} (conic presets)"
         ) from None
 
 

@@ -447,3 +447,79 @@ def test_conic_roundtrip_and_column_twin(spark):
     rows = fwd.select("lon", "lat", lo.alias("lo"), la.alias("la")).collect()
     for r in rows:
         assert abs(r.lo - r.lon) < 1e-9 and abs(r.la - r.lat) < 1e-9
+
+
+def test_conic_bbox_envelope_and_wkb():
+    # conic bboxes use the projected envelope: densified boundary
+    # points must all fall inside, including a CM-straddling box
+    from flytemosaic_spark.functions.crs import (
+        conic_forward,
+        reproject_bbox,
+        reproject_wkb,
+    )
+    from flytemosaic_spark.functions.geometry import (
+        parse_wkb_polygon_rings,
+        wkb_polygon,
+    )
+
+    bbox = (-101.0, 30.0, -90.0, 45.0)  # straddles lon0 = -96
+    env = reproject_bbox(bbox, "EPSG:4326", "EPSG:5070")
+    for i in range(41):
+        t = i / 40.0
+        for lon, lat in (
+            (-101.0 + 11 * t, 30.0), (-101.0 + 11 * t, 45.0),
+            (-101.0, 30.0 + 15 * t), (-90.0, 30.0 + 15 * t),
+        ):
+            x, y = conic_forward(lon, lat, "EPSG:5070")
+            assert env[0] <= x <= env[2] and env[1] <= y <= env[3]
+    # WKB point-wise conic reprojection round-trips
+    poly = wkb_polygon([(-100.0, 32.0), (-92.0, 32.0), (-92.0, 42.0)])
+    back = reproject_wkb(
+        reproject_wkb(poly, "EPSG:4326", "EPSG:5070"),
+        "EPSG:5070", "EPSG:4326",
+    )
+    ring = parse_wkb_polygon_rings(back)[0][0]
+    assert abs(ring[0][0] - -100.0) < 1e-8 and abs(ring[0][1] - 32.0) < 1e-8
+
+
+def test_reproject_manifest_utm_and_conic_targets(spark):
+    import pytest as _pytest
+
+    from flytemosaic_spark.functions.crs import (
+        conic_forward,
+        lonlat_to_utm,
+        reproject_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "EPSG:4326", 14.0, 46.0, 15.0, 47.0),
+         ("b", "EPSG:32633", 400000.0, 5000000.0, 500000.0, 5100000.0)],
+        "feature string, srs string, minx double, miny double, "
+        "maxx double, maxy double",
+    )
+    out = {r.feature: r for r in reproject_manifest(df, "EPSG:32633").collect()}
+    assert out["a"].srs == "EPSG:32633"
+    # the envelope contains all four projected corners
+    for lon, lat in ((14, 46), (14, 47), (15, 46), (15, 47)):
+        e, n = lonlat_to_utm(float(lon), float(lat), 33)
+        assert out["a"].minx <= e <= out["a"].maxx
+        assert out["a"].miny <= n <= out["a"].maxy
+    # rows already in the target pass through untouched
+    assert out["b"].minx == 400000.0 and out["b"].maxy == 5100000.0
+    # conic target works the same way
+    df2 = spark.createDataFrame(
+        [("c", "EPSG:4326", -98.0, 35.0, -95.0, 38.0)],
+        "feature string, srs string, minx double, miny double, "
+        "maxx double, maxy double",
+    )
+    row = reproject_manifest(df2, "EPSG:5070").collect()[0]
+    x, y = conic_forward(-96.0, 35.0, "EPSG:5070")  # CM-clamped bottom
+    assert row.miny <= y
+    # a 3857-srs row under a UTM target raises (unsupported srs)
+    df3 = spark.createDataFrame(
+        [("d", "EPSG:3857", 0.0, 0.0, 1.0, 1.0)],
+        "feature string, srs string, minx double, miny double, "
+        "maxx double, maxy double",
+    )
+    with _pytest.raises(Exception, match="unsupported srs"):
+        reproject_manifest(df3, "EPSG:32633").collect()
