@@ -2,14 +2,17 @@
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side plumbing is fully real — schema, partitioning, UDF
-signatures, Arrow batch shapes — and the codec layer (r5) now has
-REAL tiers next to the deterministic fake: PNG decodes via PIL when
-importable, else a built-in stdlib-zlib decoder (all five scanline
-unfilters, 8-bit gray/GA/RGB/RGBA); WAV decodes via the stdlib
-``wave`` module (16-bit PCM, multichannel downmix). Formats that
-genuinely need an external library (JPEG/MP4/MP3/FLAC) raise
-NotImplementedError naming the swap point — that part of the seam is
-honest, not hidden.
+signatures, Arrow batch shapes — and the codec layer has REAL tiers
+next to the deterministic fake: PNG decodes via PIL when importable,
+else a built-in stdlib-zlib decoder (all five scanline unfilters,
+8-bit gray/GA/RGB/RGBA); baseline JPEG the same way (PIL, else the
+pure-numpy T.81 codec in ``sources/jpeg.py``); TIFF/GeoTIFF/BigTIFF
+via ``sources/geotiff.py``; WAV via the stdlib ``wave`` module
+(16-bit PCM, multichannel downmix); MP4 container METADATA via the
+real ISO-BMFF box parser in ``sources/mp4.py`` (the ffprobe-style
+scan curation filters run on). Only actual video/audio BITSTREAM
+decode (H.264/AV1/MP3/FLAC frames) raises NotImplementedError naming
+the ffmpeg swap point — that part of the seam is honest, not hidden.
 
 Fake payload format (deterministic from media_id):
     b"FAKE" | width:int32 | height:int32 | channels:uint8 | pixels...
@@ -484,3 +487,87 @@ def frame_energy_vad(
         "n_voiced long, longest_voiced_run long"
     )
     return audio.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Video: REAL ISO-BMFF (MP4) container metadata — sources/mp4.py
+# ---------------------------------------------------------------------------
+
+
+def video_metadata(videos: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container-metadata scan over binary MP4 payloads — the
+    ffprobe-style pass a curation pipeline runs BEFORE any decode
+    (filter by duration/resolution/codec/track layout). One Arrow
+    batch in, one typed row per video out; box parsing is
+    ``sources/mp4.parse_mp4`` (pure stdlib, real ISO-BMFF structure).
+    Frame decode stays at the documented ffmpeg seam."""
+    schema = (
+        "media_id long, width long, height long, duration_ms long, "
+        "codec string, n_tracks long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.mp4 import parse_mp4
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                meta = parse_mp4(bytes(payload))
+                vid = next(
+                    (t for t in meta["tracks"] if t["kind"] == "vide"),
+                    None,
+                )
+                out.append(
+                    (
+                        int(mid),
+                        int(vid["width"]) if vid else 0,
+                        int(vid["height"]) if vid else 0,
+                        int(meta["duration_ms"]),
+                        vid["codec"] if vid else None,
+                        len(meta["tracks"]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "duration_ms",
+                    "codec", "n_tracks",
+                ],
+            )
+
+    return videos.select("media_id", payload_col).mapInPandas(run, schema)
+
+
+def synthesize_videos(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
+    """Real MP4 payloads whose metadata derives arithmetically from the
+    key (width = 320 + 37k mod 1600, height = 180 + 53k mod 900,
+    duration = 1000 + 97k mod 600000 ms, codec by k mod 3, audio track
+    when k is odd) — built on executors, so a downstream
+    :func:`video_metadata` round-trips REAL container bytes and an SQL
+    oracle can recompute the expected values exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.mp4 import encode_minimal_mp4
+
+        codecs = ["avc1", "hev1", "av01"]
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                out.append(
+                    (
+                        k,
+                        encode_minimal_mp4(
+                            duration_ms=1000 + (k * 97) % 600000,
+                            width=320 + (k * 37) % 1600,
+                            height=180 + (k * 53) % 900,
+                            video_codec=codecs[k % 3],
+                            audio=bool(k % 2),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return keys.select(key_col).mapInPandas(
+        run, "media_id long, payload binary"
+    )

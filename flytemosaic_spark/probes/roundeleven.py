@@ -209,3 +209,35 @@ def f27_lcc_inverse(spark: SparkSession, sf: str) -> DataFrame:
         portable_round(lon, 9).alias("lon"),
         portable_round(lat, 9).alias("lat"),
     )
+
+
+@probe(
+    "x221_video_metadata",
+    sql="""
+        SELECT s_suppkey AS media_id,
+               320 + (s_suppkey * 37) % 1600 AS width,
+               180 + (s_suppkey * 53) % 900 AS height,
+               1000 + (s_suppkey * 97) % 600000 AS duration_ms,
+               CASE s_suppkey % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+                    ELSE 'av01' END AS codec,
+               1 + s_suppkey % 2 AS n_tracks
+        FROM supplier
+    """,
+    note="video-container metadata scan (operators/multimodal.py:"
+    "video_metadata over sources/mp4.py — the ffprobe-style pass a "
+    "curation pipeline filters on BEFORE any decode): executors build "
+    "REAL ISO-BMFF payloads whose metadata derives arithmetically from "
+    "the key, then the box parser recovers width/height/duration/"
+    "codec/track-count from the BYTES — the oracle recomputes the "
+    "expected values, so the hash-compare proves the container "
+    "round-trip, not just the arithmetic; payloads never shuffle "
+    "(mapInPandas, one task end-to-end)",
+)
+def x221_video_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        synthesize_videos,
+        video_metadata,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return video_metadata(synthesize_videos(keys))

@@ -321,3 +321,66 @@ def test_decode_payload_routes_bigtiff():
     a = np.arange(16 * 16, dtype="u2").reshape(16, 16)
     got = _decode_payload(encode_geotiff(a, tile=16, big=True))
     assert np.array_equal(got[:, :, 0], a)
+
+
+class TestMp4Container:
+    def test_parse_roundtrip_matrix(self):
+        from flytemosaic_spark.sources.mp4 import (
+            encode_minimal_mp4,
+            parse_mp4,
+        )
+
+        for dur, w, h, codec, audio in [
+            (12345, 1920, 1080, "avc1", True),
+            (500, 640, 360, "av01", False),
+            (3600000, 3840, 2160, "hev1", True),
+        ]:
+            m = parse_mp4(
+                encode_minimal_mp4(dur, w, h, codec, audio=audio)
+            )
+            assert m["duration_ms"] == dur and m["brand"] == "isom"
+            vid = [t for t in m["tracks"] if t["kind"] == "vide"][0]
+            assert (vid["width"], vid["height"], vid["codec"]) == (
+                w, h, codec,
+            )
+            assert len(m["tracks"]) == (2 if audio else 1)
+            if audio:
+                aud = [t for t in m["tracks"] if t["kind"] == "soun"][0]
+                assert aud["codec"] == "mp4a"
+
+    def test_parse_rejects_non_mp4(self):
+        import pytest as _pytest
+
+        from flytemosaic_spark.sources.mp4 import parse_mp4
+
+        with _pytest.raises(ValueError, match="ftyp"):
+            parse_mp4(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)
+        with _pytest.raises(ValueError, match="box size"):
+            # valid ftyp then a moov whose size overruns the file
+            from flytemosaic_spark.sources.mp4 import encode_minimal_mp4
+
+            p = bytearray(encode_minimal_mp4(100, 64, 64))
+            i = p.index(b"moov") - 4
+            p[i : i + 4] = (2**31).to_bytes(4, "big")
+            parse_mp4(bytes(p))
+
+    def test_video_metadata_operator(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            synthesize_videos,
+            video_metadata,
+        )
+
+        keys = spark.createDataFrame(
+            [(i,) for i in range(1, 9)], "s_suppkey long"
+        )
+        rows = {
+            r.media_id: r
+            for r in video_metadata(synthesize_videos(keys)).collect()
+        }
+        for k in range(1, 9):
+            r = rows[k]
+            assert r.width == 320 + (k * 37) % 1600
+            assert r.height == 180 + (k * 53) % 900
+            assert r.duration_ms == 1000 + (k * 97) % 600000
+            assert r.codec == ["avc1", "hev1", "av01"][k % 3]
+            assert r.n_tracks == 1 + k % 2
