@@ -5,7 +5,7 @@ The Spark-side plumbing is fully real — schema, partitioning, UDF
 signatures, Arrow batch shapes — and the codec layer has REAL tiers
 next to the deterministic fake: PNG decodes via PIL when importable,
 else a built-in stdlib-zlib decoder (all five scanline unfilters,
-8-bit gray/GA/RGB/RGBA); baseline JPEG the same way (PIL, else the
+8-bit gray/GA/RGB/RGBA); JPEG — baseline and progressive — the same way (PIL, else the
 pure-numpy T.81 codec in ``sources/jpeg.py``); TIFF/GeoTIFF/BigTIFF
 via ``sources/geotiff.py``; WAV via the stdlib ``wave`` module
 (16-bit PCM, multichannel downmix); MP4 container METADATA via the
@@ -156,8 +156,8 @@ def _decode_payload(payload: bytes) -> np.ndarray:
     2. REAL PNG: PIL when importable (full format coverage), else the
        built-in stdlib-zlib decoder (:func:`_decode_png` — 8-bit
        gray/GA/RGB/RGBA, all five unfilters), so PNG round-trips work
-       even in this no-image-library sandbox; REAL baseline JPEG the
-       same way (PIL, else ``sources/jpeg.py``); REAL TIFF/GeoTIFF/
+       even in this no-image-library sandbox; REAL JPEG (baseline AND
+       progressive) the same way (PIL, else ``sources/jpeg.py``); REAL TIFF/GeoTIFF/
        BigTIFF via ``sources/geotiff.py``;
     3. anything else (MP4/...) raises NotImplementedError naming the
        swap point (ffmpeg).

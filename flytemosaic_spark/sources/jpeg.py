@@ -1,19 +1,25 @@
-"""Minimal REAL baseline JPEG codec — pure stdlib (struct) + numpy.
+"""Minimal REAL JPEG codec — pure stdlib (struct) + numpy.
 
 The reference reads any GDAL-supported raster compression
-(reference flytemosaic/datasets/utils.py:123-126), and JPEG is the
-dominant visual-band COG compression. This container has no GDAL/PIL,
-so this module implements ITU-T T.81 baseline sequential DCT, the
-subset GDAL actually emits for JPEG-in-TIFF and standalone JFIF:
+(reference flytemosaic/datasets/utils.py:123-126); JPEG is the
+dominant visual-band COG compression, and progressive JPEG dominates
+web-scraped imagery (the multimodal training-data case). This
+container has no GDAL/PIL, so this module implements ITU-T T.81:
 
-- decode: baseline (SOF0), 8-bit, 1 or 3 components, any sampling
-  factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart markers, and
-  *abbreviated* streams whose DQT/DHT arrive separately (the TIFF
-  ``JPEGTables`` tag) — anything else (progressive SOF2, 12-bit,
-  arithmetic coding, 4 components) raises NotImplementedError naming
-  the feature, the same honesty contract as ``geotiff.py``;
-- encode: baseline JFIF, grayscale or YCbCr 4:4:4 / 4:2:0, the T.81
-  Annex K quantization + Huffman tables with IJG quality scaling.
+- decode: baseline sequential (SOF0) AND progressive (SOF2 — DC
+  first/refinement and AC band first/refinement scans with EOB runs,
+  T.81 G.2), 8-bit, 1 or 3 components, sampling factors up to 2x2
+  (4:4:4, 4:2:2, 4:2:0), restart markers, non-interleaved scans over
+  the component's own block grid, and *abbreviated* streams whose
+  DQT/DHT arrive separately (the TIFF ``JPEGTables`` tag) — anything
+  else (hierarchical/lossless SOFs, 12-bit, arithmetic coding, 4
+  components) raises NotImplementedError naming the feature, the
+  same honesty contract as ``geotiff.py``;
+- encode: JFIF, grayscale or YCbCr 4:4:4 / 4:2:0, the T.81 Annex K
+  quantization + Huffman tables with IJG quality scaling; baseline
+  by default, ``progressive=True`` emits an SOF2 multi-scan stream
+  (spectral selection + two-level successive approximation, the
+  libjpeg-default script shape).
 
 Entropy coding is per-symbol Python (bounded by block count), while
 dequantization, the 2-D DCT/IDCT (separable 8x8 basis matmul), chroma
@@ -21,9 +27,10 @@ resampling and colorspace conversion are vectorized numpy over all
 blocks at once — fast enough that a 256x256 tile decodes in
 milliseconds, which is what the Spark-side mapInPandas batches see.
 
-JPEG is lossy: the encoder is NOT a bit-oracle for the decoder (unlike
-the deflate/LZW tiers); tests assert reconstruction error bounds and
-exactness on DC-only (flat) images instead.
+JPEG is lossy: the encoder is NOT a bit-oracle for the decoder the
+way the deflate/LZW tiers are — but baseline and progressive encodes
+quantize identically, so their DECODES must match bit-for-bit, which
+is the test oracle for every progressive scan path.
 """
 
 from __future__ import annotations
@@ -112,6 +119,19 @@ _HUFF_AC_CHROMA = (
     ],
 )
 
+# progressive AC table: the Annex K sequential tables lack the EOBn
+# (n > 0) symbols progressive scans need, so the progressive encoder
+# uses this generated table — every EOBn (n 0..14), ZRL, and (run,
+# size 1..10) symbol at code length 9 (176 codes of 512; the all-ones
+# codeword stays unused, as T.81 C.2 requires). Valid canonical
+# Huffman, deliberately unoptimized: the decoder must take ANY table.
+_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    [n << 4 for n in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+)
+
 # separable 8-point DCT-II basis: _DCT[k, n] = c_k/2 * cos((2n+1)k pi/16)
 _DCT = np.zeros((8, 8))
 for _k in range(8):
@@ -190,9 +210,11 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _destuff(data: bytes) -> tuple[list[bytes], bool]:
-    """Split entropy data on restart markers, removing FF00 stuffing.
-    Returns (segments, saw_rst)."""
+def _destuff(data: bytes) -> tuple[list[bytes], int]:
+    """Split one scan's entropy data on restart markers, removing FF00
+    stuffing. Returns (segments, bytes_consumed) — consumption stops
+    at the first non-RST marker so the caller can keep parsing the
+    following segments (progressive streams have many scans)."""
     segs, cur, i, n = [], bytearray(), 0, len(data)
     while i < n:
         b = data[i]
@@ -211,7 +233,7 @@ def _destuff(data: bytes) -> tuple[list[bytes], bool]:
         cur.append(b)
         i += 1
     segs.append(bytes(cur))
-    return segs, len(segs) > 1
+    return segs, i
 
 
 def _parse_tables(buf: bytes, off: int, end: int, state: dict) -> None:
@@ -248,16 +270,18 @@ def _parse_tables(buf: bytes, off: int, end: int, state: dict) -> None:
 
 
 def decode_jpeg(payload: bytes, tables: bytes | None = None) -> np.ndarray:
-    """Decode a baseline JPEG to ``uint8 (H, W, components)``.
-    ``tables`` is an optional abbreviated tables-only stream (the TIFF
-    ``JPEGTables`` tag) consumed before the payload's own segments."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to
+    ``uint8 (H, W, components)``. ``tables`` is an optional
+    abbreviated tables-only stream (the TIFF ``JPEGTables`` tag)
+    consumed before the payload's own segments."""
     state: dict = {"quant": {}, "huff": {}, "dri": 0}
     if tables:
         _parse_tables(tables, 0, len(tables), state)
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
 
-    comps, h = None, None
+    comps, h, w, progressive = None, None, None, False
+    saw_scan = False
     off = 2
     while off + 4 <= len(payload):
         if payload[off] != 0xFF:
@@ -269,12 +293,14 @@ def decode_jpeg(payload: bytes, tables: bytes | None = None) -> np.ndarray:
         seg, seg_end = off + 4, off + 2 + seg_len
         if marker in (0xDB, 0xC4, 0xDD):
             _parse_tables(payload, off, seg_end, state)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (only baseline SOF0 supported)"
+                f"JPEG SOF{marker - 0xC0} "
+                "(baseline SOF0 and progressive SOF2 supported)"
             )
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w = struct.unpack_from(">BHH", payload, seg)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG samples")
@@ -287,22 +313,40 @@ def decode_jpeg(payload: bytes, tables: bytes | None = None) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker == 0xDA:  # SOS: entropy data follows
+            _alloc_coef(comps, w, h)
+        elif marker == 0xDA:  # SOS: one scan's entropy data follows
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = payload[seg]
+            scan_comps = []
             for i in range(ns):
                 cid, tabs = payload[seg + 1 + 2 * i : seg + 3 + 2 * i]
                 for c in comps:
                     if c["id"] == cid:
                         c["td"], c["ta"] = tabs >> 4, tabs & 0x0F
-            data_off = seg_end
-            return _decode_scan(payload[data_off:], comps, h, w, state)
+                        scan_comps.append(c)
+            p = seg + 1 + 2 * ns
+            ss, se, ahal = payload[p], payload[p + 1], payload[p + 2]
+            ah, al = ahal >> 4, ahal & 0x0F
+            segs, used = _destuff(payload[seg_end:])
+            if progressive:
+                _scan_progressive(
+                    segs, scan_comps, comps, state, ss, se, ah, al
+                )
+            else:
+                _scan_baseline(segs, scan_comps, comps, state)
+            saw_scan = True
+            off = seg_end + used
+            continue
         off = seg_end
-    raise ValueError("JPEG stream has no SOS segment")
+    if comps is None or not saw_scan:
+        raise ValueError("JPEG stream has no SOS segment")
+    return _reconstruct(comps, w, h, state)
 
 
-def _decode_scan(
-    data: bytes, comps: list[dict], h: int, w: int, state: dict
-) -> np.ndarray:
+def _alloc_coef(comps: list[dict], w: int, h: int) -> None:
+    """Per-component coefficient arrays: MCU-padded grid (interleaved
+    scan order) plus the component's own non-interleaved grid dims."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -310,50 +354,196 @@ def _decode_scan(
     for c in comps:
         c["bw"] = mcux * c["h"]  # blocks across (MCU-padded)
         c["bh"] = mcuy * c["v"]
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        c["nbw"] = (cw + 7) // 8  # non-interleaved (true) grid
+        c["nbh"] = (ch + 7) // 8
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+    comps[0]["_mcux"], comps[0]["_mcuy"] = mcux, mcuy
 
-    segs, _ = _destuff(data)
+
+def _scan_units(scan_comps, comps):
+    """(unit block refs) in scan order: interleaved scans walk MCUs,
+    single-component scans walk the component's true grid in raster
+    order. Yields (comp, block_index) per data unit group boundary —
+    for interleaved, one MCU is several units."""
+    mcux, mcuy = comps[0]["_mcux"], comps[0]["_mcuy"]
+    if len(scan_comps) > 1:
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            group = []
+            for c in scan_comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        group.append(
+                            (c, (my * c["v"] + by) * c["bw"]
+                             + mx * c["h"] + bx)
+                        )
+            yield group
+    else:
+        c = scan_comps[0]
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                yield [(c, by * c["bw"] + bx)]
+
+
+def _scan_baseline(segs, scan_comps, comps, state) -> None:
+    units = list(_scan_units(scan_comps, comps))
     dri = state["dri"]
-    n_mcu = mcux * mcuy
-    mcu = 0
+    pos = 0
     for seg in segs:
         rd = _BitReader(seg)
-        pred = {c["id"]: 0 for c in comps}
-        stop = min(n_mcu, mcu + dri) if dri else n_mcu
-        while mcu < stop:
-            my, mx = divmod(mcu, mcux)
-            for c in comps:
+        pred = {c["id"]: 0 for c in scan_comps}
+        stop = min(len(units), pos + dri) if dri else len(units)
+        while pos < stop:
+            for c, bi in units[pos]:
                 dc_tab = state["huff"].get((0, c["td"]))
                 ac_tab = state["huff"].get((1, c["ta"]))
                 if dc_tab is None or ac_tab is None:
                     raise ValueError("JPEG scan references missing DHT")
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64, dtype=np.int32)
-                        t = rd.huff(dc_tab)
-                        pred[c["id"]] += _extend(rd.bits(t), t)
-                        blk[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = rd.huff(ac_tab)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflow")
-                            blk[k] = _extend(rd.bits(s), s)
-                            k += 1
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        c["coef"][row * c["bw"] + col] = blk
-            mcu += 1
-    if mcu < n_mcu:
+                blk = c["coef"][bi]
+                t = rd.huff(dc_tab)
+                pred[c["id"]] += _extend(rd.bits(t), t)
+                blk[0] = pred[c["id"]]
+                k = 1
+                while k < 64:
+                    rs = rd.huff(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflow")
+                    blk[k] = _extend(rd.bits(s), s)
+                    k += 1
+            pos += 1
+    if pos < len(units):
         raise ValueError("JPEG stream truncated before last MCU")
 
+
+def _scan_progressive(
+    segs, scan_comps, comps, state, ss, se, ah, al
+) -> None:
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved
+    allowed), AC first/refine (single component, with EOB runs)."""
+    units = list(_scan_units(scan_comps, comps))
+    dri = state["dri"]
+    pos = 0
+    if ss == 0:  # DC scan (se must be 0)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        for seg in segs:
+            rd = _BitReader(seg)
+            pred = {c["id"]: 0 for c in scan_comps}
+            stop = min(len(units), pos + dri) if dri else len(units)
+            while pos < stop:
+                for c, bi in units[pos]:
+                    blk = c["coef"][bi]
+                    if ah == 0:  # first DC scan
+                        dc_tab = state["huff"].get((0, c["td"]))
+                        if dc_tab is None:
+                            raise ValueError("missing DHT in DC scan")
+                        t = rd.huff(dc_tab)
+                        pred[c["id"]] += _extend(rd.bits(t), t)
+                        blk[0] = pred[c["id"]] << al
+                    else:  # DC refinement: one raw bit
+                        if rd.bits(1):
+                            blk[0] |= 1 << al
+                pos += 1
+        return
+    # AC scans: single component only, per spec
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan with several components")
+    c = scan_comps[0]
+    ac_tab = state["huff"].get((1, c["ta"]))
+    if ac_tab is None:
+        raise ValueError("missing DHT in AC scan")
+    for seg in segs:
+        rd = _BitReader(seg)
+        eobrun = 0
+        stop = min(len(units), pos + dri) if dri else len(units)
+        while pos < stop:
+            (_, bi) = units[pos][0]
+            blk = c["coef"][bi]
+            if ah == 0:
+                eobrun = _ac_first(rd, ac_tab, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(rd, ac_tab, blk, ss, se, al, eobrun)
+            pos += 1
+    if pos < len(units):
+        raise ValueError("JPEG stream truncated before last block")
+
+
+def _ac_first(rd, ac_tab, blk, ss, se, al, eobrun) -> int:
+    """First AC scan for one block (T.81 G.2.2): magnitudes shifted
+    left by the successive-approximation low bit. Coefficients are
+    stored zigzag-ordered, matching the baseline path."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.huff(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            return (1 << r) + rd.bits(r) - 1
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflow")
+        blk[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(rd, ac_tab, blk, ss, se, al, eobrun) -> int:
+    """AC refinement scan for one block (T.81 G.2.3 / libjpeg
+    decode_mcu_AC_refine): correction bits for already-significant
+    coefficients, run/1 symbols for newly-significant ones."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + rd.bits(r)
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad size in AC refinement scan")
+                val = p1 if rd.bits(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if rd.bits(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0 and rd.bits(1) and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(comps, w, h, state) -> np.ndarray:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         q = state["quant"].get(c["tq"])
@@ -450,12 +640,17 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode ``uint8 (H, W)``, ``(H, W, 1)`` or ``(H, W, 3)`` as a
     baseline JFIF JPEG (grayscale, or YCbCr 4:4:4 / 4:2:0 when
     ``subsample``). ``restart_interval`` > 0 emits a DRI segment and
     RSTn markers every that many MCUs (what GDAL writes for large
-    strips, and the decoder's resync path)."""
+    strips, and the decoder's resync path). ``progressive`` emits an
+    SOF2 multi-scan stream (spectral selection + two-level successive
+    approximation); both forms quantize identically, so baseline and
+    progressive encodes of the same input DECODE bit-identically —
+    the test oracle for the progressive paths."""
     if arr.ndim == 2:
         arr = arr[:, :, np.newaxis]
     if arr.dtype != np.uint8 or arr.shape[2] not in (1, 3):
@@ -501,56 +696,82 @@ def encode_jpeg(
         dc_enc.append(_build_huff_encoder(*_HUFF_DC_CHROMA))
         ac_enc.append(_build_huff_encoder(*_HUFF_AC_CHROMA))
 
-    bw_ = _BitWriter()
     samp = [(hs, hs)] + [(1, 1)] * (nc - 1)
     bws = [p.shape[1] // 8 for p in comp_planes]
     mcux = pw // mcu_px
     mcuy = ph // mcu_px
-    pred = [0] * nc
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            bw_.flush()
-            bw_.out += bytes(
-                [0xFF, 0xD0 + (m // restart_interval - 1) % 8]
-            )
-            pred = [0] * nc
-        my, mx = divmod(m, mcux)
-        for ci in range(nc):
-            sh, sv = samp[ci]
-            t_i = min(ci, 1)
-            for by in range(sv):
-                for bx in range(sh):
-                    row = my * sv + by
-                    col = mx * sh + bx
-                    blk = coef_sets[ci][row * bws[ci] + col]
-                    diff = int(blk[0]) - pred[ci]
-                    pred[ci] = int(blk[0])
-                    t, mag = _magnitude(diff)
-                    code, ln = dc_enc[t_i][t]
-                    bw_.write(code, ln)
-                    if t:
-                        bw_.write(mag, t)
-                    run = 0
-                    nz = np.nonzero(blk[1:])[0]
-                    last = nz[-1] + 1 if len(nz) else 0
-                    for k in range(1, last + 1):
-                        v = int(blk[k])
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            code, ln = ac_enc[t_i][0xF0]
-                            bw_.write(code, ln)
-                            run -= 16
-                        t, mag = _magnitude(v)
-                        code, ln = ac_enc[t_i][(run << 4) | t]
+
+    def sos_header(comp_tabs: list[tuple[int, int, int]], ss, se, ahal):
+        """comp_tabs: (component index, td, ta) per scan component."""
+        hdr = b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comp_tabs), len(comp_tabs)
+        )
+        for ci, td, ta in comp_tabs:
+            hdr += bytes([ci + 1, (td << 4) | ta])
+        return hdr + bytes([ss, se, ahal])
+
+    scans: list[bytes] = []
+    if not progressive:
+        bw_ = _BitWriter()
+        pred = [0] * nc
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                bw_.flush()
+                bw_.out += bytes(
+                    [0xFF, 0xD0 + (m // restart_interval - 1) % 8]
+                )
+                pred = [0] * nc
+            my, mx = divmod(m, mcux)
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                t_i = min(ci, 1)
+                for by in range(sv):
+                    for bx in range(sh):
+                        row = my * sv + by
+                        col = mx * sh + bx
+                        blk = coef_sets[ci][row * bws[ci] + col]
+                        diff = int(blk[0]) - pred[ci]
+                        pred[ci] = int(blk[0])
+                        t, mag = _magnitude(diff)
+                        code, ln = dc_enc[t_i][t]
                         bw_.write(code, ln)
-                        bw_.write(mag, t)
+                        if t:
+                            bw_.write(mag, t)
                         run = 0
-                    if last < 63:
-                        code, ln = ac_enc[t_i][0x00]  # EOB
-                        bw_.write(code, ln)
-    bw_.flush()
+                        nz = np.nonzero(blk[1:])[0]
+                        last = nz[-1] + 1 if len(nz) else 0
+                        for k in range(1, last + 1):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_enc[t_i][0xF0]
+                                bw_.write(code, ln)
+                                run -= 16
+                            t, mag = _magnitude(v)
+                            code, ln = ac_enc[t_i][(run << 4) | t]
+                            bw_.write(code, ln)
+                            bw_.write(mag, t)
+                            run = 0
+                        if last < 63:
+                            code, ln = ac_enc[t_i][0x00]  # EOB
+                            bw_.write(code, ln)
+        bw_.flush()
+        scans.append(
+            sos_header([(ci, min(ci, 1), min(ci, 1)) for ci in range(nc)],
+                       0, 63, 0)
+            + bytes(bw_.out)
+        )
+    else:
+        if restart_interval:
+            raise NotImplementedError(
+                "restart markers with progressive encode"
+            )
+        scans += _progressive_scans(
+            coef_sets, samp, bws, mcux, mcuy, w, h, hs,
+            dc_enc, ac_enc, sos_header,
+        )
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\0" + bytes(
@@ -559,13 +780,16 @@ def encode_jpeg(
     for tq, q in enumerate(qtabs[:2] if nc == 3 else qtabs[:1]):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
         out += bytes(int(x) for x in q[_ZIGZAG])
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci in range(nc):
         sh, sv = samp[ci]
         out += bytes([ci + 1, (sh << 4) | sv, min(ci, 1)])
     huffs = [(0, 0, _HUFF_DC_LUMA), (1, 0, _HUFF_AC_LUMA)]
     if nc == 3:
         huffs += [(0, 1, _HUFF_DC_CHROMA), (1, 1, _HUFF_AC_CHROMA)]
+    if progressive:
+        huffs.append((1, 2, _HUFF_AC_PROG))
     for tc, th, (bits, vals) in huffs:
         out += b"\xff\xc4" + struct.pack(
             ">HB", 19 + len(vals), (tc << 4) | th
@@ -573,10 +797,210 @@ def encode_jpeg(
         out += bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
-    for ci in range(nc):
-        out += bytes([ci + 1, (min(ci, 1) << 4) | min(ci, 1)])
-    out += b"\0\x3f\0"
-    out += bw_.out
+    for s in scans:
+        out += s
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _progressive_scans(
+    coef_sets, samp, bws, mcux, mcuy, w, h, hmax,
+    dc_enc, ac_enc, sos_header,
+) -> list[bytes]:
+    """Spectral-selection + two-level successive-approximation scan
+    script (T.81 Annex G encoding procedures, the shape libjpeg's
+    default progressive script uses): interleaved DC first (Al=1) and
+    DC refinement, then per component AC first (band 1..63 at Al=1)
+    and AC refinement (Al=0)."""
+    nc = len(coef_sets)
+    al = 1
+    scans = []
+
+    # --- DC first scan (interleaved, point transform Al) ---
+    bw_ = _BitWriter()
+    pred = [0] * nc
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            sh, sv = samp[ci]
+            t_i = min(ci, 1)
+            for by in range(sv):
+                for bx in range(sh):
+                    blk = coef_sets[ci][
+                        (my * sv + by) * bws[ci] + mx * sh + bx
+                    ]
+                    v = int(blk[0]) >> al  # DC: arithmetic shift
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    t, mag = _magnitude(diff)
+                    code, ln = dc_enc[t_i][t]
+                    bw_.write(code, ln)
+                    if t:
+                        bw_.write(mag, t)
+    bw_.flush()
+    scans.append(
+        sos_header([(ci, min(ci, 1), 0) for ci in range(nc)], 0, 0, al)
+        + bytes(bw_.out)
+    )
+
+    # --- DC refinement scan (raw bits) ---
+    bw_ = _BitWriter()
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            sh, sv = samp[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    blk = coef_sets[ci][
+                        (my * sv + by) * bws[ci] + mx * sh + bx
+                    ]
+                    bw_.write(int(blk[0]) & 1, 1)
+    bw_.flush()
+    scans.append(
+        sos_header([(ci, min(ci, 1), 0) for ci in range(nc)],
+                   0, 0, (1 << 4) | 0)
+        + bytes(bw_.out)
+    )
+
+    # --- per-component AC scans over the TRUE (non-interleaved) grid ---
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + hmax - 1) // hmax
+        nbw, nbh = (cw + 7) // 8, (ch + 7) // 8
+        blocks = [
+            coef_sets[ci][by * bws[ci] + bx]
+            for by in range(nbh)
+            for bx in range(nbw)
+        ]
+        prog_tab = _build_huff_encoder(*_HUFF_AC_PROG)
+        scans.append(
+            sos_header([(ci, 0, 2)], 1, 63, al)
+            + _ac_first_scan(blocks, prog_tab, 1, 63, al)
+        )
+        scans.append(
+            sos_header([(ci, 0, 2)], 1, 63, (al << 4) | 0)
+            + _ac_refine_scan(blocks, prog_tab, 1, 63, 0)
+        )
+    return scans
+
+
+def _ac_first_scan(blocks, ac_tab, ss, se, al) -> bytes:
+    """Entropy data for one first-pass AC band scan (T.81 G.1.2.2):
+    point-transformed magnitudes with EOB-run accumulation."""
+    bw_ = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        n = eobrun.bit_length() - 1
+        code, ln = ac_tab[n << 4]
+        bw_.write(code, ln)
+        if n:
+            bw_.write(eobrun - (1 << n), n)
+        eobrun = 0
+
+    for blk in blocks:
+        # AC point transform: divide toward zero by 2^Al
+        band = [
+            (int(v) >> al) if v >= 0 else -((-int(v)) >> al)
+            for v in blk[ss : se + 1]
+        ]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]
+                bw_.write(code, ln)
+                run -= 16
+            t, mag = _magnitude(v)
+            code, ln = ac_tab[(run << 4) | t]
+            bw_.write(code, ln)
+            bw_.write(mag, t)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+    flush_eob()
+    bw_.flush()
+    return bytes(bw_.out)
+
+
+def _ac_refine_scan(blocks, ac_tab, ss, se, al) -> bytes:
+    """Entropy data for one AC refinement scan (T.81 G.1.2.3, the
+    libjpeg encode_mcu_AC_refine control flow): run/1 symbols for
+    newly-significant coefficients, buffered correction bits for
+    already-significant ones. Two bit buffers, as in libjpeg: ``be``
+    bits travel with the pending EOB run (emitted right after its
+    EOBn symbol), ``br`` bits belong to the current block (emitted
+    right after the next ZRL / run-1 symbol); a block that ends in an
+    EOB rolls its br bits into be."""
+    bw_ = _BitWriter()
+    eobrun = 0
+    be: list[int] = []  # correction bits attached to the EOB run
+    br: list[int] = []  # correction bits since last symbol, this block
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun > 0:
+            n = eobrun.bit_length() - 1
+            code, ln = ac_tab[n << 4]
+            bw_.write(code, ln)
+            if n:
+                bw_.write(eobrun - (1 << n), n)
+            eobrun = 0
+            for b in be:
+                bw_.write(b, 1)
+            be.clear()
+
+    def emit_br():
+        for b in br:
+            bw_.write(b, 1)
+        br.clear()
+
+    for blk in blocks:
+        absv = [abs(int(v)) >> al for v in blk[ss : se + 1]]
+        eob = 0  # index past the LAST newly-significant coefficient
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i + 1
+        r = 0
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                emit_eobrun()
+                code, ln = ac_tab[0xF0]
+                bw_.write(code, ln)
+                r -= 16
+                emit_br()
+            if t > 1:
+                br.append(t & 1)
+                continue
+            emit_eobrun()
+            code, ln = ac_tab[(r << 4) | 1]
+            bw_.write(code, ln)
+            bw_.write(0 if blk[ss + i] < 0 else 1, 1)
+            emit_br()
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            br.clear()
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+    bw_.flush()
+    return bytes(bw_.out)

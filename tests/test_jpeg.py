@@ -124,12 +124,53 @@ class TestStreamFeatures:
             decode_jpeg(bytes(body))
 
 
+class TestProgressive:
+    def test_bit_identical_to_baseline(self):
+        # baseline and progressive quantize identically, so decodes
+        # must match BIT FOR BIT — one oracle covering every scan
+        # type: DC first/refine, AC first/refine, EOB runs (flat
+        # image), ZRL in refinement (noise at low quality)
+        rng = np.random.default_rng(7)
+        g = _smooth()
+        rgb = _rgb()
+        cases = [
+            (g, {}),
+            (np.full((24, 33), 77, np.uint8), {}),  # all-EOB runs
+            (rng.integers(0, 256, (40, 56)).astype(np.uint8), {}),
+            (rgb, {}),
+            (rgb, {"subsample": True}),
+            (rng.integers(0, 256, (17, 19)).astype(np.uint8), {}),
+            (
+                np.ascontiguousarray(rgb[:47, :63]),
+                {"subsample": True},  # odd dims + non-interleaved grid
+            ),
+        ]
+        for img, kw in cases:
+            for q in (35, 88, 97):
+                base = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+                prog = decode_jpeg(
+                    encode_jpeg(img, quality=q, progressive=True, **kw)
+                )
+                assert np.array_equal(base, prog)
+
+    def test_progressive_stream_is_sof2_multiscan(self):
+        p = encode_jpeg(_smooth(), quality=90, progressive=True)
+        assert b"\xff\xc2" in p and b"\xff\xc0" not in p
+        assert p.count(b"\xff\xda") >= 4  # DC x2 + AC x2 scans
+
+    def test_progressive_restart_not_encodable(self):
+        with pytest.raises(NotImplementedError, match="restart"):
+            encode_jpeg(
+                _smooth(), progressive=True, restart_interval=2
+            )
+
+
 class TestHonesty:
-    def test_progressive_rejected(self):
+    def test_unsupported_sof_rejected(self):
         p = bytearray(encode_jpeg(_smooth(), quality=90))
         i = p.find(b"\xff\xc0")
-        p[i + 1] = 0xC2  # claim progressive SOF2
-        with pytest.raises(NotImplementedError, match="SOF2"):
+        p[i + 1] = 0xC9  # claim arithmetic-coded SOF9
+        with pytest.raises(NotImplementedError, match="SOF9"):
             decode_jpeg(bytes(p))
 
     def test_not_a_jpeg(self):
