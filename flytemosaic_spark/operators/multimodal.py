@@ -57,9 +57,12 @@ def _decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decoder — pure stdlib zlib + numpy, no image library
     needed: chunk walk, concatenated-IDAT inflate, and all five
     scanline unfilters (None/Sub/Up/Average/Paeth) per the PNG spec.
-    Supports 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced —
-    the overwhelmingly common lossless case; everything else raises
-    with the exact unsupported feature named."""
+    Supports 8- and 16-bit gray / gray+alpha / RGB / RGBA,
+    non-interlaced — 16-bit gray is the depth-map/elevation-tile
+    case; returns uint8 or uint16 accordingly (filters operate on
+    BYTES with the left neighbor one full pixel — bpp bytes — back,
+    per spec). Everything else raises with the exact unsupported
+    feature named."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -74,22 +77,24 @@ def _decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, ilace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color not in _PNG_CHANNELS or ilace != 0:
+            if depth not in (8, 16) or color not in _PNG_CHANNELS \
+                    or ilace != 0:
                 raise NotImplementedError(
                     f"PNG feature unsupported by the built-in decoder: "
                     f"depth={depth} color={color} interlace={ilace} "
                     "(install PIL for full coverage)"
                 )
-            meta = (w, h, _PNG_CHANNELS[color])
+            meta = (w, h, _PNG_CHANNELS[color], depth)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
             break
     if meta is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    w, h, ch = meta
+    w, h, ch, depth = meta
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
+    bpp = ch * (depth // 8)  # bytes per pixel: the filter offset
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload has wrong length")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -100,34 +105,43 @@ def _decode_png(payload: bytes) -> np.ndarray:
         if ft == 0:
             pass
         elif ft == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ft == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ft == 3:  # Average
             for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                upleft = prev[i - ch] if i >= ch else 0
+                left = line[i - bpp] if i >= bpp else 0
+                upleft = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
         prev = line
+    if depth == 16:  # network byte order samples
+        return (
+            out.reshape(h, w * ch, 2)
+            .view(">u2")[:, :, 0]
+            .astype(np.uint16)
+            .reshape(h, w, ch)
+        )
     return out.reshape(h, w, ch)
 
 
 def _encode_png(arr: np.ndarray) -> bytes:
     """Minimal spec-valid PNG encoder (filter 0 rows) for round-trip
-    tests and for producing portable sink payloads without PIL."""
+    tests and for producing portable sink payloads without PIL —
+    uint8 or uint16 input (16-bit emits depth-16 network-order)."""
     import zlib
 
     h, w, ch = arr.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    depth = 16 if arr.dtype == np.uint16 else 8
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -137,10 +151,12 @@ def _encode_png(arr: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    body = b"".join(
-        b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
-    )
+    if depth == 16:
+        rows = arr.astype(">u2")
+    else:
+        rows = arr.astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    body = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)

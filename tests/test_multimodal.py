@@ -225,14 +225,15 @@ class TestRealPngCodec:
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
             )
 
-        png16 = (
+        # depth 16 is supported now; bit depth 1 (bilevel) is not
+        png1 = (
             b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 1, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 4))
             + chunk(b"IEND", b"")
         )
-        with pytest.raises(NotImplementedError, match="depth=16"):
-            _decode_png(png16)
+        with pytest.raises(NotImplementedError, match="depth=1"):
+            _decode_png(png1)
 
     def test_decode_stats_over_png_payloads(self, spark):
         # the decode/feature pipeline runs unchanged on REAL payloads
@@ -384,3 +385,79 @@ class TestMp4Container:
             assert r.duration_ms == 1000 + (k * 97) % 600000
             assert r.codec == ["avc1", "hev1", "av01"][k % 3]
             assert r.n_tracks == 1 + k % 2
+
+
+def test_png_16bit_roundtrip_and_filters():
+    # 16-bit gray PNG is the depth-map/elevation-tile case: filters
+    # operate on BYTES with the left neighbor one full pixel back
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from flytemosaic_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+        _paeth,
+    )
+
+    rng = np.random.default_rng(5)
+    for shape in [(20, 30, 1), (12, 9, 4), (7, 5, 3)]:
+        a = rng.integers(0, 65535, shape).astype("u2")
+        got = _decode_png(_encode_png(a))
+        assert got.dtype == np.uint16 and np.array_equal(got, a)
+
+    # hand-build a depth-16 stream cycling ALL five filter types
+    def build(arr, fts):
+        h, w, ch = arr.shape
+        raw = bytearray()
+        rows = arr.astype(">u2")
+        bpp = ch * 2
+        prev = np.zeros((w * ch * 2,), np.int32)
+        for y in range(h):
+            line = np.frombuffer(rows[y].tobytes(), np.uint8).astype(
+                np.int32
+            )
+            ft = fts[y % len(fts)]
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            if ft == 0:
+                enc = line
+            elif ft == 1:
+                enc = (line - left) % 256
+            elif ft == 2:
+                enc = (line - prev) % 256
+            elif ft == 3:
+                enc = (line - (left + prev) // 2) % 256
+            else:
+                enc = np.array(
+                    [
+                        (line[i] - _paeth(
+                            int(left[i]), int(prev[i]), int(upleft[i])
+                        )) % 256
+                        for i in range(len(line))
+                    ],
+                    np.int32,
+                )
+            raw += bytes([ft]) + bytes(enc.astype(np.uint8))
+            prev = line
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, 16, {1: 0, 3: 2}[ch], 0, 0, 0
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    a16 = rng.integers(0, 65535, (16, 11, 1)).astype("u2")
+    assert np.array_equal(_decode_png(build(a16, [0, 1, 2, 3, 4])), a16)
+    rgb16 = rng.integers(0, 65535, (10, 7, 3)).astype("u2")
+    assert np.array_equal(_decode_png(build(rgb16, [4, 3, 2, 1, 0])), rgb16)
