@@ -8,10 +8,13 @@ else a built-in stdlib-zlib decoder (all five scanline unfilters,
 8-bit gray/GA/RGB/RGBA); JPEG — baseline and progressive — the same way (PIL, else the
 pure-numpy T.81 codec in ``sources/jpeg.py``); TIFF/GeoTIFF/BigTIFF
 via ``sources/geotiff.py``; WAV via the stdlib ``wave`` module
-(16-bit PCM, multichannel downmix); MP4 container METADATA via the
-real ISO-BMFF box parser in ``sources/mp4.py`` (the ffprobe-style
-scan curation filters run on). Only actual video/audio BITSTREAM
-decode (H.264/AV1/MP3/FLAC frames) raises NotImplementedError naming
+(16-bit PCM, multichannel downmix); FLAC via the pure-numpy codec in
+``sources/flac.py`` (fixed + LPC prediction, Rice partitions, all
+four channel assignments, CRC/MD5-verified); MP4 container metadata
+AND sample-table demux via the real ISO-BMFF parser in
+``sources/mp4.py``, with MJPEG tracks frame-decoded through
+``sources/jpeg.py`` (real video frame sampling). Only inter-frame
+video (H.264/AV1) and MP3 bitstreams raise NotImplementedError naming
 the ffmpeg swap point — that part of the seam is honest, not hidden.
 
 Fake payload format (deterministic from media_id):
@@ -401,12 +404,16 @@ def _fake_audio_payload(media_id: int, n_frames: int = 50, frame: int = 400) -> 
 
 
 def _decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
-    """THE AUDIO CODEC SEAM — two REAL tiers plus the fake:
+    """THE AUDIO CODEC SEAM — three REAL tiers plus the fake:
 
     1. deterministic FAKS container (synthetic tests);
     2. REAL RIFF/WAVE PCM via the stdlib ``wave`` module (16-bit mono
        or interleaved-averaged-to-mono) — no external library needed;
-    3. MP3/FLAC/... raise NotImplementedError naming the swap point
+    3. REAL FLAC via the pure-numpy codec in ``sources/flac.py``
+       (CONSTANT/VERBATIM/FIXED/LPC subframes, Rice partitions, all
+       four channel assignments, CRC + MD5 verified), downmixed to
+       mono with the same mean-then-truncate rule as WAV;
+    4. MP3/... raise NotImplementedError naming the swap point
        (soundfile/ffmpeg).
     """
     if payload.startswith(_AUDIO_MAGIC):
@@ -435,15 +442,95 @@ def _decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
                 frames.reshape(-1, nch).mean(axis=1).astype(np.int16)
             )
         return rate, frames
+    if payload.startswith(b"fLaC"):
+        from flytemosaic_spark.sources.flac import decode_flac
+
+        rate, arr = decode_flac(payload)
+        if arr.shape[1] > 1:  # downmix: average channels, keep int16
+            frames = arr.astype(np.float64).mean(axis=1).astype(np.int16)
+        else:
+            frames = arr[:, 0].astype(np.int16)
+        return rate, frames
     raise NotImplementedError(
-        "codec not available: payload is neither the FAKS container nor "
-        "RIFF/WAVE; MP3/FLAC/... need soundfile or ffmpeg at this seam"
+        "codec not available: payload is neither the FAKS container, "
+        "RIFF/WAVE, nor FLAC; MP3/... need soundfile or ffmpeg at this "
+        "seam"
     )
 
 
 def synthesize_audio(spark: SparkSession, n: int = 32) -> DataFrame:
     rows = [(i, _fake_audio_payload(i)) for i in range(n)]
     return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def synthesize_flac_audio(
+    keys: DataFrame, key_col: str = "s_suppkey"
+) -> DataFrame:
+    """REAL FLAC payloads whose PCM derives arithmetically from the
+    key: sample i of clip k is ``(k*7919 + i*104729) % 4001 - 2000``
+    (odd keys get a second channel ``(k*31 + i*7) % 1999 - 999``),
+    n = 512 + (k*13) % 1024 samples at 16 kHz, encoded on executors
+    with block_size=256 (multi-frame) and auto stereo decorrelation —
+    so a downstream decode round-trips REAL compressed bitstreams and
+    an SQL oracle can recompute the expected PCM stats exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.flac import encode_flac
+
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                n = 512 + (k * 13) % 1024
+                i = np.arange(n, dtype=np.int64)
+                s = (k * 7919 + i * 104729) % 4001 - 2000
+                pcm = np.stack([s, (k * 31 + i * 7) % 1999 - 999], axis=1) \
+                    if k % 2 else s
+                out.append(
+                    (k, encode_flac(pcm, 16000, block_size=256))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return keys.select(key_col).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def audio_pcm_stats(audio: DataFrame) -> DataFrame:
+    """Decode each clip through the audio codec seam (FAKS / WAV /
+    FLAC) and emit exact integer PCM statistics — the verification
+    pass of the audio tier: one Arrow batch in, one metadata-scale
+    row per clip out, payloads never shuffle."""
+    schema = (
+        "media_id long, sample_rate long, n_samples long, "
+        "sum_amp long, min_amp long, max_amp long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = _decode_audio(bytes(payload))
+                a = samples.astype(np.int64)
+                out.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        int(a.size),
+                        int(a.sum()),
+                        int(a.min()),
+                        int(a.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "sum_amp", "min_amp", "max_amp",
+                ],
+            )
+
+    return audio.select("media_id", "payload").mapInPandas(run, schema)
 
 
 def frame_energy_vad(
@@ -587,3 +674,106 @@ def synthesize_videos(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
     return keys.select(key_col).mapInPandas(
         run, "media_id long, payload binary"
     )
+
+
+def synthesize_mjpeg_videos(
+    keys: DataFrame, key_col: str = "s_suppkey"
+) -> DataFrame:
+    """REAL MJPEG-in-MP4 payloads: clip k has 4 + k % 13 frames of
+    32x24 grayscale, frame j a constant ``(k*11 + j*29) % 256`` —
+    constant 8x8-aligned gray blocks survive JPEG quantization
+    EXACTLY (DC-only blocks, zero chroma), so decoded pixel values
+    are SQL-recomputable and the oracle checks the whole
+    container-demux + entropy-decode + IDCT path, not just box
+    arithmetic. Chunked 4 samples/chunk to exercise stsc runs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.jpeg import encode_jpeg
+        from flytemosaic_spark.sources.mp4 import encode_mp4_with_samples
+
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                jpegs = [
+                    encode_jpeg(
+                        np.full(
+                            (24, 32, 1), (k * 11 + j * 29) % 256, np.uint8
+                        ),
+                        quality=90,
+                    )
+                    for j in range(4 + k % 13)
+                ]
+                out.append(
+                    (
+                        k,
+                        encode_mp4_with_samples(
+                            jpegs, codec="jpeg", width=32, height=24, fps=10
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return keys.select(key_col).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def video_frame_stats(videos: DataFrame, every: int = 2) -> DataFrame:
+    """REAL video frame sampling: demux the MP4 sample table, slice
+    every ``every``-th sample out of mdat, and — for MJPEG tracks —
+    decode each kept frame through the pure-numpy T.81 codec. Emits
+    one metadata-scale row per clip with exact integer pixel sums
+    (``sum_kept_px`` = sum over kept frames of the frame's integer
+    mean, exact for the constant-gray fixtures). Inter-frame codecs
+    (avc1/av01/...) raise at the documented ffmpeg seam.
+
+    Scale shape: payloads never shuffle — one mapInPandas task reads,
+    demuxes, and decodes; only typed scalars leave Python."""
+    schema = (
+        "media_id long, n_samples long, n_kept long, width long, "
+        "height long, duration_ms long, sum_kept_px long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.jpeg import decode_jpeg
+        from flytemosaic_spark.sources.mp4 import parse_mp4
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                meta = parse_mp4(data)
+                vid = next(
+                    t for t in meta["tracks"] if t["kind"] == "vide"
+                )
+                if vid["codec"] != "jpeg":
+                    raise NotImplementedError(
+                        f"frame decode for codec {vid['codec']} needs "
+                        "ffmpeg at this seam (MJPEG is built in)"
+                    )
+                kept = vid["samples"][::every]
+                total = 0
+                for off, sz in kept:
+                    frame = decode_jpeg(data[off : off + sz])
+                    total += int(float(frame.mean()) + 0.5)
+                out.append(
+                    (
+                        int(mid),
+                        int(vid["sample_count"]),
+                        len(kept),
+                        int(vid["width"]),
+                        int(vid["height"]),
+                        int(meta["duration_ms"]),
+                        total,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_samples", "n_kept", "width",
+                    "height", "duration_ms", "sum_kept_px",
+                ],
+            )
+
+    return videos.select("media_id", "payload").mapInPandas(run, schema)

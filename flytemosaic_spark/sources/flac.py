@@ -1,0 +1,815 @@
+"""Minimal REAL FLAC codec — pure stdlib + numpy, no audio library.
+
+Closes (part of) the audio-bitstream seam the multimodal tier left
+honestly open: the reference pipeline treats media as opaque binary
+columns and decodes at the worker (`operators/multimodal.py`), and a
+training-data curation pass over crawled audio meets FLAC constantly —
+it is THE lossless interchange format. Lossless means the codec is its
+own oracle: ``decode_flac(encode_flac(pcm)) == pcm`` bit-for-bit, the
+same discipline the GeoTIFF/PNG/JPEG work proved out.
+
+Subset implemented (RFC 9639 / the classic format spec):
+
+decode
+    STREAMINFO + padding/other metadata blocks (skipped), fixed- and
+    variable-blocksize frame headers (UTF-8-style coded numbers, all
+    block-size codes, sample-rate from STREAMINFO or header), CRC-8 /
+    CRC-16 verification, subframe types CONSTANT / VERBATIM / FIXED
+    (orders 0-4) / LPC (orders 1-32), wasted bits, Rice residual
+    methods 0 and 1 with any partition order including escape (raw)
+    partitions, channel assignments independent / left-side /
+    right-side / mid-side, bits-per-sample 8/16/24, and the trailing
+    MD5 check when the encoder recorded one.
+
+encode
+    fixed-blocksize streams, per-block choice among CONSTANT, FIXED
+    orders 0-4 and quantized Levinson-Durbin LPC (default order 8,
+    precision 12), per-frame stereo decorrelation choice (independent /
+    left-side / right-side / mid-side), wasted-bits detection, Rice
+    method 0 with a configurable partition order, escape partitions
+    when raw coding is cheaper, bps 8 or 16, and the STREAMINFO MD5.
+
+Arithmetic is integer end-to-end (numpy int64 + Python ints), so the
+round-trip is exact for every input by construction — hypothesis
+sweeps in ``tests/test_flac.py`` hold the line.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import struct
+
+import numpy as np
+
+_MAGIC = b"fLaC"
+
+# ---------------------------------------------------------------------------
+# CRCs (frame header CRC-8 poly 0x07, frame CRC-16 poly 0x8005, init 0)
+# ---------------------------------------------------------------------------
+
+
+def _make_crc8_table() -> list[int]:
+    tbl = []
+    for b in range(256):
+        c = b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        tbl.append(c)
+    return tbl
+
+
+def _make_crc16_table() -> list[int]:
+    tbl = []
+    for b in range(256):
+        c = b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        tbl.append(c)
+    return tbl
+
+
+_CRC8 = _make_crc8_table()
+_CRC16 = _make_crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC8[c ^ b]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC16[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Bit-level I/O
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def write_signed(self, value: int, bits: int) -> None:
+        self.write(value & ((1 << bits) - 1), bits)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zero bits then the terminating 1
+
+    def write_bytes(self, data: bytes) -> None:
+        if self.n:
+            raise ValueError("write_bytes on unaligned writer")
+        self.buf += data
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def getvalue(self) -> bytes:
+        if self.n:
+            raise ValueError("unaligned frame")
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes, byte_pos: int = 0) -> None:
+        self.data = data
+        self.pos = byte_pos
+        self.acc = 0
+        self.n = 0
+
+    def read(self, bits: int) -> int:
+        if bits == 0:
+            return 0
+        while self.n < bits:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= bits
+        v = self.acc >> self.n
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.n == 0:
+                self.acc = self.data[self.pos]
+                self.pos += 1
+                self.n = 8
+            if self.acc == 0:
+                q += self.n
+                self.n = 0
+                continue
+            top = self.acc.bit_length()
+            q += self.n - top
+            self.n = top - 1
+            self.acc &= (1 << self.n) - 1
+            return q
+
+    def align(self) -> int:
+        """Discard padding to the next byte boundary; return the byte
+        position (bits held in the accumulator are given back)."""
+        self.n -= self.n % 8
+        pos = self.pos - self.n // 8
+        self.acc = 0
+        self.n = 0
+        self.pos = pos
+        return pos
+
+
+# ---------------------------------------------------------------------------
+# Shared tables
+# ---------------------------------------------------------------------------
+
+# block-size code -> sample count (None = coded explicitly / reserved)
+_BS_FIXED = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
+_BS_FIXED.update({n: 256 << (n - 8) for n in range(8, 16)})
+_SS_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
+_SS_BITS = {v: k for k, v in _SS_CODE.items()}
+
+# fixed-predictor reconstruction coefficients s[i] = res[i] + sum c_j s[i-1-j]
+_FIXED_COEF = {
+    0: (),
+    1: (1,),
+    2: (2, -1),
+    3: (3, -3, 1),
+    4: (4, -6, 4, -1),
+}
+
+
+def _utf8_code(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    for extra in range(1, 7):  # continuation bytes
+        cap = 36 if extra == 6 else 5 * extra + 6
+        if n < (1 << cap):
+            head_bits = 0 if extra == 6 else 6 - extra
+            lead = (0xFF << (7 - extra)) & 0xFF
+            lead |= (n >> (6 * extra)) & ((1 << head_bits) - 1)
+            out = [lead]
+            for k in range(extra - 1, -1, -1):
+                out.append(0x80 | ((n >> (6 * k)) & 0x3F))
+            return bytes(out)
+    raise ValueError("number too large for UTF-8-style coding")
+
+
+def _utf8_decode(br: _BitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    extra = 0
+    mask = 0x40
+    while b0 & mask:
+        extra += 1
+        mask >>= 1
+    if extra == 0:
+        raise ValueError("bad UTF-8-style coded number")
+    n = b0 & (mask - 1)
+    for _ in range(extra):
+        c = br.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad UTF-8-style continuation byte")
+        n = (n << 6) | (c & 0x3F)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Residual (Rice) coding
+# ---------------------------------------------------------------------------
+
+
+def _rice_cost(u: np.ndarray, k: int) -> int:
+    return int((u >> k).sum()) + u.size * (k + 1)
+
+
+def _best_rice_param(u: np.ndarray, max_k: int) -> tuple[int, int]:
+    """(param, cost) minimizing the exact coded size."""
+    best_k, best_c = 0, _rice_cost(u, 0)
+    for k in range(1, max_k + 1):
+        c = _rice_cost(u, k)
+        if c < best_c:
+            best_k, best_c = k, c
+        elif c > best_c * 2:
+            break
+    return best_k, best_c
+
+
+def _write_residual(
+    bw: _BitWriter, res: np.ndarray, order: int, block_size: int, part_order: int
+) -> None:
+    """Rice method 0 (4-bit params), choosing raw escape per partition
+    when cheaper. ``res`` has block_size - order samples."""
+    while part_order > 0 and (
+        block_size % (1 << part_order) or (block_size >> part_order) <= order
+    ):
+        part_order -= 1
+    bw.write(0, 2)  # coding method 0
+    bw.write(part_order, 4)
+    n_parts = 1 << part_order
+    u_all = res.astype(np.int64)
+    u_all = (u_all << 1) ^ (u_all >> 63)  # zigzag fold
+    start = 0
+    for p in range(n_parts):
+        cnt = (block_size >> part_order) - (order if p == 0 else 0)
+        u = u_all[start : start + cnt]
+        r = res[start : start + cnt]
+        start += cnt
+        k, cost = _best_rice_param(u, 14)
+        rawbits = int(max(1, int(np.abs(r).max()) if r.size else 0)).bit_length() + 1
+        if r.size and 5 + rawbits * r.size < cost:
+            bw.write(0xF, 4)  # escape
+            bw.write(rawbits, 5)
+            for v in r.tolist():
+                bw.write_signed(v, rawbits)
+        else:
+            bw.write(k, 4)
+            if k:
+                for v in u.tolist():
+                    bw.write_unary(v >> k)
+                    bw.write(v & ((1 << k) - 1), k)
+            else:
+                for v in u.tolist():
+                    bw.write_unary(v)
+
+
+def _read_residual(
+    br: _BitReader, order: int, block_size: int
+) -> np.ndarray:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved residual coding method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    part_order = br.read(4)
+    n_parts = 1 << part_order
+    if block_size % n_parts:
+        raise ValueError("partition order does not divide block size")
+    out: list[int] = []
+    for p in range(n_parts):
+        cnt = (block_size >> part_order) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("predictor order exceeds first partition")
+        k = br.read(pbits)
+        if k == escape:
+            rawbits = br.read(5)
+            if rawbits == 0:
+                out.extend([0] * cnt)
+            else:
+                out.extend(br.read_signed(rawbits) for _ in range(cnt))
+        else:
+            for _ in range(cnt):
+                q = br.read_unary()
+                u = (q << k) | br.read(k)
+                out.append((u >> 1) ^ -(u & 1))
+    return np.asarray(out, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Predictors
+# ---------------------------------------------------------------------------
+
+
+def _fixed_residual(s: np.ndarray, order: int) -> np.ndarray:
+    return np.diff(s, n=order) if order else s.copy()
+
+
+def _undiff(warm: np.ndarray, res: np.ndarray, order: int) -> np.ndarray:
+    """Invert ``np.diff(s, n=order)`` given the ``order`` warmup samples."""
+    cur = res
+    for k in range(order, 0, -1):
+        d = np.diff(warm, n=k - 1)
+        cur = np.concatenate([d[-1:], cur]).cumsum()[1:]
+    return np.concatenate([warm, cur])
+
+
+def _lpc_residual(
+    s: np.ndarray, q: list[int], shift: int, order: int
+) -> np.ndarray:
+    conv = np.convolve(s, np.asarray(q, dtype=np.int64))
+    pred = conv[order - 1 : s.size - 1] >> shift
+    return s[order:] - pred
+
+
+def _lpc_reconstruct(
+    warm: list[int], res: np.ndarray, q: list[int], shift: int
+) -> np.ndarray:
+    order = len(q)
+    s = list(warm)
+    append = s.append
+    for r in res.tolist():
+        acc = 0
+        for j in range(order):
+            acc += q[j] * s[-1 - j]
+        append(r + (acc >> shift))
+    return np.asarray(s, dtype=np.int64)
+
+
+def _levinson(x: np.ndarray, order: int) -> np.ndarray | None:
+    xf = x.astype(np.float64)
+    autoc = np.array(
+        [float(np.dot(xf[: xf.size - k], xf[k:])) for k in range(order + 1)]
+    )
+    err = autoc[0]
+    if err <= 0:
+        return None
+    a = np.zeros(order)
+    for i in range(order):
+        acc = autoc[i + 1] - float(np.dot(a[:i], autoc[i:0:-1]))
+        k = acc / err
+        a[:i] -= k * a[i - 1 :: -1] if i else 0.0
+        a[i] = k
+        err *= 1.0 - k * k
+        if err <= 0:
+            return None
+    return a
+
+
+def _quantize_lpc(a: np.ndarray, precision: int) -> tuple[list[int], int] | None:
+    cmax = float(np.abs(a).max())
+    if cmax <= 0 or not math.isfinite(cmax):
+        return None
+    shift = precision - 1 - (math.floor(math.log2(cmax)) + 1)
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = [int(max(-lim, min(lim - 1, round(c * (1 << shift))))) for c in a]
+    if not any(q):
+        return None
+    return q, shift
+
+
+# ---------------------------------------------------------------------------
+# Subframe encode / decode
+# ---------------------------------------------------------------------------
+
+
+def _subframe_plan(s: np.ndarray, bps: int, lpc_order: int, precision: int):
+    """Pick the cheapest representation; returns a dict plan."""
+    n = s.size
+    if n == 0:
+        raise ValueError("empty subframe")
+    if np.all(s == s[0]):
+        return {"type": "constant", "value": int(s[0]), "cost": bps}
+    wasted = 0
+    sv = s
+    nz = s[s != 0]
+    if nz.size:
+        tz = int(np.bitwise_or.reduce(np.abs(nz).astype(np.int64)))
+        wasted = (tz & -tz).bit_length() - 1
+        if wasted > 0:
+            sv = s >> wasted
+    ebps = bps - wasted
+    best = {"type": "verbatim", "cost": n * ebps}
+    for order in range(0, min(5, n)):
+        res = _fixed_residual(sv, order)
+        u = res.astype(np.int64)
+        u = (u << 1) ^ (u >> 63)
+        _, cost = _best_rice_param(u, 14)
+        cost += order * ebps + 6
+        if cost < best["cost"]:
+            best = {"type": "fixed", "order": order, "res": res, "cost": cost}
+    order = min(lpc_order, n // 2, 32)
+    if order >= 1:
+        a = _levinson(sv, order)
+        qs = _quantize_lpc(a, precision) if a is not None else None
+        if qs is not None:
+            q, shift = qs
+            res = _lpc_residual(sv, q, shift, order)
+            u = res.astype(np.int64)
+            u = (u << 1) ^ (u >> 63)
+            _, cost = _best_rice_param(u, 14)
+            cost += order * (ebps + precision) + 15
+            if cost < best["cost"]:
+                best = {
+                    "type": "lpc",
+                    "order": order,
+                    "q": q,
+                    "shift": shift,
+                    "res": res,
+                    "cost": cost,
+                }
+    best["wasted"] = wasted
+    best["samples"] = sv
+    return best
+
+
+def _write_subframe(
+    bw: _BitWriter, plan: dict, bps: int, block_size: int, part_order: int
+) -> None:
+    wasted = plan.get("wasted", 0)
+    ebps = bps - wasted
+    t = plan["type"]
+    if t == "constant":
+        type_code = 0
+    elif t == "verbatim":
+        type_code = 1
+    elif t == "fixed":
+        type_code = 0b001000 | plan["order"]
+    else:
+        type_code = 0b100000 | (plan["order"] - 1)
+    bw.write(0, 1)
+    bw.write(type_code, 6)
+    if wasted:
+        bw.write(1, 1)
+        bw.write_unary(wasted - 1)
+    else:
+        bw.write(0, 1)
+    s = plan.get("samples")
+    if t == "constant":
+        bw.write_signed(plan["value"], bps)
+        return
+    if t == "verbatim":
+        for v in s.tolist():
+            bw.write_signed(v, ebps)
+        return
+    order = plan["order"]
+    for v in s[:order].tolist():
+        bw.write_signed(v, ebps)
+    if t == "lpc":
+        bw.write(12 - 1, 4)  # qlp precision-1 (fixed 12)
+        bw.write(plan["shift"], 5)
+        for c in plan["q"]:
+            bw.write_signed(c, 12)
+    _write_residual(bw, plan["res"], order, block_size, part_order)
+
+
+def _read_subframe(br: _BitReader, bps: int, block_size: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("subframe padding bit set")
+    type_code = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    ebps = bps - wasted
+    if type_code == 0:
+        out = np.full(block_size, br.read_signed(ebps), dtype=np.int64)
+    elif type_code == 1:
+        out = np.asarray(
+            [br.read_signed(ebps) for _ in range(block_size)], dtype=np.int64
+        )
+    elif 8 <= type_code <= 12:
+        order = type_code & 0x7
+        warm = np.asarray(
+            [br.read_signed(ebps) for _ in range(order)], dtype=np.int64
+        )
+        res = _read_residual(br, order, block_size)
+        out = _undiff(warm, res, order)
+    elif type_code >= 32:
+        order = (type_code & 0x1F) + 1
+        warm = [br.read_signed(ebps) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid qlp precision")
+        shift = br.read(5)
+        if shift & 0x10:
+            raise ValueError("negative qlp shift")
+        q = [br.read_signed(precision) for _ in range(order)]
+        res = _read_residual(br, order, block_size)
+        out = _lpc_reconstruct(warm, res, q, shift)
+    else:
+        raise ValueError(f"reserved subframe type {type_code}")
+    return out << wasted if wasted else out
+
+
+# ---------------------------------------------------------------------------
+# Frames
+# ---------------------------------------------------------------------------
+
+
+def _encode_frame(
+    frame_idx: int,
+    block: np.ndarray,
+    bps: int,
+    channel_mode: str,
+    part_order: int,
+    lpc_order: int,
+) -> bytes:
+    block_size, n_ch = block.shape
+    plans: list[dict]
+    if n_ch == 2 and channel_mode != "independent":
+        left = block[:, 0].astype(np.int64)
+        right = block[:, 1].astype(np.int64)
+        side = left - right
+        mid = (left + right) >> 1
+        cand = {
+            "independent": (left, right, 0, 0),
+            "left_side": (left, side, 0, 1),
+            "right_side": (side, right, 1, 0),
+            "mid_side": (mid, side, 0, 1),
+        }
+        if channel_mode != "auto":
+            cand = {channel_mode: cand[channel_mode]}
+        best_name, best_plans, best_cost = None, None, None
+        for name, (c0, c1, x0, x1) in cand.items():
+            p0 = _subframe_plan(c0, bps + x0, lpc_order, 12)
+            p1 = _subframe_plan(c1, bps + x1, lpc_order, 12)
+            cost = p0["cost"] + p1["cost"]
+            if best_cost is None or cost < best_cost:
+                best_name, best_plans, best_cost = name, [p0, p1], cost
+        ch_asgn = {
+            "independent": 1,
+            "left_side": 8,
+            "right_side": 9,
+            "mid_side": 10,
+        }[best_name]
+        side_bits = {1: (0, 0), 8: (0, 1), 9: (1, 0), 10: (0, 1)}[ch_asgn]
+        plans = best_plans
+        sub_bps = [bps + side_bits[0], bps + side_bits[1]]
+    else:
+        ch_asgn = n_ch - 1
+        plans = [
+            _subframe_plan(block[:, c].astype(np.int64), bps, lpc_order, 12)
+            for c in range(n_ch)
+        ]
+        sub_bps = [bps] * n_ch
+
+    bs_code, bs_extra = None, b""
+    for code, sz in _BS_FIXED.items():
+        if sz == block_size:
+            bs_code = code
+            break
+    if bs_code is None:
+        if block_size <= 256:
+            bs_code, bs_extra = 6, struct.pack(">B", block_size - 1)
+        else:
+            bs_code, bs_extra = 7, struct.pack(">H", block_size - 1)
+    hdr = bytes(
+        [
+            0xFF,
+            0xF8,  # sync + fixed blocksize strategy
+            (bs_code << 4) | 0,  # sample rate: from STREAMINFO
+            (ch_asgn << 4) | (_SS_CODE[bps] << 1),
+        ]
+    )
+    hdr += _utf8_code(frame_idx) + bs_extra
+    hdr += bytes([_crc8(hdr)])
+    bw = _BitWriter()
+    bw.write_bytes(hdr)
+    for plan, sbps in zip(plans, sub_bps):
+        _write_subframe(bw, plan, sbps, block_size, part_order)
+    bw.align()
+    body = bw.getvalue()
+    return body + struct.pack(">H", _crc16(body))
+
+
+def _decode_frame(
+    data: bytes, pos: int, info: dict
+) -> tuple[np.ndarray, int]:
+    start = pos
+    br = _BitReader(data, pos)
+    sync = br.read(14)
+    if sync != 0x3FFE:
+        raise ValueError("lost frame sync")
+    if br.read(1):
+        raise ValueError("reserved frame-header bit set")
+    br.read(1)  # blocking strategy
+    bs_code = br.read(4)
+    sr_code = br.read(4)
+    ch_asgn = br.read(4)
+    ss_code = br.read(3)
+    if br.read(1):
+        raise ValueError("reserved frame-header bit set")
+    _utf8_decode(br)
+    if bs_code == 0:
+        raise ValueError("reserved block size code 0")
+    elif bs_code == 6:
+        block_size = br.read(8) + 1
+    elif bs_code == 7:
+        block_size = br.read(16) + 1
+    else:
+        block_size = _BS_FIXED[bs_code]
+    if sr_code == 12:
+        br.read(8)
+    elif sr_code in (13, 14):
+        br.read(16)
+    elif sr_code == 15:
+        raise ValueError("invalid sample rate code")
+    hdr_end = br.align()
+    if _crc8(data[start:hdr_end]) != data[hdr_end]:
+        raise ValueError("frame header CRC-8 mismatch")
+    br = _BitReader(data, hdr_end + 1)
+    bps = _SS_BITS.get(ss_code, info["bps"] if ss_code == 0 else None)
+    if bps is None:
+        raise ValueError(f"reserved sample size code {ss_code}")
+    if ch_asgn < 8:
+        chans = [
+            _read_subframe(br, bps, block_size) for _ in range(ch_asgn + 1)
+        ]
+    elif ch_asgn == 8:  # left/side
+        left = _read_subframe(br, bps, block_size)
+        side = _read_subframe(br, bps + 1, block_size)
+        chans = [left, left - side]
+    elif ch_asgn == 9:  # right/side
+        side = _read_subframe(br, bps + 1, block_size)
+        right = _read_subframe(br, bps, block_size)
+        chans = [right + side, right]
+    elif ch_asgn == 10:  # mid/side
+        mid = _read_subframe(br, bps, block_size)
+        side = _read_subframe(br, bps + 1, block_size)
+        m2 = (mid << 1) | (side & 1)
+        chans = [(m2 + side) >> 1, (m2 - side) >> 1]
+    else:
+        raise ValueError(f"reserved channel assignment {ch_asgn}")
+    end = br.align()
+    (crc,) = struct.unpack_from(">H", data, end)
+    if _crc16(data[start:end]) != crc:
+        raise ValueError("frame CRC-16 mismatch")
+    return np.stack(chans, axis=1), end + 2
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int,
+    bps: int = 16,
+    block_size: int = 4096,
+    channel_mode: str = "auto",
+    partition_order: int = 0,
+    lpc_order: int = 8,
+) -> bytes:
+    """Encode integer PCM to a valid FLAC stream. ``samples`` is
+    (n,) or (n, channels) int; values must fit ``bps`` signed bits."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, n_ch = s.shape
+    if n == 0 or n_ch < 1 or n_ch > 8:
+        raise ValueError("need 1..8 channels and at least one sample")
+    if bps not in (8, 16):
+        raise ValueError("encoder supports bps 8 or 16")
+    lim = 1 << (bps - 1)
+    s = s.astype(np.int64)
+    if s.min() < -lim or s.max() >= lim:
+        raise ValueError(f"samples exceed signed {bps}-bit range")
+
+    md5 = hashlib.md5()
+    inter = s.astype("<i2") if bps == 16 else s.astype("<i1")
+    md5.update(inter.tobytes())
+
+    frames = bytearray()
+    min_fr = max_fr = None
+    idx = 0
+    for off in range(0, n, block_size):
+        fr = _encode_frame(
+            idx,
+            s[off : off + block_size],
+            bps,
+            channel_mode if n_ch == 2 else "independent",
+            partition_order,
+            lpc_order,
+        )
+        frames += fr
+        min_fr = len(fr) if min_fr is None else min(min_fr, len(fr))
+        max_fr = len(fr) if max_fr is None else max(max_fr, len(fr))
+        idx += 1
+
+    bw = _BitWriter()
+    bs_field = min(block_size, n)  # the last (only) frame may be short
+    bw.write(bs_field, 16)
+    bw.write(bs_field, 16)
+    bw.write(min_fr, 24)
+    bw.write(max_fr, 24)
+    bw.write(sample_rate, 20)
+    bw.write(n_ch - 1, 3)
+    bw.write(bps - 1, 5)
+    bw.write(n, 36)
+    bw.align()
+    streaminfo = bw.getvalue() + md5.digest()
+    header = bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    return _MAGIC + header + bytes(frames)
+
+
+def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a FLAC stream -> (sample_rate, int64 array (n, channels)).
+    Verifies frame CRCs and, when present, the STREAMINFO MD5."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    info = None
+    while True:
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if btype == 0:
+            br = _BitReader(body)
+            br.read(16)  # min block size
+            br.read(16)
+            br.read(24)
+            br.read(24)
+            rate = br.read(20)
+            n_ch = br.read(3) + 1
+            bps = br.read(5) + 1
+            total = br.read(36)
+            info = {
+                "rate": rate,
+                "channels": n_ch,
+                "bps": bps,
+                "total": total,
+                "md5": body[18:34],
+            }
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    if info is None:
+        raise ValueError("FLAC stream has no STREAMINFO")
+    chunks = []
+    got = 0
+    while pos < len(payload) and (info["total"] == 0 or got < info["total"]):
+        block, pos = _decode_frame(payload, pos, info)
+        chunks.append(block)
+        got += block.shape[0]
+    out = (
+        np.concatenate(chunks, axis=0)
+        if chunks
+        else np.zeros((0, info["channels"]), dtype=np.int64)
+    )
+    if info["total"]:
+        out = out[: info["total"]]
+    if info["md5"] != b"\x00" * 16 and info["bps"] in (8, 16, 24):
+        width = info["bps"] // 8
+        if width == 1:
+            raw = out.astype("<i1").tobytes()
+        elif width == 2:
+            raw = out.astype("<i2").tobytes()
+        else:
+            b32 = out.astype("<i4").tobytes()
+            raw = b"".join(
+                b32[i : i + 3] for i in range(0, len(b32), 4)
+            )
+        if hashlib.md5(raw).digest() != info["md5"]:
+            raise ValueError("decoded PCM fails the STREAMINFO MD5 check")
+    return info["rate"], out

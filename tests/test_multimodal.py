@@ -461,3 +461,145 @@ def test_png_16bit_roundtrip_and_filters():
     assert np.array_equal(_decode_png(build(a16, [0, 1, 2, 3, 4])), a16)
     rgb16 = rng.integers(0, 65535, (10, 7, 3)).astype("u2")
     assert np.array_equal(_decode_png(build(rgb16, [4, 3, 2, 1, 0])), rgb16)
+
+
+class TestMjpegVideo:
+    """Real MP4 sample tables + MJPEG frame decode (sources/mp4.py
+    encode_mp4_with_samples / _parse_stbl + sources/jpeg.py)."""
+
+    def _clip(self, k: int, n: int = 9):
+        from flytemosaic_spark.sources.jpeg import encode_jpeg
+        from flytemosaic_spark.sources.mp4 import encode_mp4_with_samples
+
+        frames = [
+            np.full((24, 32, 1), (k * 11 + j * 29) % 256, np.uint8)
+            for j in range(n)
+        ]
+        jpegs = [encode_jpeg(f, quality=90) for f in frames]
+        return frames, jpegs, encode_mp4_with_samples(
+            jpegs, codec="jpeg", width=32, height=24, fps=10
+        )
+
+    def test_sample_table_roundtrip(self):
+        from flytemosaic_spark.sources.mp4 import parse_mp4
+
+        frames, jpegs, mp4 = self._clip(3, n=9)  # short final chunk
+        vid = parse_mp4(mp4)["tracks"][0]
+        assert vid["codec"] == "jpeg"
+        assert vid["sample_count"] == 9
+        assert len(vid["samples"]) == 9
+        for j, (off, sz) in enumerate(vid["samples"]):
+            assert mp4[off : off + sz] == jpegs[j]
+
+    def test_frame_bytes_decode_exactly(self):
+        from flytemosaic_spark.sources.jpeg import decode_jpeg
+        from flytemosaic_spark.sources.mp4 import parse_mp4
+
+        frames, _, mp4 = self._clip(7, n=5)
+        vid = parse_mp4(mp4)["tracks"][0]
+        for j, (off, sz) in enumerate(vid["samples"]):
+            assert (decode_jpeg(mp4[off : off + sz]) == frames[j]).all()
+
+    def test_single_chunk_and_uniform_chunking(self):
+        from flytemosaic_spark.sources.mp4 import (
+            encode_mp4_with_samples,
+            parse_mp4,
+        )
+
+        samples = [b"a" * 10, b"bb" * 10, b"c" * 30, b"d" * 40]
+        for spc in (1, 2, 4, 16):
+            mp4 = encode_mp4_with_samples(samples, samples_per_chunk=spc)
+            vid = parse_mp4(mp4)["tracks"][0]
+            got = [mp4[o : o + s] for o, s in vid["samples"]]
+            assert got == samples, f"samples_per_chunk={spc}"
+
+    def test_video_frame_stats_operator(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            synthesize_mjpeg_videos,
+            video_frame_stats,
+        )
+
+        keys = spark.createDataFrame(
+            [(k,) for k in range(1, 8)], "s_suppkey long"
+        )
+        rows = {
+            r["media_id"]: r
+            for r in video_frame_stats(
+                synthesize_mjpeg_videos(keys), every=2
+            ).collect()
+        }
+        for k in range(1, 8):
+            n = 4 + k % 13
+            kept = list(range(0, n, 2))
+            r = rows[k]
+            assert r["n_samples"] == n
+            assert r["n_kept"] == len(kept)
+            assert r["width"] == 32 and r["height"] == 24
+            assert r["duration_ms"] == n * 100
+            assert r["sum_kept_px"] == sum(
+                (k * 11 + j * 29) % 256 for j in kept
+            )
+
+    def test_non_mjpeg_codec_raises(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            synthesize_videos,
+            video_frame_stats,
+        )
+
+        keys = spark.createDataFrame([(3,)], "s_suppkey long")
+        with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+            video_frame_stats(synthesize_videos(keys)).collect()
+
+
+class TestFlacAudioTier:
+    def test_flac_stats_match_arithmetic(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            audio_pcm_stats,
+            synthesize_flac_audio,
+        )
+
+        keys = spark.createDataFrame(
+            [(k,) for k in range(1, 6)], "s_suppkey long"
+        )
+        rows = {
+            r["media_id"]: r
+            for r in audio_pcm_stats(synthesize_flac_audio(keys)).collect()
+        }
+        for k in range(1, 6):
+            n = 512 + (k * 13) % 1024
+            i = np.arange(n, dtype=np.int64)
+            s = (k * 7919 + i * 104729) % 4001 - 2000
+            if k % 2:
+                t = (k * 31 + i * 7) % 1999 - 999
+                amp = (
+                    np.stack([s, t], 1).astype(np.float64)
+                    .mean(axis=1)
+                    .astype(np.int16)
+                    .astype(np.int64)
+                )
+            else:
+                amp = s
+            r = rows[k]
+            assert r["sample_rate"] == 16000
+            assert r["n_samples"] == n
+            assert r["sum_amp"] == int(amp.sum())
+            assert r["min_amp"] == int(amp.min())
+            assert r["max_amp"] == int(amp.max())
+
+    def test_vad_over_flac(self, spark):
+        """frame_energy_vad consumes FLAC through the same seam."""
+        from flytemosaic_spark.operators.multimodal import frame_energy_vad
+        from flytemosaic_spark.sources.flac import encode_flac
+
+        rng = np.random.default_rng(0)
+        loud = (rng.normal(0, 8000, 1200)).clip(-32000, 32000)
+        quiet = rng.normal(0, 100, 1200)
+        pcm = np.concatenate([loud, quiet, loud]).astype(np.int16)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_flac(pcm, 16000)))],
+            "media_id long, payload binary",
+        )
+        row = frame_energy_vad(df, frame=400).collect()[0]
+        assert row["n_frames"] == 9
+        assert row["n_voiced"] == 6
+        assert row["longest_voiced_run"] == 3
