@@ -110,6 +110,9 @@ def _envelope_candidates(x0, y0, x1, y1, clamp_x, clamp_y):
     extremes on edge interiors. Candidates: 4 corners + the
     clamp_x-clamped points on both horizontal edges + (when clamp_y
     is not None) the clamp_y-clamped points on both vertical edges.
+    Either clamp may be a single value, a list of values (polar
+    stereographic needs lon0 + lon0±90 + lon0±180: along a fixed-ρ
+    parallel x peaks at θ=±90 and y at θ∈{0,180}), or None.
     Works on Columns and plain floats."""
     is_col = isinstance(x0, Column)
 
@@ -118,11 +121,17 @@ def _envelope_candidates(x0, y0, x1, y1, clamp_x, clamp_y):
             return F.greatest(lo, F.least(F.lit(v), hi))
         return max(lo, min(v, hi))
 
+    def aslist(c):
+        if c is None:
+            return []
+        return list(c) if isinstance(c, (list, tuple)) else [c]
+
     pts = [(x0, y0), (x0, y1), (x1, y0), (x1, y1)]
-    cx = clamp(clamp_x, x0, x1)
-    pts += [(cx, y0), (cx, y1)]
-    if clamp_y is not None:
-        cy = clamp(clamp_y, y0, y1)
+    for v in aslist(clamp_x):
+        cx = clamp(v, x0, x1)
+        pts += [(cx, y0), (cx, y1)]
+    for v in aslist(clamp_y):
+        cy = clamp(v, y0, y1)
         pts += [(x0, cy), (x1, cy)]
     return pts
 
@@ -131,12 +140,14 @@ def _envelope_exprs(pp: dict, x0, y0, x1, y1) -> tuple:
     """(minx, miny, maxx, maxy) Columns of the projected envelope."""
     pts = _envelope_candidates(x0, y0, x1, y1, pp["clamp_x"], pp["clamp_y"])
     proj = [pp["col"](px, py) for px, py in pts]
-    return (
+    env = (
         F.least(*[p[0] for p in proj]),
         F.least(*[p[1] for p in proj]),
         F.greatest(*[p[0] for p in proj]),
         F.greatest(*[p[1] for p in proj]),
     )
+    post = pp.get("post")
+    return post(env, x0, y0, x1, y1) if post else env
 
 
 def _proj_pair(src_crs: str, dst_crs: str):
@@ -182,21 +193,99 @@ def _proj_pair(src_crs: str, dst_crs: str):
                 clamp_x=_UTM_E0,
                 clamp_y=None,
             )
-        params = CONIC_PRESETS[crs][1]
+        kind, params = CONIC_PRESETS[crs]
         if fwd:
+            # envelope extremes on edge interiors, by family: all have
+            # the lon0 meridian; polar stereographic additionally peaks
+            # x at theta=±90 and y at theta=180 along a parallel;
+            # sinusoidal |x| peaks at the latitude nearest the equator
+            if kind == "stere":
+                cx = [params["lon0"] + d
+                      for d in (-180.0, -90.0, 0.0, 90.0, 180.0)]
+                cy = None
+            elif kind == "sinu":
+                cx, cy = params["lon0"], 0.0
+            else:
+                cx, cy = params["lon0"], None
             return dict(
                 col=lambda x, y, c=crs: conic_forward_cols(x, y, c),
                 py=lambda x, y, c=crs: conic_forward(x, y, c),
-                clamp_x=params["lon0"],
-                clamp_y=None,
+                clamp_x=cx,
+                clamp_y=cy,
             )
+        # inverse: the false-easting meridian; polar/sinusoidal also
+        # the false-northing line (angle/latitude extremes there)
         return dict(
             col=lambda x, y, c=crs: conic_inverse_cols(x, y, c),
             py=lambda x, y, c=crs: conic_inverse(x, y, c),
             clamp_x=params["fe"],
-            clamp_y=None,
+            clamp_y=params["fn"] if kind in ("stere", "sinu") else None,
+            post=_stere_inv_post(params) if kind == "stere" else None,
         )
     return None
+
+
+def _stere_inv_post(params: dict):
+    """Candidate points cannot express two polar-inverse cases: a
+    projected box CONTAINING the pole covers every longitude (and
+    reaches lat ±90), and one crossing the antimeridian image (the
+    x=fe ray on the far side of the pole) wraps the lon interval.
+    Both must WIDEN the envelope — it is a prefilter and has to stay
+    a superset. Works on Columns and plain floats."""
+    a, fe, fn = params["asp"], params["fe"], params["fn"]
+
+    def post(env, x0, y0, x1, y1):
+        minlon, minlat, maxlon, maxlat = env
+        if isinstance(x0, Column):
+            inx = (x0 <= F.lit(fe)) & (F.lit(fe) <= x1)
+            cross = inx & (
+                (y0 < F.lit(fn)) if a < 0 else (y1 > F.lit(fn))
+            )
+            pole = inx & (y0 <= F.lit(fn)) & (F.lit(fn) <= y1)
+            minlon = F.when(cross, F.lit(-180.0)).otherwise(minlon)
+            maxlon = F.when(cross, F.lit(180.0)).otherwise(maxlon)
+            # branch fold: the inverse lon lives on lon0±180; shift a
+            # fully-out interval by 360, full-widen a straddling one
+            shift_up = maxlon < F.lit(-180.0)
+            shift_dn = minlon > F.lit(180.0)
+            straddle = (minlon < F.lit(-180.0)) | (maxlon > F.lit(180.0))
+            new_min = (
+                F.when(shift_up, minlon + F.lit(360.0))
+                .when(shift_dn, minlon - F.lit(360.0))
+                .when(straddle, F.lit(-180.0))
+                .otherwise(minlon)
+            )
+            new_max = (
+                F.when(shift_up, maxlon + F.lit(360.0))
+                .when(shift_dn, maxlon - F.lit(360.0))
+                .when(straddle, F.lit(180.0))
+                .otherwise(maxlon)
+            )
+            minlon, maxlon = new_min, new_max
+            if a < 0:
+                minlat = F.when(pole, F.lit(-90.0)).otherwise(minlat)
+            else:
+                maxlat = F.when(pole, F.lit(90.0)).otherwise(maxlat)
+            return (minlon, minlat, maxlon, maxlat)
+        inx = x0 <= fe <= x1
+        cross = inx and ((y0 < fn) if a < 0 else (y1 > fn))
+        pole = inx and y0 <= fn <= y1
+        if cross:
+            minlon, maxlon = -180.0, 180.0
+        if maxlon < -180.0:
+            minlon, maxlon = minlon + 360.0, maxlon + 360.0
+        elif minlon > 180.0:
+            minlon, maxlon = minlon - 360.0, maxlon - 360.0
+        elif minlon < -180.0 or maxlon > 180.0:
+            minlon, maxlon = -180.0, 180.0
+        if pole:
+            if a < 0:
+                minlat = -90.0
+            else:
+                maxlat = 90.0
+        return (minlon, minlat, maxlon, maxlat)
+
+    return post
 
 
 def reproject_manifest(manifest: DataFrame, dst_crs: str) -> DataFrame:
@@ -591,6 +680,26 @@ CONIC_PRESETS: dict[str, tuple[str, dict]] = {
         dict(lat1=44.0, lat2=49.0, lat0=46.5, lon0=3.0,
              fe=700000.0, fn=6600000.0, f=_GRS80_F),
     ),
+    # The registry also carries the azimuthal + pseudocylindrical
+    # presets (same machinery; "conic" in the API names is historical):
+    # WGS84 / Antarctic Polar Stereographic (EPSG 9829 variant B)
+    "EPSG:3031": (
+        "stere",
+        dict(lat_ts=-71.0, lon0=0.0, fe=0.0, fn=0.0, asp=-1.0,
+             f=1.0 / 298.257223563),
+    ),
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North
+    "EPSG:3413": (
+        "stere",
+        dict(lat_ts=70.0, lon0=-45.0, fe=0.0, fn=0.0, asp=1.0,
+             f=1.0 / 298.257223563),
+    ),
+    # MODIS sinusoidal grid (GCTP sphere R=6371007.181; the id is the
+    # widely used spatialreference.org code — MODIS has no EPSG code)
+    "SR-ORG:6974": (
+        "sinu",
+        dict(lon0=0.0, fe=0.0, fn=0.0, radius=6371007.181),
+    ),
 }
 
 
@@ -761,9 +870,85 @@ def _lcc_inverse(ops, x, y, k: dict):
     return lon, phi * L(180.0 / math.pi)
 
 
+# -- Polar stereographic (EPSG method 9829, variant B) ---------------------
+#
+# The polar twin of the conic pair: Antarctic (EPSG:3031) and Arctic
+# (EPSG:3413) mosaics are the standard grids for ice-sheet rasters.
+# Snyder pp. 160-163 / EPSG guidance note 7-2; both aspects share one
+# formula via the north-frame fold phi_n = asp * phi (asp = +1 north,
+# -1 south), and the inverse recovers geodetic latitude through the
+# SAME closed chi series as LCC/Krüger — no iteration, linear-size
+# expression trees on both engines.
+
+
+def _stere_consts(p: dict) -> dict:
+    e = _conic_e(p["f"])
+    phi_n = math.radians(p["asp"] * p["lat_ts"])
+    k0 = R * _py_m(phi_n, e) / _py_t(phi_n, e)
+    return dict(e=e, asp=p["asp"], k0=k0, lon0=p["lon0"],
+                fe=p["fe"], fn=p["fn"], chi=_chi_series(e * e))
+
+
+def _stere_forward(ops, lon, lat, k: dict):
+    L, a = ops.lit, k["asp"]
+    phi_n = lat * L(a * math.pi / 180.0)
+    t = _ops_t(ops, phi_n, k["e"])
+    rho = L(k["k0"]) * t
+    theta = (lon - L(k["lon0"])) * L(math.pi / 180.0)
+    x = L(k["fe"]) + rho * ops.sin(theta)
+    y = L(k["fn"]) - L(a) * (rho * ops.cos(theta))
+    return x, y
+
+
+def _stere_inverse(ops, x, y, k: dict):
+    L, a = ops.lit, k["asp"]
+    xp = x - L(k["fe"])
+    yp = y - L(k["fn"])
+    rho = ops.sqrt(xp * xp + yp * yp)
+    tp = rho / L(k["k0"])
+    chi = L(math.pi / 2.0) - L(2.0) * ops.atan2(tp, L(1.0))
+    phi = chi
+    for j, cj in enumerate(k["chi"], start=1):
+        phi = phi + L(cj) * ops.sin(L(2.0 * j) * chi)
+    lon = ops.atan2(xp, yp * L(-a)) * L(180.0 / math.pi) + L(k["lon0"])
+    return lon, phi * L(a * 180.0 / math.pi)
+
+
+# -- Sinusoidal (MODIS grid: GCTP sphere) -----------------------------------
+#
+# THE remote-sensing tiling grid (all MODIS land products). Spherical
+# closed form — equal-area, trivial both directions; undefined only AT
+# the poles (cos(phi)=0 in the inverse longitude).
+
+
+def _sinu_consts(p: dict) -> dict:
+    return dict(radius=p["radius"], lon0=p["lon0"],
+                fe=p["fe"], fn=p["fn"])
+
+
+def _sinu_forward(ops, lon, lat, k: dict):
+    L = ops.lit
+    phi = lat * L(math.pi / 180.0)
+    x = L(k["fe"]) + L(k["radius"]) * (
+        (lon - L(k["lon0"])) * L(math.pi / 180.0)
+    ) * ops.cos(phi)
+    y = L(k["fn"]) + lat * L(k["radius"] * math.pi / 180.0)
+    return x, y
+
+
+def _sinu_inverse(ops, x, y, k: dict):
+    L = ops.lit
+    phi = (y - L(k["fn"])) / L(k["radius"])
+    lon = L(k["lon0"]) + ((x - L(k["fe"])) / (L(k["radius"]) * ops.cos(phi))
+                          ) * L(180.0 / math.pi)
+    return lon, phi * L(180.0 / math.pi)
+
+
 _CONIC_FNS = {
     "albers": (_albers_consts, _albers_forward, _albers_inverse),
     "lcc": (_lcc_consts, _lcc_forward, _lcc_inverse),
+    "stere": (_stere_consts, _stere_forward, _stere_inverse),
+    "sinu": (_sinu_consts, _sinu_forward, _sinu_inverse),
 }
 
 
@@ -895,10 +1080,12 @@ def reproject_bbox(
             pp["clamp_x"], pp["clamp_y"],
         )
         pts = [fn(px, py) for px, py in cands]
-        return (
+        env = (
             min(p[0] for p in pts), min(p[1] for p in pts),
             max(p[0] for p in pts), max(p[1] for p in pts),
         )
+        post = pp.get("post")
+        return post(env, *bbox) if post else env
     x0, y0 = fn(bbox[0], bbox[1])
     x1, y1 = fn(bbox[2], bbox[3])
     return (x0, y0, x1, y1)

@@ -116,3 +116,144 @@ def x223_video_frames(spark: SparkSession, sf: str) -> DataFrame:
 
     keys = T(spark, sf, "supplier").select("s_suppkey")
     return video_frame_stats(synthesize_mjpeg_videos(keys), every=2)
+
+
+# -- Round-12 CRS presets: polar stereographic + MODIS sinusoidal ----------
+# Same shared-expression oracle contract as f24-f27: ONE builder
+# renders the formula to Spark Columns and DuckDB SQL, mm / nano-degree
+# quantization absorbs last-ulp libm differences.
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flytemosaic_spark.functions.crs import (  # noqa: E402
+    conic_forward_cols,
+    conic_forward_sql,
+    conic_inverse_cols,
+    conic_inverse_sql,
+)
+from flytemosaic_spark.operators.text import portable_round  # noqa: E402
+
+# Antarctic points from supplier keys: lon anywhere, lat -88..-60
+_F28_PTS_SQL = """
+    SELECT s_suppkey AS pt_id,
+           CAST((s_suppkey * 37) % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon,
+           CAST((s_suppkey * 53) % 280 AS DOUBLE) / 10.0 - 88.0 AS lat
+    FROM supplier
+"""
+_F28_X, _F28_Y = conic_forward_sql("lon", "lat", "EPSG:3031")
+
+# Arctic grid coords (EPSG:3413), +/- 3000 km around the pole
+_F29_EN_SQL = """
+    SELECT s_suppkey AS pt_id,
+           CAST((s_suppkey * 41) % 6000000 AS DOUBLE) - 3000000.0 AS x,
+           CAST((s_suppkey * 59) % 6000000 AS DOUBLE) - 3000000.0 AS y
+    FROM supplier
+"""
+_F29_LON, _F29_LAT = conic_inverse_sql("x", "y", "EPSG:3413")
+
+# global points for the MODIS grid (poles excluded: inverse lon is
+# undefined at cos(phi)=0)
+_F30_PTS_SQL = """
+    SELECT s_suppkey AS pt_id,
+           CAST((s_suppkey * 37) % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon,
+           CAST((s_suppkey * 53) % 1700 AS DOUBLE) / 10.0 - 85.0 AS lat
+    FROM supplier
+"""
+_F30_X, _F30_Y = conic_forward_sql("lon", "lat", "SR-ORG:6974")
+
+
+@probe(
+    "f28_polar_forward",
+    sql=f"""
+        WITH pts AS ({_F28_PTS_SQL})
+        SELECT pt_id,
+               floor(({_F28_X}) * 1000.0 + 0.5) / 1000.0 AS x,
+               floor(({_F28_Y}) * 1000.0 + 0.5) / 1000.0 AS y
+        FROM pts
+    """,
+    note="WGS84 lon/lat -> Antarctic Polar Stereographic (EPSG:3031, "
+    "EPSG method 9829 variant B) as pure JVM column math "
+    "(functions/crs.py:_stere_forward) — matches the EPSG guidance "
+    "worked example to sub-mm (test_crs.py); the standard grid for "
+    "ice-sheet rasters, i.e. the reference's to_crs for polar "
+    "deployments; mm quantization",
+)
+def f28_polar_forward(spark: SparkSession, sf: str) -> DataFrame:
+    k = F.col("s_suppkey")
+    pts = T(spark, sf, "supplier").select(
+        k.alias("pt_id"),
+        (((k * 37) % 3600).cast("double") / F.lit(10.0) - F.lit(180.0))
+        .alias("lon"),
+        (((k * 53) % 280).cast("double") / F.lit(10.0) - F.lit(88.0))
+        .alias("lat"),
+    )
+    x, y = conic_forward_cols(F.col("lon"), F.col("lat"), "EPSG:3031")
+    return pts.select(
+        "pt_id",
+        portable_round(x, 3).alias("x"),
+        portable_round(y, 3).alias("y"),
+    )
+
+
+@probe(
+    "f29_polar_inverse",
+    sql=f"""
+        WITH pts AS ({_F29_EN_SQL})
+        SELECT pt_id,
+               floor(({_F29_LON}) * 1000000000.0 + 0.5) / 1000000000.0
+                   AS lon,
+               floor(({_F29_LAT}) * 1000000000.0 + 0.5) / 1000000000.0
+                   AS lat
+        FROM pts
+    """,
+    note="NSIDC Arctic Polar Stereographic (EPSG:3413) grid coords -> "
+    "WGS84 lon/lat via the closed conformal (chi) series — the same "
+    "expansion the Krüger and LCC inverses use, no iteration; "
+    "nano-degree quantization, round-trip property-tested in "
+    "test_crs.py",
+)
+def f29_polar_inverse(spark: SparkSession, sf: str) -> DataFrame:
+    k = F.col("s_suppkey")
+    pts = T(spark, sf, "supplier").select(
+        k.alias("pt_id"),
+        (((k * 41) % 6000000).cast("double") - F.lit(3000000.0)).alias("x"),
+        (((k * 59) % 6000000).cast("double") - F.lit(3000000.0)).alias("y"),
+    )
+    lon, lat = conic_inverse_cols(F.col("x"), F.col("y"), "EPSG:3413")
+    return pts.select(
+        "pt_id",
+        portable_round(lon, 9).alias("lon"),
+        portable_round(lat, 9).alias("lat"),
+    )
+
+
+@probe(
+    "f30_sinusoidal_forward",
+    sql=f"""
+        WITH pts AS ({_F30_PTS_SQL})
+        SELECT pt_id,
+               floor(({_F30_X}) * 1000.0 + 0.5) / 1000.0 AS x,
+               floor(({_F30_Y}) * 1000.0 + 0.5) / 1000.0 AS y
+        FROM pts
+    """,
+    note="WGS84 lon/lat -> MODIS sinusoidal grid (SR-ORG:6974, GCTP "
+    "sphere R=6371007.181) — THE remote-sensing tiling grid (all "
+    "MODIS land products address tiles h/v on it; the MODIS-tile "
+    "derivation is unit-tested); equal-area spherical closed form, "
+    "mm quantization",
+)
+def f30_sinusoidal_forward(spark: SparkSession, sf: str) -> DataFrame:
+    k = F.col("s_suppkey")
+    pts = T(spark, sf, "supplier").select(
+        k.alias("pt_id"),
+        (((k * 37) % 3600).cast("double") / F.lit(10.0) - F.lit(180.0))
+        .alias("lon"),
+        (((k * 53) % 1700).cast("double") / F.lit(10.0) - F.lit(85.0))
+        .alias("lat"),
+    )
+    x, y = conic_forward_cols(F.col("lon"), F.col("lat"), "SR-ORG:6974")
+    return pts.select(
+        "pt_id",
+        portable_round(x, 3).alias("x"),
+        portable_round(y, 3).alias("y"),
+    )

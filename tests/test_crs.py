@@ -523,3 +523,155 @@ def test_reproject_manifest_utm_and_conic_targets(spark):
     )
     with _pytest.raises(Exception, match="unsupported srs"):
         reproject_manifest(df3, "EPSG:32633").collect()
+
+
+def test_polar_stereographic_epsg_worked_example():
+    """EPSG guidance note 7-2, Polar Stereographic variant B worked
+    example (Australian Antarctic: phi_F=-71, lon0=70E, FE=FN=6000km):
+    forward must match to sub-mm, inverse to sub-micro-degree."""
+    from flytemosaic_spark.functions import crs
+
+    crs.CONIC_PRESETS["_TEST:3032"] = ("stere", dict(
+        lat_ts=-71.0, lon0=70.0, fe=6000000.0, fn=6000000.0,
+        asp=-1.0, f=1.0 / 298.257223563))
+    try:
+        x, y = crs.conic_forward(120.0, -75.0, "_TEST:3032")
+        assert abs(x - 7255380.79) < 1e-2
+        assert abs(y - 7053389.56) < 1e-2
+        lon, lat = crs.conic_inverse(7255380.79, 7053389.56, "_TEST:3032")
+        assert abs(lon - 120.0) < 1e-6 and abs(lat + 75.0) < 1e-6
+    finally:
+        del crs.CONIC_PRESETS["_TEST:3032"]
+
+
+def test_polar_stereographic_roundtrip_both_aspects():
+    import math
+
+    from flytemosaic_spark.functions.crs import conic_forward, conic_inverse
+
+    for crs_id, lats in [
+        ("EPSG:3031", range(-89, -55, 4)),
+        ("EPSG:3413", range(55, 90, 4)),
+    ]:
+        for lon in range(-180, 181, 30):
+            for lat in lats:
+                x, y = conic_forward(float(lon), float(lat), crs_id)
+                lo, la = conic_inverse(x, y, crs_id)
+                dlon = abs((lo - lon + 180.0) % 360.0 - 180.0)
+                assert abs(la - lat) < 1e-9
+                assert dlon * math.cos(math.radians(lat)) < 1e-9
+
+
+def test_polar_stereographic_geometry_properties():
+    """True scale at the standard parallel; meridians are straight
+    rays from the pole (angle == lon - lon0)."""
+    import math
+
+    from flytemosaic_spark.functions.crs import conic_forward
+
+    # scale at lat_ts: ds_projected / ds_true == 1 along the parallel
+    e2 = (2 - 1 / 298.257223563) / 298.257223563
+    for crs_id, lat_ts in [("EPSG:3031", -71.0), ("EPSG:3413", 70.0)]:
+        d = 1e-4
+        x0, y0 = conic_forward(10.0, lat_ts, crs_id)
+        x1, y1 = conic_forward(10.0 + d, lat_ts, crs_id)
+        phi = math.radians(lat_ts)
+        # true arc length along the parallel
+        nu = 6378137.0 / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        ds_true = nu * math.cos(phi) * math.radians(d)
+        ds_proj = math.hypot(x1 - x0, y1 - y0)
+        assert abs(ds_proj / ds_true - 1.0) < 1e-9
+    # meridian azimuth (south aspect): theta == lon - lon0
+    x, y = conic_forward(37.0, -80.0, "EPSG:3031")
+    assert abs(math.degrees(math.atan2(x, y)) - 37.0) < 1e-9
+
+
+def test_sinusoidal_modis_grid():
+    """Equal-area property + the MODIS h/v tile derivation."""
+    import math
+
+    from flytemosaic_spark.functions.crs import conic_forward, conic_inverse
+
+    R_S = 6371007.181
+    # world width at the equator is 2*pi*R
+    x, _ = conic_forward(180.0, 0.0, "SR-ORG:6974")
+    assert abs(x - math.pi * R_S) < 1e-6
+    # equal-area: the Jacobian of (lon,lat)->(x,y) is R^2 cos(phi)
+    for lon, lat in [(-93.0, 45.0), (10.0, -60.0), (140.0, 5.0)]:
+        d = 1e-5
+        p00 = conic_forward(lon, lat, "SR-ORG:6974")
+        p10 = conic_forward(lon + d, lat, "SR-ORG:6974")
+        p01 = conic_forward(lon, lat + d, "SR-ORG:6974")
+        jac = abs(
+            (p10[0] - p00[0]) * (p01[1] - p00[1])
+            - (p01[0] - p00[0]) * (p10[1] - p00[1])
+        ) / math.radians(d) ** 2
+        expect = R_S * R_S * math.cos(math.radians(lat))
+        assert abs(jac / expect - 1.0) < 1e-4
+        lo, la = conic_inverse(*p00, "SR-ORG:6974")
+        assert abs(lo - lon) < 1e-9 and abs(la - lat) < 1e-9
+    # Minneapolis lands in MODIS tile h11v04
+    x, y = conic_forward(-93.3430, 44.9778, "SR-ORG:6974")
+    h = int((x + math.pi * R_S) // (2 * math.pi * R_S / 36))
+    v = int((math.pi / 2 * R_S - y) // (math.pi * R_S / 18))
+    assert (h, v) == (11, 4)
+
+
+def test_polar_and_sinu_bbox_envelope():
+    """Projected envelopes must contain every densified boundary
+    point — including boxes spanning ALL longitudes around the pole
+    (the theta=+/-90 and 180 extremes live on edge interiors) and
+    equator-straddling sinusoidal boxes."""
+    from flytemosaic_spark.functions.crs import conic_forward, reproject_bbox
+
+    cases = [
+        ("EPSG:3031", (-180.0, -85.0, 180.0, -65.0)),
+        ("EPSG:3031", (100.0, -80.0, 170.0, -70.0)),
+        ("EPSG:3413", (-120.0, 60.0, 30.0, 85.0)),
+        ("SR-ORG:6974", (-30.0, -20.0, 40.0, 35.0)),  # straddles equator
+        ("SR-ORG:6974", (120.0, 10.0, 179.0, 70.0)),
+    ]
+    for crs_id, bbox in cases:
+        env = reproject_bbox(bbox, "EPSG:4326", crs_id)
+        for i in range(81):
+            t = i / 80.0
+            edges = [
+                (bbox[0] + (bbox[2] - bbox[0]) * t, bbox[1]),
+                (bbox[0] + (bbox[2] - bbox[0]) * t, bbox[3]),
+                (bbox[0], bbox[1] + (bbox[3] - bbox[1]) * t),
+                (bbox[2], bbox[1] + (bbox[3] - bbox[1]) * t),
+            ]
+            for lon, lat in edges:
+                x, y = conic_forward(lon, lat, crs_id)
+                assert env[0] - 1e-6 <= x <= env[2] + 1e-6, (crs_id, lon, lat)
+                assert env[1] - 1e-6 <= y <= env[3] + 1e-6, (crs_id, lon, lat)
+
+
+def test_polar_inverse_bbox_envelope():
+    """Inverse direction: a projected box around the pole maps to a
+    lon/lat envelope containing all densified boundary points (the
+    fe/fn axis crossings are edge-interior extremes)."""
+    from flytemosaic_spark.functions.crs import conic_inverse, reproject_bbox
+
+    for crs_id in ("EPSG:3031", "EPSG:3413"):
+        bbox = (-2500000.0, -1500000.0, 1200000.0, 2200000.0)
+        env = reproject_bbox(bbox, crs_id, "EPSG:4326")
+        for i in range(81):
+            t = i / 80.0
+            for x, y in [
+                (bbox[0] + (bbox[2] - bbox[0]) * t, bbox[1]),
+                (bbox[0] + (bbox[2] - bbox[0]) * t, bbox[3]),
+                (bbox[0], bbox[1] + (bbox[3] - bbox[1]) * t),
+                (bbox[2], bbox[1] + (bbox[3] - bbox[1]) * t),
+            ]:
+                lon, lat = conic_inverse(x, y, crs_id)
+                # inverse lon lives on the lon0±180 branch; the
+                # envelope is folded to normalized space — compare
+                # modulo 360
+                ln = (lon + 180.0) % 360.0 - 180.0
+                ok = any(
+                    env[0] - 1e-9 <= ln + s <= env[2] + 1e-9
+                    for s in (-360.0, 0.0, 360.0)
+                )
+                assert ok, (crs_id, x, y, lon, env)
+                assert env[1] - 1e-9 <= lat <= env[3] + 1e-9, (crs_id, x, y)
