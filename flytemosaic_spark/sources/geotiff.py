@@ -9,11 +9,12 @@ LZW-compressed, baseline-JPEG (via the pure-numpy codec in
 ``sources/jpeg.py``, including the TIFF ``JPEGTables`` abbreviated
 streams) or raw (LZW with the spec's early code-width change),
 8/16/32-bit integer and 32/64-bit float samples, horizontal-
-differencing predictor, chunky multi-band, GeoTIFF ModelPixelScale +
+differencing predictor, chunky (planar 1) AND band-separate (planar
+2) multi-band layouts, GeoTIFF ModelPixelScale +
 ModelTiepoint georeferencing — so the raster seams (`pipeline.py`
 stage 2, `operators/multimodal.py`) can decode REAL payloads
 end-to-end in this sandbox. Formats beyond the subset (progressive
-JPEG, planar configuration 2) raise NotImplementedError naming the
+JPEG, 12-bit JPEG) raise NotImplementedError naming the
 feature, same honesty contract as the other codec tiers.
 
 Decode supports both byte orders, WINDOWED reads (only blocks
@@ -205,8 +206,14 @@ def decode_geotiff(
     jpeg_tables = (
         bytes(t[_T_JPEG_TABLES]) if _T_JPEG_TABLES in t else None
     )
-    if int(t.get(_T_PLANAR, [1])[0]) != 1:
-        raise NotImplementedError("planar configuration 2")
+    planar = int(t.get(_T_PLANAR, [1])[0])
+    if planar not in (1, 2):
+        raise NotImplementedError(f"planar configuration {planar}")
+    if planar == 2 and comp == 7:
+        raise NotImplementedError("planar configuration 2 with JPEG")
+    # planar 2: each block carries ONE band; blocks are ordered plane
+    # by plane (all of band 0's tiles/strips, then band 1's, ...)
+    nb = 1 if planar == 2 and spp > 1 else spp
     pred = int(t.get(_T_PREDICTOR, [1])[0])
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred}")
@@ -243,10 +250,10 @@ def decode_geotiff(
             eh, ew = min(bh, a.shape[0]), min(bw, a.shape[1])
             padded[:eh, :ew] = a[:eh, :ew]
             return padded
-        arr = np.frombuffer(unpack(o, c), dtype=dt).reshape(bh, bw, spp)
+        arr = np.frombuffer(unpack(o, c), dtype=dt).reshape(bh, bw, nb)
         if pred == 2:
-            arr = _undiff(arr.copy().reshape(bh, bw * spp)).reshape(
-                bh, bw, spp
+            arr = _undiff(arr.copy().reshape(bh, bw * nb)).reshape(
+                bh, bw, nb
             )
         return arr
 
@@ -254,9 +261,11 @@ def decode_geotiff(
     if _T_TILE_OFFSETS in t:
         tw, tl = int(t[_T_TILE_W][0]), int(t[_T_TILE_L][0])
         across = (w + tw - 1) // tw
+        per_plane = across * ((h + tl - 1) // tl)
         offsets, counts = t[_T_TILE_OFFSETS], t[_T_TILE_COUNTS]
         for i in range(len(offsets)):
-            ty, tx = (i // across) * tl, (i % across) * tw
+            plane, pos = divmod(i, per_plane) if nb != spp else (0, i)
+            ty, tx = (pos // across) * tl, (pos % across) * tw
             # blocks outside the window are never read or decompressed
             if (ty >= wy + oh or ty + tl <= wy
                     or tx >= wx + ow or tx + tw <= wx):
@@ -265,21 +274,31 @@ def decode_geotiff(
             sy, sx = max(ty, wy), max(tx, wx)
             ey = min(ty + tl, wy + oh, h)
             ex = min(tx + tw, wx + ow, w)
-            out[sy - wy : ey - wy, sx - wx : ex - wx] = tile[
-                sy - ty : ey - ty, sx - tx : ex - tx
-            ]
+            dst = out[sy - wy : ey - wy, sx - wx : ex - wx]
+            src = tile[sy - ty : ey - ty, sx - tx : ex - tx]
+            if nb != spp:
+                dst[:, :, plane : plane + 1] = src
+            else:
+                dst[:] = src
     else:
         rps = int(t.get(_T_ROWS_PER_STRIP, [h])[0])
+        per_plane = (h + rps - 1) // rps
         offsets, counts = t[_T_STRIP_OFFSETS], t[_T_STRIP_COUNTS]
         for i in range(len(offsets)):
-            y = i * rps
+            plane, pos = divmod(i, per_plane) if nb != spp else (0, i)
+            y = pos * rps
             rows = min(rps, h - y)
             if y >= wy + oh or y + rows <= wy:
                 continue
             strip = block(offsets[i], counts[i], rows, w)
             sy = max(y, wy)
             ey = min(y + rows, wy + oh)
-            out[sy - wy : ey - wy] = strip[sy - y : ey - y, wx : wx + ow]
+            dst = out[sy - wy : ey - wy]
+            src = strip[sy - y : ey - y, wx : wx + ow]
+            if nb != spp:
+                dst[:, :, plane : plane + 1] = src
+            else:
+                dst[:] = src
 
     meta: dict = {"n_ifds": len(chain)}
     if _T_GDAL_NODATA in t:
@@ -310,6 +329,7 @@ def encode_geotiff(
     big: bool = False,
     nodata: float | None = None,
     jpeg_quality: int = 90,
+    planar: int = 1,
 ) -> bytes:
     """Encode ``arr`` ((H, W) or (H, W, bands), supported dtype) as a
     little-endian tiled (or single-strip when ``tile=None``) TIFF.
@@ -341,6 +361,10 @@ def encode_geotiff(
             )
         if predictor:
             raise NotImplementedError("predictor with JPEG compression")
+    if planar not in (1, 2):
+        raise NotImplementedError(f"planar configuration {planar}")
+    if planar == 2 and comp_code == 7:
+        raise NotImplementedError("planar configuration 2 with JPEG")
     pack = (
         _lzw_encode
         if comp_code == 5
@@ -365,42 +389,51 @@ def encode_geotiff(
         full-resolution IFD) — geo tags are rescaled by it."""
         h, w, spp = a.shape
         chunks: list[bytes] = []
+        # planar 2: one band per block, plane-major block order
+        planes = (
+            [a[:, :, p : p + 1] for p in range(spp)]
+            if planar == 2 and spp > 1
+            else [a]
+        )
         if tile is not None:
             tw = tl = max(16, ((tile + 15) // 16) * 16)
-            for ty in range(0, h, tl):
-                for tx in range(0, w, tw):
-                    block = np.zeros((tl, tw, spp), dtype=a.dtype)
-                    ey, ex = min(tl, h - ty), min(tw, w - tx)
-                    block[:ey, :ex] = a[ty : ty + ey, tx : tx + ex]
-                    if comp_code == 7:
-                        from flytemosaic_spark.sources.jpeg import (
-                            encode_jpeg,
-                        )
+            for pa in planes:
+                nb = pa.shape[2]
+                for ty in range(0, h, tl):
+                    for tx in range(0, w, tw):
+                        block = np.zeros((tl, tw, nb), dtype=a.dtype)
+                        ey, ex = min(tl, h - ty), min(tw, w - tx)
+                        block[:ey, :ex] = pa[ty : ty + ey, tx : tx + ex]
+                        if comp_code == 7:
+                            from flytemosaic_spark.sources.jpeg import (
+                                encode_jpeg,
+                            )
 
-                        chunks.append(
-                            encode_jpeg(block, quality=jpeg_quality)
-                        )
-                        continue
-                    flat = block.reshape(tl, tw * spp)
-                    if predictor:
-                        flat = diff(flat)
-                    chunks.append(pack(flat.tobytes()))
+                            chunks.append(
+                                encode_jpeg(block, quality=jpeg_quality)
+                            )
+                            continue
+                        flat = block.reshape(tl, tw * nb)
+                        if predictor:
+                            flat = diff(flat)
+                        chunks.append(pack(flat.tobytes()))
         elif comp_code == 7:
             from flytemosaic_spark.sources.jpeg import encode_jpeg
 
             chunks.append(encode_jpeg(a, quality=jpeg_quality))
         else:
-            flat = a.reshape(h, w * spp)
-            if predictor:
-                flat = diff(flat)
-            chunks.append(pack(flat.tobytes()))
+            for pa in planes:
+                flat = pa.reshape(h, w * pa.shape[2])
+                if predictor:
+                    flat = diff(flat)
+                chunks.append(pack(flat.tobytes()))
         entries: list[tuple[int, int, list]] = [
             (_T_WIDTH, 4, [w]),
             (_T_LENGTH, 4, [h]),
             (_T_BITS, 3, [bits] * spp),
             (_T_COMPRESSION, 3, [comp_code]),
             (_T_SPP, 3, [spp]),
-            (_T_PLANAR, 3, [1]),
+            (_T_PLANAR, 3, [planar if spp > 1 else 1]),
             (_T_SAMPLE_FORMAT, 3, [_FMT_OF_KIND[kind]] * spp),
         ]
         if comp_code == 7:
@@ -420,9 +453,9 @@ def encode_geotiff(
             ]
         else:
             entries += [
-                (_T_STRIP_OFFSETS, 4, [0]),
+                (_T_STRIP_OFFSETS, 4, [0] * len(chunks)),  # patched later
                 (_T_ROWS_PER_STRIP, 4, [h]),
-                (_T_STRIP_COUNTS, 4, [len(chunks[0])]),
+                (_T_STRIP_COUNTS, 4, [len(c) for c in chunks]),
             ]
         if nodata is not None:
             # GDAL convention: ASCII float, NUL-terminated
