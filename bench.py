@@ -83,6 +83,7 @@ HEADLINE = [
     "q12_shipping_priority_split",
     "f24_utm_forward",
     "cog_codec",
+    "media_codec",
 ]
 
 _COG_PAYLOAD = None
@@ -112,6 +113,70 @@ def cog_codec_workload() -> None:
     for k in range(16):
         y, x = (k * 97) % 768, (k * 193) % 768
         decode_geotiff(_COG_PAYLOAD, window=(y, x, 256, 256))
+
+
+_MEDIA_FIXTURES = None
+
+
+def media_codec_workload() -> None:
+    """The FLAC + MJPEG bitstream path, timed (r6: a codec that enters
+    the gate gets a bench line the same round — codec regressions must
+    be as visible as plan regressions). One pass decodes 20 FLAC clips
+    (~100k samples, mixed mono/stereo — CRC-16 + MD5 verified) and
+    demuxes + frame-decodes 8 MJPEG-in-MP4 clips (every 2nd of 12
+    64x96 frames each). Single-core on purpose: per-task decode rate
+    is what scales with executor count."""
+    import numpy as np
+
+    from flytemosaic_spark.sources.flac import decode_flac, encode_flac
+    from flytemosaic_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from flytemosaic_spark.sources.mp4 import (
+        encode_mp4_with_samples,
+        parse_mp4,
+    )
+
+    global _MEDIA_FIXTURES
+    if _MEDIA_FIXTURES is None:
+        rng = np.random.default_rng(7)
+        flacs = []
+        for k in range(1, 21):
+            n = 4096 + (k * 997) % 2048
+            # band-limited-ish signal: cumsum of small steps, the shape
+            # LPC actually wins on (pure noise would bench VERBATIM)
+            s = np.cumsum(rng.integers(-60, 61, n)).clip(-30000, 30000)
+            pcm = (
+                np.stack([s, s + rng.integers(-9, 10, n)], axis=1)
+                if k % 2
+                else s
+            ).astype(np.int16)
+            flacs.append(encode_flac(pcm, 16000, block_size=4096))
+        mp4s = []
+        grad = (
+            np.arange(64 * 96, dtype=np.int64) % 251
+        ).astype(np.uint8).reshape(64, 96, 1)
+        for k in range(8):
+            jpegs = [
+                encode_jpeg(
+                    ((grad.astype(np.int64) + 5 * j + k) % 256).astype(
+                        np.uint8
+                    ),
+                    quality=85,
+                )
+                for j in range(12)
+            ]
+            mp4s.append(
+                encode_mp4_with_samples(
+                    jpegs, codec="jpeg", width=96, height=64, fps=10
+                )
+            )
+        _MEDIA_FIXTURES = (flacs, mp4s)
+    flacs, mp4s = _MEDIA_FIXTURES
+    for payload in flacs:
+        decode_flac(payload)
+    for payload in mp4s:
+        vid = parse_mp4(payload)["tracks"][0]
+        for off, sz in vid["samples"][::2]:
+            decode_jpeg(payload[off : off + sz])
 
 
 def flagship(spark, sf_dir):
@@ -147,13 +212,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    codec_workloads = {
+        "cog_codec": cog_codec_workload,
+        "media_codec": media_codec_workload,
+    }
     for name in HEADLINE:
-        if name == "cog_codec":
-            cog_codec_workload()  # warm (builds + caches the payload)
+        if name in codec_workloads:
+            wl = codec_workloads[name]
+            wl()  # warm (builds + caches the payloads)
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                cog_codec_workload()
+                wl()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
             continue

@@ -248,20 +248,15 @@ def _utf8_decode(br: _BitReader) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _rice_cost(u: np.ndarray, k: int) -> int:
-    return int((u >> k).sum()) + u.size * (k + 1)
-
-
 def _best_rice_param(u: np.ndarray, max_k: int) -> tuple[int, int]:
-    """(param, cost) minimizing the exact coded size."""
-    best_k, best_c = 0, _rice_cost(u, 0)
-    for k in range(1, max_k + 1):
-        c = _rice_cost(u, k)
-        if c < best_c:
-            best_k, best_c = k, c
-        elif c > best_c * 2:
-            break
-    return best_k, best_c
+    """(param, cost) minimizing the exact coded size — all candidate
+    shifts evaluated in one vectorized pass."""
+    if u.size == 0:
+        return 0, 0
+    ks = np.arange(max_k + 1, dtype=np.int64)
+    costs = (u[None, :] >> ks[:, None]).sum(axis=1) + u.size * (ks + 1)
+    k = int(costs.argmin())
+    return k, int(costs[k])
 
 
 def _write_residual(
@@ -294,9 +289,12 @@ def _write_residual(
         else:
             bw.write(k, 4)
             if k:
+                # q zeros + 1 + k low bits as ONE write: the value
+                # (1<<k)|low in q+1+k bits
+                mark, mask = 1 << k, (1 << k) - 1
+                write = bw.write
                 for v in u.tolist():
-                    bw.write_unary(v >> k)
-                    bw.write(v & ((1 << k) - 1), k)
+                    write(mark | (v & mask), (v >> k) + 1 + k)
             else:
                 for v in u.tolist():
                     bw.write_unary(v)
