@@ -491,7 +491,13 @@ def synthesize_flac_audio(
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return keys.select(key_col).mapInPandas(
+    # keys usually arrive as ONE tiny parquet partition — spread the
+    # per-clip codec work across cores (the shuffle moves 8-byte keys,
+    # the payloads are BORN distributed and never move again). The
+    # partition count is EXPLICIT: AQE would coalesce an 8 KB shuffle
+    # back to one partition and serialize the codec work.
+    n = keys.sparkSession.sparkContext.defaultParallelism
+    return keys.select(key_col).repartition(n, F.col(key_col)).mapInPandas(
         run, "media_id long, payload binary"
     )
 
@@ -714,7 +720,9 @@ def synthesize_mjpeg_videos(
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return keys.select(key_col).mapInPandas(
+    # spread per-clip codec work across cores (see synthesize_flac_audio)
+    n = keys.sparkSession.sparkContext.defaultParallelism
+    return keys.select(key_col).repartition(n, F.col(key_col)).mapInPandas(
         run, "media_id long, payload binary"
     )
 
