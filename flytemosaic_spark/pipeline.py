@@ -294,6 +294,7 @@ def export_feature_geotiffs(
     overviews: list[int] | None = None,
     nodata: float | None | str = "auto",
     compress: bool | str = True,
+    jpeg_quality: int = 90,
 ) -> DataFrame:
     """S8 feature-COG export — the reference's per-(tile, date) GeoTIFF
     output (``build_tile_date_feature_cog_task`` writes one COG per
@@ -352,6 +353,7 @@ def export_feature_geotiffs(
                     np.moveaxis(arr, 0, -1),  # (b, y, x) -> chunky
                     tile=max(16, ((zchunks[2] + 15) // 16) * 16),
                     compress=compress,
+                    jpeg_quality=jpeg_quality,
                     overviews=overviews,
                     nodata=nodata,
                     pixel_scale=pixel_scale,

@@ -191,18 +191,25 @@ def decode_geotiff(
     if len(set(bits)) != 1 or len(set(fmt)) != 1:
         raise NotImplementedError("mixed per-band sample types")
     key = (int(bits[0]), int(fmt[0]))
-    if key not in _DTYPES:
-        raise NotImplementedError(f"sample type bits={key[0]} format={key[1]}")
-    dt = np.dtype(bo + _DTYPES[key])
     comp = int(t.get(_T_COMPRESSION, [1])[0])
+    if key in _DTYPES:
+        dt = np.dtype(bo + _DTYPES[key])
+    elif comp == 7 and key == (12, 1):
+        # 12-bit samples exist ONLY inside JPEG codestreams here (the
+        # GDAL convention); they decode to uint16
+        dt = np.dtype(bo + "u2")
+    else:
+        raise NotImplementedError(f"sample type bits={key[0]} format={key[1]}")
     # none / LZW / deflate (both codes) / baseline JPEG
     if comp not in (1, 5, 7, 8, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} "
             "(none/LZW/deflate/baseline-JPEG supported)"
         )
-    if comp == 7 and key != (8, 1):
-        raise NotImplementedError("JPEG-in-TIFF with non-uint8 samples")
+    if comp == 7 and key not in ((8, 1), (12, 1)):
+        raise NotImplementedError(
+            "JPEG-in-TIFF with samples other than 8- or 12-bit unsigned"
+        )
     jpeg_tables = (
         bytes(t[_T_JPEG_TABLES]) if _T_JPEG_TABLES in t else None
     )
@@ -246,7 +253,7 @@ def decode_geotiff(
                 )
             if a.shape[:2] == (bh, bw):
                 return a
-            padded = np.zeros((bh, bw, spp), dtype=np.uint8)
+            padded = np.zeros((bh, bw, spp), dtype=a.dtype)
             eh, ew = min(bh, a.shape[0]), min(bw, a.shape[1])
             padded[:eh, :ew] = a[:eh, :ew]
             return padded
@@ -355,10 +362,18 @@ def encode_geotiff(
         True: 8, "deflate": 8, "lzw": 5, "jpeg": 7, False: 1, None: 1
     }[compress]
     if comp_code == 7:
-        if arr.dtype != np.uint8 or arr.shape[2] not in (1, 3):
+        if arr.shape[2] not in (1, 3) or arr.dtype not in (
+            np.uint8,
+            np.uint16,
+        ):
             raise NotImplementedError(
-                "JPEG compression: uint8 with 1 or 3 bands only"
+                "JPEG compression: uint8 (8-bit) or uint16 (12-bit) "
+                "with 1 or 3 bands only"
             )
+        if arr.dtype == np.uint16:
+            if int(arr.max()) > 4095:
+                raise ValueError("12-bit JPEG samples must be < 4096")
+            bits = 12  # GDAL's 12-bit-in-JPEG TIFF convention
         if predictor:
             raise NotImplementedError("predictor with JPEG compression")
     if planar not in (1, 2):

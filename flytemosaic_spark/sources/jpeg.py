@@ -8,18 +8,23 @@ container has no GDAL/PIL, so this module implements ITU-T T.81:
 
 - decode: baseline sequential (SOF0) AND progressive (SOF2 — DC
   first/refinement and AC band first/refinement scans with EOB runs,
-  T.81 G.2), 8-bit, 1 or 3 components, sampling factors up to 2x2
+  T.81 G.2), 8-bit AND 12-bit samples (12-bit: 16-bit DQT values,
+  2048 level shift, uint16 output — the GDAL/medical convention),
+  1 or 3 components, sampling factors up to 2x2
   (4:4:4, 4:2:2, 4:2:0), restart markers, non-interleaved scans over
   the component's own block grid, and *abbreviated* streams whose
   DQT/DHT arrive separately (the TIFF ``JPEGTables`` tag) — anything
-  else (hierarchical/lossless SOFs, 12-bit, arithmetic coding, 4
+  else (hierarchical/lossless SOFs, arithmetic coding, 4
   components) raises NotImplementedError naming the feature, the
   same honesty contract as ``geotiff.py``;
 - encode: JFIF, grayscale or YCbCr 4:4:4 / 4:2:0, the T.81 Annex K
   quantization + Huffman tables with IJG quality scaling; baseline
   by default, ``progressive=True`` emits an SOF2 multi-scan stream
   (spectral selection + two-level successive approximation, the
-  libjpeg-default script shape).
+  libjpeg-default script shape); uint16 input encodes 12-bit
+  baseline (x16-scaled Annex K tables, flat extended Huffman tables
+  covering DC categories to 15 / AC sizes to 15 — the 8-bit Annex K
+  tables cannot express 12-bit magnitudes).
 
 Entropy coding is per-symbol Python (bounded by block count), while
 dequantization, the 2-D DCT/IDCT (separable 8x8 basis matmul), chroma
@@ -130,6 +135,20 @@ _HUFF_AC_PROG = (
     [n << 4 for n in range(15)]
     + [0xF0]
     + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+)
+
+# 12-bit sample streams need DC categories to 15 and AC sizes to 15
+# (orthonormal-FDCT bound ||coef|| <= 16384 for 12-bit input) — beyond
+# the Annex K 8-bit tables. Flat canonical tables, same discipline as
+# _HUFF_AC_PROG: DC = 15 codes at length 4 + 1 at length 5; AC = 242
+# codes at length 8 (Kraft 242/256; all-ones codeword unused).
+_HUFF_DC_12 = (
+    [0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),
+)
+_HUFF_AC_12 = (
+    [0, 0, 0, 0, 0, 0, 0, 242, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 16)],
 )
 
 # separable 8-point DCT-II basis: _DCT[k, n] = c_k/2 * cos((2n+1)k pi/16)
@@ -251,11 +270,17 @@ def _parse_tables(buf: bytes, off: int, end: int, state: dict) -> None:
         if marker == 0xDB:  # DQT
             while seg < seg_end:
                 pq, tq = buf[seg] >> 4, buf[seg] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
-                q = np.frombuffer(buf, np.uint8, 64, seg + 1).astype(np.int32)
+                if pq == 0:
+                    q = np.frombuffer(buf, np.uint8, 64, seg + 1).astype(
+                        np.int32
+                    )
+                    seg += 65
+                else:  # 16-bit precision (12-bit sample streams)
+                    q = np.frombuffer(buf, ">u2", 64, seg + 1).astype(
+                        np.int32
+                    )
+                    seg += 129
                 state["quant"][tq] = q
-                seg += 65
         elif marker == 0xC4:  # DHT
             while seg < seg_end:
                 tc, th = buf[seg] >> 4, buf[seg] & 0x0F
@@ -302,8 +327,9 @@ def decode_jpeg(payload: bytes, tables: bytes | None = None) -> np.ndarray:
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
             prec, h, w = struct.unpack_from(">BHH", payload, seg)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG samples")
+            state["prec"] = prec
             nc = payload[seg + 5]
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
@@ -544,6 +570,8 @@ def _ac_refine(rd, ac_tab, blk, ss, se, al, eobrun) -> int:
 def _reconstruct(comps, w, h, state) -> np.ndarray:
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    prec = state.get("prec", 8)
+    mid, top = float(1 << (prec - 1)), float((1 << prec) - 1)
     planes = []
     for c in comps:
         q = state["quant"].get(c["tq"])
@@ -553,7 +581,7 @@ def _reconstruct(comps, w, h, state) -> np.ndarray:
         deq[:, _ZIGZAG] = c["coef"] * q[np.newaxis, :].astype(np.float64)
         blocks = deq.reshape(-1, 8, 8)
         # 2-D IDCT over every block at once: M^T B M
-        pix = np.einsum("kn,bkl,lm->bnm", _DCT, blocks, _DCT) + 128.0
+        pix = np.einsum("kn,bkl,lm->bnm", _DCT, blocks, _DCT) + mid
         plane = (
             pix.reshape(c["bh"], c["bw"], 8, 8)
             .transpose(0, 2, 1, 3)
@@ -566,7 +594,7 @@ def _reconstruct(comps, w, h, state) -> np.ndarray:
     if len(planes) == 1:
         out = planes[0][:, :, np.newaxis]
     else:
-        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        y, cb, cr = planes[0], planes[1] - mid, planes[2] - mid
         out = np.stack(
             [
                 y + 1.402 * cr,
@@ -575,7 +603,9 @@ def _reconstruct(comps, w, h, state) -> np.ndarray:
             ],
             axis=-1,
         )
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return np.clip(np.round(out), 0, top).astype(
+        np.uint8 if prec == 8 else np.uint16
+    )
 
 
 class _BitWriter:
@@ -602,24 +632,28 @@ class _BitWriter:
             self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
 
 
-def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
-    """IJG quality scaling of the Annex K tables."""
+def _quality_tables(
+    quality: int, prec: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (x16 for 12-bit
+    samples, libjpeg's convention)."""
     quality = min(100, max(1, quality))
     s = 5000 // quality if quality < 50 else 200 - 2 * quality
-    ql = np.clip((_Q_LUMA * s + 50) // 100, 1, 255)
-    qc = np.clip((_Q_CHROMA * s + 50) // 100, 1, 255)
+    mul, top = (16, 65535) if prec == 12 else (1, 255)
+    ql = np.clip((_Q_LUMA * s + 50) // 100 * mul, 1, top)
+    qc = np.clip((_Q_CHROMA * s + 50) // 100 * mul, 1, top)
     return ql.astype(np.int32), qc.astype(np.int32)
 
 
 def _encode_blocks(
-    plane: np.ndarray, q: np.ndarray
+    plane: np.ndarray, q: np.ndarray, mid: float = 128.0
 ) -> np.ndarray:
     """FDCT + quantize + zigzag every 8x8 block of an MCU-padded
     plane -> (n_blocks, 64) int32 in raster block order."""
     bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
     blocks = (
         plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    ).astype(np.float64) - 128.0
+    ).astype(np.float64) - mid
     coefs = np.einsum("kn,bnm,lm->bkl", _DCT, blocks, _DCT)
     zz = coefs.reshape(-1, 64)[:, _ZIGZAG]
     qz = q[np.newaxis, _ZIGZAG].astype(np.float64)
@@ -653,18 +687,35 @@ def encode_jpeg(
     the test oracle for the progressive paths."""
     if arr.ndim == 2:
         arr = arr[:, :, np.newaxis]
-    if arr.dtype != np.uint8 or arr.shape[2] not in (1, 3):
+    if arr.dtype == np.uint8:
+        prec = 8
+    elif arr.dtype == np.uint16:
+        prec = 12  # the GDAL/medical 12-bit-in-JPEG case
+        if arr.max() > 4095:
+            raise ValueError("12-bit JPEG samples must be < 4096")
+        if progressive:
+            raise NotImplementedError("progressive 12-bit JPEG encode")
+    else:
         raise NotImplementedError(
-            "JPEG encode: uint8 with 1 or 3 channels only"
+            "JPEG encode: uint8 (8-bit) or uint16 (12-bit) with 1 or 3 "
+            "channels only"
+        )
+    if arr.shape[2] not in (1, 3):
+        raise NotImplementedError(
+            "JPEG encode: uint8 (8-bit) or uint16 (12-bit) with 1 or 3 "
+            "channels only"
         )
     h, w, nc = arr.shape
-    ql, qc = _quality_tables(quality)
+    mid, top = float(1 << (prec - 1)), float((1 << prec) - 1)
+    ql, qc = _quality_tables(quality, prec)
     if nc == 3:
         a = arr.astype(np.float64)
         y = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
-        cb = -0.168736 * a[..., 0] - 0.331264 * a[..., 1] + 0.5 * a[..., 2] + 128
-        cr = 0.5 * a[..., 0] - 0.418688 * a[..., 1] - 0.081312 * a[..., 2] + 128
-        planes = [y, np.clip(cb, 0, 255), np.clip(cr, 0, 255)]
+        cb = (-0.168736 * a[..., 0] - 0.331264 * a[..., 1]
+              + 0.5 * a[..., 2] + mid)
+        cr = (0.5 * a[..., 0] - 0.418688 * a[..., 1]
+              - 0.081312 * a[..., 2] + mid)
+        planes = [y, np.clip(cb, 0, top), np.clip(cr, 0, top)]
     else:
         planes = [arr[..., 0].astype(np.float64)]
 
@@ -686,15 +737,27 @@ def encode_jpeg(
 
     qtabs = [ql] + ([qc] * (nc - 1) if nc == 3 else [])
     coef_sets = [
-        _encode_blocks(p, qtabs[min(i, 1)])
+        _encode_blocks(p, qtabs[min(i, 1)], mid)
         for i, p in enumerate(comp_planes)
     ]
 
-    dc_enc = [_build_huff_encoder(*_HUFF_DC_LUMA)]
-    ac_enc = [_build_huff_encoder(*_HUFF_AC_LUMA)]
+    # 12-bit magnitudes exceed the Annex K 8-bit tables' categories —
+    # use the flat extended tables (any valid DHT is legal; we emit it)
+    dc_tab = _HUFF_DC_12 if prec == 12 else _HUFF_DC_LUMA
+    ac_tab = _HUFF_AC_12 if prec == 12 else _HUFF_AC_LUMA
+    dc_enc = [_build_huff_encoder(*dc_tab)]
+    ac_enc = [_build_huff_encoder(*ac_tab)]
     if nc == 3:
-        dc_enc.append(_build_huff_encoder(*_HUFF_DC_CHROMA))
-        ac_enc.append(_build_huff_encoder(*_HUFF_AC_CHROMA))
+        dc_enc.append(
+            _build_huff_encoder(
+                *(_HUFF_DC_12 if prec == 12 else _HUFF_DC_CHROMA)
+            )
+        )
+        ac_enc.append(
+            _build_huff_encoder(
+                *(_HUFF_AC_12 if prec == 12 else _HUFF_AC_CHROMA)
+            )
+        )
 
     samp = [(hs, hs)] + [(1, 1)] * (nc - 1)
     bws = [p.shape[1] // 8 for p in comp_planes]
@@ -778,16 +841,27 @@ def encode_jpeg(
         [1, 1, 0, 0, 1, 0, 1, 0, 0]
     )
     for tq, q in enumerate(qtabs[:2] if nc == 3 else qtabs[:1]):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
-        out += bytes(int(x) for x in q[_ZIGZAG])
+        if prec == 12 and int(q.max()) > 255:
+            out += b"\xff\xdb" + struct.pack(">HB", 131, (1 << 4) | tq)
+            out += b"".join(
+                struct.pack(">H", int(x)) for x in q[_ZIGZAG]
+            )
+        else:
+            out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+            out += bytes(int(x) for x in q[_ZIGZAG])
     sof = b"\xff\xc2" if progressive else b"\xff\xc0"
-    out += sof + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    out += sof + struct.pack(">HBHHB", 8 + 3 * nc, prec, h, w, nc)
     for ci in range(nc):
         sh, sv = samp[ci]
         out += bytes([ci + 1, (sh << 4) | sv, min(ci, 1)])
-    huffs = [(0, 0, _HUFF_DC_LUMA), (1, 0, _HUFF_AC_LUMA)]
-    if nc == 3:
-        huffs += [(0, 1, _HUFF_DC_CHROMA), (1, 1, _HUFF_AC_CHROMA)]
+    if prec == 12:
+        huffs = [(0, 0, _HUFF_DC_12), (1, 0, _HUFF_AC_12)]
+        if nc == 3:
+            huffs += [(0, 1, _HUFF_DC_12), (1, 1, _HUFF_AC_12)]
+    else:
+        huffs = [(0, 0, _HUFF_DC_LUMA), (1, 0, _HUFF_AC_LUMA)]
+        if nc == 3:
+            huffs += [(0, 1, _HUFF_DC_CHROMA), (1, 1, _HUFF_AC_CHROMA)]
     if progressive:
         huffs.append((1, 2, _HUFF_AC_PROG))
     for tc, th, (bits, vals) in huffs:

@@ -679,11 +679,25 @@ class TestJpegInTiff:
         assert meta["n_ifds"] == 2
         assert ov.shape == (48, 64, 1)
 
-    def test_jpeg_rejects_non_uint8(self):
+    def test_jpeg_dtype_gates(self):
+        # uint16 is the 12-bit path now (values must fit 12 bits);
+        # floats still reject honestly
+        with pytest.raises(ValueError, match="4096"):
+            encode_geotiff(
+                np.full((16, 16), 9999, dtype="u2"), compress="jpeg"
+            )
         with pytest.raises(NotImplementedError, match="uint8"):
             encode_geotiff(
-                np.zeros((16, 16), dtype="u2"), compress="jpeg"
+                np.zeros((16, 16), dtype="f4"), compress="jpeg"
             )
+        enc = encode_geotiff(
+            np.full((16, 16), 3000, dtype="u2"),
+            tile=16,
+            compress="jpeg",
+            jpeg_quality=100,
+        )
+        dec, _ = decode_geotiff(enc)
+        assert dec.dtype == np.uint16 and (dec == 3000).all()
 
     def test_jpeg_rejects_predictor(self):
         with pytest.raises(NotImplementedError, match="predictor"):
@@ -732,11 +746,20 @@ def test_export_jpeg_visual_band_cogs(spark, tmp_path):
     chunk = np.stack([smooth, 255 - smooth, smooth[::-1]]).astype("<u2")
     with open(os.path.join(store, "0.0.0.0"), "wb") as f:
         f.write(chunk.tobytes())
-    # uint16 store + jpeg -> honest NotImplementedError from the codec
-    with pytest.raises(Exception, match="uint8"):
-        export_feature_geotiffs(
-            spark, store, str(tmp_path / "bad"), compress="jpeg"
-        ).collect()
+    # uint16 store + jpeg -> the 12-bit tier (values < 4096 here), so
+    # the export now SUCCEEDS with bounded loss instead of raising
+    res12 = export_feature_geotiffs(
+        spark, store, str(tmp_path / "twelve"), compress="jpeg",
+        jpeg_quality=100,
+    ).collect()
+    arr12, _ = decode_geotiff(open(res12[0].file, "rb").read())
+    assert arr12.dtype == np.uint16
+    assert (
+        np.abs(
+            np.moveaxis(arr12, -1, 0).astype(int) - chunk.astype(int)
+        ).max()
+        <= 2
+    )
 
     # a uint8-valued store exported via deflate stays exact (control)
     res = export_feature_geotiffs(

@@ -178,7 +178,70 @@ class TestHonesty:
             decode_jpeg(b"\x89PNG\r\n\x1a\n" + b"\0" * 16)
 
     def test_encode_rejects_other_dtypes(self):
+        # uint16 is now the 12-bit path; float/int32 still reject
         with pytest.raises(NotImplementedError, match="uint8"):
-            encode_jpeg(np.zeros((8, 8), dtype=np.uint16))
+            encode_jpeg(np.zeros((8, 8), dtype=np.float32))
+        with pytest.raises(NotImplementedError, match="uint8"):
+            encode_jpeg(np.zeros((8, 8), dtype=np.int32))
         with pytest.raises(NotImplementedError, match="channels"):
             encode_jpeg(np.zeros((8, 8, 4), dtype=np.uint8))
+
+
+class Test12Bit:
+    """12-bit sample streams (SOF precision 12, 16-bit DQT, uint16
+    in/out) — the GDAL 12-bit-in-JPEG TIFF convention."""
+
+    def test_constant_blocks_exact_at_q100(self):
+        for v in (0, 100, 2048, 4095):
+            a = np.full((24, 32, 1), v, np.uint16)
+            dec = decode_jpeg(encode_jpeg(a, quality=100))
+            assert dec.dtype == np.uint16
+            assert (dec == v).all()
+
+    def test_noise_bounded_at_q100(self):
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 4096, (40, 56, 1)).astype(np.uint16)
+        dec = decode_jpeg(encode_jpeg(a, quality=100))
+        assert np.abs(dec.astype(int) - a.astype(int)).max() <= 2
+
+    def test_full_scale_checkerboard_max_ac_magnitudes(self):
+        # worst-case AC coefficients exercise the extended (size>10)
+        # Huffman symbols the 8-bit Annex K tables cannot express
+        a = np.zeros((16, 16, 1), np.uint16)
+        a[::2, 1::2] = 4095
+        a[1::2, ::2] = 4095
+        dec = decode_jpeg(encode_jpeg(a, quality=100))
+        assert (dec == a).all()
+
+    def test_rgb_and_restart_markers(self):
+        rng = np.random.default_rng(1)
+        a = rng.integers(0, 4096, (24, 24, 3)).astype(np.uint16)
+        dec = decode_jpeg(encode_jpeg(a, quality=100))
+        assert dec.shape == a.shape and dec.dtype == np.uint16
+        assert np.abs(dec.astype(int) - a.astype(int)).max() <= 3
+        g = rng.integers(0, 4096, (32, 88, 1)).astype(np.uint16)
+        dec = decode_jpeg(encode_jpeg(g, quality=100, restart_interval=3))
+        assert np.abs(dec.astype(int) - g.astype(int)).max() <= 2
+
+    def test_range_and_progressive_rejected(self):
+        with pytest.raises(ValueError):
+            encode_jpeg(np.full((8, 8, 1), 4096, np.uint16))
+        with pytest.raises(NotImplementedError):
+            encode_jpeg(
+                np.zeros((8, 8, 1), np.uint16), progressive=True
+            )
+
+    def test_12bit_jpeg_in_tiff(self):
+        from flytemosaic_spark.sources.geotiff import (
+            decode_geotiff,
+            encode_geotiff,
+        )
+
+        rng = np.random.default_rng(2)
+        a = (rng.integers(0, 256, (70, 90, 1)) * 16).astype(np.uint16)
+        enc = encode_geotiff(a, tile=32, compress="jpeg", jpeg_quality=100)
+        dec, _ = decode_geotiff(enc)
+        assert dec.dtype == np.uint16
+        assert np.abs(dec.astype(int) - a.astype(int)).max() <= 1
+        win, _ = decode_geotiff(enc, window=(10, 20, 30, 40))
+        assert (win == dec[10:40, 20:60]).all()
