@@ -13,13 +13,20 @@ differencing predictor, chunky (planar 1) AND band-separate (planar
 2) multi-band layouts, GeoTIFF ModelPixelScale +
 ModelTiepoint georeferencing — so the raster seams (`pipeline.py`
 stage 2, `operators/multimodal.py`) can decode REAL payloads
-end-to-end in this sandbox. Formats beyond the subset (progressive
-JPEG, 12-bit JPEG) raise NotImplementedError naming the
-feature, same honesty contract as the other codec tiers.
+end-to-end in this sandbox. JPEG tiles may be 8-bit (baseline or
+progressive) or 12-bit (bits=12 in the IFD, uint16 arrays — the GDAL
+convention). Formats beyond the subset (packbits/CCITT/JPEG2000/zstd
+compressions, arithmetic-coded JPEG, mixed per-band sample types)
+raise NotImplementedError naming the feature, same honesty contract
+as the other codec tiers.
 
 Decode supports both byte orders, WINDOWED reads (only blocks
 intersecting the window are ever decompressed — the cloud-optimized
-access pattern), and chained IFDs (COG overviews, ``ifd=k``); encode
+access pattern), chained IFDs (COG overviews, ``ifd=k``), and TRUE
+range reads (:func:`decode_geotiff_ranged`: an ``fetch(offset, size)``
+seam — the HTTP-Range / S3 shape — transfers the header region plus
+only the intersecting tiles' byte ranges, so a 256x256 window of a
+multi-GB remote scene moves kilobytes); encode
 emits little-endian with optional nearest-subsampled overview IFDs.
 Everything is byte-deterministic — the encoder is a valid test
 oracle for the decoder and vice versa.
@@ -143,6 +150,7 @@ def decode_geotiff(
     payload: bytes,
     window: tuple[int, int, int, int] | None = None,
     ifd: int = 0,
+    fetch=None,
 ) -> tuple[np.ndarray, dict]:
     """Decode a baseline(-subset) TIFF/GeoTIFF into
     ``(array[H, W, bands], meta)``. ``meta`` carries ``pixel_scale``
@@ -156,7 +164,14 @@ def decode_geotiff(
     decompressed, the cloud-optimized access pattern (the reference
     reads per-tile windows from scene COGs, utils.py:123-126; over
     HTTP the skipped blocks are skipped range requests). ``ifd``
-    selects a chained IFD (0 = full resolution, 1.. = overviews)."""
+    selects a chained IFD (0 = full resolution, 1.. = overviews).
+
+    ``fetch`` (optional, ``fetch(offset, size) -> bytes``) is the
+    RANGE-READ seam: block data is pulled through it instead of
+    sliced from ``payload``, so ``payload`` only needs to cover the
+    header/IFD region — :func:`decode_geotiff_ranged` wires this up
+    so a windowed read of a multi-GB remote COG transfers the header
+    plus ONLY the intersecting tiles' byte ranges."""
     big = False
     if payload[:4] == b"II*\x00":
         bo = "<"
@@ -230,8 +245,15 @@ def decode_geotiff(
             and wy + oh <= h and wx + ow <= w):
         raise ValueError(f"window {window} out of bounds for {h}x{w}")
 
+    if fetch is None:
+        def _get(o, c):
+            return payload[int(o) : int(o) + int(c)]
+    else:
+        def _get(o, c):
+            return fetch(int(o), int(c))
+
     def unpack(o, c):
-        raw = payload[int(o) : int(o) + int(c)]
+        raw = _get(o, c)
         if comp == 5:
             return _lzw_decode(raw)
         if comp in (8, 32946):
@@ -244,9 +266,7 @@ def decode_geotiff(
         if comp == 7:
             from flytemosaic_spark.sources.jpeg import decode_jpeg
 
-            a = decode_jpeg(
-                payload[int(o) : int(o) + int(c)], tables=jpeg_tables
-            )
+            a = decode_jpeg(_get(o, c), tables=jpeg_tables)
             if a.shape[2] != spp:
                 raise ValueError(
                     f"JPEG block has {a.shape[2]} components, IFD says {spp}"
@@ -699,3 +719,52 @@ def _lzw_encode(data: bytes) -> bytes:
     if nbits:
         out.append((buf << (8 - nbits)) & 0xFF)
     return bytes(out)
+
+
+def decode_geotiff_ranged(
+    fetch,
+    window: tuple[int, int, int, int] | None = None,
+    ifd: int = 0,
+    initial_prefix: int = 65536,
+    max_prefix: int = 64 * 1024 * 1024,
+) -> tuple[np.ndarray, dict]:
+    """Windowed decode over a RANGE READER — the true cloud-optimized
+    access pattern: ``fetch(offset, size) -> bytes`` (an HTTP Range /
+    S3 GetObject(Range=...) adapter, or :func:`file_range_reader` for
+    local files). The header/IFD region is fetched with doubling
+    retries starting at ``initial_prefix`` (COGs keep IFDs up front;
+    the loop also handles header-last writers up to ``max_prefix``),
+    then block data is pulled per intersecting tile through ``fetch``
+    — a 256x256 window of a multi-GB scene transfers kilobytes.
+
+    ``fetch`` may return FEWER bytes than asked at end-of-file (the
+    HTTP Range semantics).
+    """
+    buf = fetch(0, initial_prefix)
+    while True:
+        try:
+            return decode_geotiff(
+                bytes(buf), window=window, ifd=ifd, fetch=fetch
+            )
+        except (struct.error, IndexError, ValueError) as exc:
+            # a short header region parses as garbage — grow and retry;
+            # re-raise once growth stops (EOF) or the cap is reached
+            if len(buf) >= max_prefix:
+                raise
+            more = fetch(len(buf), len(buf))
+            if not more:
+                raise exc
+            buf = bytes(buf) + bytes(more)
+
+
+def file_range_reader(path: str):
+    """A ``fetch(offset, size)`` adapter over a local file — the test
+    stand-in for an object-store range reader (same contract: short
+    reads at EOF, never errors past it)."""
+
+    def fetch(offset: int, size: int) -> bytes:
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            return fh.read(size)
+
+    return fetch
