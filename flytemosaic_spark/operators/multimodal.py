@@ -5,8 +5,11 @@ The Spark-side plumbing is fully real — schema, partitioning, UDF
 signatures, Arrow batch shapes — and the codec layer has REAL tiers
 next to the deterministic fake: PNG decodes via PIL when importable,
 else a built-in stdlib-zlib decoder (all five scanline unfilters,
-8-bit gray/GA/RGB/RGBA); JPEG — baseline and progressive — the same way (PIL, else the
-pure-numpy T.81 codec in ``sources/jpeg.py``); TIFF/GeoTIFF/BigTIFF
+8/16-bit gray/GA/RGB/RGBA, indexed-color PLTE at depths 1/2/4/8 with
+tRNS alpha, Adam7 interlace); JPEG — baseline, progressive, and
+12-bit — the same way (PIL, else the
+pure-numpy T.81 codec in ``sources/jpeg.py``); GIF87a/89a incl.
+animation via ``sources/gif.py``; TIFF/GeoTIFF/BigTIFF
 via ``sources/geotiff.py``; WAV via the stdlib ``wave`` module
 (16-bit PCM, multichannel downmix); FLAC via the pure-numpy codec in
 ``sources/flac.py`` (fixed + LPC prediction, Rice partitions, all
@@ -56,55 +59,16 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _decode_png(payload: bytes) -> np.ndarray:
-    """REAL PNG decoder — pure stdlib zlib + numpy, no image library
-    needed: chunk walk, concatenated-IDAT inflate, and all five
-    scanline unfilters (None/Sub/Up/Average/Paeth) per the PNG spec.
-    Supports 8- and 16-bit gray / gray+alpha / RGB / RGBA,
-    non-interlaced — 16-bit gray is the depth-map/elevation-tile
-    case; returns uint8 or uint16 accordingly (filters operate on
-    BYTES with the left neighbor one full pixel — bpp bytes — back,
-    per spec). Everything else raises with the exact unsupported
-    feature named."""
-    import zlib
-
-    if payload[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos, idat, meta = 8, [], None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, ilace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth not in (8, 16) or color not in _PNG_CHANNELS \
-                    or ilace != 0:
-                raise NotImplementedError(
-                    f"PNG feature unsupported by the built-in decoder: "
-                    f"depth={depth} color={color} interlace={ilace} "
-                    "(install PIL for full coverage)"
-                )
-            meta = (w, h, _PNG_CHANNELS[color], depth)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    if meta is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, ch, depth = meta
-    raw = zlib.decompress(b"".join(idat))
-    bpp = ch * (depth // 8)  # bytes per pixel: the filter offset
-    stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline payload has wrong length")
+def _png_unfilter(raw: bytes, pos: int, h: int, stride: int, bpp: int):
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at byte
+    ``pos`` (all five filters; the left neighbor is ``bpp`` bytes
+    back, per spec). Returns (rows uint8 (h, stride), next pos)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = bytearray(stride)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
         if ft == 0:
             pass
         elif ft == 1:  # Sub
@@ -126,20 +90,122 @@ def _decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
         prev = line
-    if depth == 16:  # network byte order samples
-        return (
-            out.reshape(h, w * ch, 2)
-            .view(">u2")[:, :, 0]
-            .astype(np.uint16)
-            .reshape(h, w, ch)
-        )
-    return out.reshape(h, w, ch)
+    return out, pos
 
 
-def _encode_png(arr: np.ndarray) -> bytes:
+# Adam7 passes: (row start, row step, col start, col step)
+_ADAM7 = (
+    (0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
+    (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1),
+)
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decoder — pure stdlib zlib + numpy, no image library
+    needed: chunk walk, concatenated-IDAT inflate, all five scanline
+    unfilters (None/Sub/Up/Average/Paeth), Adam7 INTERLACED streams
+    (seven independently-filtered sub-images scattered onto the
+    grid), and indexed-color (PLTE) images at depths 1/2/4/8 with
+    optional tRNS alpha (palette PNGs dominate web-scraped icons and
+    charts). Truecolor/gray at 8- and 16-bit as before — 16-bit gray
+    is the depth-map/elevation-tile case; returns uint8 or uint16.
+    Everything else raises with the exact unsupported feature
+    named."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    plte = trns = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            ok = (
+                color in _PNG_CHANNELS and depth in (8, 16)
+            ) or (color == 3 and depth in (1, 2, 4, 8))
+            if not ok or ilace not in (0, 1):
+                raise NotImplementedError(
+                    f"PNG feature unsupported by the built-in decoder: "
+                    f"depth={depth} color={color} interlace={ilace} "
+                    "(install PIL for full coverage)"
+                )
+            meta = (w, h, color, depth, ilace)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, color, depth, ilace = meta
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    ch = 1 if color == 3 else _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    bits_pp = ch * depth
+    bpp = max(1, bits_pp // 8)  # filter offset, bytes
+
+    grid = np.zeros(
+        (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
+    )
+    passes = _ADAM7 if ilace else ((0, 1, 0, 1),)
+    pos = 0
+    for r0, rs, c0, cs in passes:
+        ph = (h - r0 + rs - 1) // rs
+        pw = (w - c0 + cs - 1) // cs
+        if ph <= 0 or pw <= 0:
+            continue
+        stride = (pw * bits_pp + 7) // 8
+        rows, pos = _png_unfilter(raw, pos, ph, stride, bpp)
+        if depth == 16:
+            sub = (
+                rows.reshape(ph, pw * ch, 2)
+                .view(">u2")[:, :, 0]
+                .astype(np.uint16)
+                .reshape(ph, pw, ch)
+            )
+        elif depth == 8:
+            sub = rows[:, : pw * ch].reshape(ph, pw, ch)
+        else:  # sub-byte palette indices, MSB-first within each byte
+            bits = np.unpackbits(rows, axis=1)
+            k = 8 // depth
+            vals = bits.reshape(ph, -1, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            sub = (vals * weights).sum(axis=2).astype(np.uint8)
+            sub = sub[:, :pw].reshape(ph, pw, 1)
+            del k
+        grid[r0::rs, c0::cs] = sub
+    if pos != len(raw):
+        raise ValueError("PNG scanline payload has wrong length")
+
+    if color == 3:
+        idx = grid[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, np.uint8)
+        alpha[: len(trns)] = trns
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    return grid
+
+
+def _encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     """Minimal spec-valid PNG encoder (filter 0 rows) for round-trip
     tests and for producing portable sink payloads without PIL —
-    uint8 or uint16 input (16-bit emits depth-16 network-order)."""
+    uint8 or uint16 input (16-bit emits depth-16 network-order);
+    ``interlace`` writes the Adam7 pass structure (each pass its own
+    filtered sub-image)."""
     import zlib
 
     h, w, ch = arr.shape
@@ -158,8 +224,20 @@ def _encode_png(arr: np.ndarray) -> bytes:
         rows = arr.astype(">u2")
     else:
         rows = arr.astype(np.uint8)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
-    body = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        parts = []
+        for r0, rs, c0, cs in _ADAM7:
+            sub = rows[r0::rs, c0::cs]
+            if sub.shape[0] and sub.shape[1]:
+                parts += [
+                    b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])
+                ]
+        body = b"".join(parts)
+    else:
+        body = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -209,6 +287,11 @@ def _decode_payload(payload: bytes) -> np.ndarray:
             return decode_jpeg(payload)
         a = np.asarray(Image.open(io.BytesIO(payload)))
         return a.reshape(a.shape[0], a.shape[1], -1)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from flytemosaic_spark.sources.gif import decode_gif
+
+        frames, _ = decode_gif(payload)
+        return frames[0]  # first frame RGBA; frame_sample uses the rest
     raise NotImplementedError(
         "codec not available: payload is not the FAKE container, PNG, "
         "JPEG, or TIFF/GeoTIFF; MP4/... need ffmpeg at this seam"
@@ -785,3 +868,83 @@ def video_frame_stats(videos: DataFrame, every: int = 2) -> DataFrame:
             )
 
     return videos.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def synthesize_gifs(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
+    """REAL animated-GIF payloads: clip k has 2 + k % 7 solid-color
+    16x20 frames, frame j colored ((k*3+j*11)%256, (k*5+j*13)%256,
+    (k*7+j*17)%256) — exact palettes make the GIF codec its own
+    oracle, so decoded pixel sums are SQL-recomputable. Odd keys are
+    written INTERLACED (the 4-pass row order)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.gif import encode_gif
+
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                frames = [
+                    np.full(
+                        (16, 20, 3),
+                        [
+                            (k * 3 + j * 11) % 256,
+                            (k * 5 + j * 13) % 256,
+                            (k * 7 + j * 17) % 256,
+                        ],
+                        dtype=np.uint8,
+                    )
+                    for j in range(2 + k % 7)
+                ]
+                out.append(
+                    (k, encode_gif(frames, delay_cs=10,
+                                   interlace=bool(k % 2)))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    n = keys.sparkSession.sparkContext.defaultParallelism
+    return keys.select(key_col).repartition(n, F.col(key_col)).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def gif_frame_stats(gifs: DataFrame) -> DataFrame:
+    """Decode every GIF (all frames, compositing honored) and emit
+    exact integer stats — media demux + LZW entropy decode inside the
+    gate, one metadata-scale row per clip; payloads never shuffle."""
+    schema = (
+        "media_id long, n_frames long, width long, height long, "
+        "sum_rgb long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.gif import decode_gif
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, meta = decode_gif(bytes(payload))
+                # solid frames: the mean IS the color, exactly
+                total = int(
+                    frames[:, :, :, :3]
+                    .astype(np.int64)
+                    .mean(axis=(1, 2))
+                    .sum()
+                )
+                out.append(
+                    (
+                        int(mid),
+                        meta["n_frames"],
+                        meta["width"],
+                        meta["height"],
+                        total,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_frames", "width", "height", "sum_rgb",
+                ],
+            )
+
+    return gifs.select("media_id", "payload").mapInPandas(run, schema)

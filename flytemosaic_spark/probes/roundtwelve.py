@@ -257,3 +257,48 @@ def f30_sinusoidal_forward(spark: SparkSession, sf: str) -> DataFrame:
         portable_round(x, 3).alias("x"),
         portable_round(y, 3).alias("y"),
     )
+
+
+@probe(
+    "x224_gif_frames",
+    sql="""
+        WITH keys AS (
+            SELECT s_suppkey AS media_id,
+                   2 + s_suppkey % 7 AS n
+            FROM supplier
+        ),
+        fr AS (
+            SELECT media_id, n,
+                   unnest(generate_series(0, n - 1)) AS j
+            FROM keys
+        )
+        SELECT media_id,
+               any_value(n) AS n_frames,
+               20 AS width,
+               16 AS height,
+               sum(
+                   (media_id * 3 + j * 11) % 256
+                 + (media_id * 5 + j * 13) % 256
+                 + (media_id * 7 + j * 17) % 256
+               ) AS sum_rgb
+        FROM fr
+        GROUP BY media_id
+    """,
+    note="REAL animated-GIF decode IN the gate (sources/gif.py): "
+    "executors write multi-frame GIF89a payloads (exact palettes, "
+    "NETSCAPE loop block, odd keys INTERLACED with the 4-pass row "
+    "order) and gif_frame_stats plays back every frame through the "
+    "GIF flavor of LZW (LSB-first variable codes, table resets) with "
+    "animation compositing; the oracle recomputes the decoded pixel "
+    "sums from the generating arithmetic — one wrong index anywhere "
+    "in palette/LZW/interlace fails the hash. GIF dominates "
+    "web-scraped animated media; payloads never shuffle.",
+)
+def x224_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        gif_frame_stats,
+        synthesize_gifs,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return gif_frame_stats(synthesize_gifs(keys))

@@ -15,8 +15,9 @@ ModelTiepoint georeferencing — so the raster seams (`pipeline.py`
 stage 2, `operators/multimodal.py`) can decode REAL payloads
 end-to-end in this sandbox. JPEG tiles may be 8-bit (baseline or
 progressive) or 12-bit (bits=12 in the IFD, uint16 arrays — the GDAL
-convention). Formats beyond the subset (packbits/CCITT/JPEG2000/zstd
-compressions, arithmetic-coded JPEG, mixed per-band sample types)
+convention); PackBits (32773) rounds out the classic compressions.
+Formats beyond the subset (CCITT/JPEG2000/zstd compressions,
+arithmetic-coded JPEG, mixed per-band sample types)
 raise NotImplementedError naming the feature, same honesty contract
 as the other codec tiers.
 
@@ -130,6 +131,47 @@ def _read_ifd(
     return tags, nxt
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (compression 32773): byte-oriented RLE."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:  # n+1 literal bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: noop, per spec
+    return bytes(out)
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """PackBits one row (the spec compresses rows independently)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i
+        while j < n - 1 and row[j] == row[j + 1] and j - i < 127:
+            j += 1
+        if j > i:  # run of 2..128
+            out.append(257 - (j - i + 1))
+            out.append(row[i])
+            i = j + 1
+            continue
+        j = i
+        while j < n and j - i < 128:
+            if j < n - 2 and row[j] == row[j + 1] == row[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += row[i:j]
+        i = j
+    return bytes(out)
+
+
 def _undiff(block: np.ndarray) -> np.ndarray:
     """Invert predictor 2 (horizontal differencing) along the row axis
     with the spec's modulo-2^bits wraparound — accumulate in the
@@ -215,11 +257,11 @@ def decode_geotiff(
         dt = np.dtype(bo + "u2")
     else:
         raise NotImplementedError(f"sample type bits={key[0]} format={key[1]}")
-    # none / LZW / deflate (both codes) / baseline JPEG
-    if comp not in (1, 5, 7, 8, 32946):
+    # none / LZW / deflate (both codes) / baseline JPEG / PackBits
+    if comp not in (1, 5, 7, 8, 32946, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} "
-            "(none/LZW/deflate/baseline-JPEG supported)"
+            "(none/LZW/deflate/JPEG/PackBits supported)"
         )
     if comp == 7 and key not in ((8, 1), (12, 1)):
         raise NotImplementedError(
@@ -258,6 +300,8 @@ def decode_geotiff(
             return _lzw_decode(raw)
         if comp in (8, 32946):
             return zlib.decompress(raw)
+        if comp == 32773:
+            return _packbits_decode(raw)
         return raw
 
     def block(o, c, bh, bw):
@@ -379,7 +423,8 @@ def encode_geotiff(
     if predictor and kind == "f":
         raise NotImplementedError("predictor 2 on float samples")
     comp_code = {
-        True: 8, "deflate": 8, "lzw": 5, "jpeg": 7, False: 1, None: 1
+        True: 8, "deflate": 8, "lzw": 5, "jpeg": 7, "packbits": 32773,
+        False: 1, None: 1,
     }[compress]
     if comp_code == 7:
         if arr.shape[2] not in (1, 3) or arr.dtype not in (
@@ -400,11 +445,20 @@ def encode_geotiff(
         raise NotImplementedError(f"planar configuration {planar}")
     if planar == 2 and comp_code == 7:
         raise NotImplementedError("planar configuration 2 with JPEG")
-    pack = (
-        _lzw_encode
-        if comp_code == 5
-        else (zlib.compress if comp_code == 8 else (lambda b: b))
-    )
+    if comp_code == 5:
+        pack = _lzw_encode
+    elif comp_code == 8:
+        pack = zlib.compress
+    else:
+        pack = lambda b: b  # noqa: E731
+
+    def pack_block(flat: np.ndarray) -> bytes:
+        if comp_code == 32773:  # PackBits: rows compress independently
+            return b"".join(
+                _packbits_encode(flat[r].tobytes())
+                for r in range(flat.shape[0])
+            )
+        return pack(flat.tobytes())
     base = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
     # (array, subsample factor) per IFD — the factor scales the geo
     # tags so decode_geotiff(..., ifd=k) returns a transform with the
@@ -451,7 +505,7 @@ def encode_geotiff(
                         flat = block.reshape(tl, tw * nb)
                         if predictor:
                             flat = diff(flat)
-                        chunks.append(pack(flat.tobytes()))
+                        chunks.append(pack_block(flat))
         elif comp_code == 7:
             from flytemosaic_spark.sources.jpeg import encode_jpeg
 
@@ -461,7 +515,7 @@ def encode_geotiff(
                 flat = pa.reshape(h, w * pa.shape[2])
                 if predictor:
                     flat = diff(flat)
-                chunks.append(pack(flat.tobytes()))
+                chunks.append(pack_block(flat))
         entries: list[tuple[int, int, list]] = [
             (_T_WIDTH, 4, [w]),
             (_T_LENGTH, 4, [h]),

@@ -936,3 +936,47 @@ class TestRangedReads:
 
         with pytest.raises((ValueError, struct.error, IndexError)):
             decode_geotiff_ranged(fetch, window=(0, 0, 64, 64))
+
+
+class TestPackBits:
+    """Compression 32773 — byte-oriented RLE, rows packed
+    independently per spec."""
+
+    def test_rle_primitives(self):
+        from flytemosaic_spark.sources.geotiff import (
+            _packbits_decode,
+            _packbits_encode,
+        )
+
+        rng = np.random.default_rng(0)
+        for _ in range(100):
+            n = int(rng.integers(0, 400))
+            row = bytes(
+                rng.choice([0, 0, 0, 7, 255], size=n).astype(np.uint8)
+            )
+            assert _packbits_decode(_packbits_encode(row)) == row
+        long = b"\x07" * 1000 + b"ab" + b"\x00" * 300
+        assert _packbits_decode(_packbits_encode(long)) == long
+        assert _packbits_decode(b"\x80") == b""  # noop byte
+
+    @pytest.mark.parametrize("dt,pred", [("u1", True), ("u2", True),
+                                         ("f4", False), ("i4", True)])
+    @pytest.mark.parametrize("tile", [None, 32])
+    def test_roundtrip_matrix(self, dt, pred, tile):
+        rng = np.random.default_rng(1)
+        a = rng.integers(0, 50, (45, 61, 3)).astype(dt)
+        for planar in (1, 2):
+            enc = encode_geotiff(
+                a, tile=tile, compress="packbits", predictor=pred,
+                planar=planar,
+            )
+            dec, _ = decode_geotiff(enc)
+            assert (dec == a).all()
+            win, _ = decode_geotiff(enc, window=(5, 7, 20, 30))
+            assert (win == a[5:25, 7:37]).all()
+
+    def test_compresses_runs(self):
+        a = np.zeros((256, 256, 1), np.uint8)
+        a[50:60, :] = 200
+        enc = encode_geotiff(a, tile=None, compress="packbits")
+        assert len(enc) < a.nbytes / 20

@@ -603,3 +603,110 @@ class TestFlacAudioTier:
         assert row["n_frames"] == 9
         assert row["n_voiced"] == 6
         assert row["longest_voiced_run"] == 3
+
+
+class TestPngPaletteAndInterlace:
+    """r6 late PNG decoder upgrades: indexed color (PLTE/tRNS, depths
+    1/2/4/8) and Adam7 interlace."""
+
+    @staticmethod
+    def _palette_png(idx, plte, depth, trns=None):
+        import struct
+        import zlib
+
+        h, w = idx.shape
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(
+                    ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF
+                )
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+        rows = []
+        for y in range(h):
+            bits = np.unpackbits(
+                idx[y].astype(np.uint8)[:, None], axis=1
+            )[:, 8 - depth :]
+            flat = bits.reshape(-1)
+            flat = np.concatenate(
+                [flat, np.zeros((-len(flat)) % 8, np.uint8)]
+            )
+            rows.append(b"\x00" + np.packbits(flat).tobytes())
+        out = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte.tobytes())
+        )
+        if trns is not None:
+            out += chunk(b"tRNS", bytes(trns))
+        return out + chunk(
+            b"IDAT", zlib.compress(b"".join(rows))
+        ) + chunk(b"IEND", b"")
+
+    @pytest.mark.parametrize("depth", [1, 2, 4, 8])
+    def test_palette_depths(self, depth):
+        from flytemosaic_spark.operators.multimodal import _decode_png
+
+        rng = np.random.default_rng(depth)
+        n = 1 << depth
+        plte = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (13, 11)).astype(np.uint8)
+        dec = _decode_png(self._palette_png(idx, plte, depth))
+        assert dec.shape == (13, 11, 3)
+        assert (dec == plte[idx]).all()
+
+    def test_trns_alpha(self):
+        from flytemosaic_spark.operators.multimodal import _decode_png
+
+        rng = np.random.default_rng(9)
+        plte = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+        idx = rng.integers(0, 4, (9, 9)).astype(np.uint8)
+        dec = _decode_png(self._palette_png(idx, plte, 2, trns=[0, 255]))
+        assert dec.shape == (9, 9, 4)
+        assert (dec[:, :, 3] == np.where(idx == 0, 0, 255)).all()
+
+    @pytest.mark.parametrize(
+        "shape", [(21, 17, 3), (8, 8, 1), (1, 1, 4), (3, 2, 2), (9, 40, 3)]
+    )
+    def test_adam7_roundtrip(self, shape):
+        from flytemosaic_spark.operators.multimodal import (
+            _decode_png,
+            _encode_png,
+        )
+
+        rng = np.random.default_rng(sum(shape))
+        a = rng.integers(0, 256, shape).astype(np.uint8)
+        assert (_decode_png(_encode_png(a, interlace=True)) == a).all()
+        a16 = rng.integers(0, 65536, shape).astype(np.uint16)
+        assert (_decode_png(_encode_png(a16, interlace=True)) == a16).all()
+
+
+class TestGifTier:
+    def test_gif_frame_stats_operator(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            gif_frame_stats,
+            synthesize_gifs,
+        )
+
+        keys = spark.createDataFrame(
+            [(k,) for k in range(1, 8)], "s_suppkey long"
+        )
+        rows = {
+            r["media_id"]: r
+            for r in gif_frame_stats(synthesize_gifs(keys)).collect()
+        }
+        for k in range(1, 8):
+            n = 2 + k % 7
+            expect = sum(
+                (k * 3 + j * 11) % 256
+                + (k * 5 + j * 13) % 256
+                + (k * 7 + j * 17) % 256
+                for j in range(n)
+            )
+            r = rows[k]
+            assert r["n_frames"] == n
+            assert r["width"] == 20 and r["height"] == 16
+            assert r["sum_rgb"] == expect
