@@ -948,3 +948,124 @@ def gif_frame_stats(gifs: DataFrame) -> DataFrame:
             )
 
     return gifs.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection: dHash + Hamming-band LSH
+# ---------------------------------------------------------------------------
+
+
+def image_dhash(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """64-bit difference hash per image — THE standard perceptual
+    near-dup signature for image curation (robust to small noise,
+    recompression and resizes): decode through the codec seam
+    (PNG/JPEG/GIF/TIFF/fake), grayscale by channel mean,
+    nearest-neighbor resize to 9x8, bit (r*8 + c) = 1 iff
+    gray[r, c] > gray[r, c+1]. Emits (media_id, dhash) — the hash is
+    the signed-int64 view of the 64-bit pattern. Arrow-batched; the
+    payloads never shuffle, only 8-byte hashes leave the task."""
+    schema = "media_id long, dhash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                arr = _decode_payload(bytes(payload)).astype(np.float64)
+                gray = arr.mean(axis=2)
+                h, w = gray.shape
+                yi = (np.arange(8) * h // 8).astype(int)
+                xi = (np.arange(9) * w // 9).astype(int)
+                g = gray[np.ix_(yi, xi)]
+                bits = (g[:, :-1] > g[:, 1:]).reshape(-1)
+                val = 0
+                for i in np.flatnonzero(bits):
+                    val |= 1 << int(i)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out.append((int(mid), val))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.select("media_id", payload_col).mapInPandas(run, schema)
+
+
+def image_neardup_pairs(
+    hashes: DataFrame, threshold: int = 3
+) -> DataFrame:
+    """Near-duplicate image pairs from dHashes via Hamming-band LSH:
+    the 64-bit hash splits into four 16-bit bands; by pigeonhole any
+    pair within Hamming distance 3 shares at least one intact band,
+    so candidates come from four equi-joins (no all-pairs), then the
+    exact ``bit_count(xor) <= threshold`` check confirms. The scale
+    shape of MinHash-LSH (operators/dedup.py) applied to images."""
+    arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("dhash"), 16 * b).bitwiseAND(
+                F.lit(65535)
+            )
+            for b in range(4)
+        ]
+    )
+    banded = hashes.select(
+        F.col("media_id"), F.col("dhash"), F.posexplode(arr).alias(
+            "band", "bucket"
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .where(
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            )
+            <= F.lit(threshold)
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def synthesize_dhash_images(
+    keys: DataFrame, key_col: str = "s_suppkey", groups: int = 25
+) -> DataFrame:
+    """PNG images whose dHash is EXACTLY a designed 64-bit pattern per
+    group g = k % groups: row pixels walk +-12 steps so each adjacent
+    comparison realizes one designed bit with margin 12, and odd keys
+    add +-2 noise the margin provably absorbs — same-group images are
+    near-dups BY CONSTRUCTION, cross-group hashes share no 16-bit band
+    and sit >= 19 bits apart (checked for g < 25 at design time), so
+    the expected pair set is pure arithmetic an SQL oracle replays."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_rows = []
+        for pdf in batches:
+            for k in pdf[key_col]:
+                k = int(k)
+                g = k % groups
+                h = 0
+                for b in range(4):
+                    h |= ((g * 1000003 + b * 7919) % 65536) << (16 * b)
+                img = np.zeros((8, 9), dtype=np.int32)
+                img[:, 0] = 128
+                for r in range(8):
+                    for c in range(8):
+                        bit = (h >> (r * 8 + c)) & 1
+                        img[r, c + 1] = img[r, c] + (-12 if bit else 12)
+                if k % 2:
+                    noise = (
+                        (k * 31 + np.arange(72).reshape(8, 9) * 9) % 5
+                    ) - 2
+                    img = img + noise
+                payload = _encode_png(img.astype(np.uint8)[:, :, None])
+                out_rows.append((k, payload))
+            yield pd.DataFrame(out_rows, columns=["media_id", "payload"])
+            out_rows = []
+
+    n = keys.sparkSession.sparkContext.defaultParallelism
+    return keys.select(key_col).repartition(n, F.col(key_col)).mapInPandas(
+        run, "media_id long, payload binary"
+    )

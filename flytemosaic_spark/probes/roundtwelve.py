@@ -302,3 +302,38 @@ def x224_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
 
     keys = T(spark, sf, "supplier").select("s_suppkey")
     return gif_frame_stats(synthesize_gifs(keys))
+
+
+@probe(
+    "x225_image_neardup",
+    sql="""
+        SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+        FROM supplier a
+        JOIN supplier b
+          ON a.s_suppkey < b.s_suppkey
+         AND a.s_suppkey % 25 = b.s_suppkey % 25
+    """,
+    note="image near-duplicate detection over REAL decoded pixels: "
+    "executors write PNG images whose 64-bit dHash realizes a designed "
+    "per-group pattern (adjacent-pixel margins of 12 provably absorb "
+    "the +-2 noise odd keys add — true near-dups, not byte-dups), "
+    "image_dhash decodes + grayscales + 9x8-resizes + hashes, and "
+    "image_neardup_pairs finds pairs via Hamming-band LSH (four 16-bit "
+    "bands; pigeonhole guarantees hamming<=3 pairs share a band — four "
+    "equi-joins, NO all-pairs) with an exact bit_count(xor) confirm. "
+    "Cross-group hashes share no band and sit >=19 bits apart by "
+    "design check, so the oracle is the pure same-group pair "
+    "arithmetic. The image-curation twin of x2b/x2c text LSH; scales "
+    "like them (bucket joins, 8-byte hashes shuffle, payloads don't).",
+)
+def x225_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        image_dhash,
+        image_neardup_pairs,
+        synthesize_dhash_images,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return image_neardup_pairs(
+        image_dhash(synthesize_dhash_images(keys))
+    )

@@ -710,3 +710,64 @@ class TestGifTier:
             assert r["n_frames"] == n
             assert r["width"] == 20 and r["height"] == 16
             assert r["sum_rgb"] == expect
+
+
+class TestImageNearDup:
+    def test_dhash_invariant_to_jpeg_recompression(self):
+        """The property that makes dHash a NEAR-dup signature: the
+        same designed image through lossy JPEG keeps the exact hash
+        when quantization error stays under the 12-step margins (q100
+        error is <= 2 on this codec; q90's high-frequency error
+        exceeds 12 on a step-every-pixel pattern, so real pipelines
+        pick margins per recompression budget)."""
+        import numpy as np
+
+        from flytemosaic_spark.operators.multimodal import _decode_payload
+        from flytemosaic_spark.sources.jpeg import encode_jpeg
+
+        def dhash(arr):
+            gray = arr.astype(np.float64).mean(axis=2)
+            h, w = gray.shape
+            yi = (np.arange(8) * h // 8).astype(int)
+            xi = (np.arange(9) * w // 9).astype(int)
+            g = gray[np.ix_(yi, xi)]
+            bits = (g[:, :-1] > g[:, 1:]).reshape(-1)
+            return "".join("1" if b else "0" for b in bits)
+
+        h = 0
+        for b in range(4):
+            h |= ((7 * 1000003 + b * 7919) % 65536) << (16 * b)
+        img = np.zeros((8, 9), dtype=np.int32)
+        img[:, 0] = 128
+        for r in range(8):
+            for c in range(8):
+                bit = (h >> (r * 8 + c)) & 1
+                img[r, c + 1] = img[r, c] + (-12 if bit else 12)
+        png_hash = dhash(img.astype(np.uint8)[:, :, None])
+        jpg = encode_jpeg(img.astype(np.uint8)[:, :, None], quality=100)
+        jpg_hash = dhash(_decode_payload(jpg))
+        assert png_hash == jpg_hash
+
+    def test_neardup_pairs_exact(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            image_dhash,
+            image_neardup_pairs,
+            synthesize_dhash_images,
+        )
+
+        keys = spark.createDataFrame(
+            [(k,) for k in range(1, 51)], "s_suppkey long"
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in image_neardup_pairs(
+                image_dhash(synthesize_dhash_images(keys))
+            ).collect()
+        }
+        expect = {
+            (a, b)
+            for a in range(1, 51)
+            for b in range(a + 1, 51)
+            if a % 25 == b % 25
+        }
+        assert got == expect
