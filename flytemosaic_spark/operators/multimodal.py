@@ -1069,3 +1069,53 @@ def synthesize_dhash_images(
     return keys.select(key_col).repartition(n, F.col(key_col)).mapInPandas(
         run, "media_id long, payload binary"
     )
+
+
+def audio_resample_stats(
+    audio: DataFrame, up: int = 3, down: int = 4
+) -> DataFrame:
+    """Linear-interpolation resampling (the resample-to-16k pass every
+    speech pipeline runs) with EXACT cross-engine arithmetic: output
+    sample j sits at input position j*down/up held as the integer pair
+    (j*down // up, j*down % up), so the interpolation weight is ONE
+    division and the value ONE fused multiply-add — the same IEEE tree
+    an SQL oracle replays (the CRS-probe contract applied to DSP).
+    Emits per-clip integer stats of the resampled stream; decode is
+    the audio codec seam (FAKS/WAV/FLAC)."""
+    schema = (
+        "media_id long, n_out long, sum_amp long, min_amp long, "
+        "max_amp long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, samples = _decode_audio(bytes(payload))
+                s = samples.astype(np.float64)
+                n_in = s.size
+                n_out = (n_in * up) // down
+                j = np.arange(n_out, dtype=np.int64)
+                num = j * down
+                nidx = num // up
+                f = (num % up) / float(up)
+                nxt = np.minimum(nidx + 1, n_in - 1)
+                v = s[nidx] + (s[nxt] - s[nidx]) * f
+                r = np.floor(v + 0.5).astype(np.int64)
+                out.append(
+                    (
+                        int(mid),
+                        int(n_out),
+                        int(r.sum()),
+                        int(r.min()) if n_out else 0,
+                        int(r.max()) if n_out else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_out", "sum_amp", "min_amp", "max_amp",
+                ],
+            )
+
+    return audio.select("media_id", "payload").mapInPandas(run, schema)

@@ -337,3 +337,75 @@ def x225_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return image_neardup_pairs(
         image_dhash(synthesize_dhash_images(keys))
     )
+
+
+@probe(
+    "x226_audio_resample",
+    sql="""
+        WITH keys AS (
+            SELECT s_suppkey AS media_id,
+                   512 + (s_suppkey * 13) % 1024 AS n
+            FROM supplier
+        ),
+        idx AS (
+            SELECT media_id, n,
+                   unnest(generate_series(0, n - 1)) AS i
+            FROM keys
+        ),
+        samp AS (
+            SELECT media_id, n, i,
+                   CASE WHEN media_id % 2 = 1
+                        THEN CAST(trunc((
+                               ((media_id*7919 + i*104729) % 4001 - 2000)
+                             + ((media_id*31 + i*7) % 1999 - 999)) / 2.0)
+                             AS BIGINT)
+                        ELSE (media_id*7919 + i*104729) % 4001 - 2000
+                   END AS amp
+            FROM idx
+        ),
+        pos AS (
+            SELECT media_id, n,
+                   unnest(generate_series(0, (n * 3) // 4 - 1)) AS j
+            FROM keys
+        ),
+        ip AS (
+            SELECT media_id, n, j,
+                   (j * 4) // 3 AS nidx,
+                   ((j * 4) % 3) / 3.0 AS f
+            FROM pos
+        ),
+        v AS (
+            SELECT ip.media_id, ip.j,
+                   floor(s0.amp + (s1.amp - s0.amp) * ip.f + 0.5) AS r
+            FROM ip
+            JOIN samp s0
+              ON s0.media_id = ip.media_id AND s0.i = ip.nidx
+            JOIN samp s1
+              ON s1.media_id = ip.media_id
+             AND s1.i = least(ip.nidx + 1, ip.n - 1)
+        )
+        SELECT media_id,
+               count(*) AS n_out,
+               CAST(sum(r) AS BIGINT) AS sum_amp,
+               CAST(min(r) AS BIGINT) AS min_amp,
+               CAST(max(r) AS BIGINT) AS max_amp
+        FROM v
+        GROUP BY media_id
+    """,
+    note="linear-interpolation audio resampling (16 kHz -> 12 kHz, the "
+    "normalize-sample-rate pass every speech pipeline runs) over REAL "
+    "FLAC payloads: output position held as an integer pair (quotient, "
+    "remainder) so the interpolation weight is one division and the "
+    "value one multiply-add — the CRS shared-IEEE-tree contract "
+    "applied to DSP; the oracle replays decode arithmetic AND the "
+    "resample, exact at the integer grain after floor(x+0.5). "
+    "Payloads never shuffle; output is metadata-scale.",
+)
+def x226_audio_resample(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        audio_resample_stats,
+        synthesize_flac_audio,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return audio_resample_stats(synthesize_flac_audio(keys), up=3, down=4)

@@ -771,3 +771,66 @@ class TestImageNearDup:
             if a % 25 == b % 25
         }
         assert got == expect
+
+
+class TestAudioResample:
+    def test_identity_ratio_preserves_stream(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            audio_resample_stats,
+            synthesize_flac_audio,
+        )
+
+        keys = spark.createDataFrame([(2,), (3,)], "s_suppkey long")
+        rows = {
+            r["media_id"]: r
+            for r in audio_resample_stats(
+                synthesize_flac_audio(keys), up=1, down=1
+            ).collect()
+        }
+        for k in (2, 3):
+            n = 512 + (k * 13) % 1024
+            i = np.arange(n, dtype=np.int64)
+            s = (k * 7919 + i * 104729) % 4001 - 2000
+            if k % 2:
+                t = (k * 31 + i * 7) % 1999 - 999
+                s = (
+                    np.stack([s, t], 1).astype(np.float64)
+                    .mean(axis=1).astype(np.int16).astype(np.int64)
+                )
+            assert rows[k]["n_out"] == n
+            assert rows[k]["sum_amp"] == int(s.sum())
+
+    def test_matches_np_interp(self, spark):
+        """Independent cross-check: the rational-position path agrees
+        with np.interp to within the rounding boundary."""
+        import wave as _wave
+        import io
+
+        from flytemosaic_spark.operators.multimodal import (
+            audio_resample_stats,
+        )
+
+        rng = np.random.default_rng(0)
+        pcm = rng.integers(-3000, 3000, 1001).astype(np.int16)
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()))],
+            "media_id long, payload binary",
+        )
+        row = audio_resample_stats(df, up=3, down=4).collect()[0]
+        n_out = (1001 * 3) // 4
+        j = np.arange(n_out)
+        ref = np.floor(
+            np.interp(j * 4 / 3, np.arange(1001), pcm.astype(float))
+            + 0.5
+        ).astype(np.int64)
+        assert row["n_out"] == n_out
+        assert abs(row["sum_amp"] - int(ref.sum())) <= n_out  # ulp-safe
+        # exact agreement on min/max within 1
+        assert abs(row["min_amp"] - int(ref.min())) <= 1
+        assert abs(row["max_amp"] - int(ref.max())) <= 1
