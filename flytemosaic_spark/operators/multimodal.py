@@ -246,6 +246,70 @@ def _encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     )
 
 
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL BMP decoder (BITMAPINFOHEADER subset): uncompressed 8-bit
+    palette / 24-bit BGR / 32-bit BGRA, bottom-up or top-down rows,
+    4-byte row padding. The bitmap case web scrapes still produce;
+    anything else (RLE, bitfields, OS/2 headers) raises named."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (8, 24, 32):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression} "
+            "(uncompressed 8/24/32-bit supported)"
+        )
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    stride = (w * (bpp // 8) + 3) & ~3
+    rows = np.frombuffer(
+        payload, np.uint8, stride * h, data_off
+    ).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        (n_colors,) = struct.unpack_from("<I", payload, 46)
+        n_colors = n_colors or 256
+        pal = np.frombuffer(
+            payload, np.uint8, 4 * n_colors, 14 + hdr_size
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRx -> RGB
+        return pal[rows[:, :w]]
+    px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
+    if bpp == 24:
+        return px[:, :, ::-1].copy()  # BGR -> RGB
+    bgra = px
+    out = np.empty((h, w, 4), np.uint8)
+    out[:, :, 0] = bgra[:, :, 2]
+    out[:, :, 1] = bgra[:, :, 1]
+    out[:, :, 2] = bgra[:, :, 0]
+    out[:, :, 3] = bgra[:, :, 3]
+    return out
+
+
+def _encode_bmp(arr: np.ndarray) -> bytes:
+    """Minimal 24-bit bottom-up BMP writer (the decoder's oracle)."""
+    h, w, ch = arr.shape
+    if ch != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_bmp wants uint8 (H, W, 3)")
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = arr[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\0" * (stride - len(row))
+    hdr = b"BM" + struct.pack(
+        "<IHHI", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return hdr + bytes(body)
+
+
 def _decode_payload(payload: bytes) -> np.ndarray:
     """THE CODEC SEAM — now three tiers:
 
@@ -292,6 +356,8 @@ def _decode_payload(payload: bytes) -> np.ndarray:
 
         frames, _ = decode_gif(payload)
         return frames[0]  # first frame RGBA; frame_sample uses the rest
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
         "codec not available: payload is not the FAKE container, PNG, "
         "JPEG, or TIFF/GeoTIFF; MP4/... need ffmpeg at this seam"
@@ -1119,3 +1185,102 @@ def audio_resample_stats(
             )
 
     return audio.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Subtitle (SRT) text tracks — the caption scan of video curation
+# ---------------------------------------------------------------------------
+
+
+def _parse_srt(text: str) -> list[tuple[int, int, str]]:
+    """Parse SubRip: blocks of 'index / HH:MM:SS,mmm --> HH:MM:SS,mmm /
+    text...' separated by blank lines -> [(start_ms, end_ms, text)].
+    Tolerates CRLF and stray blank lines; malformed time lines raise."""
+    cues = []
+    for block in text.replace("\r\n", "\n").split("\n\n"):
+        lines = [ln for ln in block.split("\n") if ln.strip()]
+        if len(lines) < 2:
+            continue
+        # lines[0] is the numeric index; the time line is next
+        tl = lines[1] if "-->" in lines[1] else lines[0]
+        if "-->" not in tl:
+            raise ValueError("SRT block has no time line")
+        a, b = [p.strip() for p in tl.split("-->")]
+
+        def ms(ts: str) -> int:
+            hh, mm, rest = ts.split(":")
+            ss, mmm = rest.split(",")
+            return (
+                int(hh) * 3600000 + int(mm) * 60000
+                + int(ss) * 1000 + int(mmm)
+            )
+
+        body = "\n".join(lines[2:]) if "-->" in lines[1] else "\n".join(
+            lines[1:]
+        )
+        cues.append((ms(a), ms(b), body))
+    return cues
+
+
+def _format_srt_ts(t: int) -> str:
+    hh, t = divmod(t, 3600000)
+    mm, t = divmod(t, 60000)
+    ss, mmm = divmod(t, 1000)
+    return f"{hh:02d}:{mm:02d}:{ss:02d},{mmm:03d}"
+
+
+def synthesize_srt(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
+    """Real SubRip payloads with key-derived cue timings and text
+    lengths (cue j of doc k: start j*2000 + (k*37)%1000 ms, duration
+    500 + (k*13 + j*29)%1500 ms, text 'a' * (5 + (k*11 + j*3)%40)) —
+    an SQL oracle recomputes the parsed totals exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                blocks = []
+                for j in range(2 + k % 9):
+                    start = j * 2000 + (k * 37) % 1000
+                    end = start + 500 + (k * 13 + j * 29) % 1500
+                    text = "a" * (5 + (k * 11 + j * 3) % 40)
+                    blocks.append(
+                        f"{j + 1}\n{_format_srt_ts(start)} --> "
+                        f"{_format_srt_ts(end)}\n{text}"
+                    )
+                out.append((k, "\n\n".join(blocks).encode("utf-8")))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return keys.select(key_col).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def subtitle_stats(subs: DataFrame) -> DataFrame:
+    """Parse each SRT payload and emit exact cue statistics — the
+    caption-track pre-filter of a video curation pipeline (drop clips
+    with no/too-sparse captions, compute speech density)."""
+    schema = (
+        "media_id long, n_cues long, total_ms long, total_chars long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                cues = _parse_srt(bytes(payload).decode("utf-8"))
+                out.append(
+                    (
+                        int(mid),
+                        len(cues),
+                        sum(e - s for s, e, _ in cues),
+                        sum(len(t) for _, _, t in cues),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_cues", "total_ms", "total_chars"],
+            )
+
+    return subs.select("media_id", "payload").mapInPandas(run, schema)

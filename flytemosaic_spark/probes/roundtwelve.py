@@ -409,3 +409,41 @@ def x226_audio_resample(spark: SparkSession, sf: str) -> DataFrame:
 
     keys = T(spark, sf, "supplier").select("s_suppkey")
     return audio_resample_stats(synthesize_flac_audio(keys), up=3, down=4)
+
+
+@probe(
+    "x227_subtitles",
+    sql="""
+        WITH keys AS (
+            SELECT s_suppkey AS media_id,
+                   2 + s_suppkey % 9 AS n
+            FROM supplier
+        ),
+        cues AS (
+            SELECT media_id, n,
+                   unnest(generate_series(0, n - 1)) AS j
+            FROM keys
+        )
+        SELECT media_id,
+               count(*) AS n_cues,
+               sum(500 + (media_id * 13 + j * 29) % 1500) AS total_ms,
+               sum(5 + (media_id * 11 + j * 3) % 40) AS total_chars
+        FROM cues
+        GROUP BY media_id
+    """,
+    note="SubRip (SRT) caption-track scan — the speech-density "
+    "pre-filter of a video curation pipeline: executors write real "
+    "SRT payloads with key-derived cue timings (HH:MM:SS,mmm "
+    "formatting round-trips through the parser) and subtitle_stats "
+    "recovers per-clip cue counts, spoken milliseconds and text "
+    "volume; the oracle recomputes all three from the generating "
+    "arithmetic. Payloads never shuffle; output is metadata-scale.",
+)
+def x227_subtitles(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        subtitle_stats,
+        synthesize_srt,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return subtitle_stats(synthesize_srt(keys))

@@ -834,3 +834,100 @@ class TestAudioResample:
         # exact agreement on min/max within 1
         assert abs(row["min_amp"] - int(ref.min())) <= 1
         assert abs(row["max_amp"] - int(ref.max())) <= 1
+
+
+class TestBmp:
+    def test_24bit_roundtrip_and_padding(self):
+        from flytemosaic_spark.operators.multimodal import (
+            _decode_payload,
+            _encode_bmp,
+        )
+
+        rng = np.random.default_rng(0)
+        for shape in [(23, 31, 3), (5, 7, 3), (1, 1, 3)]:
+            a = rng.integers(0, 256, shape).astype(np.uint8)
+            assert (_decode_payload(_encode_bmp(a)) == a).all(), shape
+
+    def test_8bit_palette_topdown_and_32bit(self):
+        import struct
+
+        from flytemosaic_spark.operators.multimodal import _decode_bmp
+
+        rng = np.random.default_rng(1)
+        pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+        idx = rng.integers(0, 16, (6, 10)).astype(np.uint8)
+        stride = (10 + 3) & ~3
+        body = b"".join(
+            idx[y].tobytes() + b"\0" * (stride - 10) for y in range(6)
+        )
+        pal_bgra = b"".join(
+            bytes([c[2], c[1], c[0], 0]) for c in pal
+        )
+        hdr = b"BM" + struct.pack("<IHHI", 54 + 64 + len(body), 0, 0, 54 + 64)
+        hdr += struct.pack(
+            "<IiiHHIIiiII", 40, 10, -6, 1, 8, 0, len(body), 0, 0, 16, 0
+        )
+        assert (_decode_bmp(hdr + pal_bgra + body) == pal[idx]).all()
+        a4 = rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)
+        body = b"".join(
+            a4[y][:, [2, 1, 0, 3]].tobytes() for y in range(3, -1, -1)
+        )
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        hdr += struct.pack(
+            "<IiiHHIIiiII", 40, 4, 4, 1, 32, 0, len(body), 0, 0, 0, 0
+        )
+        assert (_decode_bmp(hdr + body) == a4).all()
+
+    def test_rle_rejected(self):
+        import struct
+
+        from flytemosaic_spark.operators.multimodal import _decode_bmp
+
+        hdr = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        hdr += struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 1, 0, 0, 0, 0, 0)
+        with pytest.raises(NotImplementedError, match="compression=1"):
+            _decode_bmp(hdr)
+
+
+class TestSubtitles:
+    def test_srt_parser_roundtrip(self):
+        from flytemosaic_spark.operators.multimodal import (
+            _format_srt_ts,
+            _parse_srt,
+        )
+
+        srt = (
+            "1\n00:00:01,000 --> 00:00:04,500\nHello world\n\n"
+            "2\n00:01:00,250 --> 01:02:03,999\nSecond cue\nwith two lines\n"
+        )
+        cues = _parse_srt(srt)
+        assert cues[0] == (1000, 4500, "Hello world")
+        assert cues[1][0] == 60250
+        assert cues[1][1] == 3723999
+        assert cues[1][2] == "Second cue\nwith two lines"
+        assert _format_srt_ts(3723999) == "01:02:03,999"
+        # CRLF + trailing blank lines tolerated
+        assert len(_parse_srt(srt.replace("\n", "\r\n") + "\r\n\r\n")) == 2
+
+    def test_subtitle_stats_operator(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            subtitle_stats,
+            synthesize_srt,
+        )
+
+        keys = spark.createDataFrame(
+            [(k,) for k in range(1, 6)], "s_suppkey long"
+        )
+        rows = {
+            r["media_id"]: r
+            for r in subtitle_stats(synthesize_srt(keys)).collect()
+        }
+        for k in range(1, 6):
+            n = 2 + k % 9
+            assert rows[k]["n_cues"] == n
+            assert rows[k]["total_ms"] == sum(
+                500 + (k * 13 + j * 29) % 1500 for j in range(n)
+            )
+            assert rows[k]["total_chars"] == sum(
+                5 + (k * 11 + j * 3) % 40 for j in range(n)
+            )
