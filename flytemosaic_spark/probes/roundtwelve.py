@@ -447,3 +447,26 @@ def x227_subtitles(spark: SparkSession, sf: str) -> DataFrame:
 
     keys = T(spark, sf, "supplier").select("s_suppkey")
     return subtitle_stats(synthesize_srt(keys))
+
+
+@probe(
+    "x228_audio_logmel",
+    sql=None,  # FFT is not SQL-expressible; physics tests verify
+    note="log-mel feature extraction over REAL FLAC payloads — the "
+    "front end of every speech model (Hann window, framed rfft, "
+    "power spectrum, triangular HTK mel filterbank, log energies), "
+    "vectorized numpy per clip. No DuckDB oracle (no FFT in SQL); "
+    "the driver records the rows-only check and the PHYSICS tests "
+    "carry correctness: pure tones land in the predicted mel band, "
+    "the filterbank partitions increasing centers, frame counts are "
+    "arithmetic (test_multimodal.py::TestLogMel). Per-clip parallel; "
+    "payloads never shuffle; output is metadata-scale.",
+)
+def x228_audio_logmel(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        audio_logmel_stats,
+        synthesize_flac_audio,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return audio_logmel_stats(synthesize_flac_audio(keys))

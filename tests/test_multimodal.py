@@ -931,3 +931,70 @@ class TestSubtitles:
             assert rows[k]["total_chars"] == sum(
                 5 + (k * 11 + j * 3) % 40 for j in range(n)
             )
+
+
+class TestLogMel:
+    def test_pure_tones_land_in_predicted_band(self, spark):
+        """Physics oracle: a pure sine at f concentrates its energy in
+        the mel band whose triangle contains f."""
+        import io
+        import wave as _wave
+
+        from flytemosaic_spark.operators.multimodal import (
+            _mel_filterbank,
+            audio_logmel_stats,
+        )
+
+        rate, n_fft, n_mels = 16000, 256, 16
+        fb = _mel_filterbank(n_mels, n_fft, rate)
+        rows_in = []
+        expected = {}
+        for i, f in enumerate([300.0, 1000.0, 3000.0, 6000.0]):
+            t = np.arange(16000) / rate
+            pcm = (8000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+            buf = io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(pcm.tobytes())
+            rows_in.append((i, bytearray(buf.getvalue())))
+            k = f * n_fft / rate  # fft bin of the tone
+            weights = fb[:, int(round(k))]
+            expected[i] = int(weights.argmax())
+        df = spark.createDataFrame(
+            rows_in, "media_id long, payload binary"
+        )
+        got = {
+            r["media_id"]: r["dominant_mel"]
+            for r in audio_logmel_stats(df).collect()
+        }
+        assert got == expected
+
+    def test_filterbank_shape_and_partition(self):
+        from flytemosaic_spark.operators.multimodal import _mel_filterbank
+
+        fb = _mel_filterbank(16, 256, 16000)
+        assert fb.shape == (16, 129)
+        assert (fb >= 0).all() and fb.max() <= 1.0
+        # every filter has support, centers are increasing
+        assert (fb.sum(axis=1) > 0).all()
+        centers = fb.argmax(axis=1)
+        assert (np.diff(centers) > 0).all()
+
+    def test_frame_count_arithmetic(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            audio_logmel_stats,
+            synthesize_flac_audio,
+        )
+
+        keys = spark.createDataFrame([(2,), (5,)], "s_suppkey long")
+        rows = {
+            r["media_id"]: r
+            for r in audio_logmel_stats(
+                synthesize_flac_audio(keys)
+            ).collect()
+        }
+        for k in (2, 5):
+            n = 512 + (k * 13) % 1024
+            assert rows[k]["n_frames"] == 1 + (n - 256) // 128
