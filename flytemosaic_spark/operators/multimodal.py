@@ -1379,3 +1379,72 @@ def audio_logmel_stats(
             )
 
     return audio.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def synthesize_mp3(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
+    """Structurally valid CBR MP3 shells with key-derived frame plans
+    (bitrate index 1 + k%14, sample-rate index k%3, 20 + k%50 frames,
+    (k*7)%200 bytes of ID3v2 padding) — the header-walk parser's
+    fixtures; an SQL oracle recomputes every reported field."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.mp3 import encode_mp3_shell
+
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                out.append(
+                    (
+                        k,
+                        encode_mp3_shell(
+                            20 + k % 50,
+                            bitrate_idx=1 + k % 14,
+                            rate_idx=k % 3,
+                            mode=k % 4,
+                            id3_padding=(k * 7) % 200,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return keys.select(key_col).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def mp3_metadata(audios: DataFrame) -> DataFrame:
+    """The MP3 ffprobe pass: walk every frame header (sources/mp3.py)
+    and emit duration/bitrate/sample-rate per clip — what an audio
+    curation pipeline filters on BEFORE any bitstream decode (which
+    stays at the documented ffmpeg seam)."""
+    schema = (
+        "media_id long, sample_rate long, n_frames long, "
+        "duration_ms long, mean_bitrate_kbps long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.mp3 import parse_mp3
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                m = parse_mp3(bytes(payload))
+                out.append(
+                    (
+                        int(mid),
+                        m["sample_rate"],
+                        m["n_frames"],
+                        m["duration_ms"],
+                        m["mean_bitrate_kbps"],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_frames",
+                    "duration_ms", "mean_bitrate_kbps",
+                ],
+            )
+
+    return audios.select("media_id", "payload").mapInPandas(run, schema)

@@ -470,3 +470,46 @@ def x228_audio_logmel(spark: SparkSession, sf: str) -> DataFrame:
 
     keys = T(spark, sf, "supplier").select("s_suppkey")
     return audio_logmel_stats(synthesize_flac_audio(keys))
+
+
+@probe(
+    "x229_mp3_metadata",
+    sql="""
+        WITH keys AS (
+            SELECT s_suppkey AS media_id,
+                   20 + s_suppkey % 50 AS n,
+                   list_extract(
+                       [32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                        192, 224, 256, 320],
+                       1 + s_suppkey % 14
+                   ) AS kbps,
+                   list_extract(
+                       [44100, 48000, 32000], 1 + s_suppkey % 3
+                   ) AS rate
+            FROM supplier
+        )
+        SELECT media_id,
+               rate AS sample_rate,
+               n AS n_frames,
+               (n * 1152 * 1000) // rate AS duration_ms,
+               kbps AS mean_bitrate_kbps
+        FROM keys
+    """,
+    note="MP3 metadata scan — the ffprobe pass audio curation filters "
+    "on before any decode: executors write structurally valid CBR "
+    "MPEG-1 Layer III streams (real 4-byte frame headers, the Layer "
+    "III 144*bitrate/rate+padding length law, ID3v2 syncsafe "
+    "preludes) and mp3_metadata WALKS every frame header to recover "
+    "sample rate, frame count, exact sample-derived duration and the "
+    "per-frame bitrate mean; the oracle recomputes all of it. The "
+    "Huffman/IMDCT bitstream decode stays at the named ffmpeg seam "
+    "(sources/mp3.py explains why). Payloads never shuffle.",
+)
+def x229_mp3_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        mp3_metadata,
+        synthesize_mp3,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return mp3_metadata(synthesize_mp3(keys))

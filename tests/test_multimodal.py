@@ -998,3 +998,62 @@ class TestLogMel:
         for k in (2, 5):
             n = 512 + (k * 13) % 1024
             assert rows[k]["n_frames"] == 1 + (n - 256) // 128
+
+
+class TestMp3Metadata:
+    def test_header_walk_matrix(self):
+        from flytemosaic_spark.sources.mp3 import (
+            _BITRATES,
+            encode_mp3_shell,
+            parse_mp3,
+        )
+
+        for bi in (1, 9, 14):
+            for ri in range(3):
+                m = parse_mp3(
+                    encode_mp3_shell(
+                        37, bitrate_idx=bi, rate_idx=ri, id3_padding=100
+                    )
+                )
+                assert m["n_frames"] == 37
+                assert m["mean_bitrate_kbps"] == _BITRATES[bi]
+                assert m["id3_bytes"] == 110
+                assert (
+                    m["duration_ms"]
+                    == 37 * 1152 * 1000 // m["sample_rate"]
+                )
+
+    def test_honesty_gates(self):
+        from flytemosaic_spark.sources.mp3 import encode_mp3_shell, parse_mp3
+
+        with pytest.raises(ValueError, match="sync"):
+            parse_mp3(b"\x12\x34" * 100)
+        # truncated final frame
+        good = encode_mp3_shell(3)
+        with pytest.raises(ValueError, match="truncated"):
+            parse_mp3(good[:-10])
+        # MPEG-2 version bits rejected honestly
+        bad = bytearray(good)
+        bad[1] = 0xF3  # version 10 (MPEG-2)
+        with pytest.raises(ValueError, match="MPEG-1"):
+            parse_mp3(bytes(bad))
+
+    def test_operator(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            mp3_metadata,
+            synthesize_mp3,
+        )
+        from flytemosaic_spark.sources.mp3 import _BITRATES, _RATES
+
+        keys = spark.createDataFrame(
+            [(k,) for k in range(1, 7)], "s_suppkey long"
+        )
+        rows = {
+            r["media_id"]: r
+            for r in mp3_metadata(synthesize_mp3(keys)).collect()
+        }
+        for k in range(1, 7):
+            n = 20 + k % 50
+            assert rows[k]["n_frames"] == n
+            assert rows[k]["sample_rate"] == _RATES[k % 3]
+            assert rows[k]["mean_bitrate_kbps"] == _BITRATES[1 + k % 14]
