@@ -1448,3 +1448,86 @@ def mp3_metadata(audios: DataFrame) -> DataFrame:
             )
 
     return audios.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def synthesize_exif_jpegs(
+    keys: DataFrame, key_col: str = "s_suppkey"
+) -> DataFrame:
+    """Real JPEGs with key-derived EXIF APP1 segments (orientation
+    1 + k%8, ISO 100 + (k*7)%700, capture day 1 + k%28) — fixtures
+    for the EXIF scan; the SQL oracle recomputes every field."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.exif import (
+            build_exif_app1,
+            inject_app1,
+        )
+        from flytemosaic_spark.sources.jpeg import encode_jpeg
+
+        base = encode_jpeg(np.full((16, 24, 1), 100, np.uint8), quality=90)
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                app1 = build_exif_app1(
+                    make="cam" + str(k % 5),
+                    model="m",
+                    orientation=1 + k % 8,
+                    datetime=f"2024:01:{1 + k % 28:02d} 00:00:00",
+                    exposure=(1, 125),
+                    iso=100 + (k * 7) % 700,
+                    pixel_x=24,
+                    pixel_y=16,
+                )
+                out.append((k, inject_app1(base, app1)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return keys.select(key_col).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def exif_scan(media: DataFrame) -> DataFrame:
+    """The EXIF curation pass: parse the APP1 TIFF stream, decode the
+    pixels, APPLY the orientation transform (a phone photo with
+    orientation 6 otherwise trains sideways), and emit the upright
+    dimensions plus the filter fields (camera, ISO, capture time)."""
+    schema = (
+        "media_id long, make string, orientation long, iso long, "
+        "capture_dt string, upright_w long, upright_h long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.exif import (
+            apply_orientation,
+            parse_exif,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                meta = parse_exif(data)
+                arr = apply_orientation(
+                    _decode_payload(data), meta["orientation"]
+                )
+                out.append(
+                    (
+                        int(mid),
+                        meta["make"],
+                        meta["orientation"],
+                        meta["iso"],
+                        meta["datetime"],
+                        arr.shape[1],
+                        arr.shape[0],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "make", "orientation", "iso",
+                    "capture_dt", "upright_w", "upright_h",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)

@@ -513,3 +513,39 @@ def x229_mp3_metadata(spark: SparkSession, sf: str) -> DataFrame:
 
     keys = T(spark, sf, "supplier").select("s_suppkey")
     return mp3_metadata(synthesize_mp3(keys))
+
+
+@probe(
+    "x230_exif_scan",
+    sql="""
+        SELECT s_suppkey AS media_id,
+               'cam' || CAST(s_suppkey % 5 AS VARCHAR) AS make,
+               1 + s_suppkey % 8 AS orientation,
+               100 + (s_suppkey * 7) % 700 AS iso,
+               '2024:01:'
+                   || lpad(CAST(1 + s_suppkey % 28 AS VARCHAR), 2, '0')
+                   || ' 00:00:00' AS capture_dt,
+               CASE WHEN 1 + s_suppkey % 8 >= 5 THEN 16 ELSE 24 END
+                   AS upright_w,
+               CASE WHEN 1 + s_suppkey % 8 >= 5 THEN 24 ELSE 16 END
+                   AS upright_h
+        FROM supplier
+    """,
+    note="EXIF curation scan (sources/exif.py): executors inject real "
+    "little-endian APP1 TIFF streams (IFD0 + Exif sub-IFD via the "
+    "pointer tag) into real JPEGs; exif_scan walks JPEG markers, "
+    "parses the IFDs with the SAME both-byte-order reader the GeoTIFF "
+    "codec uses, decodes the pixels and APPLIES the 8 orientation "
+    "transforms — upright dimensions prove the rotation actually ran "
+    "(orientations 5-8 swap axes). Every field recomputed by the "
+    "oracle. The pass every photo-corpus pipeline needs or it trains "
+    "on sideways images; payloads never shuffle.",
+)
+def x230_exif_scan(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        exif_scan,
+        synthesize_exif_jpegs,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return exif_scan(synthesize_exif_jpegs(keys))

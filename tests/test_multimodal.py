@@ -1057,3 +1057,75 @@ class TestMp3Metadata:
             assert rows[k]["n_frames"] == n
             assert rows[k]["sample_rate"] == _RATES[k % 3]
             assert rows[k]["mean_bitrate_kbps"] == _BITRATES[1 + k % 14]
+
+
+class TestExif:
+    def test_roundtrip_all_orientations(self):
+        from flytemosaic_spark.sources.exif import (
+            build_exif_app1,
+            inject_app1,
+            parse_exif,
+        )
+        from flytemosaic_spark.sources.jpeg import encode_jpeg
+
+        base = encode_jpeg(np.full((16, 24, 1), 100, np.uint8))
+        for o in range(1, 9):
+            j = inject_app1(
+                base,
+                build_exif_app1(
+                    make=f"Maker{o}", orientation=o,
+                    exposure=(1, 250), iso=200 + o,
+                    pixel_x=24, pixel_y=16,
+                ),
+            )
+            m = parse_exif(j)
+            assert m["make"] == f"Maker{o}"
+            assert m["orientation"] == o
+            assert abs(m["exposure_s"] - 1 / 250) < 1e-12
+            assert m["iso"] == 200 + o
+            assert (m["pixel_x"], m["pixel_y"]) == (24, 16)
+
+    def test_orientation_transforms_move_the_marked_corner(self):
+        from flytemosaic_spark.sources.exif import apply_orientation
+
+        m = np.zeros((2, 3, 1), np.uint8)
+        m[0, 0] = 9  # top-left marker
+        # (orientation, expected marker position, expected shape)
+        cases = {
+            1: ((0, 0), (2, 3)), 2: ((0, 2), (2, 3)),
+            3: ((1, 2), (2, 3)), 4: ((1, 0), (2, 3)),
+            5: ((0, 0), (3, 2)), 6: ((0, 1), (3, 2)),
+            7: ((2, 1), (3, 2)), 8: ((2, 0), (3, 2)),
+        }
+        for o, ((y, x), shape) in cases.items():
+            r = apply_orientation(m, o)
+            assert r.shape[:2] == shape, o
+            assert r[y, x, 0] == 9, o
+
+    def test_missing_app1_raises(self):
+        from flytemosaic_spark.sources.exif import parse_exif
+        from flytemosaic_spark.sources.jpeg import encode_jpeg
+
+        with pytest.raises(ValueError, match="no Exif"):
+            parse_exif(encode_jpeg(np.zeros((8, 8, 1), np.uint8)))
+
+    def test_scan_operator(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            exif_scan,
+            synthesize_exif_jpegs,
+        )
+
+        keys = spark.createDataFrame(
+            [(k,) for k in range(1, 10)], "s_suppkey long"
+        )
+        rows = {
+            r["media_id"]: r
+            for r in exif_scan(synthesize_exif_jpegs(keys)).collect()
+        }
+        for k in range(1, 10):
+            o = 1 + k % 8
+            r = rows[k]
+            assert r["orientation"] == o
+            assert (r["upright_w"], r["upright_h"]) == (
+                (16, 24) if o >= 5 else (24, 16)
+            )
