@@ -32,6 +32,7 @@ NO_ORACLE_OK = {
     "x15c_mosaic_geotiff_lifecycle",
     "x23_kmeans_clusters",
     "x147_audio_vad",
+    "x228_audio_logmel",  # FFT is not SQL-expressible; physics tests
 }
 
 
