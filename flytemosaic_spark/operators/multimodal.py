@@ -1531,3 +1531,151 @@ def exif_scan(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Corpus containers: WARC (Common Crawl) + WebDataset tar shards
+# ---------------------------------------------------------------------------
+
+
+def synthesize_warc(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
+    """Real WARC files (warcinfo + HTTP response records) with
+    key-derived pages; odd keys use the Common Crawl per-record-gzip
+    layout, even keys plain bytes — both read paths exercised."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.warc import write_warc
+
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                pages = [
+                    (
+                        f"https://s{k % 7}.example/p{i}",
+                        200 if (k + i) % 5 else 404,
+                        b"a" * (20 + (k * 13 + i * 17) % 300),
+                    )
+                    for i in range(3 + k % 8)
+                ]
+                out.append(
+                    (k, write_warc(pages, per_record_gzip=bool(k % 2)))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return keys.select(key_col).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def warc_page_stats(warcs: DataFrame) -> DataFrame:
+    """The crawl-ingest scan: parse every WARC record, split HTTP
+    responses, and emit per-file page statistics (response count, 200
+    count, body volume) — the first pass of a Common-Crawl-shaped
+    curation pipeline. One shard per task; records never shuffle."""
+    schema = (
+        "media_id long, n_responses long, n_ok long, total_body_bytes long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.warc import (
+            parse_warc,
+            split_http_response,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_resp = n_ok = total = 0
+                for rec in parse_warc(bytes(payload)):
+                    if rec["type"] != "response":
+                        continue
+                    status, _, body = split_http_response(rec["content"])
+                    n_resp += 1
+                    n_ok += status == 200
+                    total += len(body)
+                out.append((int(mid), n_resp, n_ok, total))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_responses", "n_ok", "total_body_bytes",
+                ],
+            )
+
+    return warcs.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def synthesize_webdataset(
+    keys: DataFrame, key_col: str = "s_suppkey"
+) -> DataFrame:
+    """Real WebDataset tar shards: shard k holds 2 + k%5 samples, each
+    a {cls, txt, png} triplet with key-derived content (the png is a
+    REAL solid-gray PNG so decoded means are exact)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.webdataset import write_shard
+
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                samples = []
+                for i in range(2 + k % 5):
+                    png = _encode_png(
+                        np.full(
+                            (8, 8, 1), (k * 5 + i * 11) % 256, np.uint8
+                        )
+                    )
+                    samples.append(
+                        (
+                            f"{i:06d}",
+                            {
+                                "cls": str((k * 3 + i) % 10).encode(),
+                                "txt": b"a" * (5 + (k + i * 7) % 50),
+                                "png": png,
+                            },
+                        )
+                    )
+                out.append((k, write_shard(samples)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return keys.select(key_col).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def webdataset_sample_stats(shards: DataFrame) -> DataFrame:
+    """EXPLODE tar shards into one row per training sample — the
+    WebDataset access pattern: group members by key prefix, decode the
+    image part through the codec seam, read labels and text lengths.
+    Shard bytes stay in their task; only typed sample rows leave."""
+    schema = (
+        "media_id long, sample_idx long, cls long, txt_len long, "
+        "mean_px long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.webdataset import parse_shard
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for s in parse_shard(bytes(payload)):
+                    img = _decode_payload(s["parts"]["png"])
+                    out.append(
+                        (
+                            int(mid),
+                            int(s["key"]),
+                            int(s["parts"]["cls"].decode()),
+                            len(s["parts"]["txt"]),
+                            int(img.astype(np.float64).mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_idx", "cls", "txt_len", "mean_px",
+                ],
+            )
+
+    return shards.select("media_id", "payload").mapInPandas(run, schema)

@@ -549,3 +549,81 @@ def x230_exif_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     keys = T(spark, sf, "supplier").select("s_suppkey")
     return exif_scan(synthesize_exif_jpegs(keys))
+
+
+@probe(
+    "x231_warc_scan",
+    sql="""
+        WITH keys AS (
+            SELECT s_suppkey AS media_id, 3 + s_suppkey % 8 AS n
+            FROM supplier
+        ),
+        pages AS (
+            SELECT media_id, n,
+                   unnest(generate_series(0, n - 1)) AS i
+            FROM keys
+        )
+        SELECT media_id,
+               count(*) AS n_responses,
+               sum(CASE WHEN (media_id + i) % 5 <> 0 THEN 1 ELSE 0 END)
+                   AS n_ok,
+               sum(20 + (media_id * 13 + i * 17) % 300)
+                   AS total_body_bytes
+        FROM pages
+        GROUP BY media_id
+    """,
+    note="WARC ingest scan (sources/warc.py) — THE Common Crawl "
+    "container: executors write real WARC files (warcinfo + HTTP "
+    "response records, odd keys in the per-record-gzip member layout, "
+    "even keys plain) and warc_page_stats parses version lines, "
+    "Content-Length-delimited records and HTTP status/headers/body "
+    "splits; the oracle recomputes page counts, 200-rates and body "
+    "volume from the generating arithmetic. One shard per task, "
+    "records never shuffle — the first pass of a crawl curation "
+    "pipeline.",
+)
+def x231_warc_scan(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        synthesize_warc,
+        warc_page_stats,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return warc_page_stats(synthesize_warc(keys))
+
+
+@probe(
+    "x232_webdataset",
+    sql="""
+        WITH keys AS (
+            SELECT s_suppkey AS media_id, 2 + s_suppkey % 5 AS n
+            FROM supplier
+        ),
+        s AS (
+            SELECT media_id, unnest(generate_series(0, n - 1)) AS i
+            FROM keys
+        )
+        SELECT media_id,
+               i AS sample_idx,
+               (media_id * 3 + i) % 10 AS cls,
+               5 + (media_id + i * 7) % 50 AS txt_len,
+               (media_id * 5 + i * 11) % 256 AS mean_px
+        FROM s
+    """,
+    note="WebDataset tar-shard explode (sources/webdataset.py) — the "
+    "standard multimodal training layout (key-grouped {cls, txt, png} "
+    "members per sample): executors write real tar shards with REAL "
+    "PNG image parts, webdataset_sample_stats groups members by key "
+    "prefix, decodes the image through the codec seam and emits ONE "
+    "ROW PER SAMPLE; the oracle recomputes labels, text lengths and "
+    "decoded pixel means. Shard bytes stay in their task — the "
+    "indexing pass a shard-streamed training corpus needs.",
+)
+def x232_webdataset(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        synthesize_webdataset,
+        webdataset_sample_stats,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return webdataset_sample_stats(synthesize_webdataset(keys))

@@ -1129,3 +1129,106 @@ class TestExif:
             assert (r["upright_w"], r["upright_h"]) == (
                 (16, 24) if o >= 5 else (24, 16)
             )
+
+
+class TestWarc:
+    def test_roundtrip_both_layouts(self):
+        from flytemosaic_spark.sources.warc import (
+            parse_warc,
+            split_http_response,
+            write_warc,
+        )
+
+        pages = [
+            (f"https://example.org/p{i}", 200 if i % 3 else 404,
+             b"x" * (10 + i * 7))
+            for i in range(5)
+        ]
+        for gz in (True, False):
+            recs = parse_warc(write_warc(pages, per_record_gzip=gz))
+            assert recs[0]["type"] == "warcinfo"
+            resp = [r for r in recs if r["type"] == "response"]
+            assert len(resp) == 5
+            for i, r in enumerate(resp):
+                assert r["uri"] == f"https://example.org/p{i}"
+                status, hdrs, body = split_http_response(r["content"])
+                assert status == (200 if i % 3 else 404)
+                assert body == b"x" * (10 + i * 7)
+                assert hdrs["Content-Type"] == "text/html"
+
+    def test_bad_version_line_raises(self):
+        from flytemosaic_spark.sources.warc import parse_warc
+
+        with pytest.raises(ValueError, match="version"):
+            parse_warc(b"NOPE/1.0\r\nContent-Length: 0\r\n\r\n")
+
+    def test_operator(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            synthesize_warc,
+            warc_page_stats,
+        )
+
+        keys = spark.createDataFrame(
+            [(k,) for k in range(1, 6)], "s_suppkey long"
+        )
+        rows = {
+            r["media_id"]: r
+            for r in warc_page_stats(synthesize_warc(keys)).collect()
+        }
+        for k in range(1, 6):
+            n = 3 + k % 8
+            assert rows[k]["n_responses"] == n
+            assert rows[k]["n_ok"] == sum(
+                1 for i in range(n) if (k + i) % 5
+            )
+            assert rows[k]["total_body_bytes"] == sum(
+                20 + (k * 13 + i * 17) % 300 for i in range(n)
+            )
+
+
+class TestWebDataset:
+    def test_shard_roundtrip_and_grouping(self):
+        from flytemosaic_spark.sources.webdataset import (
+            parse_shard,
+            write_shard,
+        )
+
+        samples = [
+            ("000000", {"cls": b"3", "txt": b"hello", "png": b"PNGBYTES"}),
+            ("000001", {"cls": b"7", "txt": b"world!", "json": b"{}"}),
+        ]
+        got = parse_shard(write_shard(samples))
+        assert [s["key"] for s in got] == ["000000", "000001"]
+        assert got[0]["parts"]["txt"] == b"hello"
+        assert got[1]["parts"]["json"] == b"{}"
+        # multi-dot extensions keep everything after the first dot
+        s2 = parse_shard(
+            write_shard([("k", {"img.png": b"x", "meta.json": b"y"})])
+        )
+        assert set(s2[0]["parts"]) == {"img.png", "meta.json"}
+
+    def test_deterministic_bytes(self):
+        from flytemosaic_spark.sources.webdataset import write_shard
+
+        s = [("000000", {"txt": b"a"})]
+        assert write_shard(s) == write_shard(s)
+
+    def test_operator_explodes_samples(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            synthesize_webdataset,
+            webdataset_sample_stats,
+        )
+
+        keys = spark.createDataFrame(
+            [(k,) for k in range(1, 5)], "s_suppkey long"
+        )
+        rows = webdataset_sample_stats(
+            synthesize_webdataset(keys)
+        ).collect()
+        got = {(r["media_id"], r["sample_idx"]): r for r in rows}
+        for k in range(1, 5):
+            for i in range(2 + k % 5):
+                r = got[(k, i)]
+                assert r["cls"] == (k * 3 + i) % 10
+                assert r["txt_len"] == 5 + (k + i * 7) % 50
+                assert r["mean_px"] == (k * 5 + i * 11) % 256
