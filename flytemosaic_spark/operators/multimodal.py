@@ -185,12 +185,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
             sub = rows[:, : pw * ch].reshape(ph, pw, ch)
         else:  # sub-byte palette indices, MSB-first within each byte
             bits = np.unpackbits(rows, axis=1)
-            k = 8 // depth
             vals = bits.reshape(ph, -1, depth)
             weights = 1 << np.arange(depth - 1, -1, -1)
             sub = (vals * weights).sum(axis=2).astype(np.uint8)
             sub = sub[:, :pw].reshape(ph, pw, 1)
-            del k
         grid[r0::rs, c0::cs] = sub
     if pos != len(raw):
         raise ValueError("PNG scanline payload has wrong length")

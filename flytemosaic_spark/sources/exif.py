@@ -128,7 +128,6 @@ def build_exif_app1(
         return struct.pack("<HHI", tag, typ, cnt) + value_or_off
 
     ext = bytearray()
-    ext_base_holder = {}
 
     def ascii_val(s: str):
         data = s.encode("ascii") + b"\x00"
@@ -162,7 +161,6 @@ def build_exif_app1(
     sub_off = ifd0_off + ifd0_size
     sub_size = 2 + 12 * len(sub_entries) + 4
     ext_base = sub_off + sub_size
-    ext_base_holder["v"] = ext_base
 
     def render(entries):
         body = struct.pack("<H", len(entries))

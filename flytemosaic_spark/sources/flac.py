@@ -197,16 +197,6 @@ _BS_FIXED.update({n: 256 << (n - 8) for n in range(8, 16)})
 _SS_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
 _SS_BITS = {v: k for k, v in _SS_CODE.items()}
 
-# fixed-predictor reconstruction coefficients s[i] = res[i] + sum c_j s[i-1-j]
-_FIXED_COEF = {
-    0: (),
-    1: (1,),
-    2: (2, -1),
-    3: (3, -3, 1),
-    4: (4, -6, 4, -1),
-}
-
-
 def _utf8_code(n: int) -> bytes:
     if n < 0x80:
         return bytes([n])
