@@ -1685,3 +1685,72 @@ def webdataset_sample_stats(shards: DataFrame) -> DataFrame:
             )
 
     return shards.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def synthesize_ogg_opus(
+    keys: DataFrame, key_col: str = "s_suppkey"
+) -> DataFrame:
+    """Structurally valid Ogg Opus shells with key-derived page plans
+    (3 + k%12 audio pages of 960*(1 + k%40) samples, 1 + k%2 channels,
+    preskip 312) — fixtures for the container scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.ogg import encode_ogg_opus_shell
+
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                out.append(
+                    (
+                        k,
+                        encode_ogg_opus_shell(
+                            3 + k % 12,
+                            samples_per_page=960 * (1 + k % 40),
+                            channels=1 + k % 2,
+                            preskip=312,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return keys.select(key_col).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def ogg_opus_metadata(audios: DataFrame) -> DataFrame:
+    """The Ogg Opus ffprobe pass: walk pages (CRC-verified), read
+    OpusHead, and derive the EXACT duration from the final granule
+    position — the speech-dataset curation scan before any decode
+    (SILK/CELT stays at the named ffmpeg/libopus seam)."""
+    schema = (
+        "media_id long, channels long, preskip long, n_pages long, "
+        "duration_ms long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.ogg import parse_ogg_opus
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                m = parse_ogg_opus(bytes(payload))
+                out.append(
+                    (
+                        int(mid),
+                        m["channels"],
+                        m["preskip"],
+                        m["n_pages"],
+                        m["duration_ms"],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "channels", "preskip", "n_pages",
+                    "duration_ms",
+                ],
+            )
+
+    return audios.select("media_id", "payload").mapInPandas(run, schema)

@@ -627,3 +627,34 @@ def x232_webdataset(spark: SparkSession, sf: str) -> DataFrame:
 
     keys = T(spark, sf, "supplier").select("s_suppkey")
     return webdataset_sample_stats(synthesize_webdataset(keys))
+
+
+@probe(
+    "x233_opus_metadata",
+    sql="""
+        SELECT s_suppkey AS media_id,
+               1 + s_suppkey % 2 AS channels,
+               312 AS preskip,
+               (3 + s_suppkey % 12) + 2 AS n_pages,
+               ((3 + s_suppkey % 12) * 960 * (1 + s_suppkey % 40))
+                   * 1000 // 48000 AS duration_ms
+        FROM supplier
+    """,
+    note="Ogg Opus container scan (sources/ogg.py) — the third member "
+    "of the audio-metadata family (MP3 frame walk, MP4 boxes, Ogg "
+    "pages): executors write structurally valid Ogg streams (real "
+    "lacing tables, BOS/EOS flags, per-page CRC-32 with Ogg's "
+    "UNreflected polynomial — verified on read) and ogg_opus_metadata "
+    "reads OpusHead plus the final granule position for the EXACT "
+    "RFC 7845 duration; the oracle recomputes every field. Opus is "
+    "the speech-dataset codec of choice; bitstream decode stays at "
+    "the named libopus seam.",
+)
+def x233_opus_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        ogg_opus_metadata,
+        synthesize_ogg_opus,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return ogg_opus_metadata(synthesize_ogg_opus(keys))

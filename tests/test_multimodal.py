@@ -1232,3 +1232,60 @@ class TestWebDataset:
                 assert r["cls"] == (k * 3 + i) % 10
                 assert r["txt_len"] == 5 + (k + i * 7) % 50
                 assert r["mean_px"] == (k * 5 + i * 11) % 256
+
+
+class TestOggOpus:
+    def test_known_crc_vector(self):
+        from flytemosaic_spark.sources.ogg import _ogg_crc
+
+        # the standard unreflected CRC-32/04C11DB7 check value
+        assert _ogg_crc(b"123456789") == 0x89A1897F
+
+    def test_shell_roundtrip_matrix(self):
+        from flytemosaic_spark.sources.ogg import (
+            encode_ogg_opus_shell,
+            parse_ogg_opus,
+        )
+
+        for n in (1, 3, 10):
+            for spp in (960, 48000):
+                m = parse_ogg_opus(
+                    encode_ogg_opus_shell(
+                        n, samples_per_page=spp, channels=2, preskip=312
+                    )
+                )
+                assert m["channels"] == 2
+                assert m["n_pages"] == n + 2
+                assert m["duration_ms"] == (n * spp) * 1000 // 48000
+
+    def test_crc_detects_corruption(self):
+        from flytemosaic_spark.sources.ogg import (
+            encode_ogg_opus_shell,
+            parse_ogg_opus,
+        )
+
+        s = bytearray(encode_ogg_opus_shell(3))
+        s[60] ^= 0x01
+        with pytest.raises(ValueError):
+            parse_ogg_opus(bytes(s))
+
+    def test_operator(self, spark):
+        from flytemosaic_spark.operators.multimodal import (
+            ogg_opus_metadata,
+            synthesize_ogg_opus,
+        )
+
+        keys = spark.createDataFrame(
+            [(k,) for k in range(1, 6)], "s_suppkey long"
+        )
+        rows = {
+            r["media_id"]: r
+            for r in ogg_opus_metadata(synthesize_ogg_opus(keys)).collect()
+        }
+        for k in range(1, 6):
+            assert rows[k]["channels"] == 1 + k % 2
+            assert rows[k]["n_pages"] == (3 + k % 12) + 2
+            assert (
+                rows[k]["duration_ms"]
+                == ((3 + k % 12) * 960 * (1 + k % 40)) * 1000 // 48000
+            )
