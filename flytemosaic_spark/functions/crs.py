@@ -194,35 +194,84 @@ def _proj_pair(src_crs: str, dst_crs: str):
                 clamp_y=None,
             )
         kind, params = CONIC_PRESETS[crs]
+        datum = params.get("datum")
+        # datum-shifted presets: the plan-time (float) path composes
+        # Helmert + projection; the Column path must go through the
+        # staged datum_project_df (a composed column tree would
+        # substitute the Bowring chain into every projection reference)
+        col_fwd = (
+            _datum_col_unsupported if datum
+            else (lambda x, y, c=crs: conic_forward_cols(x, y, c))
+        )
+        col_inv = (
+            _datum_col_unsupported if datum
+            else (lambda x, y, c=crs: conic_inverse_cols(x, y, c))
+        )
         if fwd:
             # envelope extremes on edge interiors, by family: all have
             # the lon0 meridian; polar stereographic additionally peaks
             # x at theta=±90 and y at theta=180 along a parallel;
-            # sinusoidal |x| peaks at the latitude nearest the equator
+            # sinusoidal |x| and TM easting peak at the latitude
+            # nearest the equator
             if kind == "stere":
                 cx = [params["lon0"] + d
                       for d in (-180.0, -90.0, 0.0, 90.0, 180.0)]
                 cy = None
-            elif kind == "sinu":
+            elif kind in ("sinu", "tmerc"):
                 cx, cy = params["lon0"], 0.0
             else:
                 cx, cy = params["lon0"], None
             return dict(
-                col=lambda x, y, c=crs: conic_forward_cols(x, y, c),
-                py=lambda x, y, c=crs: conic_forward(x, y, c),
+                col=col_fwd,
+                py=lambda x, y, c=crs, dn=datum: conic_forward(
+                    *(datum_shift(x, y, dn) if dn else (x, y)), c
+                ),
                 clamp_x=cx,
                 clamp_y=cy,
+                # the ~100 m-scale datum shift moves envelope extremes
+                # off the sampled candidates; pad keeps the PREFILTER a
+                # superset (1 km in projected metres)
+                post=_pad_post(1000.0) if datum else None,
             )
         # inverse: the false-easting meridian; polar/sinusoidal also
         # the false-northing line (angle/latitude extremes there)
+        def py_inv(x, y, c=crs, dn=datum):
+            lo, la = conic_inverse(x, y, c)
+            return datum_shift(lo, la, dn, inverse=True) if dn else (lo, la)
+
         return dict(
-            col=lambda x, y, c=crs: conic_inverse_cols(x, y, c),
-            py=lambda x, y, c=crs: conic_inverse(x, y, c),
+            col=col_inv,
+            py=py_inv,
             clamp_x=params["fe"],
             clamp_y=params["fn"] if kind in ("stere", "sinu") else None,
-            post=_stere_inv_post(params) if kind == "stere" else None,
+            post=_stere_inv_post(params) if kind == "stere" else (
+                _pad_post(0.02) if datum else None  # ~2 km in degrees
+            ),
         )
     return None
+
+
+def _datum_col_unsupported(*_a, **_k):
+    raise NotImplementedError(
+        "datum-shifted preset CRSs project Columns through the staged "
+        "datum_project_df (composing the Helmert chain into one column "
+        "expression would multiply the Bowring tree into every "
+        "projection reference)"
+    )
+
+
+def _pad_post(pad: float):
+    """Envelope widener for datum-shifted presets — the prefilter must
+    stay a superset under the meters-scale Helmert displacement."""
+
+    def post(env, x0, y0, x1, y1):
+        minx, miny, maxx, maxy = env
+        if isinstance(minx, Column):
+            p = F.lit(pad)
+            return (minx - p, miny - p, maxx + p, maxy + p)
+        return (minx - pad, miny - pad, maxx + pad, maxy + pad)
+
+    return post
 
 
 def _stere_inv_post(params: dict):
@@ -379,14 +428,15 @@ _UTM_E0 = 500000.0
 _UTM_N0_SOUTH = 10000000.0
 
 
-def _kruger_consts(f: float = _WGS84_F) -> dict:
+def _kruger_consts(f: float = _WGS84_F, a: float = R) -> dict:
     """n (third flattening), rectifying radius A, forward (alpha) and
     inverse (beta) series, eccentricity, and the conformal-to-geodetic
     latitude series (chi) — all plain floats, embedded as literals in
-    both the Column expressions and the oracle SQL."""
+    both the Column expressions and the oracle SQL. ``a``/``f`` default
+    to WGS84; datum presets pass their own ellipsoid (Airy 1830 for
+    OSGB, Clarke 1880 IGN for NTF)."""
     n = f / (2.0 - f)
     n2, n3, n4, n5, n6 = n * n, n**3, n**4, n**5, n**6
-    a = R  # WGS84 semi-major axis (R above)
     big_a = a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
     alpha = [
         n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180
@@ -515,9 +565,23 @@ def _cosh(ops, x):
     return (ops.exp(x) + ops.exp(-x)) / ops.lit(2.0)
 
 
-def _kruger_forward(ops, lon, lat, zone: int, south: bool):
-    k, L = _KRUGER, ops.lit
-    lam = (lon - L(utm_zone_lon0(zone))) * L(math.pi / 180.0)
+def _utm_tm(zone: int, south: bool) -> dict:
+    """The UTM zone as a generic transverse-Mercator parameter set —
+    the SAME core serves any TM CRS (the UTM literals land in the same
+    tree positions as before, so the f24/f25 oracle contracts are
+    unchanged)."""
+    return dict(
+        kr=_KRUGER,
+        lon0=utm_zone_lon0(zone),
+        k0=_UTM_K0,
+        fe=_UTM_E0,
+        fn_eff=_UTM_N0_SOUTH if south else 0.0,
+    )
+
+
+def _kruger_forward(ops, lon, lat, tm: dict):
+    k, L = tm["kr"], ops.lit
+    lam = (lon - L(tm["lon0"])) * L(math.pi / 180.0)
     phi = lat * L(math.pi / 180.0)
     s, e = ops.sin(phi), L(k["e"])
     # atanh spelled as a log so the oracle replays it verbatim
@@ -535,17 +599,17 @@ def _kruger_forward(ops, lon, lat, zone: int, south: bool):
         eta = eta + L(aj) * ops.cos(L(2.0 * j) * xi_p) * _sinh(
             ops, L(2.0 * j) * eta_p
         )
-    scale = L(_UTM_K0 * k["A"])
-    easting = L(_UTM_E0) + scale * eta
-    northing = (L(_UTM_N0_SOUTH) if south else L(0.0)) + scale * xi
+    scale = L(tm["k0"] * k["A"])
+    easting = L(tm["fe"]) + scale * eta
+    northing = L(tm["fn_eff"]) + scale * xi
     return easting, northing
 
 
-def _kruger_inverse(ops, easting, northing, zone: int, south: bool):
-    k, L = _KRUGER, ops.lit
-    scale = L(_UTM_K0 * k["A"])
-    xi = (northing - (L(_UTM_N0_SOUTH) if south else L(0.0))) / scale
-    eta = (easting - L(_UTM_E0)) / scale
+def _kruger_inverse(ops, easting, northing, tm: dict):
+    k, L = tm["kr"], ops.lit
+    scale = L(tm["k0"] * k["A"])
+    xi = (northing - L(tm["fn_eff"])) / scale
+    eta = (easting - L(tm["fe"])) / scale
     xi_p, eta_p = xi, eta
     for j, bj in enumerate(k["beta"], start=1):
         xi_p = xi_p - L(bj) * ops.sin(L(2.0 * j) * xi) * _cosh(
@@ -559,7 +623,7 @@ def _kruger_inverse(ops, easting, northing, zone: int, south: bool):
     phi = chi
     for j, cj in enumerate(k["chi"], start=1):
         phi = phi + L(cj) * ops.sin(L(2.0 * j) * chi)
-    lon = lam * L(180.0 / math.pi) + L(utm_zone_lon0(zone))
+    lon = lam * L(180.0 / math.pi) + L(tm["lon0"])
     lat = phi * L(180.0 / math.pi)
     return lon, lat
 
@@ -569,14 +633,14 @@ def lonlat_to_utm_cols(
 ) -> tuple[Column, Column]:
     """(easting, northing) Columns for WGS84 lon/lat in degrees —
     unrolled Krüger forward series, JVM-side codegen only."""
-    return _kruger_forward(_ColOps, lon, lat, zone, south)
+    return _kruger_forward(_ColOps, lon, lat, _utm_tm(zone, south))
 
 
 def utm_to_lonlat_cols(
     easting: Column, northing: Column, zone: int, south: bool = False
 ) -> tuple[Column, Column]:
     """Inverse Krüger series: (lon, lat) Columns in degrees."""
-    return _kruger_inverse(_ColOps, easting, northing, zone, south)
+    return _kruger_inverse(_ColOps, easting, northing, _utm_tm(zone, south))
 
 
 def utm_forward_sql(
@@ -586,7 +650,7 @@ def utm_forward_sql(
     :func:`lonlat_to_utm_cols`, for DuckDB oracle queries."""
     e, n = _kruger_forward(
         _SqlOps, _SqlVal(f"({lon_sql})"), _SqlVal(f"({lat_sql})"),
-        zone, south,
+        _utm_tm(zone, south),
     )
     return e.s, n.s
 
@@ -598,7 +662,7 @@ def utm_inverse_sql(
     :func:`utm_forward_sql`)."""
     lo, la = _kruger_inverse(
         _SqlOps, _SqlVal(f"({easting_sql})"), _SqlVal(f"({northing_sql})"),
-        zone, south,
+        _utm_tm(zone, south),
     )
     return lo.s, la.s
 
@@ -700,6 +764,50 @@ CONIC_PRESETS: dict[str, tuple[str, dict]] = {
         "sinu",
         dict(lon0=0.0, fe=0.0, fn=0.0, radius=6371007.181),
     ),
+    # r7: DATUM-SHIFTED national grids, added with ZERO new projection
+    # math — "tmerc" reuses the Krüger core that serves UTM, "lcc1" is
+    # the one-standard-parallel parameterization of the existing LCC
+    # form. The ``datum`` key names a DATUM_PRESETS entry; the
+    # projection input is geographic coordinates ON THAT DATUM (the
+    # proj pipeline convention — +towgs84 is a separate stage), and the
+    # WGS84 <-> local step runs through the staged Helmert API below
+    # (datum_project_df / datum_shift).
+    # OSGB36 / British National Grid (EPSG registry; Airy 1830)
+    "EPSG:27700": (
+        "tmerc",
+        dict(lat0=49.0, lon0=-2.0, k0=0.9996012717,
+             fe=400000.0, fn=-100000.0,
+             a=6377563.396, f=1.0 / 299.3249646, datum="OSGB36"),
+    ),
+    # NTF (Paris) / Lambert zone II (EPSG registry; Clarke 1880 IGN;
+    # lon0 = 2°20'14.025" E of Greenwich — the Paris meridian)
+    "EPSG:27572": (
+        "lcc1",
+        dict(lat0=46.8, lon0=2.0 + 20.0 / 60.0 + 14.025 / 3600.0,
+             k0=0.99987742, fe=600000.0, fn=2200000.0,
+             a=6378249.2, f=(6378249.2 - 6356515.0) / 6378249.2,
+             datum="NTF"),
+    ),
+}
+
+# WGS84 -> local-datum Helmert parameter sets (position-vector
+# convention, EPSG method 9606: translations in metres, rotations in
+# arc-seconds, scale in ppm). The inverse direction negates the
+# parameters — the standard small-angle reversibility of 9606.
+DATUM_PRESETS: dict[str, dict] = {
+    # ETRS89/WGS84 -> OSGB36 (OS "A guide to coordinate systems in
+    # Great Britain", Annex — the national ~3.5 m Helmert; Airy 1830)
+    "OSGB36": dict(
+        a=6377563.396, f=1.0 / 299.3249646,
+        dx=-446.448, dy=125.157, dz=-542.060,
+        rx=-0.1502, ry=-0.2470, rz=-0.8421, ds=20.4894,
+    ),
+    # WGS84 -> NTF (the classic 3-parameter shift, IGN; Clarke 1880)
+    "NTF": dict(
+        a=6378249.2, f=(6378249.2 - 6356515.0) / 6378249.2,
+        dx=168.0, dy=60.0, dz=-320.0,
+        rx=0.0, ry=0.0, rz=0.0, ds=0.0,
+    ),
 }
 
 
@@ -750,13 +858,14 @@ def _authalic_series(e2: float) -> list[float]:
 
 def _albers_consts(p: dict) -> dict:
     e = _conic_e(p["f"])
+    a = p.get("a", R)
     p1, p2, p0 = (math.radians(p[k]) for k in ("lat1", "lat2", "lat0"))
     m1, m2 = _py_m(p1, e), _py_m(p2, e)
     q1, q2, q0 = _py_q(p1, e), _py_q(p2, e), _py_q(p0, e)
     n = (m1 * m1 - m2 * m2) / (q2 - q1)
     c = m1 * m1 + n * q1
-    rho0 = R * math.sqrt(c - n * q0) / n
-    return dict(e=e, n=n, c=c, rho0=rho0, lon0=p["lon0"],
+    rho0 = a * math.sqrt(c - n * q0) / n
+    return dict(e=e, a=a, n=n, c=c, rho0=rho0, lon0=p["lon0"],
                 fe=p["fe"], fn=p["fn"],
                 qp=_py_q(math.pi / 2.0, e),
                 auth=_authalic_series(e * e))
@@ -769,8 +878,9 @@ def _lcc_consts(p: dict) -> dict:
     t1, t2, t0 = _py_t(p1, e), _py_t(p2, e), _py_t(p0, e)
     n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
     big_f = m1 / (n * t1**n)
-    rho0 = R * big_f * t0**n
-    return dict(e=e, n=n, f_=big_f, rho0=rho0, lon0=p["lon0"],
+    a = p.get("a", R)
+    rho0 = a * big_f * t0**n
+    return dict(e=e, a=a, n=n, f_=big_f, rho0=rho0, lon0=p["lon0"],
                 fe=p["fe"], fn=p["fn"], chi=_chi_series(e * e))
 
 
@@ -802,7 +912,7 @@ def _albers_forward(ops, lon, lat, k: dict):
     phi = lat * L(math.pi / 180.0)
     theta = L(k["n"]) * ((lon - L(k["lon0"])) * L(math.pi / 180.0))
     q = _ops_q(ops, phi, k["e"])
-    rho = L(R) * ops.sqrt(L(k["c"]) - L(k["n"]) * q) / L(k["n"])
+    rho = L(k["a"]) * ops.sqrt(L(k["c"]) - L(k["n"]) * q) / L(k["n"])
     x = L(k["fe"]) + rho * ops.sin(theta)
     y = L(k["fn"]) + L(k["rho0"]) - rho * ops.cos(theta)
     return x, y
@@ -818,7 +928,7 @@ def _albers_inverse(ops, x, y, k: dict):
     sgn = 1.0 if k["n"] >= 0 else -1.0
     theta = ops.atan2(L(sgn) * xp, L(sgn) * yp)
     lon = (theta / L(k["n"])) * L(180.0 / math.pi) + L(k["lon0"])
-    q = (L(k["c"]) - (rho * L(k["n"] / R)) * (rho * L(k["n"] / R))) / L(
+    q = (L(k["c"]) - (rho * L(k["n"] / k["a"])) * (rho * L(k["n"] / k["a"]))) / L(
         k["n"]
     )
     # authalic latitude, then the closed geodetic series (Snyder 3-18),
@@ -845,7 +955,7 @@ def _lcc_forward(ops, lon, lat, k: dict):
     L = ops.lit
     phi = lat * L(math.pi / 180.0)
     t = _ops_t(ops, phi, k["e"])
-    rho = L(R * k["f_"]) * ops.exp(L(k["n"]) * ops.log(t))
+    rho = L(k["a"] * k["f_"]) * ops.exp(L(k["n"]) * ops.log(t))
     theta = L(k["n"]) * ((lon - L(k["lon0"])) * L(math.pi / 180.0))
     x = L(k["fe"]) + rho * ops.sin(theta)
     y = L(k["fn"]) + L(k["rho0"]) - rho * ops.cos(theta)
@@ -860,7 +970,7 @@ def _lcc_inverse(ops, x, y, k: dict):
     rho = L(sgn) * ops.sqrt(xp * xp + yp * yp)
     theta = ops.atan2(L(sgn) * xp, L(sgn) * yp)
     lon = (theta / L(k["n"])) * L(180.0 / math.pi) + L(k["lon0"])
-    t = ops.exp(L(1.0 / k["n"]) * ops.log(rho / L(R * k["f_"])))
+    t = ops.exp(L(1.0 / k["n"]) * ops.log(rho / L(k["a"] * k["f_"])))
     # conformal latitude, then the closed geodetic (chi) series — the
     # same expansion the Krüger inverse uses
     chi = L(math.pi / 2.0) - L(2.0) * ops.atan2(t, L(1.0))
@@ -884,7 +994,7 @@ def _lcc_inverse(ops, x, y, k: dict):
 def _stere_consts(p: dict) -> dict:
     e = _conic_e(p["f"])
     phi_n = math.radians(p["asp"] * p["lat_ts"])
-    k0 = R * _py_m(phi_n, e) / _py_t(phi_n, e)
+    k0 = p.get("a", R) * _py_m(phi_n, e) / _py_t(phi_n, e)
     return dict(e=e, asp=p["asp"], k0=k0, lon0=p["lon0"],
                 fe=p["fe"], fn=p["fn"], chi=_chi_series(e * e))
 
@@ -944,11 +1054,55 @@ def _sinu_inverse(ops, x, y, k: dict):
     return lon, phi * L(180.0 / math.pi)
 
 
+# -- Generic transverse Mercator + one-parallel LCC (datum presets) --------
+#
+# Both are parameterizations of math that already exists: "tmerc" is
+# the Krüger core that serves UTM with (lat0, lon0, k0, fe, fn, a, f)
+# free — the lat0 origin folds into a precomputed false-northing
+# offset (fn_eff = fn − k0·A·ξ0, ξ0 the rectifying latitude of lat0),
+# so the rendered expression tree is IDENTICAL in shape to the UTM
+# one; "lcc1" computes the 1SP constants n = sin(lat0),
+# F = k0·m0/(n·t0^n) and reuses the 2SP forward/inverse bodies.
+
+
+def _tmerc_consts(p: dict) -> dict:
+    kr = _kruger_consts(p["f"], p.get("a", R))
+    phi0 = math.radians(p["lat0"])
+    s, e = math.sin(phi0), kr["e"]
+    t0 = math.sinh(math.atanh(s) - e * math.atanh(e * s))
+    xi_p0 = math.atan2(t0, 1.0)
+    xi0 = xi_p0 + sum(
+        aj * math.sin(2.0 * j * xi_p0)
+        for j, aj in enumerate(kr["alpha"], start=1)
+    )
+    return dict(
+        kr=kr,
+        lon0=p["lon0"],
+        k0=p["k0"],
+        fe=p["fe"],
+        fn_eff=p["fn"] - p["k0"] * kr["A"] * xi0,
+    )
+
+
+def _lcc1_consts(p: dict) -> dict:
+    e = _conic_e(p["f"])
+    a = p.get("a", R)
+    phi0 = math.radians(p["lat0"])
+    n = math.sin(phi0)
+    m0, t0 = _py_m(phi0, e), _py_t(phi0, e)
+    big_f = p["k0"] * m0 / (n * t0**n)
+    rho0 = a * big_f * t0**n
+    return dict(e=e, a=a, n=n, f_=big_f, rho0=rho0, lon0=p["lon0"],
+                fe=p["fe"], fn=p["fn"], chi=_chi_series(e * e))
+
+
 _CONIC_FNS = {
     "albers": (_albers_consts, _albers_forward, _albers_inverse),
     "lcc": (_lcc_consts, _lcc_forward, _lcc_inverse),
+    "lcc1": (_lcc1_consts, _lcc_forward, _lcc_inverse),
     "stere": (_stere_consts, _stere_forward, _stere_inverse),
     "sinu": (_sinu_consts, _sinu_forward, _sinu_inverse),
+    "tmerc": (_tmerc_consts, _kruger_forward, _kruger_inverse),
 }
 
 
@@ -1010,6 +1164,198 @@ def conic_forward(lon: float, lat: float, crs: str) -> tuple[float, float]:
 def conic_inverse(x: float, y: float, crs: str) -> tuple[float, float]:
     k, _, inv = _conic_of(crs)
     return inv(_PyOps, x, y, k)
+
+
+# -- Helmert datum shift (EPSG method 9606, position vector) ---------------
+#
+# WGS84 <-> local-datum geographic as three closed-form stages:
+# geodetic -> geocentric XYZ (source ellipsoid), 7-parameter Helmert,
+# geocentric -> geodetic (target ellipsoid, Bowring's one-step — no
+# iteration, sub-µm for near-surface points). Each stage is rendered
+# over the SAME abstract op set as the projections, and the stages are
+# exposed INDIVIDUALLY: composing the whole chain into one column
+# expression would multiply the Bowring tree into every reference the
+# projection makes to lon/lat (the CollapseProject blowup documented
+# in CLAUDE.md) — so the DataFrame path (:func:`datum_project_df`)
+# materializes a select between stages, and oracle SQL uses CTEs.
+
+WGS84_A, WGS84_F = R, _WGS84_F
+_ARCSEC = math.pi / (180.0 * 3600.0)
+
+
+def _ops_geocentric(ops, lon, lat, a: float, f: float):
+    e2 = f * (2.0 - f)
+    L = ops.lit
+    lam = lon * L(math.pi / 180.0)
+    phi = lat * L(math.pi / 180.0)
+    s, c = ops.sin(phi), ops.cos(phi)
+    nu = L(a) / ops.sqrt(L(1.0) - L(e2) * s * s)
+    return (
+        nu * c * ops.cos(lam),
+        nu * c * ops.sin(lam),
+        nu * L(1.0 - e2) * s,
+    )
+
+
+def _ops_helmert(ops, x, y, z, d: dict, inverse: bool):
+    # position-vector convention; the inverse negates the parameters
+    # (the standard small-angle reversibility of EPSG 9606)
+    sgn = -1.0 if inverse else 1.0
+    rx, ry, rz = (sgn * d[k] * _ARCSEC for k in ("rx", "ry", "rz"))
+    m = 1.0 + sgn * d["ds"] * 1e-6
+    L = ops.lit
+    return (
+        L(sgn * d["dx"]) + L(m) * (x - L(rz) * y + L(ry) * z),
+        L(sgn * d["dy"]) + L(m) * (L(rz) * x + y - L(rx) * z),
+        L(sgn * d["dz"]) + L(m) * (L(-ry) * x + L(rx) * y + z),
+    )
+
+
+def _ops_geodetic(ops, x, y, z, a: float, f: float):
+    b = a * (1.0 - f)
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    L = ops.lit
+    p = ops.sqrt(x * x + y * y)
+    th = ops.atan2(z * L(a), p * L(b))
+    sth, cth = ops.sin(th), ops.cos(th)
+    lat = ops.atan2(
+        z + L(ep2 * b) * (sth * sth * sth),
+        p - L(e2 * a) * (cth * cth * cth),
+    )
+    lon = ops.atan2(y, x)
+    return lon * L(180.0 / math.pi), lat * L(180.0 / math.pi)
+
+
+def geodetic_to_geocentric_cols(lon, lat, a: float, f: float):
+    """(X, Y, Z) Columns on the (a, f) ellipsoid (height 0)."""
+    return _ops_geocentric(_ColOps, lon, lat, a, f)
+
+
+def helmert_cols(x, y, z, datum: str, inverse: bool = False):
+    """Apply the named WGS84->datum Helmert to geocentric Columns;
+    ``inverse=True`` runs datum->WGS84."""
+    return _ops_helmert(_ColOps, x, y, z, DATUM_PRESETS[datum], inverse)
+
+
+def geocentric_to_geodetic_cols(x, y, z, a: float, f: float):
+    """(lon, lat) degree Columns from geocentric XYZ (Bowring)."""
+    return _ops_geodetic(_ColOps, x, y, z, a, f)
+
+
+def geodetic_to_geocentric_sql(lon_sql: str, lat_sql: str, a: float,
+                               f: float) -> tuple[str, str, str]:
+    r = _ops_geocentric(
+        _SqlOps, _SqlVal(f"({lon_sql})"), _SqlVal(f"({lat_sql})"), a, f
+    )
+    return tuple(v.s for v in r)
+
+
+def helmert_sql(x_sql: str, y_sql: str, z_sql: str, datum: str,
+                inverse: bool = False) -> tuple[str, str, str]:
+    r = _ops_helmert(
+        _SqlOps, _SqlVal(f"({x_sql})"), _SqlVal(f"({y_sql})"),
+        _SqlVal(f"({z_sql})"), DATUM_PRESETS[datum], inverse,
+    )
+    return tuple(v.s for v in r)
+
+
+def geocentric_to_geodetic_sql(x_sql: str, y_sql: str, z_sql: str,
+                               a: float, f: float) -> tuple[str, str]:
+    r = _ops_geodetic(
+        _SqlOps, _SqlVal(f"({x_sql})"), _SqlVal(f"({y_sql})"),
+        _SqlVal(f"({z_sql})"), a, f,
+    )
+    return tuple(v.s for v in r)
+
+
+def datum_shift(lon: float, lat: float, datum: str,
+                inverse: bool = False) -> tuple[float, float]:
+    """Plan-time WGS84 -> local-datum geographic shift (or back):
+    the three stages composed over floats."""
+    d = DATUM_PRESETS[datum]
+    src = (d["a"], d["f"]) if inverse else (WGS84_A, WGS84_F)
+    dst = (WGS84_A, WGS84_F) if inverse else (d["a"], d["f"])
+    x, y, z = _ops_geocentric(_PyOps, lon, lat, *src)
+    x, y, z = _ops_helmert(_PyOps, x, y, z, d, inverse)
+    return _ops_geodetic(_PyOps, x, y, z, *dst)
+
+
+def datum_project_df(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    crs: str,
+    out_cols: tuple[str, str] = ("x", "y"),
+) -> DataFrame:
+    """WGS84 lon/lat columns -> projected coordinates of a
+    datum-shifted preset CRS (e.g. EPSG:27700, EPSG:27572), as FOUR
+    materializing select stages: geocentric -> Helmert -> local
+    geographic -> projection. Each stage is a narrow projection, so
+    Catalyst never substitutes the Bowring tree into the projection's
+    many lon/lat references. Presets without a ``datum`` key project
+    directly (one stage)."""
+    kind, params = CONIC_PRESETS[crs]
+    datum = params.get("datum")
+    keep = [F.col(c) for c in df.columns]
+    if datum is None:
+        ex, ey = conic_forward_cols(F.col(lon_col), F.col(lat_col), crs)
+        return df.select(*keep, ex.alias(out_cols[0]),
+                         ey.alias(out_cols[1]))
+    d = DATUM_PRESETS[datum]
+    gx, gy, gz = geodetic_to_geocentric_cols(
+        F.col(lon_col), F.col(lat_col), WGS84_A, WGS84_F
+    )
+    s1 = df.select(*keep, gx.alias("_gx"), gy.alias("_gy"),
+                   gz.alias("_gz"))
+    hx, hy, hz = helmert_cols(
+        F.col("_gx"), F.col("_gy"), F.col("_gz"), datum
+    )
+    s2 = s1.select(*keep, hx.alias("_hx"), hy.alias("_hy"),
+                   hz.alias("_hz"))
+    llon, llat = geocentric_to_geodetic_cols(
+        F.col("_hx"), F.col("_hy"), F.col("_hz"), d["a"], d["f"]
+    )
+    s3 = s2.select(*keep, llon.alias("_llon"), llat.alias("_llat"))
+    ex, ey = conic_forward_cols(F.col("_llon"), F.col("_llat"), crs)
+    return s3.select(*keep, ex.alias(out_cols[0]), ey.alias(out_cols[1]))
+
+
+def datum_unproject_df(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    crs: str,
+    out_cols: tuple[str, str] = ("lon", "lat"),
+) -> DataFrame:
+    """Projected coordinates of a datum-shifted preset CRS -> WGS84
+    lon/lat columns — the staged inverse of :func:`datum_project_df`:
+    unproject -> local geocentric -> inverse Helmert -> WGS84
+    geodetic, one materializing select per stage."""
+    kind, params = CONIC_PRESETS[crs]
+    datum = params.get("datum")
+    keep = [F.col(c) for c in df.columns]
+    lo, la = conic_inverse_cols(F.col(x_col), F.col(y_col), crs)
+    if datum is None:
+        return df.select(*keep, lo.alias(out_cols[0]),
+                         la.alias(out_cols[1]))
+    d = DATUM_PRESETS[datum]
+    s1 = df.select(*keep, lo.alias("_llon"), la.alias("_llat"))
+    gx, gy, gz = geodetic_to_geocentric_cols(
+        F.col("_llon"), F.col("_llat"), d["a"], d["f"]
+    )
+    s2 = s1.select(*keep, gx.alias("_gx"), gy.alias("_gy"),
+                   gz.alias("_gz"))
+    hx, hy, hz = helmert_cols(
+        F.col("_gx"), F.col("_gy"), F.col("_gz"), datum, inverse=True
+    )
+    s3 = s2.select(*keep, hx.alias("_hx"), hy.alias("_hy"),
+                   hz.alias("_hz"))
+    wlon, wlat = geocentric_to_geodetic_cols(
+        F.col("_hx"), F.col("_hy"), F.col("_hz"), WGS84_A, WGS84_F
+    )
+    return s3.select(*keep, wlon.alias(out_cols[0]),
+                     wlat.alias(out_cols[1]))
 
 
 def lonlat_to_xyz(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:

@@ -122,3 +122,116 @@ def bpe_vocab_counts(
         .orderBy(F.col("n_tokens").desc(), "sym")
         .limit(k)
     )
+
+
+def _bpe_word(word: str, ranks: dict) -> list[str]:
+    """Min-rank BPE apply for ONE word (the GPT-2 ``bpe()`` shape):
+    repeatedly merge the lowest-rank adjacent pair, left-to-right
+    non-overlapping, until no pair has a rank. For a merge list in
+    CREATION ORDER (every pair's constituents are base characters or
+    outputs of strictly earlier merges, outputs distinct) this is
+    provably equivalent to replaying the merges once each in order —
+    applying a later merge can only fuse the neighborhood AROUND an
+    earlier pair, never create a new occurrence of it — which is what
+    lets an SQL oracle replay the same list as a chain of replace()
+    calls (tested against the wrapped-string replay in test_bpe.py)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best = None
+        prev = syms[0]
+        for s in syms[1:]:
+            r = ranks.get((prev, s))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (prev, s)
+            prev = s
+        if best is None:
+            break
+        a, b = best
+        out = []
+        i, n = 0, len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_word_replay(word: str, merges: list) -> list:
+    """Independent reference implementation: wrap the word in
+    per-symbol delimiters and replay each merge once, in order, via
+    left-to-right non-overlapping string replace — the EXACT algorithm
+    the SQL oracle runs. Test twin of :func:`_bpe_word`."""
+    s = SEP + (SEP + SEP).join(word) + SEP
+    for a, b in merges:
+        s = s.replace(SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP)
+    return [x for x in s.split(SEP) if x]
+
+
+def bpe_apply_stats(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a LEARNED merge list at corpus scale — the runtime
+    tokenizer pass a real pipeline runs with a ~50k-merge vocabulary
+    (induction is :func:`learn_bpe_merges`; this is the other half).
+
+    Scale shape: the ranks table broadcasts once per executor
+    (``sc.broadcast``, node-scale even at 50k merges); tokens stream
+    through mapInPandas with a per-task word memo (Zipf makes the hit
+    rate high), so there is NO shuffle until the per-document stats
+    aggregate — corpus bytes never move. Returns one row per document:
+    whitespace token count, BPE token count, and fertility
+    (bpe/ws, the tokens-per-word readout x131 approximates with
+    whitespace tokens)."""
+    from flytemosaic_spark.operators.text import portable_round, tokens
+
+    spark = docs.sparkSession
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    ).where(F.col("w") != "")
+
+    def run(batches):
+        import pandas as pd
+
+        r = bc.value
+        memo: dict = {}
+        for pdf in batches:
+            ns = []
+            for w in pdf["w"]:
+                n = memo.get(w)
+                if n is None:
+                    n = len(_bpe_word(w, r))
+                    memo[w] = n
+                ns.append(n)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "n_sym": ns}
+            )
+
+    seg = toks.mapInPandas(run, "doc_id long, n_sym long")
+    return (
+        seg.groupBy(F.col("doc_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_ws_tokens"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .select(
+            id_col,
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            portable_round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_ws_tokens").cast("double"),
+                4,
+            ).alias("fertility"),
+        )
+    )

@@ -1754,3 +1754,85 @@ def ogg_opus_metadata(audios: DataFrame) -> DataFrame:
             )
 
     return audios.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def synthesize_zstd_cogs(
+    keys: DataFrame, key_col: str = "s_suppkey"
+) -> DataFrame:
+    """REAL ZSTD-compressed tiled GeoTIFFs (the modern GDAL COG
+    default, ``-co COMPRESS=ZSTD`` — compression code 50000; the
+    reference reads them via GDAL at
+    flytemosaic/datasets/utils.py:123-126). Pixels derive
+    arithmetically from the key: ``px[y, x] = (k*31 + y*17 + x*7) %
+    60001`` as uint16 over a 64x64 scene, encoded on executors with
+    32-px tiles (libzstd via pyarrow when present — genuinely
+    compressed Huffman+FSE streams — else valid store-mode frames;
+    both decode through the pure-Python RFC 8878 tier in
+    ``sources/zstd.py``). Each row also carries its per-key read
+    window, so a downstream windowed decode exercises the
+    cloud-optimized access path and an SQL oracle can recompute the
+    expected pixel stats exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.geotiff import encode_geotiff
+
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                y, x = np.mgrid[0:64, 0:64]
+                px = ((k * 31 + y * 17 + x * 7) % 60001).astype("u2")
+                out.append(
+                    (
+                        k,
+                        encode_geotiff(px, tile=32, compress="zstd"),
+                        k % 29,
+                        (k * 3) % 31,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "wy", "wx"]
+            )
+
+    # spread the codec work with an EXPLICIT partition count — AQE
+    # would coalesce the tiny key shuffle to one partition and
+    # serialize it (the x222 trap)
+    n = keys.sparkSession.sparkContext.defaultParallelism
+    return keys.select(key_col).repartition(n, F.col(key_col)).mapInPandas(
+        run, "media_id long, payload binary, wy long, wx long"
+    )
+
+
+def cog_window_stats(cogs: DataFrame, wh: int = 24, ww: int = 24) -> DataFrame:
+    """Windowed-decode each COG payload at its per-row (wy, wx) window
+    and emit exact integer pixel stats — only blocks intersecting the
+    window are decompressed (the cloud-optimized pattern), payloads
+    never shuffle, output is metadata-scale."""
+    schema = (
+        "media_id long, n_px long, sum_px long, min_px long, max_px long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.geotiff import decode_geotiff
+
+        for pdf in batches:
+            out = []
+            for mid, payload, wy, wx in zip(
+                pdf["media_id"], pdf["payload"], pdf["wy"], pdf["wx"]
+            ):
+                px, _ = decode_geotiff(
+                    bytes(payload), window=(int(wy), int(wx), wh, ww)
+                )
+                a = px.astype(np.int64)
+                out.append(
+                    (int(mid), int(a.size), int(a.sum()),
+                     int(a.min()), int(a.max()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_px", "sum_px", "min_px", "max_px"],
+            )
+
+    return cogs.select("media_id", "payload", "wy", "wx").mapInPandas(
+        run, schema
+    )

@@ -15,11 +15,14 @@ ModelTiepoint georeferencing — so the raster seams (`pipeline.py`
 stage 2, `operators/multimodal.py`) can decode REAL payloads
 end-to-end in this sandbox. JPEG tiles may be 8-bit (baseline or
 progressive) or 12-bit (bits=12 in the IFD, uint16 arrays — the GDAL
-convention); PackBits (32773) rounds out the classic compressions.
-Formats beyond the subset (CCITT/JPEG2000/zstd compressions,
-arithmetic-coded JPEG, mixed per-band sample types)
-raise NotImplementedError naming the feature, same honesty contract
-as the other codec tiers.
+convention); PackBits (32773) rounds out the classic compressions,
+and ZSTD (50000 — the modern GDAL COG default, ``-co
+COMPRESS=ZSTD``) decodes through the pure-Python RFC 8878 decoder in
+``sources/zstd.py`` (encode uses pyarrow's bundled libzstd when
+present, else a valid store-mode frame). Formats beyond the subset
+(CCITT/JPEG2000/WebP compressions, arithmetic-coded JPEG, mixed
+per-band sample types) raise NotImplementedError naming the feature,
+same honesty contract as the other codec tiers.
 
 Decode supports both byte orders, WINDOWED reads (only blocks
 intersecting the window are ever decompressed — the cloud-optimized
@@ -257,11 +260,11 @@ def decode_geotiff(
         dt = np.dtype(bo + "u2")
     else:
         raise NotImplementedError(f"sample type bits={key[0]} format={key[1]}")
-    # none / LZW / deflate (both codes) / baseline JPEG / PackBits
-    if comp not in (1, 5, 7, 8, 32946, 32773):
+    # none / LZW / deflate (both codes) / baseline JPEG / PackBits / ZSTD
+    if comp not in (1, 5, 7, 8, 32946, 32773, 50000):
         raise NotImplementedError(
             f"TIFF compression {comp} "
-            "(none/LZW/deflate/JPEG/PackBits supported)"
+            "(none/LZW/deflate/JPEG/PackBits/ZSTD supported)"
         )
     if comp == 7 and key not in ((8, 1), (12, 1)):
         raise NotImplementedError(
@@ -302,6 +305,10 @@ def decode_geotiff(
             return zlib.decompress(raw)
         if comp == 32773:
             return _packbits_decode(raw)
+        if comp == 50000:
+            from flytemosaic_spark.sources.zstd import decode_zstd
+
+            return decode_zstd(raw)
         return raw
 
     def block(o, c, bh, bw):
@@ -424,7 +431,7 @@ def encode_geotiff(
         raise NotImplementedError("predictor 2 on float samples")
     comp_code = {
         True: 8, "deflate": 8, "lzw": 5, "jpeg": 7, "packbits": 32773,
-        False: 1, None: 1,
+        "zstd": 50000, False: 1, None: 1,
     }[compress]
     if comp_code == 7:
         if arr.shape[2] not in (1, 3) or arr.dtype not in (
@@ -449,6 +456,10 @@ def encode_geotiff(
         pack = _lzw_encode
     elif comp_code == 8:
         pack = zlib.compress
+    elif comp_code == 50000:
+        from flytemosaic_spark.sources.zstd import encode_zstd
+
+        pack = encode_zstd
     else:
         pack = lambda b: b  # noqa: E731
 

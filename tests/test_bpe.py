@@ -61,3 +61,122 @@ def test_bpe_segment_counts(spark):
     }
     assert counts["low"] == 6  # every word starts with the merged 'low'
     assert "l" not in counts and "lo" not in counts
+
+
+# -- r7: corpus-scale BPE apply --------------------------------------------
+
+
+def test_min_rank_kernel_equals_ordered_replay():
+    """The operator's min-rank kernel vs the independent wrapped-string
+    replay (the SQL oracle's algorithm) — equivalent on
+    creation-ordered merge lists, brute-checked over random words."""
+    import random
+
+    from flytemosaic_spark.operators.bpe import _bpe_word, bpe_word_replay
+    from flytemosaic_spark.probes.roundthirteen import BPE_MERGES
+
+    ranks = {p: i for i, p in enumerate(BPE_MERGES)}
+    rng = random.Random(7)
+    alphabet = "theinoandrsgfu"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        for _ in range(3000)
+    ] + ["the", "then", "another", "interesting", "thethethe", "inging"]
+    for w in words:
+        assert _bpe_word(w, ranks) == bpe_word_replay(w, BPE_MERGES), w
+
+
+def test_kernel_equivalence_on_learned_merges():
+    """Same equivalence for a merge list LEARNED by the induction
+    operator (creation order holds by construction of BPE)."""
+    import random
+
+    from flytemosaic_spark.operators.bpe import _bpe_word, bpe_word_replay
+
+    rng = random.Random(11)
+    corpus_words = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(2, 8)))
+        for _ in range(400)
+    ]
+    # tiny in-python BPE learner (replay semantics) to produce a
+    # genuinely learned, creation-ordered list
+    from collections import Counter
+
+    seqs = {w: list(w) for w in set(corpus_words)}
+    weights = Counter(corpus_words)
+    merges = []
+    for _ in range(12):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += weights[w]
+        if not pc:
+            break
+        best = max(pc, key=lambda p: (pc[p], [-ord(c) for c in p[0]]))
+        merges.append(best)
+        a, b = best
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in set(corpus_words):
+        assert _bpe_word(w, ranks) == bpe_word_replay(w, merges), (w, merges)
+
+
+def test_bpe_apply_stats_df(spark):
+    from flytemosaic_spark.operators.bpe import (
+        bpe_apply_stats,
+        bpe_word_replay,
+    )
+    from flytemosaic_spark.probes.roundthirteen import BPE_MERGES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the theory of the thing"),
+            (2, "standing  in  another station"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens, r.fertility)
+        for r in bpe_apply_stats(docs, BPE_MERGES).collect()
+    }
+    for doc_id, text in [
+        (1, "the theory of the thing"),
+        (2, "standing in another station"),
+        (3, "x"),
+    ]:
+        words = text.split()
+        n_bpe = sum(len(bpe_word_replay(w, BPE_MERGES)) for w in words)
+        import math
+
+        fert = math.floor(n_bpe / len(words) * 10000.0 + 0.5) / 10000.0
+        assert got[doc_id] == (len(words), n_bpe, fert), doc_id
+
+
+def test_bpe_apply_plan_has_no_pre_stats_shuffle(spark):
+    """Corpus bytes must not move before the stats aggregate: the only
+    Exchange in the plan feeds the final per-doc hash aggregate."""
+    from flytemosaic_spark.operators.bpe import bpe_apply_stats
+    from flytemosaic_spark.probes.roundthirteen import BPE_MERGES
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    plan = (
+        bpe_apply_stats(docs, BPE_MERGES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one exchange (the doc_id stats agg); none between scan and the
+    # python mapper
+    assert plan.count("Exchange") <= 1

@@ -675,3 +675,148 @@ def test_polar_inverse_bbox_envelope():
                 )
                 assert ok, (crs_id, x, y, lon, env)
                 assert env[1] - 1e-9 <= lat <= env[3] + 1e-9, (crs_id, x, y)
+
+
+# -- r7: datum-shifted national grids (tmerc/lcc1 + Helmert) ---------------
+
+
+def test_osgb_os_worked_example():
+    """The Ordnance Survey worked example ('A guide to coordinate
+    systems in Great Britain'): OSGB36 geographic 52°39'27.2531"N,
+    1°43'4.5177"E -> National Grid E 651409.903, N 313177.270 —
+    anchors the generic-tmerc Krüger reuse (Airy 1830, lat0 49N,
+    k0 0.9996012717) to 0.1 mm."""
+    from flytemosaic_spark.functions.crs import conic_forward
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    e, n = conic_forward(lon, lat, "EPSG:27700")
+    assert abs(e - 651409.903) < 5e-4
+    assert abs(n - 313177.270) < 5e-4
+
+
+def test_tmerc_lcc1_origins_and_roundtrips():
+    from flytemosaic_spark.functions.crs import conic_forward, conic_inverse
+
+    # true origins land exactly on the false easting/northing
+    e, n = conic_forward(-2.0, 49.0, "EPSG:27700")
+    assert abs(e - 400000.0) < 1e-6 and abs(n + 100000.0) < 1e-5
+    lon0 = 2 + 20 / 60 + 14.025 / 3600  # Paris meridian
+    e, n = conic_forward(lon0, 46.8, "EPSG:27572")
+    assert abs(e - 600000.0) < 1e-6 and abs(n - 2200000.0) < 1e-5
+    for crs_name, pt in (
+        ("EPSG:27700", (-4.2, 57.5)),
+        ("EPSG:27700", (0.5, 50.8)),
+        ("EPSG:27572", (-1.0, 44.0)),
+        ("EPSG:27572", (7.5, 49.2)),
+    ):
+        x, y = conic_forward(*pt, crs_name)
+        lo, la = conic_inverse(x, y, crs_name)
+        assert abs(lo - pt[0]) < 1e-9 and abs(la - pt[1]) < 1e-9
+
+
+def test_lcc1_scale_factor_at_origin():
+    """1SP Lambert: the scale factor AT lat0 is k0 (0.99987742 for
+    Lambert zone II) — measured as projected/ellipsoidal distance
+    along the parallel."""
+    import math
+
+    from flytemosaic_spark.functions.crs import CONIC_PRESETS, conic_forward
+
+    p = CONIC_PRESETS["EPSG:27572"][1]
+    a, f = p["a"], p["f"]
+    e2 = f * (2 - f)
+    lat = p["lat0"]
+    dlon = 0.01
+    x1, y1 = conic_forward(3.0, lat, "EPSG:27572")
+    x2, y2 = conic_forward(3.0 + dlon, lat, "EPSG:27572")
+    ground = (
+        a
+        * math.cos(math.radians(lat))
+        / math.sqrt(1 - e2 * math.sin(math.radians(lat)) ** 2)
+        * math.radians(dlon)
+    )
+    k = math.hypot(x2 - x1, y2 - y1) / ground
+    assert abs(k - p["k0"]) < 1e-6
+
+
+def test_helmert_roundtrip_and_magnitude():
+    from flytemosaic_spark.functions.crs import datum_shift
+
+    for datum, pt, max_m in (
+        ("OSGB36", (-1.0, 52.0), 150.0),
+        ("NTF", (2.5, 48.8), 150.0),
+    ):
+        lo, la = datum_shift(*pt, datum)
+        # the national shifts are tens-to-~120 m, never zero
+        dm = ((lo - pt[0]) * 70000) ** 2 + ((la - pt[1]) * 111000) ** 2
+        assert 10.0**2 < dm < max_m**2
+        back = datum_shift(lo, la, datum, inverse=True)
+        # EPSG 9606 sign-negation inverse: sub-cm closure
+        assert abs(back[0] - pt[0]) < 1e-6
+        assert abs(back[1] - pt[1]) < 1e-6
+
+
+def test_datum_project_df_matches_python_twin(spark):
+    """The four materializing select stages compute the same numbers
+    as the float composition (and stay four narrow projections — the
+    CollapseProject guard)."""
+    from flytemosaic_spark.functions.crs import (
+        conic_forward,
+        datum_project_df,
+        datum_shift,
+        datum_unproject_df,
+    )
+
+    pts = [(-3.1, 51.4), (-0.2, 53.0), (1.1, 52.5)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    rows = {
+        (r.lon, r.lat): (r.x, r.y)
+        for r in datum_project_df(df, "lon", "lat", "EPSG:27700").collect()
+    }
+    for lon, lat in pts:
+        ll = datum_shift(lon, lat, "OSGB36")
+        want = conic_forward(*ll, "EPSG:27700")
+        got = rows[(lon, lat)]
+        assert abs(got[0] - want[0]) < 1e-6
+        assert abs(got[1] - want[1]) < 1e-6
+    # inverse df stage chain closes the loop back to WGS84
+    prj = spark.createDataFrame(
+        [rows[p] for p in pts], "x double, y double"
+    )
+    back = {
+        i: (r.lon, r.lat)
+        for i, r in enumerate(
+            datum_unproject_df(prj, "x", "y", "EPSG:27700").collect()
+        )
+    }
+    got_back = sorted(back.values())
+    for (blon, blat), (lon, lat) in zip(got_back, sorted(pts)):
+        assert abs(blon - lon) < 1e-6 and abs(blat - lat) < 1e-6
+
+
+def test_datum_preset_bbox_plan_time_and_column_guard(spark):
+    import pytest
+
+    from flytemosaic_spark.functions.crs import (
+        conic_forward,
+        datum_shift,
+        reproject_bbox,
+        reproject_bbox_cols,
+    )
+
+    box = (-2.5, 51.0, -0.5, 53.0)
+    env = reproject_bbox(box, "EPSG:4326", "EPSG:27700")
+    # every dense-sampled interior point must fall inside the padded
+    # envelope (prefilter superset property, datum shift included)
+    for i in range(9):
+        for j in range(9):
+            lon = box[0] + (box[2] - box[0]) * i / 8
+            lat = box[1] + (box[3] - box[1]) * j / 8
+            x, y = conic_forward(*datum_shift(lon, lat, "OSGB36"),
+                                 "EPSG:27700")
+            assert env[0] <= x <= env[2] and env[1] <= y <= env[3]
+    df = spark.createDataFrame([box], "minx double, miny double, "
+                               "maxx double, maxy double")
+    with pytest.raises(Exception, match="datum_project_df"):
+        reproject_bbox_cols(df, "EPSG:4326", "EPSG:27700").collect()

@@ -1032,10 +1032,11 @@ class TestMp3Metadata:
         good = encode_mp3_shell(3)
         with pytest.raises(ValueError, match="truncated"):
             parse_mp3(good[:-10])
-        # MPEG-2 version bits rejected honestly
+        # reserved version bits rejected honestly (MPEG-2/2.5 parse
+        # for real since r7 — TestMp3Mpeg2)
         bad = bytearray(good)
-        bad[1] = 0xF3  # version 10 (MPEG-2)
-        with pytest.raises(ValueError, match="MPEG-1"):
+        bad[1] = 0xEB  # version bits 01 (reserved)
+        with pytest.raises(ValueError, match="Layer III"):
             parse_mp3(bytes(bad))
 
     def test_operator(self, spark):
@@ -1289,3 +1290,54 @@ class TestOggOpus:
                 rows[k]["duration_ms"]
                 == ((3 + k % 12) * 960 * (1 + k % 40)) * 1000 // 48000
             )
+
+
+class TestMp3Mpeg2:
+    """r7: MPEG-2/2.5 Layer III header support, validated against a
+    REAL file that ships in this container (gsutil's test corpus)."""
+
+    REAL = (
+        "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+        "test_data/test.mp3"
+    )
+
+    def test_real_mpeg2_file(self):
+        import os
+
+        import pytest
+
+        from flytemosaic_spark.sources.mp3 import parse_mp3
+
+        if not os.path.exists(self.REAL):
+            pytest.skip("container test file absent")
+        m = parse_mp3(open(self.REAL, "rb").read())
+        assert m["version"] == "MPEG-2"
+        assert m["sample_rate"] == 22050
+        assert m["mode"] == "mono"
+        assert m["n_frames"] == 45
+        # 45 frames x 576 samples @ 22050 Hz
+        assert m["duration_ms"] == 45 * 576 * 1000 // 22050
+
+    def test_mpeg2_and_25_shells(self):
+        from flytemosaic_spark.sources.mp3 import (
+            encode_mp3_shell,
+            parse_mp3,
+        )
+
+        m2 = parse_mp3(encode_mp3_shell(7, version=0b10))
+        assert (m2["version"], m2["sample_rate"]) == ("MPEG-2", 22050)
+        assert m2["duration_ms"] == 7 * 576 * 1000 // 22050
+        m25 = parse_mp3(encode_mp3_shell(4, version=0b00, rate_idx=2))
+        assert (m25["version"], m25["sample_rate"]) == ("MPEG-2.5", 8000)
+
+    def test_version_change_mid_stream_rejected(self):
+        import pytest
+
+        from flytemosaic_spark.sources.mp3 import (
+            encode_mp3_shell,
+            parse_mp3,
+        )
+
+        mixed = encode_mp3_shell(2) + encode_mp3_shell(2, version=0b10)
+        with pytest.raises(ValueError, match="version/sample rate"):
+            parse_mp3(mixed)
