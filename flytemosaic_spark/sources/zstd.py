@@ -499,6 +499,11 @@ def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
 
     rep = ctx["rep"]
     lit_pos = 0
+    # RFC 8878: a block decompresses to at most 128 KB — enforcing it
+    # per sequence keeps corrupt/hostile inputs from allocating GBs
+    # before the structural checks fire
+    out_len = len(out)
+    max_end = out_len + (1 << 17)
     # inlined windowed bit reads: ONE byte-load per sequence covers the
     # iteration's <= ~90 bits (offset + extras + 3 state updates) — the
     # per-call _BackBits.read overhead dominated this loop otherwise
@@ -556,14 +561,17 @@ def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
                     rep[2] = rep[1]
                 rep[1] = rep[0]
                 rep[0] = offset
+        if out_len + ll + ml > max_end:
+            raise ValueError("block decompresses past the 128 KB cap")
         if ll:
             out += literals[lit_pos : lit_pos + ll]
             lit_pos += ll
-        if offset > len(out):
+            out_len += ll
+        if offset > out_len:
             raise ValueError("match offset beyond frame start "
                              "(dictionary frames unsupported)")
         if ml:
-            start = len(out) - offset
+            start = out_len - offset
             if offset >= ml:
                 out += out[start : start + ml]
             else:
@@ -571,6 +579,7 @@ def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
                 # period ``offset``
                 pat = bytes(out[start:])
                 out += (pat * (ml // offset + 1))[:ml]
+            out_len += ml
         if i != last_i:  # states are not updated after the last seq
             n = ll_nb[ll_s]
             bpos -= n
