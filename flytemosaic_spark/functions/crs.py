@@ -788,6 +788,16 @@ CONIC_PRESETS: dict[str, tuple[str, dict]] = {
              a=6378249.2, f=(6378249.2 - 6356515.0) / 6378249.2,
              datum="NTF"),
     ),
+    # NAD27 / UTM zone 14N (EPSG registry; Clarke 1866) — the third
+    # datum preset, added as PURE DATA: tmerc + the UTM constants on
+    # the NAD27 ellipsoid with the classic 3-parameter CONUS shift
+    "EPSG:26714": (
+        "tmerc",
+        dict(lat0=0.0, lon0=-99.0, k0=0.9996,
+             fe=500000.0, fn=0.0,
+             a=6378206.4, f=(6378206.4 - 6356583.8) / 6378206.4,
+             datum="NAD27"),
+    ),
 }
 
 # WGS84 -> local-datum Helmert parameter sets (position-vector
@@ -806,6 +816,14 @@ DATUM_PRESETS: dict[str, dict] = {
     "NTF": dict(
         a=6378249.2, f=(6378249.2 - 6356515.0) / 6378249.2,
         dx=168.0, dy=60.0, dz=-320.0,
+        rx=0.0, ry=0.0, rz=0.0, ds=0.0,
+    ),
+    # WGS84 -> NAD27 CONUS (the classic 3-parameter shift; Clarke
+    # 1866) — NAD27->WGS84 is towgs84 = (-8, 160, 176), negated here
+    # for the WGS84->local direction this registry stores
+    "NAD27": dict(
+        a=6378206.4, f=(6378206.4 - 6356583.8) / 6378206.4,
+        dx=8.0, dy=-160.0, dz=-176.0,
         rx=0.0, ry=0.0, rz=0.0, ds=0.0,
     ),
 }

@@ -211,7 +211,7 @@ def build_mosaic(
     # and the difference between ~0.02 and ~1 GiB/s per node: a staged
     # formulation pays Arrow/UnsafeRow serialization on every hop.
     meta = read_template(store_path)
-    level = (meta.get("compressor") or {}).get("level")
+    compressor = meta.get("compressor")
     stats_schema = "tile_id string, time timestamp, n_chunks int"
 
     reader = scene_reader or synthetic_scene
@@ -260,9 +260,9 @@ def build_mosaic(
         y0, x0 = origin[tile]
         ti = t_index[pd.Timestamp(time).to_pydatetime()]
         cidx = (ti, 0, y0 // out_px, x0 // out_px)
-        payload = comp.tobytes(order="C")
-        if level is not None:
-            payload = zlib.compress(payload, level)
+        from flytemosaic_spark.sources.codecs import compress_chunk
+
+        payload = compress_chunk(comp.tobytes(order="C"), compressor)
         fname = os.path.join(store_path, ".".join(map(str, cidx)))
         tmp = f"{fname}.tmp-{os.getpid()}"
         with open(tmp, "wb") as f:
@@ -322,7 +322,7 @@ def export_feature_geotiffs(
         # NaN is only representable in float sample types; an integer
         # store gets no nodata tag unless the caller names a real value
         nodata = float("nan") if np.dtype(zdtype).kind == "f" else None
-    level = (meta.get("compressor") or {}).get("level")
+    compressor = meta.get("compressor")
     names = [n for n in os.listdir(store_path) if not n.startswith(".")]
     manifest = spark.createDataFrame(
         [(os.path.join(store_path, n), *map(int, n.split("."))) for n in names],
@@ -343,10 +343,13 @@ def export_feature_geotiffs(
                 if os.path.exists(dst):  # rerun-is-cheap recheck
                     out.append((dst, t, yi, xi, True))
                     continue
+                from flytemosaic_spark.sources.codecs import (
+                    decompress_chunk,
+                )
+
                 with open(f, "rb") as fh:
                     raw = fh.read()
-                if level is not None:
-                    raw = zlib.decompress(raw)
+                raw = decompress_chunk(raw, compressor)
                 arr = np.frombuffer(raw, dtype=zdtype).reshape(zchunks[1:])
                 ny = zchunks[2]
                 tif = encode_geotiff(

@@ -243,7 +243,6 @@ def x15c_mosaic_geotiff_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     import datetime as dt
     import os
     import tempfile
-    import zlib as _z
 
     import numpy as np
 
@@ -288,14 +287,16 @@ def x15c_mosaic_geotiff_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
         )
         cogs = os.path.join(d, "cogs")
         exported = export_feature_geotiffs(spark, store, cogs).collect()
+        from flytemosaic_spark.sources.codecs import decompress_chunk
+
         meta = read_template(store)
-        level = (meta.get("compressor") or {}).get("level")
         n_match = 0
         for r in exported:
             t, yi, xi = r.t, r.yi, r.xi
-            raw = open(os.path.join(store, f"{t}.0.{yi}.{xi}"), "rb").read()
-            if level is not None:
-                raw = _z.decompress(raw)
+            raw = decompress_chunk(
+                open(os.path.join(store, f"{t}.0.{yi}.{xi}"), "rb").read(),
+                meta.get("compressor"),
+            )
             want = np.frombuffer(raw, dtype=meta["dtype"]).reshape(
                 meta["chunks"][1:]
             )

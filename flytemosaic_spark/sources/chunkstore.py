@@ -12,7 +12,8 @@ are idempotent (a chunk file is simply overwritten with identical
 bytes).
 
 The on-disk layout is genuine Zarr v2 — ``.zarray``/``.zattrs`` JSON
-plus C-order raw chunk files named ``t.b.y.x`` (compressor null) — so
+plus C-order chunk files named ``t.b.y.x`` (compressor null, zlib,
+lz4, or zstd — numcodecs ids) — so
 any Zarr reader can open the result. Edge chunks are padded with the
 fill value, as the format requires.
 """
@@ -22,13 +23,17 @@ from __future__ import annotations
 import json
 import math
 import os
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from flytemosaic_spark.sources.codecs import (
+    compress_chunk,
+    decompress_chunk,
+)
 
 _DTYPES = {
     "float32": "<f4",
@@ -47,25 +52,31 @@ def write_template(
     fill_value: float | str = "NaN",
     attrs: dict | None = None,
     compression_level: int | None = None,
+    compressor=None,
 ) -> None:
     """S9 — driver-side, metadata-only store creation ("CREATE TABLE AS
     SELECT ... LIMIT 0"). Cheap at any scale: two small JSON files.
 
     ``compression_level`` enables the Zarr v2 ``zlib`` codec (a
-    standard numcodecs id, stdlib-only here). At 100 TB the win is
-    object-store bytes and network, paid with executor CPU — level 1
-    is the usual sweet spot for float rasters."""
+    standard numcodecs id, stdlib-only here); ``compressor`` takes a
+    numcodecs-style spec instead — ``"lz4"`` (real-world Zarr's usual
+    codec family, r7 pure-stdlib in ``sources/lz4.py``), ``"zstd"``
+    (pure-Python RFC 8878 read path), ``"zlib"``, or a full
+    ``{"id": ..., "level": ...}`` dict (``sources/codecs.py``). At
+    100 TB the win is object-store bytes and network, paid with
+    executor CPU — level-1 zlib or lz4 is the usual sweet spot for
+    float rasters."""
+    from flytemosaic_spark.sources.codecs import normalize_compressor
+
+    if compressor is None and compression_level is not None:
+        compressor = int(compression_level)
     os.makedirs(path, exist_ok=True)
     meta = {
         "zarr_format": 2,
         "shape": list(shape),
         "chunks": list(chunks),
         "dtype": _DTYPES[dtype],
-        "compressor": (
-            None
-            if compression_level is None
-            else {"id": "zlib", "level": int(compression_level)}
-        ),
+        "compressor": normalize_compressor(compressor),
         "fill_value": fill_value,
         "filters": None,
         "order": "C",
@@ -98,7 +109,7 @@ def write_region_chunks(chunks_df: DataFrame, path: str) -> int:
     meta = read_template(path)
     zshape, zchunks, zdtype = meta["shape"], meta["chunks"], meta["dtype"]
     fill = math.nan if meta["fill_value"] in ("NaN", None) else float(meta["fill_value"])
-    level = (meta.get("compressor") or {}).get("level")
+    comp = meta.get("compressor")
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_written = 0
@@ -127,9 +138,9 @@ def write_region_chunks(chunks_df: DataFrame, path: str) -> int:
                             chunk[: sub.shape[0], : sub.shape[1], : sub.shape[2]] = sub
                             fname = os.path.join(path, ".".join(map(str, cidx)))
                             tmp = fname + ".tmp"
-                            payload_bytes = chunk.tobytes(order="C")
-                            if level is not None:
-                                payload_bytes = zlib.compress(payload_bytes, level)
+                            payload_bytes = compress_chunk(
+                                chunk.tobytes(order="C"), comp
+                            )
                             with open(tmp, "wb") as f:
                                 f.write(payload_bytes)
                             os.replace(tmp, fname)  # atomic → idempotent retries
@@ -150,7 +161,7 @@ def read_store(spark: SparkSession, path: str) -> DataFrame:
     reference engineered into its GTI files (SURVEY §4)."""
     meta = read_template(path)
     zdtype, zchunks = meta["dtype"], meta["chunks"]
-    level = (meta.get("compressor") or {}).get("level")
+    comp = meta.get("compressor")
     names = [n for n in os.listdir(path) if not n.startswith(".")]
     manifest = spark.createDataFrame(
         [(os.path.join(path, n), *map(int, n.split("."))) for n in names],
@@ -161,9 +172,9 @@ def read_store(spark: SparkSession, path: str) -> DataFrame:
         def read_chunk(f: str) -> np.ndarray:
             with open(f, "rb") as fh:
                 raw = fh.read()
-            if level is not None:
-                raw = zlib.decompress(raw)
-            return np.frombuffer(raw, dtype=zdtype).astype("f4")
+            return np.frombuffer(
+                decompress_chunk(raw, comp), dtype=zdtype
+            ).astype("f4")
 
         for pdf in batches:
             payloads = [read_chunk(f) for f in pdf["file"]]
@@ -188,7 +199,7 @@ def read_array(path: str) -> np.ndarray:
     meta = read_template(path)
     shape, chunks, dtype = meta["shape"], meta["chunks"], meta["dtype"]
     fill = math.nan if meta["fill_value"] in ("NaN", None) else float(meta["fill_value"])
-    level = (meta.get("compressor") or {}).get("level")
+    comp = meta.get("compressor")
     out = np.full(shape, fill, dtype=dtype)
     for name in os.listdir(path):
         if name.startswith("."):
@@ -196,9 +207,9 @@ def read_array(path: str) -> np.ndarray:
         idx = list(map(int, name.split(".")))
         with open(os.path.join(path, name), "rb") as fh:
             raw = fh.read()
-        if level is not None:
-            raw = zlib.decompress(raw)
-        block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+        block = np.frombuffer(
+            decompress_chunk(raw, comp), dtype=dtype
+        ).reshape(chunks)
         sl = tuple(
             slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape)
         )

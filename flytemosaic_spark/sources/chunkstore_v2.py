@@ -25,7 +25,6 @@ from __future__ import annotations
 import math
 import os
 import re
-import zlib
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
@@ -175,7 +174,7 @@ class ChunkStoreWriter(DataSourceWriter):
 
         meta = self.meta
         ct, cb, cy, cx = meta["chunks"]
-        level = (meta.get("compressor") or {}).get("level")
+        comp = meta.get("compressor")
         fill = (
             math.nan
             if meta["fill_value"] in ("NaN", None)
@@ -194,9 +193,13 @@ class ChunkStoreWriter(DataSourceWriter):
                         chunk = np.full((cb, cy, cx), fill, dtype=meta["dtype"])
                         sub = block[bbi : bbi + cb, byi : byi + cy, bxi : bxi + cx]
                         chunk[: sub.shape[0], : sub.shape[1], : sub.shape[2]] = sub
-                        payload = chunk.tobytes(order="C")
-                        if level is not None:
-                            payload = zlib.compress(payload, level)
+                        from flytemosaic_spark.sources.codecs import (
+                            compress_chunk,
+                        )
+
+                        payload = compress_chunk(
+                            chunk.tobytes(order="C"), comp
+                        )
                         fname = os.path.join(self.path, ".".join(map(str, cidx)))
                         tmp = f"{fname}.tmp-{os.getpid()}"
                         with open(tmp, "wb") as f:
@@ -218,13 +221,13 @@ def _decode_chunk(path: str, fname: str, meta: dict) -> tuple:
     shared by the batch partition reader and the stream reader."""
     import numpy as np
 
+    from flytemosaic_spark.sources.codecs import decompress_chunk
+
     ct, cb, cy, cx = meta["chunks"]
-    level = (meta.get("compressor") or {}).get("level")
     ti, bi, yi, xi = map(int, fname.split("."))
     with open(os.path.join(path, fname), "rb") as fh:
         raw = fh.read()
-    if level is not None:
-        raw = zlib.decompress(raw)
+    raw = decompress_chunk(raw, meta.get("compressor"))
     arr = np.frombuffer(raw, dtype=meta["dtype"]).astype("f4")
     return (
         ti * ct,

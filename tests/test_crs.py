@@ -820,3 +820,32 @@ def test_datum_preset_bbox_plan_time_and_column_guard(spark):
                                "maxx double, maxy double")
     with pytest.raises(Exception, match="datum_project_df"):
         reproject_bbox_cols(df, "EPSG:4326", "EPSG:27700").collect()
+
+
+def test_nad27_utm_preset_is_pure_data():
+    """EPSG:26714 (NAD27 / UTM 14N) landed with ZERO new code — the
+    tmerc core on the Clarke 1866 ellipsoid + the classic CONUS
+    3-parameter shift. UTM structure sanity: the zone-14 central
+    meridian (99W) maps to easting 500000 exactly, the equator to
+    northing 0; a Texas point round-trips; and the NAD27 datum shift
+    is tens of meters with the documented sign (NAD27->WGS84 moves
+    points by towgs84 = (-8, 160, 176))."""
+    from flytemosaic_spark.functions.crs import (
+        conic_forward,
+        conic_inverse,
+        datum_shift,
+    )
+
+    e, n = conic_forward(-99.0, 0.0, "EPSG:26714")
+    assert abs(e - 500000.0) < 1e-6 and abs(n) < 1e-6
+    pt = (-97.74, 30.27)  # Austin, in NAD27 geographic terms
+    x, y = conic_forward(*pt, "EPSG:26714")
+    assert 550000 < x < 650000 and 3300000 < y < 3400000
+    lo, la = conic_inverse(x, y, "EPSG:26714")
+    assert abs(lo - pt[0]) < 1e-9 and abs(la - pt[1]) < 1e-9
+    wlon, wlat = pt
+    nlon, nlat = datum_shift(wlon, wlat, "NAD27")
+    dm2 = ((nlon - wlon) * 96000) ** 2 + ((nlat - wlat) * 111000) ** 2
+    assert 10**2 < dm2 < 300**2
+    back = datum_shift(nlon, nlat, "NAD27", inverse=True)
+    assert abs(back[0] - wlon) < 1e-6 and abs(back[1] - wlat) < 1e-6

@@ -1,0 +1,169 @@
+"""LZ4 block codec + the chunk-store codec registry.
+
+LZ4 is fully formulaic (no entropy tables), so the from-scratch
+implementation is verifiable BOTH directions against the real lz4
+bundled with pyarrow (``lz4_raw`` = the same block format numcodecs
+wraps for Zarr)."""
+
+import random
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flytemosaic_spark.sources.lz4 import (
+    compress_block,
+    decompress_block,
+    numcodecs_lz4_decode,
+    numcodecs_lz4_encode,
+)
+
+
+def _real():
+    import pyarrow as pa
+
+    if not pa.Codec.is_available("lz4_raw"):
+        pytest.skip("pyarrow built without lz4")
+    return pa.Codec("lz4_raw")
+
+
+def _cases():
+    random.seed(5)
+    rng = np.random.default_rng(5)
+    return {
+        "empty": b"",
+        "one": b"x",
+        "short_rep": b"abcabcabcabc",
+        "rep": b"hello world " * 500,
+        "random": bytes(random.getrandbits(8) for _ in range(10000)),
+        "chunk_f4": (rng.integers(0, 50, (64, 64, 4)) / 2.0)
+        .astype("f4")
+        .tobytes(),
+        "zeros": b"\x00" * 100000,
+        "tail_rep": b"q" * 30 + b"unique-tail",
+    }
+
+
+class TestLz4Interop:
+    def test_our_blocks_decode_with_real_lz4(self):
+        codec = _real()
+        for name, d in _cases().items():
+            assert (
+                codec.decompress(compress_block(d), len(d), asbytes=True)
+                == d
+            ), name
+
+    def test_real_blocks_decode_with_ours(self):
+        codec = _real()
+        for name, d in _cases().items():
+            real = codec.compress(d, asbytes=True)
+            assert decompress_block(real, len(d)) == d, name
+
+    def test_compression_is_real(self):
+        d = b"hello world " * 500
+        assert len(compress_block(d)) < len(d) // 50
+
+    def test_numcodecs_framing(self):
+        for d in _cases().values():
+            assert numcodecs_lz4_decode(numcodecs_lz4_encode(d)) == d
+
+    def test_corrupt_raises(self):
+        good = compress_block(b"abcd" * 100)
+        with pytest.raises((ValueError, IndexError)):
+            decompress_block(good[: len(good) // 2], 400)
+        bad = bytearray(good)
+        bad[1] ^= 0xFF
+        try:
+            out = decompress_block(bytes(bad), 400)
+            assert len(out) == 400  # structurally valid mutation
+        except (ValueError, IndexError):
+            pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=3000))
+def test_lz4_property_round_trip(data):
+    assert decompress_block(compress_block(data), len(data)) == data
+
+
+class TestChunkstoreCodecs:
+    @pytest.mark.parametrize("compressor", ["lz4", "zstd", 1, None])
+    def test_store_round_trip(self, spark, tmp_path, compressor):
+        from flytemosaic_spark.sources.chunkstore import (
+            read_array,
+            read_template,
+            write_region_chunks,
+            write_template,
+        )
+
+        path = str(tmp_path / f"store_{compressor}")
+        write_template(
+            path, (1, 2, 8, 8), (1, 1, 4, 4), compressor=compressor
+        )
+        rng = np.random.default_rng(7)
+        block = rng.normal(size=(2, 8, 8)).astype("f4")
+        df = spark.createDataFrame(
+            [(0, 0, 0, 0, [2, 8, 8], [float(v) for v in block.ravel()])],
+            "t int, b0 int, y0 int, x0 int, shape array<int>, "
+            "payload array<float>",
+        )
+        n = write_region_chunks(df, path)
+        assert n == 8
+        got = read_array(path)
+        assert np.array_equal(got[0], block)
+        meta = read_template(path)
+        if compressor is None:
+            assert meta["compressor"] is None
+        elif compressor == 1:
+            assert meta["compressor"] == {"id": "zlib", "level": 1}
+        else:
+            assert meta["compressor"]["id"] == compressor
+
+    def test_read_store_df_with_lz4(self, spark, tmp_path):
+        from flytemosaic_spark.sources.chunkstore import (
+            read_store,
+            write_region_chunks,
+            write_template,
+        )
+
+        path = str(tmp_path / "lz4store")
+        write_template(path, (1, 1, 4, 4), (1, 1, 4, 4),
+                       compressor="lz4")
+        vals = [float(i) for i in range(16)]
+        df = spark.createDataFrame(
+            [(0, 0, 0, 0, [1, 4, 4], vals)],
+            "t int, b0 int, y0 int, x0 int, shape array<int>, "
+            "payload array<float>",
+        )
+        write_region_chunks(df, path)
+        rows = read_store(spark, path).collect()
+        assert len(rows) == 1
+        assert rows[0].payload == vals
+
+    def test_v2_datasource_with_zstd(self, spark, tmp_path):
+        from flytemosaic_spark.sources.chunkstore import (
+            read_array,
+            write_template,
+        )
+
+        path = str(tmp_path / "v2zstd")
+        write_template(path, (1, 1, 4, 4), (1, 1, 4, 4),
+                       compressor="zstd")
+        vals = [float(i * 3) for i in range(16)]
+        df = spark.createDataFrame(
+            [(0, 0, 0, 0, [1, 4, 4], vals)],
+            "t int, b0 int, y0 int, x0 int, shape array<int>, "
+            "payload array<float>",
+        )
+        from flytemosaic_spark.sources.chunkstore_v2 import register
+
+        register(spark)
+        (
+            df.write.format("chunkstore")
+            .mode("append")
+            .option("path", path)
+            .save()
+        )
+        got = read_array(path)
+        assert np.array_equal(got.ravel(), np.array(vals, dtype="f4"))
