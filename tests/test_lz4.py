@@ -167,3 +167,70 @@ class TestChunkstoreCodecs:
         )
         got = read_array(path)
         assert np.array_equal(got.ravel(), np.array(vals, dtype="f4"))
+
+
+class TestLz4Frame:
+    def test_xxh32_vectors(self):
+        from flytemosaic_spark.sources.lz4 import xxh32
+
+        assert xxh32(b"") == 0x02CC5D05
+        assert (
+            xxh32(b"Nobody inspects the spammish repetition")
+            == 0xE2293B2F
+        )
+
+    def test_frame_interop_both_directions(self):
+        import pyarrow as pa
+
+        from flytemosaic_spark.sources.lz4 import (
+            compress_frame,
+            decompress_frame,
+        )
+
+        if not pa.Codec.is_available("lz4"):
+            pytest.skip("pyarrow built without lz4 frame codec")
+        codec = pa.Codec("lz4")
+        rng = np.random.default_rng(1)
+        random.seed(1)
+        for d in (
+            b"",
+            b"x",
+            b"hello frame " * 1000,
+            bytes(random.getrandbits(8) for _ in range(300000)),
+            (rng.integers(0, 50, (128, 128, 4)) / 2.0)
+            .astype("f4")
+            .tobytes(),
+        ):
+            real = codec.compress(d, asbytes=True)
+            assert decompress_frame(real) == d
+            mine = compress_frame(d)
+            assert codec.decompress(mine, len(d), asbytes=True) == d
+            assert decompress_frame(mine) == d
+
+    def test_frame_checksum_and_corruption(self):
+        from flytemosaic_spark.sources.lz4 import (
+            compress_frame,
+            decompress_frame,
+        )
+
+        frame = bytearray(compress_frame(b"payload " * 100))
+        assert decompress_frame(bytes(frame)) == b"payload " * 100
+        frame[-1] ^= 0xFF  # content checksum
+        with pytest.raises(ValueError, match="checksum"):
+            decompress_frame(bytes(frame))
+
+    def test_multi_frame_and_skippable(self):
+        import struct as _s
+
+        from flytemosaic_spark.sources.lz4 import (
+            compress_frame,
+            decompress_frame,
+        )
+
+        payload = (
+            compress_frame(b"one|")
+            + _s.pack("<II", 0x184D2A50, 4)
+            + b"meta"
+            + compress_frame(b"two")
+        )
+        assert decompress_frame(payload) == b"one|two"
