@@ -44,7 +44,13 @@ def compress_chunk(data: bytes, comp: dict | None) -> bytes:
         from flytemosaic_spark.sources.zstd import encode_zstd
 
         return encode_zstd(data, int(comp.get("level", 3)))
-    raise NotImplementedError(f"chunk codec {cid!r} (zlib/lz4/zstd)")
+    if cid == "snappy":
+        from flytemosaic_spark.sources.snappy import compress
+
+        return compress(data)
+    raise NotImplementedError(
+        f"chunk codec {cid!r} (zlib/lz4/zstd/snappy)"
+    )
 
 
 def decompress_chunk(data: bytes, comp: dict | None) -> bytes:
@@ -61,4 +67,10 @@ def decompress_chunk(data: bytes, comp: dict | None) -> bytes:
         from flytemosaic_spark.sources.zstd import decode_zstd
 
         return decode_zstd(data)
-    raise NotImplementedError(f"chunk codec {cid!r} (zlib/lz4/zstd)")
+    if cid == "snappy":
+        from flytemosaic_spark.sources.snappy import decompress
+
+        return decompress(data)
+    raise NotImplementedError(
+        f"chunk codec {cid!r} (zlib/lz4/zstd/snappy)"
+    )

@@ -234,3 +234,66 @@ class TestLz4Frame:
             + compress_frame(b"two")
         )
         assert decompress_frame(payload) == b"one|two"
+
+
+class TestSnappy:
+    """Same verifiability contract as LZ4: snappy's raw block format
+    has no entropy tables, so both directions check against the real
+    snappy in pyarrow."""
+
+    def test_interop_both_directions(self):
+        import pyarrow as pa
+
+        from flytemosaic_spark.sources.snappy import compress, decompress
+
+        if not pa.Codec.is_available("snappy"):
+            pytest.skip("pyarrow built without snappy")
+        codec = pa.Codec("snappy")
+        for name, d in _cases().items():
+            assert (
+                codec.decompress(compress(d), len(d), asbytes=True) == d
+            ), name
+            assert decompress(codec.compress(d, asbytes=True)) == d, name
+
+    def test_compression_is_real(self):
+        from flytemosaic_spark.sources.snappy import compress
+
+        d = b"hello world " * 500
+        assert len(compress(d)) < len(d) // 10
+
+    def test_corrupt_raises(self):
+        import struct as _s
+
+        from flytemosaic_spark.sources.snappy import compress, decompress
+
+        good = compress(b"abcd" * 200)
+        with pytest.raises((ValueError, IndexError, _s.error)):
+            decompress(good[: len(good) // 2])
+
+    def test_chunkstore_snappy(self, spark, tmp_path):
+        from flytemosaic_spark.sources.chunkstore import (
+            read_array,
+            write_region_chunks,
+            write_template,
+        )
+
+        path = str(tmp_path / "snapstore")
+        write_template(path, (1, 1, 4, 4), (1, 1, 4, 4),
+                       compressor="snappy")
+        vals = [float(i * 2) for i in range(16)]
+        df = spark.createDataFrame(
+            [(0, 0, 0, 0, [1, 4, 4], vals)],
+            "t int, b0 int, y0 int, x0 int, shape array<int>, "
+            "payload array<float>",
+        )
+        write_region_chunks(df, path)
+        got = read_array(path)
+        assert np.array_equal(got.ravel(), np.array(vals, dtype="f4"))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=3000))
+def test_snappy_property_round_trip(data):
+    from flytemosaic_spark.sources.snappy import compress, decompress
+
+    assert decompress(compress(data)) == data
