@@ -309,3 +309,89 @@ def x235_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.bpe import bpe_apply_stats
 
     return bpe_apply_stats(T(spark, sf, "documents"), BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# x236 — every chunk codec round-trips IN the gate
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x236_chunk_codecs",
+    sql="""
+        WITH keys AS (
+            SELECT s_suppkey AS media_id FROM supplier
+        ),
+        cells AS (
+            SELECT k.media_id,
+                   (k.media_id * 17 + i.i * 13) % 251 AS val
+            FROM keys k, generate_series(0, 4095) i(i)
+        )
+        SELECT media_id,
+               4 AS n_codecs,
+               sum(val) * 4 AS sum_val,
+               min(val) AS min_val,
+               max(val) AS max_val
+        FROM cells
+        GROUP BY media_id
+    """,
+    note="Chunk-codec round-trip IN the gate: executors build a "
+    "key-derived 4 KB uint8 chunk, push it through ALL FOUR registry "
+    "codecs (zlib, lz4, zstd, snappy — sources/codecs.py; lz4/snappy "
+    "are the r7 pure-stdlib implementations, zstd the RFC 8878 "
+    "decoder) compress->decompress on the worker, and emit exact "
+    "integer stats summed across codecs — one wrong byte in any "
+    "codec's round-trip shifts sum_val and fails the hash. The oracle "
+    "recomputes the stats from the generating arithmetic (x4 for the "
+    "four codecs). Payloads never shuffle; output is metadata-scale.",
+)
+def x236_chunk_codecs(spark: SparkSession, sf: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.codecs import (
+            compress_chunk,
+            decompress_chunk,
+        )
+
+        specs = [
+            {"id": "zlib", "level": 1},
+            {"id": "lz4"},
+            {"id": "zstd", "level": 3},
+            {"id": "snappy"},
+        ]
+        for pdf in batches:
+            out = []
+            for k in pdf["s_suppkey"]:
+                k = int(k)
+                i = np.arange(4096, dtype=np.int64)
+                chunk = ((k * 17 + i * 13) % 251).astype("u1").tobytes()
+                total = 0
+                vmin, vmax = 255, 0
+                for spec in specs:
+                    back = decompress_chunk(
+                        compress_chunk(chunk, spec), spec
+                    )
+                    a = np.frombuffer(back, dtype="u1")
+                    total += int(a.astype(np.int64).sum())
+                    vmin = min(vmin, int(a.min()))
+                    vmax = max(vmax, int(a.max()))
+                out.append((k, len(specs), total, vmin, vmax))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_codecs", "sum_val", "min_val",
+                    "max_val",
+                ],
+            )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    n = spark.sparkContext.defaultParallelism
+    return keys.repartition(n, "s_suppkey").mapInPandas(
+        run,
+        "media_id long, n_codecs int, sum_val long, min_val long, "
+        "max_val long",
+    )
