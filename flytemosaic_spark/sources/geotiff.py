@@ -19,7 +19,8 @@ convention); PackBits (32773) rounds out the classic compressions,
 and ZSTD (50000 — the modern GDAL COG default, ``-co
 COMPRESS=ZSTD``) decodes through the pure-Python RFC 8878 decoder in
 ``sources/zstd.py`` (encode uses pyarrow's bundled libzstd when
-present, else a valid store-mode frame). Formats beyond the subset
+present, else the module's own REAL encoder — LZ matches +
+predefined-FSE sequence coding, frames libzstd itself accepts). Formats beyond the subset
 (CCITT/JPEG2000/WebP compressions, arithmetic-coded JPEG, mixed
 per-band sample types) raise NotImplementedError naming the feature,
 same honesty contract as the other codec tiers.

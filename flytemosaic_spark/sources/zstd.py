@@ -17,8 +17,11 @@ content-checksum verification.
 ``encode_zstd`` prefers the real libzstd bundled with pyarrow (so
 tests exercise the decoder against genuinely compressed streams —
 Huffman + FSE paths included); when pyarrow is absent it falls back
-to :func:`encode_zstd_store`, a pure-stdlib raw-block framing that is
-nevertheless a valid zstd frame any decoder accepts.
+to :func:`compress_zstd`, this module's own REAL encoder — LZ
+matches + predefined-FSE sequence coding with raw literals, whose
+frames libzstd itself decodes in tests — with
+:func:`encode_zstd_store` (raw-block framing) as the zero-CPU
+floor.
 
 Out of scope (raise ``NotImplementedError`` naming the feature):
 dictionary-compressed frames (``Dictionary_ID`` != 0) — the TIFF tile
@@ -777,12 +780,222 @@ def encode_zstd_store(data: bytes, checksum: bool = True) -> bytes:
 
 def encode_zstd(data: bytes, level: int = 3) -> bytes:
     """Real zstd compression via the libzstd bundled with pyarrow when
-    available (exercises the decoder's Huffman/FSE paths), else the
-    stdlib store-mode framing."""
+    available (exercises the decoder's Huffman/FSE paths), else this
+    module's own real encoder (:func:`compress_zstd`)."""
     try:
         import pyarrow as pa
 
         codec = pa.Codec("zstd", compression_level=level)
         return codec.compress(data, asbytes=True)
     except Exception:
-        return encode_zstd_store(data)
+        return compress_zstd(data)
+
+
+# --------------------------------------------------------------------------
+# COMPRESSED-block encoder (dependency-free real compression)
+# --------------------------------------------------------------------------
+#
+# Real zstd compression without libzstd: LZ matches (greedy 4-byte
+# hash, the lz4-style matcher) + RAW literals + sequence codes
+# FSE-coded with the PREDEFINED distributions. The encode-side state
+# chains are derived from the DECODER's own tables: for each symbol
+# the states emitting it partition [0, tableSize) by their
+# (new_base, nb_bits) read-ranges, so back-solving from the next
+# decode state picks exactly one predecessor and the bits the decoder
+# will read. Huffman literals are deliberately not emitted (raw
+# literals keep the encoder small); matches alone give lz4-class
+# ratios, and the output is a standard frame any decoder accepts —
+# round-tripped against libzstd in tests.
+
+
+def _enc_maps(probs, accuracy_log):
+    """symbol -> (decode-state array indexed by next_state) built from
+    the decode table: entry = (state, nb_bits, new_base)."""
+    syms, base, nbits = _fse_build_dtable(probs, accuracy_log)
+    size = 1 << accuracy_log
+    per_symbol: dict[int, list] = {}
+    for s in range(size):
+        per_symbol.setdefault(syms[s], []).append(s)
+    # for each symbol: map next_state -> (state, nb, base)
+    lookup: dict[int, list] = {}
+    for sym, states in per_symbol.items():
+        arr = [None] * size
+        for s in states:
+            for nxt in range(base[s], base[s] + (1 << nbits[s])):
+                arr[nxt] = (s, nbits[s], base[s])
+        lookup[sym] = arr
+    first_state = {sym: states[0] for sym, states in per_symbol.items()}
+    return lookup, first_state
+
+
+_LL_ENC = _enc_maps(*_LL_DEFAULT)
+_ML_ENC = _enc_maps(*_ML_DEFAULT)
+_OF_ENC = _enc_maps(*_OF_DEFAULT)
+_LL_AL, _ML_AL, _OF_AL = _LL_DEFAULT[1], _ML_DEFAULT[1], _OF_DEFAULT[1]
+
+
+def _code_of(value: int, table) -> tuple[int, int, int]:
+    """(code, extra_bits, extra_value) for a literal/match length via
+    the shared baseline tables."""
+    # binary search over baselines
+    lo, hi = 0, len(table) - 1
+    while lo < hi:
+        mid = (lo + hi + 1) >> 1
+        if table[mid][0] <= value:
+            lo = mid
+        else:
+            hi = mid - 1
+    baseline, nbits = table[lo]
+    return lo, nbits, value - baseline
+
+
+def _find_sequences(data: bytes):
+    """Greedy matcher: [(n_literals, match_len, offset)...], trailing
+    literal count. Min match 4, offsets within the block."""
+    n = len(data)
+    seqs = []
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+    limit = n - 4
+    while i < limit:
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and data[cand : cand + 4] == key:
+            ml = 4
+            max_ml = n - i
+            while ml < max_ml and data[cand + ml] == data[i + ml]:
+                ml += 1
+            seqs.append((i - anchor, ml, i - cand))
+            i += ml
+            anchor = i
+        else:
+            i += 1
+    return seqs, n - anchor
+
+
+def _encode_block_compressed(data: bytes) -> bytes | None:
+    """One compressed block (<= 128 KB input), or None when
+    compression does not pay."""
+    seqs, trailing = _find_sequences(data)
+    if not seqs:
+        return None
+    # literals = the concatenation the decoder replays
+    lits = bytearray()
+    pos = 0
+    rows = []
+    for ll, ml, offset in seqs:
+        lits += data[pos : pos + ll]
+        pos += ll + ml
+        ll_c, ll_nb, ll_x = _code_of(ll, _LL_CODE)
+        ml_c, ml_nb, ml_x = _code_of(ml, _ML_CODE)
+        off_val = offset + 3  # never a repeat-offset index
+        of_c = off_val.bit_length() - 1
+        of_x = off_val - (1 << of_c)
+        rows.append((ll_c, ll_nb, ll_x, ml_c, ml_nb, ml_x, of_c, of_x))
+    lits += data[pos:]
+    assert len(lits) - trailing == sum(s[0] for s in seqs)
+
+    # back-solve the three state chains (last sequence's states free)
+    n_seq = len(rows)
+    ll_states = [0] * n_seq
+    ml_states = [0] * n_seq
+    of_states = [0] * n_seq
+    upd = [None] * n_seq  # (ll_bits, ll_nb, ml_bits, ml_nb, of_bits, of_nb)
+    ll_states[-1] = _LL_ENC[1][rows[-1][0]]
+    ml_states[-1] = _ML_ENC[1][rows[-1][3]]
+    of_states[-1] = _OF_ENC[1][rows[-1][6]]
+    for i in range(n_seq - 2, -1, -1):
+        nxt = ll_states[i + 1]
+        s, nb, base = _LL_ENC[0][rows[i][0]][nxt]
+        ll_states[i] = s
+        ll_bits = (nxt - base, nb)
+        nxt = ml_states[i + 1]
+        s, nb, base = _ML_ENC[0][rows[i][3]][nxt]
+        ml_states[i] = s
+        ml_bits = (nxt - base, nb)
+        nxt = of_states[i + 1]
+        s, nb, base = _OF_ENC[0][rows[i][6]][nxt]
+        of_states[i] = s
+        of_bits = (nxt - base, nb)
+        upd[i] = (ll_bits, ml_bits, of_bits)
+
+    # pack the backward bitstream in DECODE order from the top
+    acc = 0
+    total = 0
+
+    def put(value: int, nbits: int) -> None:
+        nonlocal acc, total
+        if nbits:
+            acc = (acc << nbits) | value
+            total += nbits
+
+    put(ll_states[0], _LL_AL)
+    put(of_states[0], _OF_AL)
+    put(ml_states[0], _ML_AL)
+    for i, (ll_c, ll_nb, ll_x, ml_c, ml_nb, ml_x, of_c, of_x) in enumerate(
+        rows
+    ):
+        put(of_x, of_c)
+        put(ml_x, ml_nb)
+        put(ll_x, ll_nb)
+        if i + 1 < n_seq:
+            (lb, ln), (mb, mn), (ob, on) = upd[i]
+            put(lb, ln)
+            put(mb, mn)
+            put(ob, on)
+    acc |= 1 << total  # sentinel
+    stream = acc.to_bytes((total + 8) // 8, "little")
+
+    # literals section header (Raw literals)
+    n_lit = len(lits)
+    if n_lit < 32:
+        lit_hdr = bytes([n_lit << 3])
+    elif n_lit < 4096:
+        lit_hdr = bytes([0x04 | ((n_lit & 0xF) << 4), n_lit >> 4])
+    else:
+        lit_hdr = bytes(
+            [0x0C | ((n_lit & 0xF) << 4), (n_lit >> 4) & 0xFF, n_lit >> 12]
+        )
+    if n_seq < 128:
+        seq_hdr = bytes([n_seq])
+    elif n_seq < 0x7F00:
+        seq_hdr = bytes([(n_seq >> 8) + 128, n_seq & 0xFF])
+    else:
+        seq_hdr = bytes([255, n_seq & 0xFF, (n_seq - 0x7F00) >> 8])
+    block = lit_hdr + bytes(lits) + seq_hdr + b"\x00" + stream
+    return block if len(block) < len(data) else None
+
+
+def compress_zstd(data: bytes, checksum: bool = True) -> bytes:
+    """Dependency-free REAL zstd compression: LZ matches + predefined
+    FSE sequence coding, raw-block fallback per 128 KB piece when
+    matching does not pay. Output is a standard single-segment frame
+    (content size declared, xxh64 checksum) accepted by any RFC 8878
+    decoder — round-tripped against libzstd in tests."""
+    n = len(data)
+    parts = [struct.pack("<I", _MAGIC)]
+    chk = 0x04 if checksum else 0
+    if n < 256:
+        parts.append(bytes([0x20 | chk, n]))
+    elif n < 65536 + 256:
+        parts.append(bytes([0x60 | chk]) + struct.pack("<H", n - 256))
+    else:
+        parts.append(bytes([0xA0 | chk]) + struct.pack("<I", n))
+    step = 1 << 17  # the 128 KB decompressed-block cap
+    if n == 0:
+        parts.append(struct.pack("<I", 1)[:3])
+    for off in range(0, n, step):
+        chunk = data[off : off + step]
+        last = 1 if off + step >= n else 0
+        comp = _encode_block_compressed(chunk)
+        if comp is not None:
+            hdr = (len(comp) << 3) | (2 << 1) | last
+        else:
+            comp = chunk
+            hdr = (len(chunk) << 3) | last
+        parts.append(int.to_bytes(hdr, 3, "little") + comp)
+    if checksum:
+        parts.append(struct.pack("<I", xxh64(data) & 0xFFFFFFFF))
+    return b"".join(parts)
