@@ -180,3 +180,68 @@ def test_bpe_apply_plan_has_no_pre_stats_shuffle(spark):
     # one exchange (the doc_id stats agg); none between scan and the
     # python mapper
     assert plan.count("Exchange") <= 1
+
+
+def test_bpe_apply_with_large_learned_vocab(spark):
+    """The production shape: a LEARNED vocabulary of thousands of
+    merges broadcast once and applied map-side. Learns ~3k merges
+    from a synthetic corpus with an in-python learner, applies them
+    through the distributed operator, and checks doc token counts
+    against the replay reference."""
+    import math
+    import random
+    from collections import Counter
+
+    from flytemosaic_spark.operators.bpe import (
+        bpe_apply_stats,
+        bpe_word_replay,
+    )
+
+    rng = random.Random(13)
+    syllables = ["ka", "to", "mi", "ren", "su", "bal", "ne", "or",
+                 "ti", "qua"]
+    vocab_words = [
+        "".join(rng.choice(syllables) for _ in range(rng.randint(1, 4)))
+        for _ in range(800)
+    ]
+    docs_py = [
+        (i, " ".join(rng.choice(vocab_words) for _ in range(60)))
+        for i in range(40)
+    ]
+
+    # learn merges by replay (creation-ordered by construction)
+    weights = Counter(w for _, t in docs_py for w in t.split())
+    seqs = {w: list(w) for w in weights}
+    merges = []
+    for _ in range(3000):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += weights[w]
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        merges.append(best)
+        a, b = best
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    assert len(merges) > 500  # a genuinely large vocabulary
+
+    df = spark.createDataFrame(docs_py, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens, r.fertility)
+        for r in bpe_apply_stats(df, merges).collect()
+    }
+    for doc_id, text in docs_py:
+        words = text.split()
+        n_bpe = sum(len(bpe_word_replay(w, merges)) for w in words)
+        fert = math.floor(n_bpe / len(words) * 10000.0 + 0.5) / 10000.0
+        assert got[doc_id] == (len(words), n_bpe, fert), doc_id
