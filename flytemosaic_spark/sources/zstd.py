@@ -880,7 +880,13 @@ def _encode_block_compressed(data: bytes) -> bytes | None:
     compression does not pay."""
     seqs, trailing = _find_sequences(data)
     if not seqs:
-        return None
+        # no matches: a 0-sequence block with Huffman literals can
+        # still pay (skewed text alphabets)
+        lit_sec = _huf_literals_section(data)
+        if lit_sec is None:
+            return None
+        block = lit_sec + b"\x00"  # Number_of_Sequences = 0
+        return block if len(block) < len(data) else None
     # literals = the concatenation the decoder replays
     lits = bytearray()
     pos = 0
@@ -948,23 +954,27 @@ def _encode_block_compressed(data: bytes) -> bytes | None:
     acc |= 1 << total  # sentinel
     stream = acc.to_bytes((total + 8) // 8, "little")
 
-    # literals section header (Raw literals)
+    # literals section: Huffman-compressed when it pays, else raw
     n_lit = len(lits)
-    if n_lit < 32:
-        lit_hdr = bytes([n_lit << 3])
-    elif n_lit < 4096:
-        lit_hdr = bytes([0x04 | ((n_lit & 0xF) << 4), n_lit >> 4])
-    else:
-        lit_hdr = bytes(
-            [0x0C | ((n_lit & 0xF) << 4), (n_lit >> 4) & 0xFF, n_lit >> 12]
-        )
+    lit_sec = _huf_literals_section(bytes(lits))
+    if lit_sec is None:
+        if n_lit < 32:
+            lit_hdr = bytes([n_lit << 3])
+        elif n_lit < 4096:
+            lit_hdr = bytes([0x04 | ((n_lit & 0xF) << 4), n_lit >> 4])
+        else:
+            lit_hdr = bytes(
+                [0x0C | ((n_lit & 0xF) << 4), (n_lit >> 4) & 0xFF,
+                 n_lit >> 12]
+            )
+        lit_sec = lit_hdr + bytes(lits)
     if n_seq < 128:
         seq_hdr = bytes([n_seq])
     elif n_seq < 0x7F00:
         seq_hdr = bytes([(n_seq >> 8) + 128, n_seq & 0xFF])
     else:
         seq_hdr = bytes([255, n_seq & 0xFF, (n_seq - 0x7F00) >> 8])
-    block = lit_hdr + bytes(lits) + seq_hdr + b"\x00" + stream
+    block = lit_sec + seq_hdr + b"\x00" + stream
     return block if len(block) < len(data) else None
 
 
@@ -999,3 +1009,133 @@ def compress_zstd(data: bytes, checksum: bool = True) -> bytes:
     if checksum:
         parts.append(struct.pack("<I", xxh64(data) & 0xFFFFFFFF))
     return b"".join(parts)
+
+
+def _huf_assign(hist: dict[int, int]):
+    """Depth-limited (<= 11) Huffman code lengths for the present
+    symbols; returns {sym: nbits} with exact Kraft equality."""
+    import heapq
+
+    syms = sorted(hist)
+    if len(syms) < 2:
+        return None
+    heap = [(hist[s], i, (s,)) for i, s in enumerate(syms)]
+    heapq.heapify(heap)
+    tick = len(syms)
+    depth = {s: 0 for s in syms}
+    while len(heap) > 1:
+        fa, _, ga = heapq.heappop(heap)
+        fb, _, gb = heapq.heappop(heap)
+        for s in ga + gb:
+            depth[s] += 1
+        tick += 1
+        heapq.heappush(heap, (fa + fb, tick, ga + gb))
+    # clamp to 11 bits, then restore Kraft equality sum(2^-len) == 1
+    for s in depth:
+        depth[s] = max(1, min(11, depth[s]))
+    kraft = sum(1 << (11 - d) for d in depth.values())  # target 2^11
+    order = sorted(depth, key=lambda s: (hist[s], s))  # rarest first
+    while kraft > (1 << 11):  # over-budget: lengthen rare symbols
+        for s in order:
+            if depth[s] < 11:
+                kraft -= 1 << (11 - depth[s] - 1)
+                depth[s] += 1
+                break
+        else:
+            return None
+        continue
+    i = 0
+    while kraft < (1 << 11):  # slack: shorten frequent symbols
+        for s in sorted(depth, key=lambda s: (-hist[s], s)):
+            gain = 1 << (11 - depth[s])
+            if depth[s] > 1 and kraft + gain <= (1 << 11):
+                kraft += gain
+                depth[s] -= 1
+                break
+        else:
+            break
+        i += 1
+        if i > 4096:
+            break
+    if kraft != (1 << 11):
+        return None
+    return depth
+
+
+def _huf_literals_section(lits: bytes):
+    """Huffman-compressed literals section (type 2, direct weights),
+    or None when not applicable/bigger. Direct weight emission caps
+    the max present symbol at 128 — text corpora qualify; binary
+    literals fall back to raw."""
+    n_lit = len(lits)
+    if n_lit < 64:
+        return None
+    hist: dict[int, int] = {}
+    for b in lits:
+        hist[b] = hist.get(b, 0) + 1
+    max_sym = max(hist)
+    if max_sym > 128 or len(hist) < 2:
+        return None
+    depth = _huf_assign(hist)
+    if depth is None:
+        return None
+    max_bits = max(depth.values())
+    # weights from lengths; build canonical codes the DECODER's way:
+    # ascending weight, natural symbol order, span-aligned starts
+    weights = {s: max_bits + 1 - d for s, d in depth.items()}
+    pos = 0
+    codes: dict[int, tuple[int, int]] = {}
+    for w in range(1, max_bits + 1):
+        span = 1 << (w - 1)
+        nb = max_bits + 1 - w
+        for s in sorted(ws for ws, wv in weights.items() if wv == w):
+            codes[s] = (pos >> (w - 1), nb)
+            pos += span
+    if pos != (1 << max_bits):
+        return None
+    # tree description: weights for symbols 0..max_sym-1 (the last
+    # present symbol's weight is implied)
+    n_weights = max_sym  # symbols 0..max_sym-1
+    if n_weights > 128:
+        return None
+    wlist = [weights.get(s, 0) for s in range(n_weights)]
+    desc = bytearray([127 + n_weights])
+    for i in range(0, n_weights, 2):
+        hi = wlist[i] << 4
+        lo = wlist[i + 1] if i + 1 < n_weights else 0
+        desc.append(hi | lo)
+
+    def enc_stream(chunk: bytes) -> bytes:
+        acc = 0
+        total = 0
+        for b in chunk:
+            code, nb = codes[b]
+            acc = (acc << nb) | code
+            total += nb
+        acc |= 1 << total
+        return acc.to_bytes((total + 8) // 8, "little")
+
+    if n_lit <= 1023:
+        body = bytes(desc) + enc_stream(lits)
+        csize = len(body)
+        if csize > 1023 or csize >= n_lit:
+            return None
+        v = 0x02 | (0 << 2) | (n_lit << 4) | (csize << 14)
+        return int.to_bytes(v, 3, "little") + body
+    # 4-stream, size_format 11 (18-bit fields, covers the 128 KB cap)
+    per = (n_lit + 3) >> 2
+    parts = [lits[0:per], lits[per : 2 * per],
+             lits[2 * per : 3 * per], lits[3 * per :]]
+    if not all(parts):
+        return None
+    streams = [enc_stream(p) for p in parts]
+    jump = struct.pack("<HHH", len(streams[0]), len(streams[1]),
+                       len(streams[2]))
+    if max(len(s) for s in streams[:3]) > 0xFFFF:
+        return None
+    body = bytes(desc) + jump + b"".join(streams)
+    csize = len(body)
+    if csize >= n_lit or csize > 0x3FFFF:
+        return None
+    v = 0x02 | (3 << 2) | (n_lit << 4) | (csize << 22)
+    return int.to_bytes(v, 5, "little") + body

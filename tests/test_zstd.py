@@ -339,3 +339,46 @@ def test_own_encoder_property_round_trip(data):
     from flytemosaic_spark.sources.zstd import compress_zstd
 
     assert decode_zstd(compress_zstd(data)) == data
+
+
+class TestHuffmanLiterals:
+    def test_huffman_only_block_matches_libzstd_rate(self):
+        """Skewed ASCII with no LZ matches: the encoder must emit a
+        0-sequence Huffman-literal block and land near libzstd's
+        entropy rate, and the frame must decode with both decoders."""
+        from flytemosaic_spark.sources.zstd import compress_zstd
+
+        rng = np.random.default_rng(5)
+        data = bytes(
+            rng.integers(32, 120, 50000, dtype=np.int64).astype("u1")
+        )
+        mine = compress_zstd(data)
+        assert decode_zstd(mine) == data
+        pa = _libzstd()
+        codec = pa.Codec("zstd")
+        assert codec.decompress(mine, len(data), asbytes=True) == data
+        real = len(codec.compress(data, asbytes=True))
+        assert len(mine) < len(data) * 0.85
+        assert len(mine) < real * 1.05  # within 5% of libzstd here
+
+    def test_sequences_with_huffman_literals(self):
+        from flytemosaic_spark.sources.zstd import compress_zstd
+
+        # repetitive phrases (matches) + skewed ASCII gaps (huffman)
+        rng = np.random.default_rng(6)
+        pieces = []
+        for k in range(300):
+            pieces.append(b"common phrase %d " % (k % 7))
+            pieces.append(
+                bytes(rng.integers(97, 110, 40, dtype=np.int64)
+                      .astype("u1"))
+            )
+        data = b"".join(pieces)
+        mine = compress_zstd(data)
+        assert decode_zstd(mine) == data
+        pa = _libzstd()
+        assert (
+            pa.Codec("zstd").decompress(mine, len(data), asbytes=True)
+            == data
+        )
+        assert len(mine) < len(data) // 2
