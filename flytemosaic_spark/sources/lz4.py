@@ -175,6 +175,7 @@ def decompress_frame(payload: bytes) -> bytes:
             continue
         if magic != _FRAME_MAGIC:
             raise ValueError(f"bad LZ4 frame magic 0x{magic:08x}")
+        desc_start = pos
         flg = payload[pos]
         bd = payload[pos + 1]
         pos += 2
@@ -191,7 +192,12 @@ def decompress_frame(payload: bytes) -> bytes:
         if has_csize:
             (content_size,) = struct.unpack_from("<Q", payload, pos)
             pos += 8
-        pos += 1  # header checksum byte (xxh32 of the descriptor)
+        # Header checksum: second byte of xxh32 over the descriptor
+        # (FLG..content-size), per the LZ4 frame spec.
+        want_hc = (xxh32(bytes(payload[desc_start:pos])) >> 8) & 0xFF
+        if payload[pos] != want_hc:
+            raise ValueError("LZ4 frame header checksum mismatch")
+        pos += 1
         frame_start = len(out)
         while True:
             (bsize,) = struct.unpack_from("<I", payload, pos)

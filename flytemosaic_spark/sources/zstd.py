@@ -476,7 +476,9 @@ def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
     elif b0 < 255:
         n_seq, pos = ((b0 - 128) << 8) | block[pos + 1], pos + 2
     else:
-        n_seq = block[pos + 1] | (block[pos + 2] << 8) | 0x7F00
+        # RFC 8878 §3.1.1.3.2.1: long form is ADDITIVE, not OR'd —
+        # byte1 + (byte2<<8) + 0x7F00 (low bits of byte2 must survive).
+        n_seq = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
         pos += 3
     if n_seq == 0:
         out += literals

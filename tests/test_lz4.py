@@ -297,3 +297,19 @@ def test_snappy_property_round_trip(data):
     from flytemosaic_spark.sources.snappy import compress, decompress
 
     assert decompress(compress(data)) == data
+
+
+class TestFrameHeaderChecksum:
+    def test_corrupted_descriptor_detected(self):
+        from flytemosaic_spark.sources.lz4 import (
+            compress_frame,
+            decompress_frame,
+        )
+
+        frame = bytearray(compress_frame(b"payload " * 50))
+        assert decompress_frame(bytes(frame)) == b"payload " * 50
+        # flip a bit in the FLG byte (byte 4, right after the magic):
+        # the lone header-checksum byte must catch it
+        frame[4] ^= 0x08
+        with pytest.raises(ValueError, match="header checksum"):
+            decompress_frame(bytes(frame))

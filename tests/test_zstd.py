@@ -382,3 +382,47 @@ class TestHuffmanLiterals:
             == data
         )
         assert len(mine) < len(data) // 2
+
+
+class TestLongFormSequenceCount:
+    """RFC 8878 §3.1.1.3.2.1: the 3-byte Number_of_Sequences form is
+    byte1 + (byte2<<8) + 0x7F00 (ADDITIVE — low bits of byte2 must
+    survive). Hand-built frame with n_seq = 0x8000, cross-checked
+    against libzstd."""
+
+    @staticmethod
+    def _frame(n_seq: int) -> tuple[bytes, int]:
+        # every sequence: 1 literal (LL RLE sym 1) + a 3-byte match at
+        # repeat-offset 1 (OF sym 0 -> offset_value 1, ML sym 0 ->
+        # len 3); all-RLE tables read zero bitstream bits, so the
+        # sequence bitstream is just the padding start-bit byte.
+        lits = bytes((i * 37 + 11) & 0xFF for i in range(n_seq))
+        content_size = len(lits) + 3 * n_seq
+        sz = len(lits)  # raw literals, 20-bit size form
+        block = bytes(
+            [0x00 | (0b11 << 2) | ((sz & 0xF) << 4),
+             (sz >> 4) & 0xFF, (sz >> 12) & 0xFF]
+        ) + lits
+        if n_seq < 128:
+            block += bytes([n_seq])
+        else:
+            lo = n_seq - 0x7F00
+            block += bytes([0xFF, lo & 0xFF, lo >> 8])
+        block += bytes([0b01010100, 1, 0, 0, 0x01])
+        hdr = 1 | (2 << 1) | (len(block) << 3)
+        frame = struct.pack("<I", 0xFD2FB528)
+        frame += bytes([0xA0])  # single-segment, 4-byte FCS, no checksum
+        frame += struct.pack("<I", content_size)
+        frame += hdr.to_bytes(3, "little") + block
+        return frame, content_size
+
+    @pytest.mark.parametrize("n_seq", [1, 127, 0x7F00, 0x7FFF, 0x8000])
+    def test_matches_libzstd(self, n_seq):
+        pa = _libzstd()
+        frame, content_size = self._frame(n_seq)
+        want = pa.Codec("zstd").decompress(
+            frame, decompressed_size=content_size, asbytes=True
+        )
+        got = decode_zstd(frame)
+        assert got == want
+        assert len(got) == content_size
