@@ -1,0 +1,145 @@
+"""In-engine language identification — char-bigram Naive Bayes.
+
+Real pipelines DERIVE the language column (fastText/CLD-shape); the
+engine's ``documents.lang`` is given. This operator closes that gap
+with a model trained in one corpus pass and applied in the same
+plan, all JVM-side Catalyst expressions (no Python in the hot path):
+
+- features: character bigrams via ``transform(sequence(...))`` —
+  one explode, linear in corpus characters;
+- training: Laplace-smoothed per-language bigram log-probabilities,
+  quantized to integer micro-nats BEFORE summation (the x154 recipe)
+  so scores are association-free and replay exactly in SQL;
+- model size: bounded by charset² × |languages| — broadcastable at
+  any corpus scale, so scoring is a broadcast join + one (doc, lang)
+  aggregation; no quadratic stage anywhere;
+- prediction: argmax language with a deterministic max-score /
+  max-lang tie-break (join-back, not a window).
+
+Reference parity: the reference is raster-only; this belongs to the
+LLM-training-data text-analysis family (x8's stopword heuristic is
+the zero-training tier; this is the trained tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GRAMS = "transform(sequence(1, length({t}) - 1), i -> substring({t}, i, 2))"
+
+
+def char_bigrams(col: str) -> F.Column:
+    """All overlapping character bigrams of a string column (1-based,
+    single-arg lambda — 2-arg PySpark lambdas receive an index)."""
+    return F.expr(_GRAMS.format(t=col))
+
+
+def train_char_lm(
+    docs: DataFrame, text_col: str = "text", label_col: str = "lang"
+) -> tuple[DataFrame, DataFrame]:
+    """One corpus pass -> (grid, priors).
+
+    grid: (lang, g, lp_u) — Laplace-smoothed ln p(g|lang) in integer
+    micro-nats over the FULL lang x vocab cross (unseen pairs get the
+    smoothing floor, so scoring needs no missing-key handling).
+    priors: (lang, prior_u) — ln of the label frequency.
+
+    Both outputs are model-scale (charset² x |langs|): broadcast them.
+    """
+    d = docs.select(
+        F.col(label_col).alias("lang"), F.lower(F.col(text_col)).alias("t")
+    ).where(F.length("t") >= 2)
+    grams = d.select("lang", F.explode(char_bigrams("t")).alias("g"))
+    # ONE corpus-scale aggregation; everything below derives from the
+    # model-scale counts frame. localCheckpoint so the 4 downstream
+    # references don't re-execute the corpus explode (the x191 rule).
+    counts = (
+        grams.groupBy("lang", "g").agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    tot = counts.groupBy("lang").agg(F.sum("c").alias("t"))
+    vocab = counts.select("g").distinct()
+    vsize = vocab.agg(F.count("*").alias("v"))
+    langs = counts.select("lang").distinct()
+    grid = (
+        langs.crossJoin(vocab)
+        .crossJoin(F.broadcast(vsize))
+        .join(tot, "lang")
+        .join(counts, ["lang", "g"], "left")
+        .select(
+            "lang",
+            "g",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("t") + F.col("v"))
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lp_u"),
+        )
+    )
+    nd = d.groupBy("lang").agg(F.count("*").alias("nd")).localCheckpoint()
+    total = nd.agg(F.sum("nd").alias("total"))
+    priors = nd.crossJoin(F.broadcast(total)).select(
+        "lang",
+        F.floor(
+            F.log(F.col("nd").cast("double") / F.col("total")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("prior_u"),
+    )
+    return grid, priors
+
+
+def predict_lang(
+    docs: DataFrame,
+    grid: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against every language and return
+    (id, lang_pred, score_u): bigram occurrences broadcast-join the
+    model grid, sum per (doc, lang), add the prior, then argmax via
+    ONE max(struct(score, lang)) aggregation — lexicographic struct
+    ordering IS the (max score, then max lang) tie-break, with no
+    self-join re-executing the doc-scale score frame."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("t")
+    ).where(F.length("t") >= 2)
+    occ = d.select("doc_id", F.explode(char_bigrams("t")).alias("g"))
+    scores = (
+        occ.join(F.broadcast(grid), "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lp_u").alias("s"))
+        .join(F.broadcast(priors), "lang")
+        .select("doc_id", "lang", (F.col("s") + F.col("prior_u")).alias("score_u"))
+    )
+    return (
+        scores.groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("score_u"), F.col("lang"))).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.lang").alias("lang_pred"),
+            F.col("m.score_u").alias("score_u"),
+        )
+    )
+
+
+def langid_pipeline(docs: DataFrame) -> DataFrame:
+    """Train-on-corpus + predict-on-corpus in one plan (the probe
+    shape); returns (doc_id, lang_pred, score_u, is_match)."""
+    grid, priors = train_char_lm(docs)
+    pred = predict_lang(docs, grid, priors)
+    truth = docs.select("doc_id", F.col("lang").alias("lang_true"))
+    return pred.join(truth, "doc_id").select(
+        "doc_id",
+        "lang_pred",
+        "score_u",
+        (F.col("lang_pred") == F.col("lang_true")).cast("int").alias("is_match"),
+    )

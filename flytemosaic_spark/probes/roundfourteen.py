@@ -129,3 +129,76 @@ def x239_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
 
     keys = T(spark, sf, "supplier").select("s_suppkey")
     return warc_html_main_stats(synthesize_warc_html(keys))
+
+
+@probe(
+    "x238_langid",
+    sql="""
+        WITH d AS (
+            SELECT doc_id, lang, lower(text) AS t
+            FROM documents WHERE length(lower(text)) >= 2
+        ),
+        grams AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(generate_series(1, length(t) - 1),
+                                         i -> substr(t, i, 2))) AS g
+            FROM d
+        ),
+        counts AS (SELECT lang, g, count(*) AS c FROM grams GROUP BY lang, g),
+        tot AS (SELECT lang, sum(c) AS t FROM counts GROUP BY lang),
+        vocab AS (SELECT DISTINCT g FROM grams),
+        vsize AS (SELECT count(*) AS v FROM vocab),
+        langs AS (SELECT DISTINCT lang FROM d),
+        grid AS (
+            SELECT l.lang, vo.g,
+                   CAST(floor(ln((coalesce(c.c, 0) + 1.0) / (tt.t + vs.v))
+                              * 1000000 + 0.5) AS BIGINT) AS lp_u
+            FROM langs l
+            CROSS JOIN vocab vo
+            CROSS JOIN vsize vs
+            JOIN tot tt ON tt.lang = l.lang
+            LEFT JOIN counts c ON c.lang = l.lang AND c.g = vo.g
+        ),
+        priors AS (
+            SELECT lang,
+                   CAST(floor(ln(CAST(nd AS DOUBLE) / total) * 1000000 + 0.5)
+                        AS BIGINT) AS prior_u
+            FROM (SELECT lang, count(*) AS nd FROM d GROUP BY lang)
+            CROSS JOIN (SELECT count(*) AS total FROM d)
+        ),
+        scores AS (
+            SELECT g2.doc_id, gr.lang,
+                   sum(gr.lp_u) + any_value(p.prior_u) AS score_u
+            FROM grams g2
+            JOIN grid gr ON gr.g = g2.g
+            JOIN priors p ON p.lang = gr.lang
+            GROUP BY g2.doc_id, gr.lang
+        ),
+        best AS (
+            SELECT doc_id, max(score_u) AS score_u FROM scores GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               max(s.lang) AS lang_pred,
+               b.score_u AS score_u,
+               CAST(max(s.lang) = any_value(dd.lang) AS INT) AS is_match
+        FROM scores s
+        JOIN best b ON s.doc_id = b.doc_id AND s.score_u = b.score_u
+        JOIN d dd ON dd.doc_id = s.doc_id
+        GROUP BY s.doc_id, b.score_u
+    """,
+    note="Trained language identification (operators/langid.py) — the "
+    "fastText/CLD stage real pipelines run to DERIVE documents.lang: "
+    "char-bigram Naive Bayes trained in ONE corpus pass (Laplace-"
+    "smoothed per-language bigram log-probs quantized to integer "
+    "micro-nats BEFORE summation, the x154 recipe, so SQL replays "
+    "exactly), scored via a broadcast model grid (bounded charset^2 x "
+    "langs at ANY corpus scale) + one (doc, lang) aggregation, argmax "
+    "with a deterministic join-back tie-break — no windows, no Python. "
+    "Real accuracy proven on planted multilingual docs in "
+    "test_langid.py; the probe proves the distributed train+apply "
+    "plan replays bit-exactly.",
+)
+def x238_langid(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.langid import langid_pipeline
+
+    return langid_pipeline(T(spark, sf, "documents"))

@@ -170,6 +170,9 @@ CROSS_OK = {
     # scale; 1-row totals crossJoin in the importance-weight twin
     "x217_isotonic_calibration",
     "x218_importance_weights",
+    # model-scale crossJoins only: langs x vocab grid (bounded by
+    # charset^2 x |langs| at any corpus scale) + 1-row vsize/total
+    "x238_langid",
 }
 
 # probes where a Window with an empty partition spec is acceptable —
