@@ -1510,3 +1510,296 @@ def reproject_wkb(wkb: bytes, src_crs: str, dst_crs: str) -> bytes:
     else:
         raise ValueError(f"unsupported WKB geometry type {gtype}")
     return bytes(out)
+
+
+# -- NTv2 grid-shift datum stage (EPSG method 9615) -------------------------
+#
+# The Helmert presets above are the ~1 m national method; survey-grade
+# datum transforms (NAD27->NAD83, AGD->GDA, OSTN-class) distribute a
+# GRID of per-node latitude/longitude shifts and bilinearly
+# interpolate inside each cell. Two layers here:
+#
+# 1. the NTv2 binary container (.gsb): 16-byte named records, one
+#    overview + one sub-grid header, float32 shift rows in seconds of
+#    arc with LONGITUDE POSITIVE WEST, rows south->north and
+#    east->west within a row (the Canadian NTv2 spec layout PROJ
+#    reads). ``parse_ntv2_gsb``/``write_ntv2_gsb`` round-trip it.
+# 2. the Spark stage: the grid is model-scale (national files are
+#    single-digit MB at any data scale), so ``ntv2_cells`` folds the
+#    node table into a per-cell corner table once and
+#    ``ntv2_shift_df`` BROADCAST-joins it — index+fraction stage,
+#    join, bilinear stage, each a materializing select (the same
+#    CollapseProject discipline as datum_project_df). Points outside
+#    the grid pass through unshifted with in_grid = 0 (the
+#    no-coverage convention).
+
+_GSB_INT_RECS = {"NUM_OREC", "NUM_SREC", "NUM_FILE", "GS_COUNT"}
+
+
+def _gsb_rec_str(name: str, val: str) -> bytes:
+    return name.ljust(8)[:8].encode() + val.ljust(8)[:8].encode()
+
+
+def _gsb_rec_int(name: str, val: int) -> bytes:
+    return name.ljust(8)[:8].encode() + struct.pack("<i4x", val)
+
+
+def _gsb_rec_dbl(name: str, val: float) -> bytes:
+    return name.ljust(8)[:8].encode() + struct.pack("<d", val)
+
+
+def write_ntv2_gsb(meta: dict, lat_shift, lon_shift) -> bytes:
+    """Single-sub-grid NTv2 .gsb bytes (little-endian).
+
+    ``meta``: s_lat/n_lat/e_long/w_long/lat_inc/long_inc in SECONDS
+    of arc, longitudes positive west. ``lat_shift``/``lon_shift``:
+    row-major [nlat][nlon] float arrays in seconds, rows south->north,
+    columns east->west (lon shift positive west, as the format
+    stores it).
+    """
+    import numpy as np
+
+    la = np.asarray(lat_shift, dtype="<f4")
+    lo = np.asarray(lon_shift, dtype="<f4")
+    if la.shape != lo.shape or la.ndim != 2:
+        raise ValueError("shift arrays must share a 2-D shape")
+    nlat, nlon = la.shape
+    count = nlat * nlon
+    out = [
+        _gsb_rec_int("NUM_OREC", 11),
+        _gsb_rec_int("NUM_SREC", 11),
+        _gsb_rec_int("NUM_FILE", 1),
+        _gsb_rec_str("GS_TYPE", "SECONDS"),
+        _gsb_rec_str("VERSION", "NTv2.0"),
+        _gsb_rec_str("SYSTEM_F", meta.get("system_f", "SRC")),
+        _gsb_rec_str("SYSTEM_T", meta.get("system_t", "DST")),
+        _gsb_rec_dbl("MAJOR_F", meta.get("major_f", 6378206.4)),
+        _gsb_rec_dbl("MINOR_F", meta.get("minor_f", 6356583.8)),
+        _gsb_rec_dbl("MAJOR_T", meta.get("major_t", WGS84_A)),
+        _gsb_rec_dbl("MINOR_T", meta.get("minor_t",
+                                         WGS84_A * (1.0 - _WGS84_F))),
+        _gsb_rec_str("SUB_NAME", meta.get("sub_name", "GRID0")),
+        _gsb_rec_str("PARENT", "NONE"),
+        _gsb_rec_str("CREATED", "20240101"),
+        _gsb_rec_str("UPDATED", "20240101"),
+        _gsb_rec_dbl("S_LAT", meta["s_lat"]),
+        _gsb_rec_dbl("N_LAT", meta["n_lat"]),
+        _gsb_rec_dbl("E_LONG", meta["e_long"]),
+        _gsb_rec_dbl("W_LONG", meta["w_long"]),
+        _gsb_rec_dbl("LAT_INC", meta["lat_inc"]),
+        _gsb_rec_dbl("LONG_INC", meta["long_inc"]),
+        _gsb_rec_int("GS_COUNT", count),
+    ]
+    acc = np.zeros((nlat, nlon), dtype="<f4")
+    rows = np.stack([la, lo, acc, acc], axis=-1)  # [nlat][nlon][4]
+    out.append(rows.tobytes())
+    out.append(_gsb_rec_str("END", ""))
+    return b"".join(out)
+
+
+def parse_ntv2_gsb(data: bytes) -> tuple[dict, "object", "object"]:
+    """Parse a single-sub-grid NTv2 .gsb -> (meta, lat_shift,
+    lon_shift) with the arrays in the format's own convention
+    (seconds, lon positive west, rows south->north / east->west).
+    Endianness is detected from NUM_OREC."""
+    import numpy as np
+
+    if data[:8].rstrip() != b"NUM_OREC":
+        raise ValueError("not an NTv2 .gsb stream (missing NUM_OREC)")
+    little = struct.unpack_from("<i", data, 8)[0] == 11
+    pre = "<" if little else ">"
+    if struct.unpack_from(pre + "i", data, 8)[0] != 11:
+        raise ValueError("unsupported NUM_OREC")
+
+    def read_records(off: int, n: int) -> tuple[dict, int]:
+        rec = {}
+        for _ in range(n):
+            name = data[off : off + 8].decode("latin-1").strip()
+            if name in _GSB_INT_RECS:
+                rec[name] = struct.unpack_from(pre + "i", data, off + 8)[0]
+            else:
+                try:
+                    rec[name] = struct.unpack_from(pre + "d", data,
+                                                   off + 8)[0]
+                except struct.error:
+                    rec[name] = None
+                # string records keep their text form too
+                rec.setdefault("_raw", {})[name] = (
+                    data[off + 8 : off + 16].decode("latin-1").strip()
+                )
+            off += 16
+        return rec, off
+
+    over, off = read_records(0, 11)
+    if over.get("NUM_FILE", 1) != 1:
+        raise NotImplementedError("multi-sub-grid NTv2 files")
+    sub, off = read_records(off, 11)
+    count = sub["GS_COUNT"]
+    arr = np.frombuffer(data, dtype=pre + "f4", count=count * 4,
+                        offset=off).reshape(count, 4)
+    lat_inc, lon_inc = sub["LAT_INC"], sub["LONG_INC"]
+    nlat = int(round((sub["N_LAT"] - sub["S_LAT"]) / lat_inc)) + 1
+    nlon = int(round((sub["W_LONG"] - sub["E_LONG"]) / lon_inc)) + 1
+    if nlat * nlon != count:
+        raise ValueError("GS_COUNT disagrees with the grid extents")
+    meta = {
+        "s_lat": sub["S_LAT"], "n_lat": sub["N_LAT"],
+        "e_long": sub["E_LONG"], "w_long": sub["W_LONG"],
+        "lat_inc": lat_inc, "long_inc": lon_inc,
+        "nlat": nlat, "nlon": nlon,
+    }
+    la = arr[:, 0].reshape(nlat, nlon)
+    lo = arr[:, 1].reshape(nlat, nlon)
+    return meta, la, lo
+
+
+def gsb_to_grid(meta: dict, lat_shift, lon_shift) -> tuple[dict, list]:
+    """Format convention -> engine convention: degrees, longitude
+    positive EAST, node rows as (i, j, s_lat_sec, s_lon_sec_east)
+    where i indexes latitude south->north and j longitude WEST->EAST.
+    Returns (grid_meta, node_rows) ready for a Spark createDataFrame.
+    """
+    nlat, nlon = meta["nlat"], meta["nlon"]
+    gm = {
+        "lat0": meta["s_lat"] / 3600.0,
+        "lon0": -meta["w_long"] / 3600.0,  # west-most in east-degrees
+        "dlat": meta["lat_inc"] / 3600.0,
+        "dlon": meta["long_inc"] / 3600.0,
+        "nlat": nlat,
+        "nlon": nlon,
+    }
+    rows = []
+    for i in range(nlat):
+        for j in range(nlon):
+            # format column j' counts east->west; east-positive column
+            # j counts west->east: j = nlon - 1 - j'
+            jp = nlon - 1 - j
+            rows.append(
+                (i, j, float(lat_shift[i][jp]), -float(lon_shift[i][jp]))
+            )
+    return gm, rows
+
+
+def ntv2_cells(nodes: DataFrame) -> DataFrame:
+    """Node table (i, j, s_lat_sec, s_lon_sec) -> per-cell corner
+    table (i, j, four corners x two components) via three model-scale
+    self-joins — ONE broadcast join then serves any number of points.
+    """
+    n00 = nodes.select(
+        "i", "j",
+        F.col("s_lat_sec").alias("la00"), F.col("s_lon_sec").alias("lo00"),
+    )
+    n10 = nodes.select(
+        (F.col("i") - 1).alias("i"), F.col("j").alias("j"),
+        F.col("s_lat_sec").alias("la10"), F.col("s_lon_sec").alias("lo10"),
+    )
+    n01 = nodes.select(
+        F.col("i").alias("i"), (F.col("j") - 1).alias("j"),
+        F.col("s_lat_sec").alias("la01"), F.col("s_lon_sec").alias("lo01"),
+    )
+    n11 = nodes.select(
+        (F.col("i") - 1).alias("i"), (F.col("j") - 1).alias("j"),
+        F.col("s_lat_sec").alias("la11"), F.col("s_lon_sec").alias("lo11"),
+    )
+    return (
+        n00.join(n10, ["i", "j"]).join(n01, ["i", "j"]).join(n11, ["i", "j"])
+    )
+
+
+def ntv2_shift_df(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    cells: DataFrame,
+    grid_meta: dict,
+    out_cols: tuple[str, str] = ("lon_out", "lat_out"),
+) -> DataFrame:
+    """Apply an NTv2 grid shift to lon/lat degree columns (engine
+    convention: degrees, east-positive, ``gsb_to_grid`` output).
+
+    Three stages, each a materializing select: (1) cell index +
+    in-cell fractions, (2) broadcast join against the per-cell corner
+    table, (3) bilinear interpolation in seconds and application at
+    /3600. Out-of-grid points keep their coordinates (in_grid = 0).
+    Emits ``s_lat_sec``/``s_lon_sec``/``in_grid`` beside the shifted
+    coordinates.
+    """
+    lat0, lon0 = grid_meta["lat0"], grid_meta["lon0"]
+    dlat, dlon = grid_meta["dlat"], grid_meta["dlon"]
+    ni, nj = grid_meta["nlat"] - 1, grid_meta["nlon"] - 1  # cells
+    keep = [F.col(c) for c in df.columns]
+    gi = F.floor((F.col(lat_col) - F.lit(lat0)) / F.lit(dlat))
+    gj = F.floor((F.col(lon_col) - F.lit(lon0)) / F.lit(dlon))
+    s1 = df.select(
+        *keep,
+        F.when((gi >= 0) & (gi < ni) & (gj >= 0) & (gj < nj), 1)
+        .otherwise(0)
+        .alias("in_grid"),
+        F.greatest(F.lit(0), F.least(F.lit(ni - 1), gi)).alias("i"),
+        F.greatest(F.lit(0), F.least(F.lit(nj - 1), gj)).alias("j"),
+    )
+    s1 = s1.withColumn(
+        "fy", (F.col(lat_col) - F.lit(lat0)) / F.lit(dlat) - F.col("i")
+    ).withColumn(
+        "fx", (F.col(lon_col) - F.lit(lon0)) / F.lit(dlon) - F.col("j")
+    )
+    joined = s1.join(F.broadcast(cells), ["i", "j"], "left")
+    fx, fy = F.col("fx"), F.col("fy")
+    w00 = (F.lit(1.0) - fx) * (F.lit(1.0) - fy)
+    w10 = (F.lit(1.0) - fx) * fy
+    w01 = fx * (F.lit(1.0) - fy)
+    w11 = fx * fy
+    s_lat = (
+        w00 * F.col("la00") + w10 * F.col("la10")
+        + w01 * F.col("la01") + w11 * F.col("la11")
+    )
+    s_lon = (
+        w00 * F.col("lo00") + w10 * F.col("lo10")
+        + w01 * F.col("lo01") + w11 * F.col("lo11")
+    )
+    ing = F.col("in_grid") == 1
+    s2 = joined.select(
+        *keep,
+        "in_grid",
+        F.when(ing, s_lat).otherwise(F.lit(0.0)).alias("s_lat_sec"),
+        F.when(ing, s_lon).otherwise(F.lit(0.0)).alias("s_lon_sec"),
+    )
+    return s2.select(
+        *[F.col(c) for c in df.columns],
+        "in_grid",
+        "s_lat_sec",
+        "s_lon_sec",
+        (F.col(lon_col) + F.col("s_lon_sec") / F.lit(3600.0)).alias(
+            out_cols[0]
+        ),
+        (F.col(lat_col) + F.col("s_lat_sec") / F.lit(3600.0)).alias(
+            out_cols[1]
+        ),
+    )
+
+
+def ntv2_shift_py(
+    lon: float, lat: float, grid_meta: dict, nodes: dict
+) -> tuple[float, float]:
+    """Float twin of :func:`ntv2_shift_df` (same formula shape).
+    ``nodes`` maps (i, j) -> (s_lat_sec, s_lon_sec)."""
+    lat0, lon0 = grid_meta["lat0"], grid_meta["lon0"]
+    dlat, dlon = grid_meta["dlat"], grid_meta["dlon"]
+    ni, nj = grid_meta["nlat"] - 1, grid_meta["nlon"] - 1
+    gi = math.floor((lat - lat0) / dlat)
+    gj = math.floor((lon - lon0) / dlon)
+    if not (0 <= gi < ni and 0 <= gj < nj):
+        return lon, lat
+    fy = (lat - lat0) / dlat - gi
+    fx = (lon - lon0) / dlon - gj
+    la00, lo00 = nodes[(gi, gj)]
+    la10, lo10 = nodes[(gi + 1, gj)]
+    la01, lo01 = nodes[(gi, gj + 1)]
+    la11, lo11 = nodes[(gi + 1, gj + 1)]
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w10 = (1.0 - fx) * fy
+    w01 = fx * (1.0 - fy)
+    w11 = fx * fy
+    s_lat = w00 * la00 + w10 * la10 + w01 * la01 + w11 * la11
+    s_lon = w00 * lo00 + w10 * lo10 + w01 * lo01 + w11 * lo11
+    return lon + s_lon / 3600.0, lat + s_lat / 3600.0

@@ -202,3 +202,97 @@ def x238_langid(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.langid import langid_pipeline
 
     return langid_pipeline(T(spark, sf, "documents"))
+
+
+@probe(
+    "f33_ntv2_shift",
+    sql="""
+        WITH pts AS (
+            SELECT c_custkey AS point_id,
+                   -8.5 + (c_custkey % 64) * 0.03125 AS lon,
+                   50.0 + ((c_custkey * 7) % 64) * 0.03125 AS lat
+            FROM customer
+        ),
+        nodes AS (
+            SELECT (v // 9) AS i, (v % 9) AS j,
+                   (((v // 9) * 3 + (v % 9) * 5) % 7) * 0.0625
+                       AS s_lat_sec,
+                   (((v // 9) * 2 + (v % 9) * 3) % 5) * 0.125 - 0.25
+                       AS s_lon_sec
+            FROM (SELECT unnest(generate_series(0, 80)) AS v)
+        ),
+        idx AS (
+            SELECT point_id, lon, lat,
+                   CAST(floor((lat - 50.0) / 0.25) AS BIGINT) AS i,
+                   CAST(floor((lon + 8.5) / 0.25) AS BIGINT) AS j,
+                   (lat - 50.0) / 0.25
+                       - floor((lat - 50.0) / 0.25) AS fy,
+                   (lon + 8.5) / 0.25
+                       - floor((lon + 8.5) / 0.25) AS fx
+            FROM pts
+        ),
+        interp AS (
+            SELECT point_id, lon, lat,
+                   (1 - fx) * (1 - fy) * n00.s_lat_sec
+                       + (1 - fx) * fy * n10.s_lat_sec
+                       + fx * (1 - fy) * n01.s_lat_sec
+                       + fx * fy * n11.s_lat_sec AS s_lat_sec,
+                   (1 - fx) * (1 - fy) * n00.s_lon_sec
+                       + (1 - fx) * fy * n10.s_lon_sec
+                       + fx * (1 - fy) * n01.s_lon_sec
+                       + fx * fy * n11.s_lon_sec AS s_lon_sec
+            FROM idx x
+            JOIN nodes n00 ON n00.i = x.i AND n00.j = x.j
+            JOIN nodes n10 ON n10.i = x.i + 1 AND n10.j = x.j
+            JOIN nodes n01 ON n01.i = x.i AND n01.j = x.j + 1
+            JOIN nodes n11 ON n11.i = x.i + 1 AND n11.j = x.j + 1
+        )
+        SELECT point_id, lon, lat,
+               1 AS in_grid,
+               s_lat_sec, s_lon_sec,
+               lon + s_lon_sec / 3600.0 AS lon_out,
+               lat + s_lat_sec / 3600.0 AS lat_out
+        FROM interp
+    """,
+    note="NTv2 grid-shift datum stage (functions/crs.py, EPSG method "
+    "9615) — the survey-grade follow-on to the f31/f32 Helmert tier: "
+    "a model-scale node grid (national .gsb files are MBs at ANY data "
+    "scale; parse/write round-trip in test_crs.py) folds into a "
+    "per-cell corner table once, points take ONE broadcast join then "
+    "bilinear interpolation in seconds of arc, staged as "
+    "materializing selects per the CollapseProject discipline. The "
+    "synthetic grid uses dyadic node values and 2^-5-degree point "
+    "offsets so every product/sum is exact in IEEE double — both "
+    "engines agree bit-for-bit with no quantization grain.",
+)
+def f33_ntv2_shift(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.functions.crs import ntv2_cells, ntv2_shift_df
+
+    idiv = F.expr("id DIV 9")
+    imod = F.col("id") % 9
+    nodes = spark.range(81).select(
+        idiv.alias("i"),
+        imod.alias("j"),
+        (((idiv * 3 + imod * 5) % 7).cast("double") * F.lit(0.0625)).alias(
+            "s_lat_sec"
+        ),
+        (
+            ((idiv * 2 + imod * 3) % 5).cast("double") * F.lit(0.125)
+            - F.lit(0.25)
+        ).alias("s_lon_sec"),
+    )
+    cells = ntv2_cells(nodes)
+    pts = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        (
+            F.lit(-8.5)
+            + (F.col("c_custkey") % 64).cast("double") * F.lit(0.03125)
+        ).alias("lon"),
+        (
+            F.lit(50.0)
+            + ((F.col("c_custkey") * 7) % 64).cast("double")
+            * F.lit(0.03125)
+        ).alias("lat"),
+    )
+    gm = dict(lat0=50.0, lon0=-8.5, dlat=0.25, dlon=0.25, nlat=9, nlon=9)
+    return ntv2_shift_df(pts, "lon", "lat", cells, gm)

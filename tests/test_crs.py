@@ -849,3 +849,125 @@ def test_nad27_utm_preset_is_pure_data():
     assert 10**2 < dm2 < 300**2
     back = datum_shift(nlon, nlat, "NAD27", inverse=True)
     assert abs(back[0] - wlon) < 1e-6 and abs(back[1] - wlat) < 1e-6
+
+
+class TestNtv2:
+    """NTv2 grid-shift stage: .gsb container round-trip, node
+    exactness, bilinear linearity, out-of-grid passthrough, and the
+    Spark/py twin agreement."""
+
+    @staticmethod
+    def _fixture():
+        import numpy as np
+
+        nlat, nlon = 5, 7
+        la = np.array(
+            [[(3 * i + 5 * j) % 7 * 0.0625 for j in range(nlon)]
+             for i in range(nlat)]
+        )
+        lo = np.array(
+            [[(2 * i + 3 * j) % 5 * 0.125 for j in range(nlon)]
+             for i in range(nlat)]
+        )
+        meta = dict(
+            s_lat=50 * 3600.0, n_lat=51 * 3600.0,
+            e_long=6.5 * 3600.0, w_long=8.0 * 3600.0,
+            lat_inc=900.0, long_inc=900.0,
+        )
+        return meta, la, lo
+
+    def test_gsb_round_trip(self):
+        import numpy as np
+
+        from flytemosaic_spark.functions.crs import (
+            parse_ntv2_gsb,
+            write_ntv2_gsb,
+        )
+
+        meta, la, lo = self._fixture()
+        m2, la2, lo2 = parse_ntv2_gsb(write_ntv2_gsb(meta, la, lo))
+        assert np.array_equal(la2, la.astype("f4"))
+        assert np.array_equal(lo2, lo.astype("f4"))
+        assert m2["nlat"] == 5 and m2["nlon"] == 7
+
+    def test_gsb_rejects_garbage(self):
+        import pytest as _pytest
+
+        from flytemosaic_spark.functions.crs import parse_ntv2_gsb
+
+        with _pytest.raises(ValueError, match="NUM_OREC"):
+            parse_ntv2_gsb(b"\x00" * 64)
+
+    @staticmethod
+    def _grid():
+        from flytemosaic_spark.functions.crs import (
+            gsb_to_grid,
+            parse_ntv2_gsb,
+            write_ntv2_gsb,
+        )
+
+        meta, la, lo = TestNtv2._fixture()
+        gm, rows = gsb_to_grid(*parse_ntv2_gsb(write_ntv2_gsb(meta, la, lo)))
+        nodes = {(i, j): (sla, slo) for i, j, sla, slo in rows}
+        return gm, rows, nodes
+
+    def test_exact_at_nodes(self):
+        from flytemosaic_spark.functions.crs import ntv2_shift_py
+
+        gm, rows, nodes = self._grid()
+        # interior nodes: interpolation must return the node value
+        for i, j, sla, slo in rows:
+            if i >= gm["nlat"] - 1 or j >= gm["nlon"] - 1:
+                continue
+            lon = gm["lon0"] + j * gm["dlon"]
+            lat = gm["lat0"] + i * gm["dlat"]
+            lon2, lat2 = ntv2_shift_py(lon, lat, gm, nodes)
+            assert lat2 == lat + sla / 3600.0
+            assert lon2 == lon + slo / 3600.0
+
+    def test_linear_between_nodes(self):
+        from flytemosaic_spark.functions.crs import ntv2_shift_py
+
+        gm, rows, nodes = self._grid()
+        # midpoint along one axis = mean of the two node shifts
+        lon = gm["lon0"] + 2 * gm["dlon"]
+        lat = gm["lat0"] + 1.5 * gm["dlat"]
+        _, lat2 = ntv2_shift_py(lon, lat, gm, nodes)
+        want = (nodes[(1, 2)][0] + nodes[(2, 2)][0]) / 2.0
+        assert lat2 == lat + want / 3600.0
+
+    def test_out_of_grid_passthrough(self):
+        from flytemosaic_spark.functions.crs import ntv2_shift_py
+
+        gm, rows, nodes = self._grid()
+        assert ntv2_shift_py(-20.0, 10.0, gm, nodes) == (-20.0, 10.0)
+
+    def test_spark_matches_py_twin(self, spark):
+        from flytemosaic_spark.functions.crs import (
+            ntv2_cells,
+            ntv2_shift_df,
+            ntv2_shift_py,
+        )
+
+        gm, rows, nodes = self._grid()
+        nodes_df = spark.createDataFrame(
+            rows, "i long, j long, s_lat_sec double, s_lon_sec double"
+        )
+        cells = ntv2_cells(nodes_df)
+        pts = [
+            (k, gm["lon0"] + 0.011 + k * 0.173, gm["lat0"] + 0.017 + k * 0.111)
+            for k in range(8)
+        ] + [(100, -20.0, 10.0)]
+        df = spark.createDataFrame(
+            pts, "point_id long, lon double, lat double"
+        )
+        out = {
+            r["point_id"]: r
+            for r in ntv2_shift_df(df, "lon", "lat", cells, gm).collect()
+        }
+        for pid, lon, lat in pts:
+            lon2, lat2 = ntv2_shift_py(lon, lat, gm, nodes)
+            assert out[pid]["lon_out"] == lon2, pid
+            assert out[pid]["lat_out"] == lat2, pid
+        assert out[100]["in_grid"] == 0
+        assert out[0]["in_grid"] == 1
