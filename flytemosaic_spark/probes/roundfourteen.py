@@ -296,3 +296,97 @@ def f33_ntv2_shift(spark: SparkSession, sf: str) -> DataFrame:
     )
     gm = dict(lat0=50.0, lon0=-8.5, dlat=0.25, dlon=0.25, nlat=9, nlon=9)
     return ntv2_shift_df(pts, "lon", "lat", cells, gm)
+
+
+@probe(
+    "x240_time_travel",
+    sql="""
+        WITH v0 AS (
+            SELECT p_partkey, p_retailprice FROM part
+            WHERE p_partkey % 3 = 0
+        ),
+        v1 AS (
+            SELECT * FROM v0
+            UNION ALL
+            SELECT p_partkey, p_retailprice FROM part
+            WHERE p_partkey % 3 = 1
+        ),
+        v2 AS (
+            SELECT p_partkey,
+                   CASE WHEN p_partkey % 6 = 0
+                        THEN p_retailprice + 128.0
+                        ELSE p_retailprice END AS p_retailprice
+            FROM v1
+            UNION ALL
+            SELECT p_partkey, p_retailprice FROM part
+            WHERE p_partkey % 3 = 2
+        ),
+        v3 AS (SELECT * FROM v2 WHERE p_partkey % 5 <> 0)
+        SELECT 0 AS version, count(*) AS n_rows,
+               sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                   AS sum_cents
+        FROM v0
+        UNION ALL
+        SELECT 1, count(*),
+               sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+        FROM v1
+        UNION ALL
+        SELECT 2, count(*),
+               sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+        FROM v2
+        UNION ALL
+        SELECT 3, count(*),
+               sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+        FROM v3
+    """,
+    note="Transaction-log table format (sources/txlog.py, Delta-lite): "
+    "the probe CREATEs a table from part, APPENDs, runs a "
+    "copy-on-write MERGE (update+insert via the u4 operator) and a "
+    "tombstone MERGE (delete), then reads ALL FOUR versions back via "
+    "VERSION-AS-OF snapshot replay of the NDJSON commit log — the "
+    "oracle recomputes every version's row count and exact integer-"
+    "cent sum by replaying the same logical operations in SQL. "
+    "Commits publish via atomic link-if-absent (concurrent writer "
+    "loses cleanly — test_txlog.py); the log is metadata-scale, data "
+    "files are ordinary parquet written once and never mutated.",
+)
+def x240_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from flytemosaic_spark.sources import txlog
+
+    part = T(spark, sf, "part").select("p_partkey", "p_retailprice")
+    path = os.path.join(tempfile.mkdtemp(prefix="txlog_x240_"), "t")
+    txlog.create_table(
+        spark, path, part.where(F.col("p_partkey") % 3 == 0)
+    )
+    txlog.append(spark, path, part.where(F.col("p_partkey") % 3 == 1))
+    upd = part.where(F.col("p_partkey") % 6 == 0).select(
+        "p_partkey",
+        (F.col("p_retailprice") + F.lit(128.0)).alias("p_retailprice"),
+    )
+    ins = part.where(F.col("p_partkey") % 3 == 2)
+    txlog.merge_into(spark, path, upd.unionByName(ins), ["p_partkey"])
+    snap2 = txlog.read_snapshot(spark, path, 2)
+    tomb = snap2.where(F.col("p_partkey") % 5 == 0).withColumn(
+        "dead", F.lit(True)
+    )
+    txlog.merge_into(spark, path, tomb, ["p_partkey"], delete_col="dead")
+
+    parts = []
+    for v in range(4):
+        parts.append(
+            txlog.read_snapshot(spark, path, v).agg(
+                F.lit(v).alias("version"),
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+                    .cast("bigint")
+                ).alias("sum_cents"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,121 @@
+"""Transaction-log table format (sources/txlog.py): snapshot
+isolation, time travel, copy-on-write MERGE, atomic exclusive
+commits."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flytemosaic_spark.sources import txlog
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+class TestBasics:
+    def test_create_read(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        v = txlog.create_table(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+        assert v == 0
+        got = sorted(
+            (r["k"], r["v"]) for r in txlog.read_snapshot(spark, p).collect()
+        )
+        assert got == [(1, "a"), (2, "b")]
+
+    def test_create_twice_fails(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a")]))
+        with pytest.raises(FileExistsError):
+            txlog.create_table(spark, p, _df(spark, [(2, "b")]))
+
+    def test_append_and_time_travel(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a")]))
+        txlog.append(spark, p, _df(spark, [(2, "b")]))
+        txlog.append(spark, p, _df(spark, [(3, "c")]))
+        assert txlog.latest_version(p) == 2
+        assert txlog.read_snapshot(spark, p, 0).count() == 1
+        assert txlog.read_snapshot(spark, p, 1).count() == 2
+        assert txlog.read_snapshot(spark, p).count() == 3
+        with pytest.raises(ValueError, match="out of range"):
+            txlog.read_snapshot(spark, p, 9)
+
+    def test_overwrite(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+        txlog.overwrite(spark, p, _df(spark, [(9, "z")]))
+        assert [r["k"] for r in txlog.read_snapshot(spark, p).collect()] == [9]
+        # old version still readable (time travel over copy-on-write)
+        assert txlog.read_snapshot(spark, p, 0).count() == 2
+
+    def test_history(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a")]))
+        txlog.append(spark, p, _df(spark, [(2, "b")]))
+        h = txlog.history(p)
+        assert [x["operation"] for x in h] == ["CREATE", "APPEND"]
+        assert all(x["n_added"] >= 1 for x in h)
+
+
+class TestMerge:
+    def test_merge_update_insert_delete(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(
+            spark, p, _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+        )
+        upd = _df(spark, [(2, "B"), (4, "d")])
+        txlog.merge_into(spark, p, upd, ["k"])
+        got = dict(
+            (r["k"], r["v"]) for r in txlog.read_snapshot(spark, p).collect()
+        )
+        assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+        tomb = _df(spark, [(1, "a")]).withColumn("dead", F.lit(True))
+        txlog.merge_into(spark, p, tomb, ["k"], delete_col="dead")
+        assert sorted(
+            r["k"] for r in txlog.read_snapshot(spark, p).collect()
+        ) == [2, 3, 4]
+        # every prior version still intact
+        assert txlog.read_snapshot(spark, p, 0).count() == 3
+        assert txlog.read_snapshot(spark, p, 1).count() == 4
+
+
+class TestIsolation:
+    def test_exclusive_commit_loser_raises(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a")]))
+        # two writers race for version 1: the second link loses
+        txlog._commit(p, 1, [{"commitInfo": {"operation": "A"}}])
+        with pytest.raises(txlog.ConcurrentCommitError):
+            txlog._commit(p, 1, [{"commitInfo": {"operation": "B"}}])
+        # the winning commit is intact, nothing partial appeared
+        assert txlog.history(p)[1]["operation"] == "A"
+        assert txlog.latest_version(p) == 1
+
+    def test_loser_retry_succeeds(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a")]))
+        txlog._commit(p, 1, [{"commitInfo": {"operation": "A"}}])
+        with pytest.raises(txlog.ConcurrentCommitError):
+            txlog._commit(p, 1, [{"commitInfo": {"operation": "B"}}])
+        txlog._commit(p, 2, [{"commitInfo": {"operation": "B-retry"}}])
+        assert txlog.latest_version(p) == 2
+
+    def test_reader_pins_snapshot(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a")]))
+        df = txlog.read_snapshot(spark, p)  # file list pinned here
+        txlog.append(spark, p, _df(spark, [(2, "b")]))
+        assert df.count() == 1  # unaffected by the later commit
+        assert txlog.read_snapshot(spark, p).count() == 2
+
+    def test_no_partial_state_visible(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a")]))
+        d = txlog._log_dir(p)
+        before = set(os.listdir(d))
+        with pytest.raises(txlog.ConcurrentCommitError):
+            # direct race against the existing version 0
+            txlog._commit(p, 0, [{"commitInfo": {"operation": "X"}}])
+        assert set(os.listdir(d)) == before  # temp file cleaned up
