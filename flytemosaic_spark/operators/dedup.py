@@ -995,3 +995,123 @@ def survivorship(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup via winnowing (Schleimer/Wilkerson/Aiken,
+# SIGMOD 2003 — the MOSS fingerprinting scheme)
+# ---------------------------------------------------------------------------
+#
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") build a SUFFIX ARRAY to find every exact duplicate
+# substring over a length threshold — O(n) index entries over the
+# whole corpus, a global sort that does not distribute cheaply.
+# Winnowing is the distributed-friendly trade with a PROVABLE
+# guarantee: hash every w-char window, then in each run of p
+# consecutive window positions select the minimum hash. Any exact
+# copied passage of length >= w + p - 1 contains p consecutive full
+# windows, whose minimum hash VALUE is content-determined — so both
+# copies select the same fingerprint and the equi-join finds them.
+# Index size drops to ~2n/p selected fingerprints while x38's fixed
+# stride-20 windows can MISS copies at unlucky alignments.
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 24,
+    p: int = 8,
+) -> DataFrame:
+    """(doc_id, pos, h) selected fingerprints — the inverted-index
+    rows. Keys are ``md5hex:position`` strings (md5 replays in any
+    engine; min over the fixed-width string IS the (hash, pos)
+    lexicographic min). Documents shorter than w + p - 1 chars have
+    no guarantee and are skipped.
+
+    The window-hash array materializes as its own projection before
+    the sliding-min stage: a one-expression form re-evaluates the
+    whole O(n·w) md5 array inside EVERY transform element (measured
+    ~100x slower at sf0.01) — the CollapseProject discipline applies
+    to lambda bodies too."""
+    hs = (
+        f"transform(sequence(1, length({text_col}) - {w - 1}), i -> "
+        f"concat(md5(substring({text_col}, i, {w})), ':', "
+        f"lpad(cast(i as string), 7, '0')))"
+    )
+    s1 = docs.where(F.length(text_col) >= w + p - 1).select(
+        F.col(id_col).alias("doc_id"), F.expr(hs).alias("_hs")
+    )
+    wins = (
+        f"transform(sequence(1, size(_hs) - {p - 1}), i -> "
+        f"array_min(slice(_hs, i, {p})))"
+    )
+    return (
+        s1.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(wins))).alias("key"),
+        )
+        .select(
+            "doc_id",
+            F.substring("key", 1, 32).alias("h"),
+            F.substring("key", 34, 7).cast("int").alias("pos"),
+        )
+    )
+
+
+def winnow_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 24,
+    p: int = 8,
+) -> DataFrame:
+    """Per-document exact-substring dedup rollup: each selected
+    fingerprint's globally FIRST occurrence (lowest (doc_id, pos),
+    x153's arg-min-by-encoded-key) survives; later copies count as
+    duplicated passage evidence. Plan: linear fingerprint explode ->
+    one hash aggregation on h -> equi-join back -> per-doc rollup
+    (the x38/x153 inverted-index shape; no pair blowup)."""
+    fp = winnow_fingerprints(docs, text_col, id_col, w, p)
+    keyed = fp.select(
+        "doc_id",
+        "h",
+        F.concat(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+            F.lit(":"),
+            F.lpad(F.col("pos").cast("string"), 7, "0"),
+        ).alias("gk"),
+    )
+    first = keyed.groupBy("h").agg(F.min("gk").alias("gk0"))
+    from flytemosaic_spark.operators.text import portable_round
+
+    kept = F.sum((F.col("gk") == F.col("gk0")).cast("bigint"))
+    return (
+        keyed.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fp"),
+            kept.alias("n_kept"),
+            portable_round(
+                F.lit(1.0) - kept / F.count("*"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def winnow_py(text: str, w: int = 24, p: int = 8) -> set:
+    """Float-free python twin of :func:`winnow_keys` (the property-
+    test oracle): returns the set of selected (md5hex, pos) pairs."""
+    import hashlib
+
+    n = len(text) - w + 1
+    if n < p:
+        return set()
+    hs = [
+        (hashlib.md5(text[i : i + w].encode()).hexdigest(), i + 1)
+        for i in range(n)
+    ]
+    out = set()
+    for i in range(n - p + 1):
+        out.add(min(hs[i : i + p]))
+    return out

@@ -243,3 +243,101 @@ def test_embedding_neardup_dispatcher_routes_on_threshold(spark, sf_dir):
         map(tuple, embedding_neardup_pairs(emb, threshold=0.3).collect())
     )
     assert lo == lo_pinned and len(lo) > len(hi)
+
+
+class TestWinnowDedup:
+    """Exact-substring dedup via winnowing (SIGMOD'03): the provable
+    guarantee, the Spark == python-twin contract, and the alignment
+    case fixed-stride windows miss."""
+
+    def test_planted_plagiarism_guarantee(self):
+        import random
+
+        from flytemosaic_spark.operators.dedup import winnow_py
+
+        random.seed(11)
+        w, p = 24, 8
+        for trial in range(150):
+            n = random.randint(w + p - 1, 150)
+            passage = "".join(
+                random.choice("abcdefgh ") for _ in range(n)
+            )
+            a = (
+                "".join(random.choice("uvw") for _ in
+                        range(random.randint(0, 90)))
+                + passage
+                + "".join(random.choice("qrs") for _ in
+                          range(random.randint(0, 90)))
+            )
+            b = (
+                "".join(random.choice("mno") for _ in
+                        range(random.randint(0, 60)))
+                + passage
+                + "".join(random.choice("jkl") for _ in
+                          range(random.randint(0, 60)))
+            )
+            ha = {h for h, _ in winnow_py(a, w, p)}
+            hb = {h for h, _ in winnow_py(b, w, p)}
+            assert ha & hb, (trial, n)
+
+    def test_below_threshold_no_guarantee_needed(self):
+        from flytemosaic_spark.operators.dedup import winnow_py
+
+        assert winnow_py("short text", 24, 8) == set()
+
+    def test_spark_matches_twin(self, spark):
+        import random
+
+        from flytemosaic_spark.operators.dedup import (
+            winnow_fingerprints,
+            winnow_py,
+        )
+
+        random.seed(7)
+        rows = [
+            (k, "".join(random.choice("abcdef gh") for _ in
+                        range(random.randint(31, 200))))
+            for k in range(10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in winnow_fingerprints(df).collect():
+            got.setdefault(r["doc_id"], set()).add((r["h"], r["pos"]))
+        for k, t in rows:
+            assert got.get(k, set()) == winnow_py(t), k
+
+    def test_catches_alignment_fixed_stride_misses(self, spark):
+        from pyspark.sql import functions as F
+
+        from flytemosaic_spark.operators.dedup import winnow_fingerprints
+
+        # same 40-char passage at offsets differing by 1 (not a
+        # multiple of x38's stride 20): stride windows sample
+        # different substrings, winnowing still shares a fingerprint
+        passage = "the quick brown fox jumps over the lazy"
+        a = "X" * 20 + passage + "Y" * 20
+        b = "Z" * 21 + passage + "W" * 20
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        fp = winnow_fingerprints(df)
+        shared = (
+            fp.alias("a")
+            .join(fp.alias("b"), "h")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .count()
+        )
+        assert shared >= 1
+
+    def test_dup_frac_rollup(self, spark):
+        from flytemosaic_spark.operators.dedup import winnow_dedup_stats
+
+        base = "completely original content with enough length here"
+        df = spark.createDataFrame(
+            [(1, base), (2, base)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in winnow_dedup_stats(df).collect()}
+        # doc 1 is the first occurrence everywhere; doc 2 all-dup
+        assert out[1]["dup_frac"] == 0.0
+        assert out[2]["dup_frac"] == 1.0
+        assert out[1]["n_fp"] == out[2]["n_fp"]
