@@ -364,9 +364,14 @@ def _decode_payload(payload: bytes) -> np.ndarray:
         return frames[0]  # first frame RGBA; frame_sample uses the rest
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from flytemosaic_spark.sources.webp import decode_webp
+
+        return decode_webp(payload)  # VP8L tier; VP8 lossy is a seam
     raise NotImplementedError(
         "codec not available: payload is not the FAKE container, PNG, "
-        "JPEG, or TIFF/GeoTIFF; MP4/... need ffmpeg at this seam"
+        "JPEG, WebP(VP8L), GIF, BMP, or TIFF/GeoTIFF; MP4/... need "
+        "ffmpeg at this seam"
     )
 
 
@@ -1667,7 +1672,13 @@ def webdataset_sample_stats(shards: DataFrame) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 for s in parse_shard(bytes(payload)):
-                    img = _decode_payload(s["parts"]["png"])
+                    img_ext = next(
+                        e
+                        for e in ("png", "jpg", "jpeg", "webp", "gif",
+                                  "bmp", "tif")
+                        if e in s["parts"]
+                    )
+                    img = _decode_payload(s["parts"][img_ext])
                     out.append(
                         (
                             int(mid),
@@ -1836,3 +1847,67 @@ def cog_window_stats(cogs: DataFrame, wh: int = 24, ww: int = 24) -> DataFrame:
     return cogs.select("media_id", "payload", "wy", "wx").mapInPandas(
         run, schema
     )
+
+
+def synthesize_webp(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
+    """Real VP8L .webp files with key-derived pixels; key % 4 cycles
+    the encoder path (plain LZ77 / color cache / subtract-green +
+    predictor / palette) so every decoder tier sits in the gate."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.webp import encode_webp
+
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                h, w = 8 + k % 5, 8 + (k * 3) % 7
+                y, x, c = np.ogrid[0:h, 0:w, 0:4]
+                opt = k % 4
+                if opt == 3:
+                    m = (k + y + x) % (2 + k % 10)
+                    arr = ((m * 37 + c * 11 + k) % 256).astype(np.uint8)
+                else:
+                    arr = ((k * 7 + y * 5 + x * 3 + c * 11) % 256).astype(
+                        np.uint8
+                    )
+                kw = [
+                    dict(use_lz77=True),
+                    dict(use_lz77=True, cache_bits=4),
+                    dict(subtract_green=True, predictor_mode=7),
+                    dict(palette=True),
+                ][opt]
+                out.append((k, encode_webp(arr, **kw)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    n = keys.sparkSession.sparkContext.defaultParallelism
+    return keys.select(key_col).repartition(n, F.col(key_col)).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def webp_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode .webp payloads through the image codec seam and emit
+    exact integer pixel statistics (one wrong byte anywhere in the
+    VP8L entropy/transform chain shifts sum_px)."""
+    schema = (
+        "media_id long, width int, height int, n_px long, sum_px long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                a = _decode_payload(bytes(payload))
+                out.append(
+                    (
+                        int(mid), a.shape[1], a.shape[0], int(a.size),
+                        int(a.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "n_px", "sum_px"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)

@@ -451,3 +451,62 @@ def x241_winnow_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.dedup import winnow_dedup_stats
 
     return winnow_dedup_stats(T(spark, sf, "documents"))
+
+
+@probe(
+    "x242_webp_decode",
+    sql="""
+        WITH keys AS (
+            SELECT s_suppkey AS media_id,
+                   8 + s_suppkey % 5 AS h,
+                   8 + (s_suppkey * 3) % 7 AS w
+            FROM supplier
+        ),
+        ys AS (
+            SELECT media_id, h, w,
+                   unnest(generate_series(0, h - 1)) AS y
+            FROM keys
+        ),
+        xs AS (
+            SELECT media_id, h, w, y,
+                   unnest(generate_series(0, w - 1)) AS x
+            FROM ys
+        ),
+        cs AS (
+            SELECT media_id, h, w, y, x,
+                   unnest(generate_series(0, 3)) AS c
+            FROM xs
+        )
+        SELECT media_id,
+               any_value(w) AS width,
+               any_value(h) AS height,
+               count(*) AS n_px,
+               sum(CASE WHEN media_id % 4 = 3
+                        THEN (((media_id + y + x) % (2 + media_id % 10))
+                              * 37 + c * 11 + media_id) % 256
+                        ELSE (media_id * 7 + y * 5 + x * 3 + c * 11) % 256
+                   END) AS sum_px
+        FROM cs
+        GROUP BY media_id
+    """,
+    note="WebP VP8L decode in the gate (sources/webp.py — real "
+    "lossless WebP: canonical prefix codes incl. the code-length-"
+    "coded form, LZ77 with the spec's 2-D distance map, color cache, "
+    "predictor/color/subtract-green transforms, palette with sub-byte "
+    "packing): executors encode key-derived pixels cycling ALL FOUR "
+    "encoder paths by key % 4 and decode through the image codec "
+    "seam; the oracle recomputes exact integer pixel sums from the "
+    "generating arithmetic — one wrong byte in any entropy or "
+    "transform stage shifts sum_px. VP8 lossy stays the documented "
+    "mp3-style seam (unverifiable-from-memory probability tables). "
+    "Payloads never shuffle; explicit repartition spreads the "
+    "per-row codec work (the x222 AQE rule).",
+)
+def x242_webp_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        synthesize_webp,
+        webp_pixel_stats,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return webp_pixel_stats(synthesize_webp(keys))
