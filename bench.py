@@ -92,6 +92,19 @@ HEADLINE = [
     # r7: the RFC 8878 decoder entered the gate (x234) -> it gets a
     # bench line the same round (the r6 media_codec rule)
     "zstd_codec",
+    # r8: every operator that entered the gate this round gets a bench
+    # line the same round — the crawl pipeline (HTML extract, fused
+    # WARC->extract->curate), trained langid, winnowing exact-substring
+    # dedup, the VP8L codec, NTv2 grid shift, and the Delta-lite
+    # time-travel table (create+append+2 merges+4 snapshot reads per
+    # call, tempdir-backed).
+    "x237_html_extract",
+    "x239_warc_extract",
+    "x238_langid",
+    "x241_winnow_dedup",
+    "x242_webp_decode",
+    "f33_ntv2_shift",
+    "x240_time_travel",
 ]
 
 # The r5 driver bench line (BENCH_r05.json), pinned so the

@@ -313,3 +313,27 @@ class TestFrameHeaderChecksum:
         frame[4] ^= 0x08
         with pytest.raises(ValueError, match="header checksum"):
             decompress_frame(bytes(frame))
+
+
+class TestRealisticChunkSize:
+    def test_1mb_chunks_all_codecs(self):
+        # the x236 gate probe uses 4 KB chunks; real chunk stores
+        # write ~1 MB — prove the registry codecs round-trip there too
+        import numpy as np
+
+        from flytemosaic_spark.sources.codecs import (
+            compress_chunk,
+            decompress_chunk,
+        )
+
+        rng = np.random.default_rng(9)
+        smooth = np.cumsum(rng.integers(-4, 5, 1 << 20)).astype("u1")
+        chunk = smooth.tobytes()
+        for spec in (
+            {"id": "zlib", "level": 1},
+            {"id": "lz4"},
+            {"id": "zstd", "level": 3},
+            {"id": "snappy"},
+        ):
+            back = decompress_chunk(compress_chunk(chunk, spec), spec)
+            assert back == chunk, spec

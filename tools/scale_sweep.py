@@ -111,6 +111,13 @@ PROBES = [
     "x24_curation_pipeline",  # composed gate->dedup->components->splits
     "q12_shipping_priority_split",  # conditional two-way split agg
     "f24_utm_forward",  # Kruger-series column math
+    # r8 operators
+    "x237_html_extract",  # per-row html.parser extraction (mapInPandas)
+    "x239_warc_extract",  # fused WARC parse -> extract -> curate
+    "x238_langid",  # corpus-pass NB train + broadcast-grid scoring
+    "x241_winnow_dedup",  # winnowing fingerprints -> first-occurrence agg
+    "x242_webp_decode",  # VP8L encode+decode per key (pure python codec)
+    "f33_ntv2_shift",  # broadcast grid cells + bilinear column math
 ]
 
 
