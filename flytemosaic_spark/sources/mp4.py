@@ -19,6 +19,22 @@ complete JPEG image) decode end-to-end through the pure-numpy T.81
 codec in ``sources/jpeg.py``: REAL video frame sampling with no
 external demuxer. Inter-frame codecs (H.264/AV1/...) still raise at
 the documented ffmpeg seam in ``operators/multimodal.py``.
+
+H.264 baseline I-frame decode (considered for r8, declined with the
+mp3.py rationale): the algorithmic parts — exp-Golomb headers, 4x4
+intra prediction, the integer transform — are reproducible from the
+public spec, but CAVLC residual entropy coding hinges on ~1,000
+entries of normative VLC tables (ITU-T H.264 Table 9-5 coeff_token
+across four nC contexts, Tables 9-7/9-8 total_zeros for 4x4 and
+chroma-DC, Table 9-10 run_before). Those cannot be reproduced from
+public memory with bit-exact confidence, and this container ships no
+H.264 encoder or decoder to validate against — one wrong VLC entry
+yields a decoder that parses real streams into plausible garbage
+with no failing check. A from-memory implementation would be
+H.264-shaped, not H.264; the seam stays named until a reference
+(ffmpeg/openh264 or conformance bitstreams with known hashes) is
+available to pin the tables. The MJPEG tier above provides the real
+frame-sampling shape in the meantime.
 """
 
 from __future__ import annotations

@@ -109,17 +109,59 @@ def _commit_info(op: str) -> dict:
     }
 
 
+def _checkpoint_file(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.checkpoint.json")
+
+
+def write_checkpoint(path: str, version: int | None = None) -> int:
+    """Compact the replay (the Delta checkpoint): write the full
+    active file set at ``version`` so later reads start there instead
+    of replaying from version 0. Written temp+rename (idempotent —
+    re-checkpointing a version overwrites with identical content);
+    readers never require one."""
+    head = latest_version(path)
+    v = head if version is None else version
+    files = snapshot_files(path, v)
+    tmp = _checkpoint_file(path, v) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"version": v,
+             "active": [os.path.relpath(p, path) for p in files]},
+            f,
+        )
+    os.replace(tmp, _checkpoint_file(path, v))
+    return v
+
+
+def _latest_checkpoint(path: str, at_or_below: int) -> tuple[int, set[str]]:
+    """(version, active set) of the newest usable checkpoint, or
+    (-1, empty)."""
+    d = _log_dir(path)
+    best = -1
+    for f in os.listdir(d):
+        if f.endswith(".checkpoint.json"):
+            v = int(f.split(".")[0])
+            if v <= at_or_below:
+                best = max(best, v)
+    if best < 0:
+        return -1, set()
+    with open(_checkpoint_file(path, best)) as f:
+        cp = json.load(f)
+    return best, set(cp["active"])
+
+
 def snapshot_files(path: str, version: int | None = None) -> list[str]:
     """Active data files (absolute paths) at ``version`` (default:
-    latest) — the add/remove replay."""
+    latest) — add/remove replay from the newest checkpoint at or
+    below the requested version (version 0 when none exists)."""
     head = latest_version(path)
     if head < 0:
         raise FileNotFoundError(f"no transaction log at {path}")
     v = head if version is None else version
     if not 0 <= v <= head:
         raise ValueError(f"version {v} out of range [0, {head}]")
-    active: set[str] = set()
-    for i in range(v + 1):
+    start, active = _latest_checkpoint(path, v)
+    for i in range(start + 1, v + 1):
         with open(_log_file(path, i)) as f:
             for line in f:
                 a = json.loads(line)

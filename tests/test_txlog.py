@@ -119,3 +119,35 @@ class TestIsolation:
             # direct race against the existing version 0
             txlog._commit(p, 0, [{"commitInfo": {"operation": "X"}}])
         assert set(os.listdir(d)) == before  # temp file cleaned up
+
+
+class TestCheckpoint:
+    def test_checkpoint_equivalent_replay(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a")]))
+        for k in range(2, 7):
+            txlog.append(spark, p, _df(spark, [(k, "x")]))
+        before = txlog.snapshot_files(p)
+        v = txlog.write_checkpoint(p)
+        assert v == txlog.latest_version(p)
+        assert txlog.snapshot_files(p) == before
+        # time travel BELOW the checkpoint still replays from 0
+        assert txlog.read_snapshot(spark, p, 2).count() == 3
+        # commits after the checkpoint replay from it
+        txlog.append(spark, p, _df(spark, [(9, "z")]))
+        assert txlog.read_snapshot(spark, p).count() == 7
+
+    def test_checkpoint_after_merge(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(
+            spark, p, _df(spark, [(1, "a"), (2, "b")])
+        )
+        txlog.merge_into(spark, p, _df(spark, [(2, "B"), (3, "c")]), ["k"])
+        txlog.write_checkpoint(p)
+        txlog.append(spark, p, _df(spark, [(4, "d")]))
+        got = dict(
+            (r["k"], r["v"]) for r in txlog.read_snapshot(spark, p).collect()
+        )
+        assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+        # checkpoint files never count as commit versions
+        assert txlog.latest_version(p) == 2
