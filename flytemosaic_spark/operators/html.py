@@ -313,6 +313,45 @@ def synthesize_warc_html(
     )
 
 
+def warc_extract_pages(warcs: DataFrame) -> DataFrame:
+    """WARC shards -> one row per 200-status page with its EXTRACTED
+    main text (title, main_text, page_idx) — the handoff from crawl
+    ingest to the text operators (dedup/langid/quality run on
+    main_text downstream). Parse + extract stay fused in the shard's
+    task; only clean text leaves Python."""
+    schema = (
+        "media_id long, page_idx int, title string, main_text string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.warc import (
+            parse_warc,
+            split_http_response,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                idx = -1
+                for rec in parse_warc(bytes(payload)):
+                    if rec["type"] != "response":
+                        continue
+                    idx += 1
+                    status, _, body = split_http_response(rec["content"])
+                    if status != 200:
+                        continue
+                    r = extract_main_content(body.decode("utf-8"))
+                    out.append(
+                        (int(mid), idx, r["title"], r["main_text"])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "page_idx", "title", "main_text"],
+            )
+
+    return warcs.select("media_id", "payload").mapInPandas(run, schema)
+
+
 def warc_html_main_stats(
     warcs: DataFrame, quality_min_chars: int = 40
 ) -> DataFrame:

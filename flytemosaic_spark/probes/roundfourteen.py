@@ -510,3 +510,92 @@ def x242_webp_decode(spark: SparkSession, sf: str) -> DataFrame:
 
     keys = T(spark, sf, "supplier").select("s_suppkey")
     return webp_pixel_stats(synthesize_webp(keys))
+
+
+@probe(
+    "x243_web_dedup",
+    sql="""
+        WITH keys AS (
+            SELECT s_suppkey AS media_id, 3 + s_suppkey % 5 AS np
+            FROM supplier
+        ),
+        pages AS (
+            SELECT media_id,
+                   unnest(generate_series(0, np - 1)) AS i
+            FROM keys
+        ),
+        ok AS (
+            SELECT media_id, i, 2 + (media_id + i) % 3 AS nj
+            FROM pages
+            WHERE (media_id + i) % 5 <> 0
+        ),
+        paras AS (
+            SELECT media_id, i,
+                   unnest(generate_series(0, nj - 1)) AS j
+            FROM ok
+        ),
+        texts AS (
+            SELECT media_id, i,
+                   string_agg(
+                       repeat('w', 8 + (media_id * 3 + i * 5 + j * 7)
+                                       % 30) || '&',
+                       chr(10) ORDER BY j
+                   ) AS mt
+            FROM paras
+            GROUP BY media_id, i
+        ),
+        keyed AS (
+            SELECT media_id, i, md5(mt) AS h, length(mt) AS chars,
+                   media_id * 8 + i AS k2
+            FROM texts
+        ),
+        first AS (SELECT h, min(k2) AS k0 FROM keyed GROUP BY h)
+        SELECT keyed.media_id,
+               count(*) AS n_pages_ok,
+               sum(CASE WHEN k2 = k0 THEN 1 ELSE 0 END) AS n_kept,
+               sum(CASE WHEN k2 = k0 THEN chars ELSE 0 END) AS kept_chars
+        FROM keyed JOIN first USING (h)
+        GROUP BY keyed.media_id
+    """,
+    note="END-TO-END web curation: WARC bytes -> HTTP split -> HTML "
+    "main-content extraction -> GLOBAL exact dedup on the extracted "
+    "text (md5 content key, first-occurrence (file, page) arg-min via "
+    "the x153 bigint encoding) -> per-file keep stats. The oracle "
+    "replays the ENTIRE pipeline in SQL — it reconstructs each page's "
+    "exact extracted string (entity decoded, boilerplate dropped, "
+    "blocks newline-joined) and hashes it, so one wrong byte in WARC "
+    "parsing, HTML extraction, or dedup attribution fails the gate. "
+    "Duplicate pages exist BY CONSTRUCTION across shards (page text "
+    "depends on key arithmetic mod 30, so distinct (file, page) pairs "
+    "collide). Shape: shard-parallel extract, one hash agg on the "
+    "content key, join back, per-file rollup — the Common Crawl "
+    "curation pipeline end to end with no quadratic stage.",
+)
+def x243_web_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.html import (
+        synthesize_warc_html,
+        warc_extract_pages,
+    )
+
+    pages = warc_extract_pages(
+        synthesize_warc_html(T(spark, sf, "supplier").select("s_suppkey"))
+    )
+    keyed = pages.select(
+        "media_id",
+        F.md5("main_text").alias("h"),
+        F.length("main_text").cast("bigint").alias("chars"),
+        (F.col("media_id") * 8 + F.col("page_idx")).alias("k2"),
+    )
+    first = keyed.groupBy("h").agg(F.min("k2").alias("k0"))
+    kept = F.col("k2") == F.col("k0")
+    return (
+        keyed.join(first, "h")
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_pages_ok"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+    )

@@ -140,3 +140,32 @@ class TestSparkOperators:
             )
             assert r["n_pages_ok"] == n_ok
             assert r["total_chars"] > 0
+
+
+class TestWarcExtractPages:
+    def test_page_rows_and_dedup_keys(self, spark):
+        from pyspark.sql import functions as F
+
+        from flytemosaic_spark.operators.html import (
+            synthesize_warc_html,
+            warc_extract_pages,
+        )
+
+        # page text is determined by (nj, (k*3 + i*5) % 30) — at most
+        # 90 distinct classes, so 40 keys (~160 ok pages) guarantee
+        # cross-file duplicates by pigeonhole
+        keys = spark.range(0, 40).withColumnRenamed("id", "s_suppkey")
+        pages = warc_extract_pages(synthesize_warc_html(keys))
+        rows = pages.collect()
+        for r in rows:
+            k, i = r["media_id"], r["page_idx"]
+            assert (k + i) % 5 != 0  # only 200-status pages emitted
+            assert r["title"] == f"p{k}-{i}"
+            nj = 2 + (k + i) % 3
+            assert r["main_text"].count("\n") == nj - 1
+        # duplicate texts exist across files by construction
+        n_total = len(rows)
+        n_distinct = (
+            pages.select(F.md5("main_text")).distinct().count()
+        )
+        assert n_distinct < n_total
