@@ -1014,9 +1014,14 @@ def encode_vp8l(
     subtract_green: bool = False,
     predictor_mode: int | None = None,
     palette: bool = False,
+    color_transform: tuple[int, int, int] | None = None,
+    meta_groups: int = 0,
 ) -> bytes:
     """uint8 [h][w][4] RGBA -> VP8L payload. Options exercise the
-    matching decoder paths; all combinations are lossless."""
+    matching decoder paths; all combinations are lossless.
+    ``color_transform`` is (g2r, g2b, r2b) signed-byte multipliers
+    applied uniformly; ``meta_groups=2`` emits a checkerboard
+    meta-huffman image with per-group codes (literals only)."""
     rgba = np.asarray(rgba, dtype=np.uint8)
     h, w = rgba.shape[:2]
     img = (
@@ -1077,6 +1082,18 @@ def encode_vp8l(
         bw.write(1, 1)
         bw.write(2, 2)
         img = _apply_subtract_green_forward(img)
+    if color_transform is not None:
+        g2r, g2b, r2b = (v & 0xFF for v in color_transform)
+        bits = 4
+        bw.write(1, 1)
+        bw.write(1, 2)
+        bw.write(bits - 2, 3)
+        cw = (w + (1 << bits) - 1) >> bits
+        ch = (h + (1 << bits) - 1) >> bits
+        el = 0xFF000000 | (g2r << 16) | (g2b << 8) | r2b
+        data = np.full((ch, cw), el, dtype=np.uint32)
+        img = _apply_color_forward(img, data, bits)
+        _emit_entropy_image(bw, data, False, 0)
     if predictor_mode is not None:
         bits = 4
         bw.write(1, 1)
@@ -1092,8 +1109,67 @@ def encode_vp8l(
         img = _apply_predictor_forward(img, modes, bits)
         _emit_entropy_image(bw, modes, False, 0)
     bw.write(0, 1)  # end of transforms
-    _emit_entropy_image(bw, img, use_lz77, cache_bits, is_main=True)
+    if meta_groups == 2:
+        _emit_meta_grouped(bw, img)
+    else:
+        _emit_entropy_image(bw, img, use_lz77, cache_bits, is_main=True)
     return bw.finish()
+
+
+def _emit_meta_grouped(bw: _BitWriter, img: np.ndarray) -> None:
+    """Main image with a 2-group checkerboard meta-huffman image
+    (4x4 blocks, literals only) — exercises the decoder's meta path."""
+    h, w = img.shape
+    bits = 2
+    mw = (w + 3) >> bits
+    mh = (h + 3) >> bits
+    by, bx = np.ogrid[0:mh, 0:mw]
+    meta = (((bx + by) % 2) << 8).astype(np.uint32)  # group in green
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta huffman present
+    bw.write(bits - 2, 3)
+    _emit_entropy_image(bw, meta, False, 0)
+    # per-group histograms (literals only)
+    groups = [[
+        [0] * (256 + 24), [0] * 256, [0] * 256, [0] * 256, [0] * 40
+    ] for _ in range(2)]
+    for y in range(h):
+        for x in range(w):
+            px = int(img[y, x])
+            hg, hr, hb, ha, hd = groups[(int(meta[y >> bits, x >> bits])
+                                         >> 8) & 1]
+            hg[(px >> 8) & 0xFF] += 1
+            hr[(px >> 16) & 0xFF] += 1
+            hb[px & 0xFF] += 1
+            ha[(px >> 24) & 0xFF] += 1
+    all_codes = []
+    for g in groups:
+        codes = []
+        for hist in g:
+            if sum(hist) == 0:
+                hist[0] = 1
+            lens = _build_lengths(hist)
+            _write_code(bw, lens)
+            codes.append(_canonical_codes(lens))
+        all_codes.append(codes)
+
+    def put(codes, sym):
+        if len(codes) == 1:
+            return
+        code, ln = codes[sym]
+        for b in range(ln - 1, -1, -1):
+            bw.write((code >> b) & 1, 1)
+
+    for y in range(h):
+        for x in range(w):
+            px = int(img[y, x])
+            cg, cr, cb, ca, _ = all_codes[
+                (int(meta[y >> bits, x >> bits]) >> 8) & 1
+            ]
+            put(cg, (px >> 8) & 0xFF)
+            put(cr, (px >> 16) & 0xFF)
+            put(cb, px & 0xFF)
+            put(ca, (px >> 24) & 0xFF)
 
 
 def encode_webp(rgba: np.ndarray, **kw) -> bytes:

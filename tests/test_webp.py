@@ -214,3 +214,31 @@ class TestMutationFuzz:
                 assert out.shape[2] == 4  # decoded something sane
             except (ValueError, IndexError, NotImplementedError):
                 pass  # loud structured failure is fine; hanging is not
+
+
+class TestMetaHuffmanAndColorTransform:
+    """Decoder paths the basic matrix can't reach: per-group meta
+    prefix codes and the color transform, round-tripped through the
+    bitstream."""
+
+    @pytest.mark.parametrize("kw", [
+        dict(meta_groups=2),
+        dict(color_transform=(10, -5, 3)),
+        dict(color_transform=(127, -128, 64), subtract_green=True),
+        dict(color_transform=(10, 20, 30), meta_groups=2),
+    ])
+    def test_round_trip(self, kw):
+        rng = _rng()
+        for shape in ((13, 17, 4), (1, 1, 4), (3, 5, 4), (32, 24, 4)):
+            arr = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert np.array_equal(
+                decode_webp(encode_webp(arr, **kw)), arr
+            ), (shape, kw)
+
+    def test_color_transform_changes_bytes(self):
+        # the transform must actually be in the stream, not a no-op
+        rng = _rng()
+        arr = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+        assert encode_webp(arr) != encode_webp(
+            arr, color_transform=(33, -7, 12)
+        )
