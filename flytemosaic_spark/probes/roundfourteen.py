@@ -599,3 +599,96 @@ def x243_web_dedup(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@probe(
+    "x244_robots_scan",
+    sql="""
+        WITH keys AS (
+            SELECT s_suppkey AS media_id, 4 + s_suppkey % 5 AS n
+            FROM supplier
+        ),
+        urls AS (
+            SELECT media_id, n,
+                   unnest(generate_series(0, n - 1)) AS i
+            FROM keys
+        )
+        SELECT media_id,
+               any_value(n) AS n_urls,
+               sum(CASE WHEN (media_id + i) % 4 <> media_id % 3
+                        THEN 1 ELSE 0 END) AS n_allowed,
+               1 + media_id % 7 AS delay_s
+        FROM urls
+        GROUP BY media_id
+    """,
+    note="robots.txt politeness gate (operators/crawl.py, stdlib "
+    "urllib.robotparser fed the body directly — no network): host k "
+    "disallows the /d{k%3}/ prefix with a crawl delay, its frontier "
+    "is key-derived paths, and the scan emits fetchable counts + the "
+    "delay budget; rule prefixes are DISJOINT so every robots "
+    "semantics (first-match, longest-match) agrees and the oracle's "
+    "arithmetic verdict is implementation-independent. The filter "
+    "every polite crawler applies before a page can enter a corpus.",
+)
+def x244_robots_scan(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.crawl import (
+        robots_scan,
+        synthesize_robots,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return robots_scan(synthesize_robots(keys))
+
+
+@probe(
+    "x245_charset_decode",
+    sql="""
+        WITH base AS (
+            SELECT s_suppkey AS media_id, s_suppkey % 4 AS mode,
+                   'charset test ' || repeat('a', 5 + s_suppkey % 9)
+                       AS s
+            FROM supplier
+        ),
+        dec AS (
+            SELECT media_id,
+                   CASE mode
+                        WHEN 0 THEN 'utf-8'
+                        WHEN 1 THEN 'iso-8859-1'
+                        WHEN 2 THEN 'utf-16-le'
+                        ELSE 'utf-8-sig' END AS charset,
+                   CASE mode
+                        WHEN 0 THEN '<meta charset="utf-8">' || s
+                                    || chr(20013)
+                        WHEN 1 THEN '<meta charset="iso-8859-1">' || s
+                                    || chr(233)
+                        WHEN 2 THEN s || chr(20013)
+                        ELSE s || chr(20013) END AS t
+            FROM base
+        )
+        SELECT media_id, charset,
+               length(t) AS n_chars,
+               list_aggregate(
+                   list_transform(generate_series(1, length(t)),
+                                  i -> unicode(substr(t, i, 1))),
+                   'sum'
+               ) AS cp_sum
+        FROM dec
+    """,
+    note="charset sniff + transcode (operators/crawl.py): crawled "
+    "bytes are NOT utf-8 — executors write key-derived payloads in "
+    "four wire encodings (meta-declared utf-8 / iso-8859-1 with a "
+    "latin-1-only char, BOM'd utf-16-le, BOM'd utf-8, CJK content) "
+    "and sniff_and_decode runs BOM -> meta-declaration -> utf-8 -> "
+    "latin-1 fallback, stripping BOMs; the oracle reconstructs the "
+    "exact decoded unicode string per key and checks length AND the "
+    "codepoint sum — one mis-decoded byte anywhere shifts it. The "
+    "CCNet-shaped normalization every text operator depends on.",
+)
+def x245_charset_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.crawl import (
+        charset_decode_stats,
+        synthesize_charset_docs,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return charset_decode_stats(synthesize_charset_docs(keys))

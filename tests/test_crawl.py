@@ -1,0 +1,114 @@
+"""Crawl-politeness + charset stages (operators/crawl.py)."""
+
+import pytest
+
+from flytemosaic_spark.operators.crawl import (
+    crawl_delay,
+    robots_allowed,
+    sniff_and_decode,
+)
+
+
+class TestRobots:
+    def test_disallow_prefix(self):
+        robots = "User-agent: *\nDisallow: /private/\n"
+        got = robots_allowed(
+            robots, ["/private/a", "/public/a", "/privateer"]
+        )
+        assert got == [False, True, True]
+
+    def test_agent_specific_rules_win(self):
+        robots = (
+            "User-agent: badbot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /secret/\n"
+        )
+        assert robots_allowed(robots, ["/x"], agent="badbot") == [False]
+        assert robots_allowed(robots, ["/x"], agent="goodbot") == [True]
+        assert robots_allowed(robots, ["/secret/x"],
+                              agent="goodbot") == [False]
+
+    def test_crawl_delay(self):
+        assert crawl_delay("User-agent: *\nCrawl-delay: 4\n") == 4
+        assert crawl_delay("User-agent: *\nDisallow:\n") is None
+
+    def test_empty_robots_allows_everything(self):
+        assert robots_allowed("", ["/anything"]) == [True]
+
+
+class TestCharset:
+    def test_bom_utf16_le(self):
+        cs, t = sniff_and_decode(b"\xff\xfe" + "hi中".encode("utf-16-le"))
+        assert cs == "utf-16-le" and t == "hi中"
+
+    def test_bom_utf16_be(self):
+        cs, t = sniff_and_decode(b"\xfe\xff" + "hi".encode("utf-16-be"))
+        assert cs == "utf-16-be" and t == "hi"
+
+    def test_bom_utf8(self):
+        cs, t = sniff_and_decode(b"\xef\xbb\xbfcaf\xc3\xa9")
+        assert cs == "utf-8-sig" and t == "café"
+
+    def test_meta_declared(self):
+        cs, t = sniff_and_decode(
+            b'<meta charset="iso-8859-1">caf\xe9'
+        )
+        assert cs == "iso-8859-1" and t.endswith("café")
+
+    def test_meta_declared_with_http_equiv_style(self):
+        cs, _ = sniff_and_decode(
+            b"<meta http-equiv='Content-Type' "
+            b"content='text/html; charset=UTF-8'>ok"
+        )
+        assert cs == "utf-8"
+
+    def test_lying_meta_falls_back(self):
+        # declares utf-16-le but the bytes are not decodable as such
+        # at odd length -> falls through to utf-8/latin-1
+        payload = b'<meta charset="utf-16-le">abc'
+        cs, t = sniff_and_decode(payload)
+        assert cs in ("utf-8", "latin-1")
+        assert "abc" in t
+
+    def test_plain_utf8_no_declaration(self):
+        cs, t = sniff_and_decode("中文 text".encode("utf-8"))
+        assert cs == "utf-8" and t == "中文 text"
+
+    def test_binary_garbage_never_fails(self):
+        cs, t = sniff_and_decode(bytes(range(256)))
+        assert cs == "latin-1" and len(t) == 256
+
+
+class TestSparkOps:
+    def test_robots_scan(self, spark):
+        from flytemosaic_spark.operators.crawl import (
+            robots_scan,
+            synthesize_robots,
+        )
+
+        keys = spark.range(0, 15).withColumnRenamed("id", "s_suppkey")
+        out = {r["media_id"]: r
+               for r in robots_scan(synthesize_robots(keys)).collect()}
+        for k in range(15):
+            n = 4 + k % 5
+            want = sum((k + i) % 4 != k % 3 for i in range(n))
+            assert out[k]["n_allowed"] == want
+            assert out[k]["delay_s"] == 1 + k % 7
+
+    def test_charset_stats(self, spark):
+        from flytemosaic_spark.operators.crawl import (
+            charset_decode_stats,
+            synthesize_charset_docs,
+        )
+
+        keys = spark.range(0, 8).withColumnRenamed("id", "s_suppkey")
+        out = {
+            r["media_id"]: r
+            for r in charset_decode_stats(
+                synthesize_charset_docs(keys)
+            ).collect()
+        }
+        assert out[2]["charset"] == "utf-16-le"
+        assert out[1]["charset"] == "iso-8859-1"
+        # cp sums include the non-ascii char exactly once
+        s0 = '<meta charset="utf-8">charset test ' + "a" * 5 + "中"
+        assert out[0]["cp_sum"] == sum(ord(c) for c in s0)
