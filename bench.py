@@ -105,6 +105,13 @@ HEADLINE = [
     "x242_webp_decode",
     "f33_ntv2_shift",
     "x240_time_travel",
+    "x243_web_dedup",
+    "x244_robots_scan",
+    "x245_charset_decode",
+    # x246_incremental_crawl is EXCLUDED by design: it is a
+    # composition of already-benched pieces (x243's extract, x240's
+    # txlog) whose cost is parquet-write-bound table setup, not an
+    # operator plan — the sweep covers its scaling instead.
 ]
 
 # The r5 driver bench line (BENCH_r05.json), pinned so the

@@ -692,3 +692,102 @@ def x245_charset_decode(spark: SparkSession, sf: str) -> DataFrame:
 
     keys = T(spark, sf, "supplier").select("s_suppkey")
     return charset_decode_stats(synthesize_charset_docs(keys))
+
+
+@probe(
+    "x246_incremental_crawl",
+    sql="""
+        WITH keys AS (
+            SELECT s_suppkey AS media_id, 3 + s_suppkey % 5 AS np
+            FROM supplier
+        ),
+        pages AS (
+            SELECT media_id,
+                   unnest(generate_series(0, np - 1)) AS i
+            FROM keys
+        ),
+        ok AS (
+            SELECT media_id, i, 2 + (media_id + i) % 3 AS nj
+            FROM pages
+            WHERE (media_id + i) % 5 <> 0
+        ),
+        paras AS (
+            SELECT media_id, i,
+                   unnest(generate_series(0, nj - 1)) AS j
+            FROM ok
+        ),
+        texts AS (
+            SELECT media_id, i,
+                   md5(string_agg(
+                       repeat('w', 8 + (media_id * 3 + i * 5 + j * 7)
+                                       % 30) || '&',
+                       chr(10) ORDER BY j
+                   )) AS h
+            FROM paras
+            GROUP BY media_id, i
+        ),
+        b1 AS (
+            SELECT DISTINCT h FROM texts WHERE media_id % 2 = 0
+        ),
+        b2_new AS (
+            SELECT DISTINCT t.h
+            FROM texts t
+            WHERE media_id % 2 = 1
+              AND NOT EXISTS (SELECT 1 FROM b1 WHERE b1.h = t.h)
+        )
+        SELECT 0 AS version, count(*) AS n_rows FROM b1
+        UNION ALL
+        SELECT 1, (SELECT count(*) FROM b1) + count(*) FROM b2_new
+    """,
+    note="INCREMENTAL crawl curation — the composition that makes the "
+    "engine a system, not a bag of operators: batch 1 (even shards) "
+    "runs WARC -> extract -> distinct content keys and CREATEs a "
+    "Delta-lite table (sources/txlog.py); batch 2 (odd shards) "
+    "extracts, ANTI-JOINS against the pinned table snapshot (only "
+    "globally-new page content may enter the corpus) and APPENDs as a "
+    "new log version. The probe reads BOTH versions back via time "
+    "travel; the oracle replays extract + dedup + incremental set "
+    "logic entirely in SQL from the generating arithmetic. The 100 TB "
+    "shape: each re-crawl scans only its own shards, dedups against "
+    "the table by one hash anti-join, and commits atomically "
+    "(concurrent crawlers lose cleanly and retry).",
+)
+def x246_incremental_crawl(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from flytemosaic_spark.operators.html import (
+        synthesize_warc_html,
+        warc_extract_pages,
+    )
+    from flytemosaic_spark.sources import txlog
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    path = os.path.join(tempfile.mkdtemp(prefix="txlog_x246_"), "t")
+
+    b1_pages = warc_extract_pages(
+        synthesize_warc_html(keys.where(F.col("s_suppkey") % 2 == 0))
+    )
+    b1 = b1_pages.select(F.md5("main_text").alias("h")).distinct()
+    txlog.create_table(spark, path, b1)
+
+    b2_pages = warc_extract_pages(
+        synthesize_warc_html(keys.where(F.col("s_suppkey") % 2 == 1))
+    )
+    seen = txlog.read_snapshot(spark, path)  # pinned snapshot
+    b2_new = (
+        b2_pages.select(F.md5("main_text").alias("h"))
+        .distinct()
+        .join(seen, "h", "left_anti")
+    )
+    txlog.append(spark, path, b2_new)
+
+    parts = []
+    for v in range(2):
+        parts.append(
+            txlog.read_snapshot(spark, path, v).agg(
+                F.lit(v).alias("version"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+    return parts[0].unionByName(parts[1])

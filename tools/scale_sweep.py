@@ -118,6 +118,10 @@ PROBES = [
     "x241_winnow_dedup",  # winnowing fingerprints -> first-occurrence agg
     "x242_webp_decode",  # VP8L encode+decode per key (pure python codec)
     "f33_ntv2_shift",  # broadcast grid cells + bilinear column math
+    "x243_web_dedup",  # WARC -> extract -> global content dedup
+    "x244_robots_scan",  # robots.txt politeness gate
+    "x245_charset_decode",  # charset sniff + transcode
+    "x246_incremental_crawl",  # txlog-backed incremental crawl dedup
 ]
 
 
