@@ -169,3 +169,24 @@ class TestWarcExtractPages:
             pages.select(F.md5("main_text")).distinct().count()
         )
         assert n_distinct < n_total
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="<>/abp &;#x\"'=!-\n\t", max_size=300))
+def test_extractor_never_crashes_on_tag_soup(soup):
+    # arbitrary malformed markup: the extractor must return a result,
+    # never raise — a crawl pipeline cannot crash on one bad page
+    r = extract_main_content(soup)
+    assert isinstance(r["main_text"], str)
+    assert r["n_kept"] >= 0 and r["n_dropped"] >= 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=200))
+def test_extractor_handles_arbitrary_unicode(body):
+    r = extract_main_content(f"<p>{body.replace('<', ' ')}</p>")
+    assert isinstance(r["main_text"], str)

@@ -151,3 +151,50 @@ class TestCheckpoint:
         assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
         # checkpoint files never count as commit versions
         assert txlog.latest_version(p) == 2
+
+
+class TestConcurrentWriters:
+    def test_threaded_appends_all_land_via_retry(self, spark, tmp_path):
+        # N writers race with real threads; every one must eventually
+        # commit (losers retry on the fresh version), versions are
+        # distinct and the final snapshot holds all rows
+        import threading
+
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(0, "seed")]))
+        n_writers = 6
+        errs = []
+
+        def writer(k):
+            try:
+                for _ in range(50):  # retry budget
+                    v = txlog.latest_version(p)
+                    try:
+                        txlog._commit(
+                            p, v + 1,
+                            [{"commitInfo": {"operation": f"W{k}"}},
+                             {"add": {"path": f"w{k}.parquet"}}],
+                        )
+                        return
+                    except txlog.ConcurrentCommitError:
+                        continue
+                errs.append(f"writer {k} exhausted retries")
+            except Exception as e:  # pragma: no cover
+                errs.append(repr(e))
+
+        threads = [
+            threading.Thread(target=writer, args=(k,))
+            for k in range(n_writers)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        assert txlog.latest_version(p) == n_writers
+        ops = [h["operation"] for h in txlog.history(p)[1:]]
+        assert sorted(ops) == sorted(f"W{k}" for k in range(n_writers))
+        # every writer's add action is in the final snapshot
+        files = txlog.snapshot_files(p)
+        for k in range(n_writers):
+            assert any(f"w{k}.parquet" in f for f in files)
