@@ -1,0 +1,82 @@
+"""Streaming crawl ingestion — WARC shards land continuously; each
+AvailableNow drain parses only the UNSEEN shards (file-source
+checkpoint), extracts main content, dedups against the Delta-lite
+table's pinned snapshot and commits one new version per micro-batch
+via ``foreachBatch``.
+
+This is the streaming twin of probe x246: the same extract + dedup +
+append logic, but incremental arrival and recovery come from
+Structured Streaming's checkpoint instead of a driver loop. Restarts
+re-process at-least-once per the file-source contract; the content-
+hash anti-join against the table snapshot inside each batch makes the
+APPEND idempotent at the corpus level (a replayed shard contributes
+zero new keys), so the table converges to exactly-once content — the
+reference's re-run-and-skip discipline (flyte/scenes.py:93-99)
+re-expressed over a commit log.
+
+Scale shape: shards are the parallelism unit (binaryFile; tars/WARCs
+are not splittable), extraction is shard-local Python, the dedup is
+ONE hash anti-join per micro-batch against a column-pruned snapshot
+read, and the commit is the atomic link-if-absent publish.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_warc_files(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of raw WARC shards (path + bytes); only
+    files unseen by the checkpoint are processed per drain."""
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .option("pathGlobFilter", "*.warc")
+        .load(src_dir)
+        .select(
+            F.abs(F.xxhash64("path")).alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+
+def ingest_warc_stream(
+    spark: SparkSession,
+    src_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain all currently-available WARC shards into the Delta-lite
+    table at ``table_path`` (created on first batch), one commit per
+    non-empty micro-batch, content-hash-deduped against the snapshot."""
+    from flytemosaic_spark.operators.html import warc_extract_pages
+    from flytemosaic_spark.sources import txlog
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        pages = warc_extract_pages(batch_df)
+        keys = pages.select(F.md5("main_text").alias("h")).distinct()
+        if txlog.latest_version(table_path) < 0:
+            txlog.create_table(spark, table_path, keys)
+            return
+        seen = txlog.read_snapshot(spark, table_path)
+        new = keys.join(seen, "h", "left_anti")
+        if new.limit(1).count():  # empty batches commit nothing
+            while True:
+                try:
+                    txlog.append(spark, table_path, new)
+                    return
+                except txlog.ConcurrentCommitError:
+                    continue  # another writer landed first — retry
+
+    q = (
+        stream_warc_files(spark, src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
