@@ -1072,6 +1072,8 @@ def winnow_dedup_stats(
     duplicated passage evidence. Plan: linear fingerprint explode ->
     one hash aggregation on h -> equi-join back -> per-doc rollup
     (the x38/x153 inverted-index shape; no pair blowup)."""
+    from pyspark.sql import Window
+
     fp = winnow_fingerprints(docs, text_col, id_col, w, p)
     keyed = fp.select(
         "doc_id",
@@ -1082,20 +1084,26 @@ def winnow_dedup_stats(
             F.lpad(F.col("pos").cast("string"), 7, "0"),
         ).alias("gk"),
     )
-    first = keyed.groupBy("h").agg(F.min("gk").alias("gk0"))
+    # global first occurrence per h via min-over-window, NOT an
+    # agg + join-back: the join-back re-executes the corpus-scale
+    # md5-window extraction once per consumer (the x191 rule) — the
+    # h-partitioned window computes it in ONE pass over one shuffle
+    # (h is high-cardinality, group sizes are collision-tiny).
+    marked = keyed.select(
+        "doc_id",
+        (F.col("gk") == F.min("gk").over(Window.partitionBy("h")))
+        .cast("bigint")
+        .alias("is_first"),
+    )
     from flytemosaic_spark.operators.text import portable_round
 
-    kept = F.sum((F.col("gk") == F.col("gk0")).cast("bigint"))
-    return (
-        keyed.join(first, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_fp"),
-            kept.alias("n_kept"),
-            portable_round(
-                F.lit(1.0) - kept / F.count("*"), 6
-            ).alias("dup_frac"),
-        )
+    kept = F.sum("is_first")
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        kept.alias("n_kept"),
+        portable_round(F.lit(1.0) - kept / F.count("*"), 6).alias(
+            "dup_frac"
+        ),
     )
 
 
