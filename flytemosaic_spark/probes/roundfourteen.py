@@ -580,23 +580,26 @@ def x243_web_dedup(spark: SparkSession, sf: str) -> DataFrame:
     pages = warc_extract_pages(
         synthesize_warc_html(T(spark, sf, "supplier").select("s_suppkey"))
     )
+    from pyspark.sql import Window
+
     keyed = pages.select(
         "media_id",
         F.md5("main_text").alias("h"),
         F.length("main_text").cast("bigint").alias("chars"),
         (F.col("media_id") * 8 + F.col("page_idx")).alias("k2"),
     )
-    first = keyed.groupBy("h").agg(F.min("k2").alias("k0"))
-    kept = F.col("k2") == F.col("k0")
+    # first occurrence via h-partitioned window (ONE pass) — an
+    # agg + join-back would re-execute the WARC parse + extraction
+    # once per consumer (the x191/x241 rule)
+    kept = F.col("k2") == F.min("k2").over(Window.partitionBy("h"))
     return (
-        keyed.join(first, "h")
+        keyed.select("media_id", "chars", kept.alias("kept"))
         .groupBy("media_id")
         .agg(
             F.count("*").alias("n_pages_ok"),
-            F.sum(kept.cast("bigint")).alias("n_kept"),
-            F.sum(F.when(kept, F.col("chars")).otherwise(0)).alias(
-                "kept_chars"
-            ),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("chars")).otherwise(0))
+            .alias("kept_chars"),
         )
     )
 
