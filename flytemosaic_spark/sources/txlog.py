@@ -160,6 +160,11 @@ def snapshot_files(path: str, version: int | None = None) -> list[str]:
     v = head if version is None else version
     if not 0 <= v <= head:
         raise ValueError(f"version {v} out of range [0, {head}]")
+    floor = _vacuum_floor(path)
+    if v < floor:
+        raise ValueError(
+            f"version {v} was vacuumed (retention floor is {floor})"
+        )
     start, active = _latest_checkpoint(path, v)
     for i in range(start + 1, v + 1):
         with open(_log_file(path, i)) as f:
@@ -250,6 +255,47 @@ def merge_into(
     ]
     _commit(path, v + 1, [_commit_info("MERGE"), *removes, *actions])
     return v + 1
+
+
+def vacuum(path: str, retain_last: int = 2) -> dict:
+    """Delete data files unreferenced by the last ``retain_last``
+    versions (the Delta VACUUM trade: time travel below the floor is
+    forfeited — reads there raise cleanly). Writes a checkpoint at
+    the floor so replay never touches pre-floor adds, then records
+    the floor in ``_txlog/_vacuum.json``. Returns counts."""
+    head = latest_version(path)
+    if head < 0:
+        raise FileNotFoundError(f"no transaction log at {path}")
+    floor = max(0, head - retain_last + 1)
+    keep: set[str] = set()
+    for v in range(floor, head + 1):
+        keep.update(snapshot_files(path, v))
+    write_checkpoint(path, floor)
+    removed = 0
+    for sub in os.listdir(path):
+        d = os.path.join(path, sub)
+        if not (sub.startswith("files-") and os.path.isdir(d)):
+            continue
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            if f.endswith(".parquet") and p not in keep:
+                os.unlink(p)
+                removed += 1
+        if not os.listdir(d):
+            os.rmdir(d)
+    tmp = os.path.join(_log_dir(path), f".vac-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump({"floor": floor}, f)
+    os.replace(tmp, os.path.join(_log_dir(path), "_vacuum.json"))
+    return {"floor": floor, "removed": removed, "kept": len(keep)}
+
+
+def _vacuum_floor(path: str) -> int:
+    p = os.path.join(_log_dir(path), "_vacuum.json")
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return json.load(f)["floor"]
 
 
 def history(path: str) -> list[dict]:

@@ -198,3 +198,45 @@ class TestConcurrentWriters:
         files = txlog.snapshot_files(p)
         for k in range(n_writers):
             assert any(f"w{k}.parquet" in f for f in files)
+
+
+class TestVacuum:
+    def test_vacuum_removes_unreferenced_keeps_recent(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+        txlog.overwrite(spark, p, _df(spark, [(3, "c")]))  # v1
+        txlog.overwrite(spark, p, _df(spark, [(4, "d")]))  # v2
+        txlog.overwrite(spark, p, _df(spark, [(5, "e")]))  # v3
+        stats = txlog.vacuum(p, retain_last=2)
+        assert stats["floor"] == 2 and stats["removed"] >= 2
+        # retained versions read fine
+        assert [r["k"] for r in txlog.read_snapshot(spark, p, 2).collect()] == [4]
+        assert [r["k"] for r in txlog.read_snapshot(spark, p, 3).collect()] == [5]
+        # vacuumed versions raise CLEANLY, never read missing files
+        with pytest.raises(ValueError, match="vacuumed"):
+            txlog.read_snapshot(spark, p, 0)
+        with pytest.raises(ValueError, match="vacuumed"):
+            txlog.read_snapshot(spark, p, 1)
+
+    def test_vacuum_never_touches_referenced_files(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a")]))
+        txlog.append(spark, p, _df(spark, [(2, "b")]))  # v1 refs v0 files
+        stats = txlog.vacuum(p, retain_last=1)
+        # v1's snapshot includes v0's files (append) -> nothing removed
+        assert stats["removed"] == 0
+        assert sorted(
+            r["k"] for r in txlog.read_snapshot(spark, p).collect()
+        ) == [1, 2]
+
+    def test_writes_continue_after_vacuum(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a")]))
+        txlog.overwrite(spark, p, _df(spark, [(2, "b")]))
+        txlog.vacuum(p, retain_last=1)
+        txlog.append(spark, p, _df(spark, [(3, "c")]))
+        assert sorted(
+            r["k"] for r in txlog.read_snapshot(spark, p).collect()
+        ) == [2, 3]
