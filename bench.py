@@ -108,6 +108,7 @@ HEADLINE = [
     "x243_web_dedup",
     "x244_robots_scan",
     "x245_charset_decode",
+    "x247_quality_classifier",
     # x246_incremental_crawl is EXCLUDED by design: it is a
     # composition of already-benched pieces (x243's extract, x240's
     # txlog) whose cost is parquet-write-bound table setup, not an

@@ -794,3 +794,138 @@ def x246_incremental_crawl(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+_QC_FEATS = r"""
+        toks AS (
+            SELECT doc_id, n_chars,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        bk AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN substr(md5(w), 1, 1) < '4' THEN 0
+                        WHEN substr(md5(w), 1, 1) < '8' THEN 1
+                        WHEN substr(md5(w), 1, 1) < 'c' THEN 2
+                        ELSE 3 END AS b
+            FROM toks
+        ),
+        d AS (
+            SELECT CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS f0,
+                   CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS f1,
+                   CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS f2,
+                   count(*) / 100.0 AS flen,
+                   1.0 AS _bias,
+                   CAST(CAST(any_value(n_chars) >= 250 AS INT) AS DOUBLE)
+                       AS y
+            FROM bk GROUP BY doc_id
+        )"""
+
+_QC_COLS = ["f0", "f1", "f2", "flen", "_bias"]
+
+
+def _qc_step(k: int, p: int) -> str:
+    z = " + ".join(f"wp.w{j + 1} * {c}" for j, c in enumerate(_QC_COLS))
+    gs = ",\n                   ".join(
+        f"sum(CAST(floor(r * {c} * 1e9 + 0.5) AS BIGINT)) AS g{j + 1}"
+        for j, c in enumerate(_QC_COLS)
+    )
+    ws = ",\n                   ".join(
+        f"floor((wp.w{j + 1} - 0.05 * ((CAST(g{j + 1} AS DOUBLE) / 1e9)"
+        f" / gg.n)) * 1e9 + 0.5) / 1e9 AS w{j + 1}"
+        for j in range(len(_QC_COLS))
+    )
+    cols = ", ".join(_QC_COLS)
+    return f"""
+        g{k} AS (
+            SELECT count(*) AS n,
+                   {gs}
+            FROM (
+                SELECT {cols}, y,
+                       (0.5 + z / (2.0 * (1.0 + abs(z)))) - y AS r
+                FROM (SELECT d.*, {z} AS z
+                      FROM d CROSS JOIN w{p} wp)
+            )
+        ),
+        w{k} AS (
+            SELECT {ws},
+                   gg.n AS n
+            FROM g{k} gg CROSS JOIN w{p} wp
+        )"""
+
+
+@probe(
+    "x247_quality_classifier",
+    sql="WITH"
+    + _QC_FEATS
+    + """,
+        w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4,
+                      0.0 AS w5),"""
+    + _qc_step(1, 0)
+    + ","
+    + _qc_step(2, 1)
+    + ","
+    + _qc_step(3, 2)
+    + """
+        SELECT n, w1 AS w_f0, w2 AS w_f1, w3 AS w_f2, w4 AS w_flen,
+               w5 AS w_bias
+        FROM w3
+    """,
+    note="SUPERVISED document-quality classifier trained in-engine "
+    "(the fastText/CCNet quality-filter stage, completing the quality "
+    "family: x9 heuristic -> x154 LM score -> trained classifier): "
+    "hashed-bucket token-share features (md5 first-hex ranges — "
+    "portable, no hex->int) + a length feature, labels derived from "
+    "the data (n_chars >= 250), then 3 full-batch GD steps of the "
+    "x136 logistic trainer (fast-sigmoid link, per-row gradient "
+    "contributions quantized to integer nano-units BEFORE the sum, "
+    "weights rounded 1e-9 per step) — the whole training trajectory "
+    "replays bit-identically in SQL. Each step is one scan + one "
+    "1-row aggregate; the corpus never moves; at 100 TB the feature "
+    "table is one map-side agg and training cost is steps x scans.",
+)
+def x247_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.linear import logreg_train_gd
+
+    toks = (
+        T(spark, sf, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+    )
+    b = F.substring(F.md5("w"), 1, 1)
+    bucket = (
+        F.when(b < "4", 0).when(b < "8", 1).when(b < "c", 2).otherwise(3)
+    )
+    feat = toks.groupBy("doc_id").agg(
+        (
+            F.sum((bucket == 0).cast("double")) / F.count("*")
+        ).alias("f0"),
+        (
+            F.sum((bucket == 1).cast("double")) / F.count("*")
+        ).alias("f1"),
+        (
+            F.sum((bucket == 2).cast("double")) / F.count("*")
+        ).alias("f2"),
+        (F.count("*") / F.lit(100.0)).alias("flen"),
+        (F.any_value("n_chars") >= 250).cast("int").cast("double").alias(
+            "y"
+        ),
+    )
+    return logreg_train_gd(
+        feat, ["f0", "f1", "f2", "flen"], label_col="y", lr=0.05,
+        iterations=3,
+    ).select(
+        "n",
+        F.col("w_f0"),
+        F.col("w_f1"),
+        F.col("w_f2"),
+        F.col("w_flen"),
+        F.col("w_bias"),
+    )

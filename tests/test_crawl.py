@@ -112,3 +112,45 @@ class TestSparkOps:
         # cp sums include the non-ascii char exactly once
         s0 = '<meta charset="utf-8">charset test ' + "a" * 5 + "中"
         assert out[0]["cp_sum"] == sum(ord(c) for c in s0)
+
+
+class TestQualityClassifier:
+    def test_learns_separable_labels(self, spark):
+        from pyspark.sql import functions as F
+
+        from flytemosaic_spark.operators.linear import logreg_train_gd
+
+        # strongly separable by flen: y = 1 iff flen > 1.0
+        rows = [
+            (float(i % 4) / 10, 0.2, 0.3, 0.4 + (i % 2) * 1.2,
+             1.0 if 0.4 + (i % 2) * 1.2 > 1.0 else 0.0)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "f0 double, f1 double, f2 double, flen double, y double"
+        )
+        w = logreg_train_gd(
+            df, ["f0", "f1", "f2", "flen"], label_col="y", lr=0.5,
+            iterations=6,
+        ).collect()[0]
+        # score the training frame with the returned weights
+        correct = 0
+        for f0, f1, f2, flen, y in rows:
+            z = (w["w_f0"] * f0 + w["w_f1"] * f1 + w["w_f2"] * f2
+                 + w["w_flen"] * flen + w["w_bias"])
+            pred = 1.0 if (0.5 + z / (2 * (1 + abs(z)))) >= 0.5 else 0.0
+            correct += pred == y
+        assert correct / len(rows) >= 0.95
+
+    def test_probe_weights_move_toward_length_signal(self, spark):
+        from flytemosaic_spark.probes import all_probes
+
+        w = (
+            all_probes()["x247_quality_classifier"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .collect()[0]
+        )
+        # labels are (n_chars >= 250): the token-count feature must
+        # carry positive weight after training
+        assert w["w_flen"] > 0
+        assert w["n"] > 0

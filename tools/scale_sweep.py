@@ -122,6 +122,7 @@ PROBES = [
     "x244_robots_scan",  # robots.txt politeness gate
     "x245_charset_decode",  # charset sniff + transcode
     "x246_incremental_crawl",  # txlog-backed incremental crawl dedup
+    "x247_quality_classifier",  # hashed-feature GD training (3 scans)
 ]
 
 
