@@ -37,15 +37,19 @@ def char_bigrams(col: str) -> F.Column:
 
 def train_char_lm(
     docs: DataFrame, text_col: str = "text", label_col: str = "lang"
-) -> tuple[DataFrame, DataFrame]:
-    """One corpus pass -> (grid, priors).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One corpus pass -> (grid, priors, floors).
 
     grid: (lang, g, lp_u) — Laplace-smoothed ln p(g|lang) in integer
     micro-nats over the FULL lang x vocab cross (unseen pairs get the
     smoothing floor, so scoring needs no missing-key handling).
     priors: (lang, prior_u) — ln of the label frequency.
+    floors: (lang, floor_u) — the per-language smoothing floor
+    ln(1/(t+v)) for bigrams absent from the training vocab entirely,
+    so predict-on-a-DIFFERENT-corpus scoring stays unbiased (the
+    floor differs per language; dropping unseen bigrams would not).
 
-    Both outputs are model-scale (charset² x |langs|): broadcast them.
+    All outputs are model-scale (charset² x |langs|): broadcast them.
     """
     d = docs.select(
         F.col(label_col).alias("lang"), F.lower(F.col(text_col)).alias("t")
@@ -93,7 +97,19 @@ def train_char_lm(
         .cast("bigint")
         .alias("prior_u"),
     )
-    return grid, priors
+    floors = (
+        tot.crossJoin(F.broadcast(vsize))
+        .select(
+            "lang",
+            F.floor(
+                F.log(F.lit(1.0) / (F.col("t") + F.col("v"))) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("floor_u"),
+        )
+    )
+    return grid, priors, floors
 
 
 def predict_lang(
@@ -102,24 +118,59 @@ def predict_lang(
     priors: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    floors: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document against every language and return
     (id, lang_pred, score_u): bigram occurrences broadcast-join the
     model grid, sum per (doc, lang), add the prior, then argmax via
     ONE max(struct(score, lang)) aggregation — lexicographic struct
     ordering IS the (max score, then max lang) tie-break, with no
-    self-join re-executing the doc-scale score frame."""
+    self-join re-executing the doc-scale score frame.
+
+    With ``floors`` (the third ``train_char_lm`` output), bigrams
+    absent from the training vocab score the per-language Laplace
+    floor ln(1/(t+v)) instead of being silently dropped — required
+    for unbiased train-on-A/predict-on-B use, since the floor differs
+    per language. Without it, prediction requires the corpus's
+    bigrams to be covered by the grid (the train==predict shape, where
+    the floor term is identically zero)."""
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("t")
     ).where(F.length("t") >= 2)
     occ = d.select("doc_id", F.explode(char_bigrams("t")).alias("g"))
-    scores = (
+    seen = (
         occ.join(F.broadcast(grid), "g")
         .groupBy("doc_id", "lang")
-        .agg(F.sum("lp_u").alias("s"))
-        .join(F.broadcast(priors), "lang")
-        .select("doc_id", "lang", (F.col("s") + F.col("prior_u")).alias("score_u"))
+        .agg(F.sum("lp_u").alias("s"), F.count("*").alias("n_seen"))
     )
+    if floors is None:
+        scores = seen.join(F.broadcast(priors), "lang").select(
+            "doc_id",
+            "lang",
+            (F.col("s") + F.col("prior_u")).alias("score_u"),
+        )
+    else:
+        # The grid is DENSE over langs × vocab, so per doc n_seen is
+        # the count of in-vocab bigrams for EVERY lang row; the rest
+        # (n_g - n_seen) each contribute the per-language floor. The
+        # doc × lang base frame keeps all-unseen documents scored.
+        n_gr = occ.groupBy("doc_id").agg(F.count("*").alias("n_g"))
+        base = n_gr.crossJoin(F.broadcast(priors.select("lang")))
+        scores = (
+            base.join(seen, ["doc_id", "lang"], "left")
+            .join(F.broadcast(floors), "lang")
+            .join(F.broadcast(priors), "lang")
+            .select(
+                "doc_id",
+                "lang",
+                (
+                    F.coalesce(F.col("s"), F.lit(0))
+                    + (F.col("n_g") - F.coalesce(F.col("n_seen"), F.lit(0)))
+                    * F.col("floor_u")
+                    + F.col("prior_u")
+                ).alias("score_u"),
+            )
+        )
     return (
         scores.groupBy("doc_id")
         .agg(F.max(F.struct(F.col("score_u"), F.col("lang"))).alias("m"))
@@ -134,7 +185,10 @@ def predict_lang(
 def langid_pipeline(docs: DataFrame) -> DataFrame:
     """Train-on-corpus + predict-on-corpus in one plan (the probe
     shape); returns (doc_id, lang_pred, score_u, is_match)."""
-    grid, priors = train_char_lm(docs)
+    grid, priors, _floors = train_char_lm(docs)
+    # train corpus == predict corpus ⇒ every bigram is in-vocab and the
+    # floor term is identically zero; skip the floors path's extra
+    # per-doc count + two joins (predict-on-B callers pass floors).
     pred = predict_lang(docs, grid, priors)
     truth = docs.select("doc_id", F.col("lang").alias("lang_true"))
     return pred.join(truth, "doc_id").select(

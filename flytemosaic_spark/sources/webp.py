@@ -542,8 +542,12 @@ def _predict(mode: int, L, T, TL, TR):
     if mode == 12:  # clamp add subtract full
         return np.clip(L.astype(np.int32) + T - TL, 0, 255)
     if mode == 13:  # clamp add subtract half
+        # The spec's C pseudocode is `a + (a - TL) / 2` with C integer
+        # division, which truncates toward ZERO — numpy's // floors, and
+        # the two differ by 1 whenever a < TL with an odd difference.
         a = _avg2(L.astype(np.int32), T)
-        return np.clip(a + (a - TL) // 2, 0, 255)
+        d = a - TL
+        return np.clip(a + np.sign(d) * (np.abs(d) // 2), 0, 255)
     raise ValueError(f"predictor mode {mode}")
 
 
@@ -580,10 +584,14 @@ def _apply_predictor_inverse(
                 L = _px_vec(int(img[y, x - 1]))
                 T = _px_vec(int(img[y - 1, x]))
                 TL = _px_vec(int(img[y - 1, x - 1]))
+                # Spec wrap rule: top[x+1] at the rightmost column wraps
+                # to the NEXT row's leftmost pixel in the contiguous
+                # buffer, i.e. the already-reconstructed (y, 0) of the
+                # CURRENT row (x==0 decodes before x==w-1).
                 TR = (
                     _px_vec(int(img[y - 1, x + 1]))
                     if x + 1 < w
-                    else _px_vec(int(img[y - 1, 0]))
+                    else _px_vec(int(img[y, 0]))
                 )
                 pred = _predict(mode, L, T, TL, TR)
             cur = _px_vec(int(img[y, x]))
@@ -610,10 +618,13 @@ def _apply_predictor_forward(
                 L = _px_vec(int(img[y, x - 1]))
                 T = _px_vec(int(img[y - 1, x]))
                 TL = _px_vec(int(img[y - 1, x - 1]))
+                # Same wrap rule as the decoder: TR at x==w-1 is the
+                # current row's leftmost pixel (lossless ⇒ original ==
+                # reconstructed, so reading from `img` is exact).
                 TR = (
                     _px_vec(int(img[y - 1, x + 1]))
                     if x + 1 < w
-                    else _px_vec(int(img[y - 1, 0]))
+                    else _px_vec(int(img[y, 0]))
                 )
                 pred = _predict(mode, L, T, TL, TR)
             cur = _px_vec(int(img[y, x]))

@@ -62,15 +62,20 @@ def ingest_warc_stream(
         if txlog.latest_version(table_path) < 0:
             txlog.create_table(spark, table_path, keys)
             return
-        seen = txlog.read_snapshot(spark, table_path)
-        new = keys.join(seen, "h", "left_anti")
-        if new.limit(1).count():  # empty batches commit nothing
-            while True:
-                try:
-                    txlog.append(spark, table_path, new)
-                    return
-                except txlog.ConcurrentCommitError:
-                    continue  # another writer landed first — retry
+        while True:
+            # Re-read the snapshot EVERY attempt: after a lost commit
+            # race the competing writer may have landed overlapping
+            # hashes, so the anti-join must rerun against the fresh
+            # file list or the retried append would insert duplicates.
+            seen = txlog.read_snapshot(spark, table_path)
+            new = keys.join(seen, "h", "left_anti")
+            if not new.limit(1).count():  # empty batches commit nothing
+                return
+            try:
+                txlog.append(spark, table_path, new)
+                return
+            except txlog.ConcurrentCommitError:
+                continue  # another writer landed first — retry
 
     q = (
         stream_warc_files(spark, src_dir)

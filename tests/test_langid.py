@@ -61,8 +61,8 @@ class TestAccuracy:
     def test_heldout_accuracy(self, spark):
         train = _corpus(spark, [0, 1, 2, 3])
         test = _corpus(spark, [4, 5])
-        grid, priors = train_char_lm(train)
-        pred = predict_lang(test, grid, priors)
+        grid, priors, floors = train_char_lm(train)
+        pred = predict_lang(test, grid, priors, floors=floors)
         joined = pred.join(
             test.select("doc_id", F.col("lang").alias("truth")), "doc_id"
         ).collect()
@@ -85,7 +85,7 @@ class TestAccuracy:
 class TestModelShape:
     def test_grid_covers_full_cross(self, spark):
         docs = _corpus(spark, [0, 1])
-        grid, priors = train_char_lm(docs)
+        grid, priors, _floors = train_char_lm(docs)
         g = grid.groupBy("lang").agg(F.count("*").alias("n")).collect()
         counts = {r["lang"]: r["n"] for r in g}
         # every language scores every vocab gram (unseen pairs get the
@@ -103,9 +103,43 @@ class TestModelShape:
             [(1, "en", "x"), (2, "en", "hello world")],
             "doc_id long, lang string, text string",
         )
-        grid, priors = train_char_lm(docs)
-        pred = predict_lang(docs, grid, priors).collect()
+        grid, priors, floors = train_char_lm(docs)
+        pred = predict_lang(docs, grid, priors, floors=floors).collect()
         assert [r["doc_id"] for r in pred] == [2]
+
+
+class TestSmoothingFloor:
+    def test_unseen_bigrams_score_the_floor(self, spark):
+        # "zz"-style bigrams never occur in training; with floors an
+        # all-unseen doc still gets scored (n_g * floor + prior),
+        # favoring the language with the smaller (t+v) denominator.
+        train = spark.createDataFrame(
+            [(1, "big", "abababababababababababababab"),
+             (2, "big", "cdcdcdcdcdcdcdcdcdcdcdcdcdcd"),
+             (3, "sml", "efef")],
+            "doc_id long, lang string, text string",
+        )
+        grid, priors, floors = train_char_lm(train)
+        probe = spark.createDataFrame(
+            [(9, "zzzzzzzz")], "doc_id long, text string"
+        )
+        # without floors the inner join drops every bigram -> no row
+        assert predict_lang(probe, grid, priors).count() == 0
+        out = predict_lang(probe, grid, priors, floors=floors).collect()
+        assert len(out) == 1
+        f = {r["lang"]: r["floor_u"] for r in floors.collect()}
+        # floors must differ per language (that is the bias the
+        # left-join fix exists to apply)
+        assert f["sml"] > f["big"]
+
+    def test_floor_zero_delta_when_covered(self, spark):
+        docs = _corpus(spark, [0, 1, 2])
+        grid, priors, floors = train_char_lm(docs)
+        a = predict_lang(docs, grid, priors).collect()
+        b = predict_lang(docs, grid, priors, floors=floors).collect()
+        sa = {(r["doc_id"], r["lang_pred"], r["score_u"]) for r in a}
+        sb = {(r["doc_id"], r["lang_pred"], r["score_u"]) for r in b}
+        assert sa == sb
 
 
 class TestDeterminism:
