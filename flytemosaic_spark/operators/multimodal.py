@@ -1886,6 +1886,84 @@ def synthesize_webp(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
     )
 
 
+def synthesize_pdf(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
+    """Real PDF files with key-derived text; key % 8 cycles the
+    encoder path (plain / Flate / A85+Flate chain + hex strings / LZW
+    + T* lines / RunLength + quote lines / xref stream + Tm lines /
+    xref stream + object streams + ToUnicode CMap / WinAnsi +
+    Differences remap) so every decoder tier sits in the gate."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.pdf import encode_pdf
+
+        variants = [
+            dict(),
+            dict(filters=("flate",)),
+            dict(filters=("a85", "flate"), hex_strings=True),
+            dict(filters=("lzw",), line_op="tstar"),
+            dict(filters=("rl",), hex_strings=True, line_op="quote"),
+            dict(xref_stream=True, filters=("flate",), line_op="tm"),
+            dict(
+                xref_stream=True,
+                object_streams=True,
+                filters=("flate",),
+                encoding="tounicode",
+            ),
+            dict(encoding="differences", filters=("flate",)),
+        ]
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                pages = []
+                for i in range(1 + k % 3):
+                    lines = []
+                    for j in range(2 + (k + i) % 4):
+                        ch = chr(97 + (k + i * 2 + j * 3) % 26)
+                        lines.append(ch * (4 + (k * 3 + i * 5 + j * 7) % 17))
+                    pages.append(lines)
+                out.append((k, encode_pdf(pages, **variants[k % 8])))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    n = keys.sparkSession.sparkContext.defaultParallelism
+    return keys.select(key_col).repartition(n, F.col(key_col)).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def pdf_text_stats(media: DataFrame) -> DataFrame:
+    """Extract text from .pdf payloads (sources/pdf.py) and emit the
+    page count, character count, and the md5 of the full text (pages
+    joined by form-feed) — one wrong byte anywhere in the xref walk,
+    filter chain, content tokenizer, or encoding maps shifts the md5."""
+    schema = "media_id long, n_pages int, n_chars long, text_md5 string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from flytemosaic_spark.sources.pdf import extract_pdf_text
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pages = extract_pdf_text(bytes(payload))
+                full = "\f".join(pages)
+                out.append(
+                    (
+                        int(mid),
+                        len(pages),
+                        sum(len(p) for p in pages),
+                        hashlib.md5(full.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_pages", "n_chars", "text_md5"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
 def webp_pixel_stats(media: DataFrame) -> DataFrame:
     """Decode .webp payloads through the image codec seam and emit
     exact integer pixel statistics (one wrong byte anywhere in the

@@ -29,5 +29,6 @@ from flytemosaic_spark.probes import roundeleven  # noqa: E402,F401
 from flytemosaic_spark.probes import roundtwelve  # noqa: E402,F401
 from flytemosaic_spark.probes import roundthirteen  # noqa: E402,F401
 from flytemosaic_spark.probes import roundfourteen  # noqa: E402,F401
+from flytemosaic_spark.probes import roundfifteen  # noqa: E402,F401
 
 __all__ = ["Probe", "all_probes", "get_probe", "probe"]
