@@ -1123,3 +1123,160 @@ def winnow_py(text: str, w: int = 24, p: int = 8) -> set:
     for i in range(n - p + 1):
         out.add(min(hs[i : i + p]))
     return out
+
+
+def winnow_dedup_apply(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 24,
+    p: int = 8,
+) -> DataFrame:
+    """Duplicate-span REMOVAL (the apply half of winnowing — Lee et
+    al. 2022 semantics): emit CLEANED text where every LATER copy of
+    a duplicated passage is cut out at fingerprint-window boundaries
+    and the globally first occurrence is kept verbatim.
+
+    Guarantee shape: any exact copied passage of length >= w + p - 1
+    selects fingerprints at gaps <= p inside both copies; in the
+    later copy every such fingerprint is non-first, and since w > p
+    their w-char windows overlap into ONE contiguous merged span —
+    so the copy is removed except for at most p - 1 chars at each
+    boundary (window-granular, the documented trade vs suffix
+    arrays' exact cut).
+
+    Plan: linear fingerprint explode -> first-occurrence marks via
+    the h-partitioned min window (ONE pass, the x241 rule) -> per-doc
+    interval merge (doc-partitioned running-max window; doc_id is
+    high-cardinality) -> per-doc span list -> ONE aggregate() HOF
+    rebuilds the kept gaps (runtime fold, not expression-tree
+    nesting, so the k^iters rule is respected) -> left join back so
+    span-free and short documents pass through verbatim.
+
+    Returns (doc_id, clean_text, n_spans, n_removed).
+    """
+    from pyspark.sql import Window
+
+    fp = winnow_fingerprints(docs, text_col, id_col, w, p)
+    keyed = fp.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.concat(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+            F.lit(":"),
+            F.lpad(F.col("pos").cast("string"), 7, "0"),
+        ).alias("gk"),
+    )
+    dup = keyed.select(
+        "doc_id",
+        "pos",
+        (F.col("gk") == F.min("gk").over(Window.partitionBy("h"))).alias(
+            "is_first"
+        ),
+    ).where(~F.col("is_first"))
+    spans = dup.select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(w - 1)).alias("e"),
+    )
+    byd = Window.partitionBy("doc_id").orderBy("s")
+    run = spans.select(
+        "doc_id",
+        "s",
+        "e",
+        F.max("e")
+        .over(byd.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_e"),
+    ).select(
+        "doc_id",
+        "s",
+        "e",
+        F.when(
+            F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e") + 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    grouped = run.select(
+        "doc_id", "s", "e", F.sum("brk").over(byd).alias("gid")
+    )
+    merged = grouped.groupBy("doc_id", "gid").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ms"), F.col("me")))
+        ).alias("spans"),
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("me") - F.col("ms") + 1).alias("n_removed"),
+    )
+    cleaned = (
+        "aggregate(spans, struct(cast('' as string) as t, 0 as e), "
+        "(acc, sp) -> struct(concat(acc.t, substring({t}, acc.e + 1, "
+        "sp.ms - acc.e - 1)), cast(sp.me as int)), "
+        "acc -> concat(acc.t, substring({t}, acc.e + 1, "
+        "length({t}) - acc.e)))"
+    ).format(t=text_col)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("spans").isNull(), F.col(text_col))
+            .otherwise(F.expr(cleaned))
+            .alias("clean_text"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
+def winnow_apply_py(
+    texts: dict, w: int = 24, p: int = 8
+) -> dict:
+    """Python twin of :func:`winnow_dedup_apply` for property tests:
+    ``{doc_id: text}`` -> ``{doc_id: clean_text}`` with identical
+    first-occurrence, span-merge, and boundary semantics."""
+    import hashlib
+
+    first: dict[str, tuple] = {}
+    sel: dict[int, set] = {}
+    for d in sorted(texts):
+        t = texts[d]
+        n = len(t) - w + 1
+        sel[d] = set()
+        if n < p:
+            continue
+        hs = [
+            (hashlib.md5(t[i : i + w].encode()).hexdigest(), i + 1)
+            for i in range(n)
+        ]
+        for i in range(n - p + 1):
+            h, pos = min(hs[i : i + p])
+            sel[d].add((h, pos))
+            k = (d, pos)
+            if h not in first or k < first[h]:
+                first[h] = k
+    out = {}
+    for d, t in texts.items():
+        spans = sorted(
+            (pos, pos + w - 1)
+            for h, pos in sel[d]
+            if first[h] != (d, pos)
+        )
+        merged: list[list[int]] = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        keep = []
+        prev = 0
+        for s, e in merged:
+            keep.append(t[prev : s - 1])
+            prev = e
+        keep.append(t[prev:])
+        out[d] = "".join(keep)
+    return out

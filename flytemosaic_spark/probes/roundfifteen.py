@@ -75,3 +75,120 @@ def x248_pdf_extract(spark: SparkSession, sf: str) -> DataFrame:
 
     keys = T(spark, sf, "supplier").select("s_suppkey")
     return pdf_text_stats(synthesize_pdf(keys))
+
+
+@probe(
+    "x249_winnow_apply",
+    sql="""
+        WITH d AS (SELECT doc_id, text AS t FROM documents),
+        longdocs AS (
+            SELECT doc_id, t FROM d WHERE length(t) >= 31
+        ),
+        hl AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, length(t) - 23),
+                       i -> md5(substr(t, i, 24)) || ':'
+                            || lpad(CAST(i AS VARCHAR), 7, '0')
+                   ) AS hs
+            FROM longdocs
+        ),
+        wl AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(hs) - 7),
+                       i -> list_min(list_slice(hs, i, i + 7))
+                   )) AS keys
+            FROM hl
+        ),
+        fp AS (SELECT doc_id, unnest(keys) AS key FROM wl),
+        keyed AS (
+            SELECT doc_id,
+                   substr(key, 1, 32) AS h,
+                   CAST(substr(key, 34, 7) AS INT) AS pos,
+                   lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':'
+                       || substr(key, 34, 7) AS gk
+            FROM fp
+        ),
+        firsts AS (SELECT h, min(gk) AS gk0 FROM keyed GROUP BY h),
+        dup AS (
+            SELECT doc_id, pos
+            FROM keyed JOIN firsts USING (h)
+            WHERE gk <> gk0
+        ),
+        spans AS (SELECT doc_id, pos AS s, pos + 23 AS e FROM dup),
+        runp AS (
+            SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_e
+            FROM spans
+        ),
+        brks AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN prev_e IS NULL OR s > prev_e + 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM runp
+        ),
+        gids AS (
+            SELECT doc_id, s, e,
+                   sum(brk) OVER (PARTITION BY doc_id
+                                  ORDER BY s) AS gid
+            FROM brks
+        ),
+        merged AS (
+            SELECT doc_id, gid, min(s) AS ms, max(e) AS me
+            FROM gids GROUP BY doc_id, gid
+        ),
+        gaps AS (
+            SELECT doc_id, ms, me,
+                   lag(me, 1, 0) OVER (PARTITION BY doc_id
+                                       ORDER BY ms) AS prev_e
+            FROM merged
+        ),
+        pieces AS (
+            SELECT g.doc_id,
+                   string_agg(substr(d.t, prev_e + 1, ms - prev_e - 1),
+                              '' ORDER BY ms) AS head,
+                   max(me) AS last_e,
+                   count(*) AS n_spans,
+                   sum(me - ms + 1) AS n_removed
+            FROM gaps g JOIN d USING (doc_id)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed,
+               CAST(length(CASE WHEN p.doc_id IS NULL THEN d.t
+                    ELSE p.head || substr(d.t, p.last_e + 1) END)
+                    AS BIGINT) AS n_chars_clean,
+               md5(CASE WHEN p.doc_id IS NULL THEN d.t
+                   ELSE p.head || substr(d.t, p.last_e + 1) END)
+                   AS clean_md5
+        FROM d LEFT JOIN pieces p USING (doc_id)
+    """,
+    note="Duplicate-span REMOVAL — the apply half of x241's winnowing "
+    "(Lee et al. 2022 'Deduplicating Training Data' semantics, "
+    "window-granular): every LATER copy of a duplicated passage >= 31 "
+    "chars is cut from the emitted text at fingerprint-window "
+    "boundaries, the globally FIRST occurrence survives verbatim; "
+    "dedup pipelines ship this CLEANED corpus, not a dup_frac column. "
+    "The oracle replays fingerprint selection, first-occurrence "
+    "attribution, per-doc interval merge, and the gap-concatenation "
+    "text rebuild entirely in SQL and md5-compares the cleaned "
+    "string. Plan: linear explode -> h-window first marks (one "
+    "pass) -> doc-partitioned interval merge -> ONE aggregate() fold "
+    "rebuilding kept gaps (runtime fold, no expression-tree nesting) "
+    "-> left join back (short/span-free docs pass through).",
+)
+def x249_winnow_apply(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.dedup import winnow_dedup_apply
+
+    out = winnow_dedup_apply(T(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )

@@ -341,3 +341,91 @@ class TestWinnowDedup:
         assert out[1]["dup_frac"] == 0.0
         assert out[2]["dup_frac"] == 1.0
         assert out[1]["n_fp"] == out[2]["n_fp"]
+
+
+class TestWinnowApply:
+    """Duplicate-span REMOVAL (winnow_dedup_apply): removed covers the
+    planted copy's core, the first occurrence is kept verbatim, and
+    Spark matches the python twin on random corpora."""
+
+    def test_removed_superset_of_planted_core(self):
+        import random
+
+        from flytemosaic_spark.operators.dedup import winnow_apply_py
+
+        random.seed(23)
+        w, p = 24, 8
+        for trial in range(60):
+            n = random.randint(w + p - 1, 160)
+            passage = "".join(
+                random.choice("abcdefgh ") for _ in range(n)
+            )
+            pre_a = "".join(
+                random.choice("uvw") for _ in range(random.randint(0, 70))
+            )
+            a = pre_a + passage + "".join(
+                random.choice("qrs") for _ in range(random.randint(0, 70))
+            )
+            pre_b = "".join(
+                random.choice("mno") for _ in range(random.randint(0, 50))
+            )
+            b = pre_b + passage + "".join(
+                random.choice("jkl") for _ in range(random.randint(0, 50))
+            )
+            cleaned = winnow_apply_py({1: a, 2: b}, w, p)
+            # kept-first: doc 1 (lower id) keeps its copy verbatim
+            assert passage in cleaned[1], trial
+            # removed >= planted core: the copy in doc 2 is gone
+            # except for at most p-1 chars at each boundary
+            core = passage[p - 1 : n - (p - 1)]
+            if len(core) >= w:
+                assert core not in cleaned[2], (trial, n)
+            # chars outside the planted region survive in doc 2 up to
+            # window bleed (<= w-1 chars adjacent to the copy)
+            assert cleaned[2].startswith(pre_b[: max(0, len(pre_b) - w + 1)])
+
+    def test_spark_matches_twin(self, spark):
+        import random
+
+        from flytemosaic_spark.operators.dedup import (
+            winnow_apply_py,
+            winnow_dedup_apply,
+        )
+
+        random.seed(31)
+        # corpus with planted cross-doc and intra-doc duplication
+        passage = "shared duplicated passage of exactly enough length!"
+        rows = []
+        for k in range(12):
+            t = "".join(
+                random.choice("abcdef gh") for _ in
+                range(random.randint(31, 180))
+            )
+            if k % 3 == 1:
+                t = t[:20] + passage + t[20:]
+            if k % 4 == 2:
+                t = t + passage + passage  # intra-doc repeat too
+            rows.append((k, t))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_removed"])
+            for r in winnow_dedup_apply(df).collect()
+        }
+        want = winnow_apply_py({k: t for k, t in rows})
+        assert len(got) == len(rows)
+        for k, t in rows:
+            assert got[k][0] == want[k], k
+            assert got[k][2] == len(t) - len(want[k]), k
+
+    def test_short_and_unique_docs_pass_through(self, spark):
+        from flytemosaic_spark.operators.dedup import winnow_dedup_apply
+
+        rows = [
+            (1, "tiny"),
+            (2, "a perfectly unique document body with no twin at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in winnow_dedup_apply(df).collect()}
+        for k, t in rows:
+            assert got[k]["clean_text"] == t
+            assert got[k]["n_spans"] == 0 and got[k]["n_removed"] == 0
