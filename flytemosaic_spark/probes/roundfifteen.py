@@ -192,3 +192,152 @@ def x249_winnow_apply(spark: SparkSession, sf: str) -> DataFrame:
         F.length("clean_text").cast("long").alias("n_chars_clean"),
         F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
     )
+
+
+@probe(
+    "x251_txlog_prune",
+    sql="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                   AS sum_cents,
+               1 AS pruned
+        FROM part
+        WHERE p_partkey >= 600 AND p_partkey <= 900
+    """,
+    note="Txlog DATA SKIPPING (sources/txlog.py): add actions carry "
+    "per-file numRecords + per-column min/max from the parquet footer "
+    "(metadata-scale, written at commit time); snapshot_files/"
+    "read_snapshot take a (col, op, value) predicate and PRUNE files "
+    "whose bounds prove no match before any data read — the Delta "
+    "scale feature a 100 TB point lookup lives on. The probe builds a "
+    "range-clustered table (one commit per disjoint p_partkey range), "
+    "reads it under a range predicate, and emits the row count + "
+    "exact cents sum (the oracle is the plain filter on part) plus a "
+    "pruned flag asserting FEWER FILES than the full snapshot were "
+    "opened (IO-spied in test_txlog.py too). Pre-stats checkpoints "
+    "degrade to never-prune, conservatively correct.",
+)
+def x251_txlog_prune(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from flytemosaic_spark.sources import txlog
+
+    part = T(spark, sf, "part").select("p_partkey", "p_retailprice")
+    path = os.path.join(tempfile.mkdtemp(prefix="txlog_x251_"), "t")
+    txlog.create_table(spark, path, part.where(F.col("p_partkey") <= 500))
+    for lo, hi in [(500, 1000), (1000, 1500)]:
+        txlog.append(
+            spark,
+            path,
+            part.where(
+                (F.col("p_partkey") > lo) & (F.col("p_partkey") <= hi)
+            ),
+        )
+    txlog.append(spark, path, part.where(F.col("p_partkey") > 1500))
+    pred = [("p_partkey", ">=", 600), ("p_partkey", "<=", 900)]
+    n_all = len(txlog.snapshot_files(path))
+    n_pred = len(txlog.snapshot_files(path, predicate=pred))
+    out = (
+        txlog.read_snapshot(spark, path, predicate=pred)
+        .where((F.col("p_partkey") >= 600) & (F.col("p_partkey") <= 900))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("sum_cents"),
+            F.lit(1 if n_pred < n_all else 0).alias("pruned"),
+        )
+    )
+    schema = out.schema
+    rows = out.collect()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@probe(
+    "x252_txlog_cdf",
+    sql="""
+        WITH p AS (
+            SELECT p_partkey AS k, p_retailprice AS pr FROM part
+        ),
+        snap2 AS (
+            SELECT k,
+                   CASE WHEN k % 6 = 0 THEN pr + 128.0 ELSE pr END AS pr
+            FROM p
+        ),
+        changes AS (
+            SELECT 1 AS version, 'insert' AS change_type, k, pr
+            FROM p WHERE k % 3 = 1
+            UNION ALL
+            SELECT 2, 'insert', k, pr + 128.0 FROM p WHERE k % 6 = 0
+            UNION ALL
+            SELECT 2, 'insert', k, pr FROM p WHERE k % 3 = 2
+            UNION ALL
+            SELECT 2, 'delete', k, pr FROM p WHERE k % 6 = 0
+            UNION ALL
+            SELECT 3, 'delete', k, pr FROM snap2 WHERE k % 5 = 0
+        )
+        SELECT version, change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               sum(CAST(floor(pr * 100 + 0.5) AS BIGINT)) AS sum_cents
+        FROM changes
+        GROUP BY version, change_type
+    """,
+    note="Txlog CHANGE-DATA-FEED (sources/txlog.py:table_changes): "
+    "row-level diffs per commit — files added minus files removed are "
+    "inserts, the reverse deletes, so copy-on-write rewrites of "
+    "unchanged rows CANCEL in the bag diff and only touched files are "
+    "read. The probe replays x240's lifecycle (create, append, "
+    "update+insert MERGE, tombstone MERGE) and aggregates the feed "
+    "per (version, change_type); the oracle reconstructs every "
+    "insert/delete row set from the generating arithmetic. Feeds the "
+    "D2 incremental-consumer idiom: a downstream rollup applies the "
+    "diff instead of re-reading the snapshot.",
+)
+def x252_txlog_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from flytemosaic_spark.sources import txlog
+
+    part = T(spark, sf, "part").select("p_partkey", "p_retailprice")
+    path = os.path.join(tempfile.mkdtemp(prefix="txlog_x252_"), "t")
+    txlog.create_table(
+        spark, path, part.where(F.col("p_partkey") % 3 == 0)
+    )
+    txlog.append(spark, path, part.where(F.col("p_partkey") % 3 == 1))
+    upd = part.where(F.col("p_partkey") % 6 == 0).select(
+        "p_partkey",
+        (F.col("p_retailprice") + F.lit(128.0)).alias("p_retailprice"),
+    )
+    ins = part.where(F.col("p_partkey") % 3 == 2)
+    txlog.merge_into(spark, path, upd.unionByName(ins), ["p_partkey"])
+    snap2 = txlog.read_snapshot(spark, path, 2)
+    tomb = snap2.where(F.col("p_partkey") % 5 == 0).withColumn(
+        "dead", F.lit(True)
+    )
+    txlog.merge_into(spark, path, tomb, ["p_partkey"], delete_col="dead")
+    out = (
+        txlog.table_changes(spark, path, 0, 3)
+        .groupBy(
+            F.col("_commit_version").alias("version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("sum_cents"),
+        )
+    )
+    schema = out.schema
+    rows = out.collect()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

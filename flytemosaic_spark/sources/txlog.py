@@ -32,6 +32,7 @@ the general multi-writer form of its S10/D2/D3 sink discipline.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 import uuid
@@ -39,6 +40,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_txlog"
+
+# predicate ops for stats-based file skipping: (col, op, value)
+_PRED_OPS = ("=", "<", "<=", ">", ">=")
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -88,18 +92,87 @@ def _commit(path: str, version: int, actions: list[dict]) -> None:
         os.unlink(tmp)
 
 
+def _stats_value(v):
+    """Parquet-footer min/max -> a JSON-safe, ORDER-PRESERVING value,
+    or None when the type is unsafe to prune on. Python str comparison
+    is code-point order == UTF-8 byte order, matching Spark's binary
+    string ordering; NaN/inf floats are unsound bounds and drop the
+    column."""
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, bool) or isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return None if (math.isnan(v) or math.isinf(v)) else v
+    if isinstance(v, str):
+        return v
+    return None  # timestamps/decimals/nested: skip, stay conservative
+
+
+def _file_stats(fpath: str) -> dict:
+    """numRecords + per-column min/max from the parquet footer (the
+    Delta add-action stats). A column keeps bounds only if EVERY row
+    group carries sound stats for it — partial bounds would prune
+    rows that exist."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    complete: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            st = col.statistics
+            mn = mx = None
+            if st is not None and st.has_min_max:
+                mn = _stats_value(st.min)
+                mx = _stats_value(st.max)
+            if mn is None or mx is None:
+                complete[name] = False
+                continue
+            if name not in complete:
+                complete[name] = True
+                mins[name], maxs[name] = mn, mx
+            elif complete[name]:
+                mins[name] = min(mins[name], mn)
+                maxs[name] = max(maxs[name], mx)
+    for name, ok in complete.items():
+        if not ok:
+            mins.pop(name, None)
+            maxs.pop(name, None)
+    return {
+        "numRecords": md.num_rows,
+        "min": mins,
+        "max": maxs,
+    }
+
+
 def _write_data(
     spark: SparkSession, path: str, df: DataFrame
 ) -> list[dict]:
     """Write df as parquet into a fresh per-commit subdirectory and
-    return its add-actions (paths relative to the table root)."""
+    return its add-actions (paths relative to the table root) with
+    per-file stats (numRecords, per-column min/max) for data
+    skipping — footer reads only, metadata-scale."""
     sub = f"files-{uuid.uuid4().hex}"
     out = os.path.join(path, sub)
     df.write.parquet(out)
     adds = []
     for f in sorted(os.listdir(out)):
         if f.endswith(".parquet"):
-            adds.append({"add": {"path": f"{sub}/{f}"}})
+            stats = _file_stats(os.path.join(out, f))
+            if stats["numRecords"] == 0:
+                os.unlink(os.path.join(out, f))  # empty part file
+                continue
+            adds.append({"add": {"path": f"{sub}/{f}", "stats": stats}})
     return adds
 
 
@@ -115,27 +188,29 @@ def _checkpoint_file(path: str, version: int) -> str:
 
 def write_checkpoint(path: str, version: int | None = None) -> int:
     """Compact the replay (the Delta checkpoint): write the full
-    active file set at ``version`` so later reads start there instead
-    of replaying from version 0. Written temp+rename (idempotent —
-    re-checkpointing a version overwrites with identical content);
-    readers never require one."""
+    active ADD set (path + stats) at ``version`` so later reads start
+    there instead of replaying from version 0. Written temp+rename
+    (idempotent — re-checkpointing a version overwrites with identical
+    content); readers never require one."""
     head = latest_version(path)
     v = head if version is None else version
-    files = snapshot_files(path, v)
+    adds = _active_adds(path, v)
     tmp = _checkpoint_file(path, v) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(
-            {"version": v,
-             "active": [os.path.relpath(p, path) for p in files]},
+            {"version": v, "adds": [adds[p] for p in sorted(adds)]},
             f,
         )
     os.replace(tmp, _checkpoint_file(path, v))
     return v
 
 
-def _latest_checkpoint(path: str, at_or_below: int) -> tuple[int, set[str]]:
-    """(version, active set) of the newest usable checkpoint, or
-    (-1, empty)."""
+def _latest_checkpoint(
+    path: str, at_or_below: int
+) -> tuple[int, dict[str, dict]]:
+    """(version, {relpath: add-action}) of the newest usable
+    checkpoint, or (-1, empty). Pre-stats checkpoints (an ``active``
+    path list) load with empty stats — never-prune is conservative."""
     d = _log_dir(path)
     best = -1
     for f in os.listdir(d):
@@ -144,16 +219,19 @@ def _latest_checkpoint(path: str, at_or_below: int) -> tuple[int, set[str]]:
             if v <= at_or_below:
                 best = max(best, v)
     if best < 0:
-        return -1, set()
+        return -1, {}
     with open(_checkpoint_file(path, best)) as f:
         cp = json.load(f)
-    return best, set(cp["active"])
+    if "adds" in cp:
+        return best, {a["path"]: a for a in cp["adds"]}
+    return best, {p: {"path": p} for p in cp.get("active", [])}
 
 
-def snapshot_files(path: str, version: int | None = None) -> list[str]:
-    """Active data files (absolute paths) at ``version`` (default:
-    latest) — add/remove replay from the newest checkpoint at or
-    below the requested version (version 0 when none exists)."""
+def _active_adds(
+    path: str, version: int | None = None
+) -> dict[str, dict]:
+    """{relpath: add-action (with stats)} active at ``version`` —
+    add/remove replay from the newest checkpoint at or below it."""
     head = latest_version(path)
     if head < 0:
         raise FileNotFoundError(f"no transaction log at {path}")
@@ -171,48 +249,181 @@ def snapshot_files(path: str, version: int | None = None) -> list[str]:
             for line in f:
                 a = json.loads(line)
                 if "add" in a:
-                    active.add(a["add"]["path"])
+                    active[a["add"]["path"]] = a["add"]
                 elif "remove" in a:
-                    active.discard(a["remove"]["path"])
-    return [os.path.join(path, p) for p in sorted(active)]
+                    active.pop(a["remove"]["path"], None)
+    return active
+
+
+def _file_may_match(add: dict, predicate: list[tuple]) -> bool:
+    """Conservative stats check: False ONLY when the file's min/max
+    bounds PROVE no row can satisfy every conjunct. Missing stats or
+    unknown columns keep the file."""
+    stats = add.get("stats") or {}
+    mins = stats.get("min") or {}
+    maxs = stats.get("max") or {}
+    for col, op, val in predicate:
+        if op not in _PRED_OPS:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        mn, mx = mins.get(col), maxs.get(col)
+        if mn is None or mx is None:
+            continue
+        if type(val) is bool or isinstance(val, (int, float)):
+            if not isinstance(mn, (int, float)):
+                continue
+        elif isinstance(val, str):
+            if not isinstance(mn, str):
+                continue
+        else:
+            continue
+        if op == "=" and (val < mn or val > mx):
+            return False
+        if op == "<" and mn >= val:
+            return False
+        if op == "<=" and mn > val:
+            return False
+        if op == ">" and mx <= val:
+            return False
+        if op == ">=" and mx < val:
+            return False
+    return True
+
+
+def snapshot_files(
+    path: str,
+    version: int | None = None,
+    predicate: list[tuple] | None = None,
+) -> list[str]:
+    """Active data files (absolute paths) at ``version`` (default:
+    latest). With ``predicate`` — a conjunction of ``(col, op, value)``
+    with op in ``= < <= > >=`` — files whose footer min/max PROVE no
+    match are pruned before any data read (the Delta data-skipping
+    core: a point lookup on a range-clustered 100 TB table opens a
+    handful of files, not all of them)."""
+    adds = _active_adds(path, version)
+    keep = sorted(
+        p
+        for p, a in adds.items()
+        if predicate is None or _file_may_match(a, predicate)
+    )
+    return [os.path.join(path, p) for p in keep]
+
+
+def table_schema(path: str, version: int | None = None):
+    """Newest ``metaData`` schema at or below ``version`` as a
+    StructType, or None for pre-schema tables."""
+    from pyspark.sql.types import StructType
+
+    head = latest_version(path)
+    if head < 0:
+        raise FileNotFoundError(f"no transaction log at {path}")
+    v = head if version is None else version
+    for i in range(v, -1, -1):
+        lf = _log_file(path, i)
+        if not os.path.exists(lf):
+            continue  # below a vacuumed/compacted floor
+        with open(lf) as f:
+            for line in f:
+                a = json.loads(line)
+                if "metaData" in a:
+                    return StructType.fromJson(
+                        json.loads(a["metaData"]["schemaJson"])
+                    )
+    return None
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    predicate: list[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read (``VERSION AS OF``): the file list is pinned
-    HERE, so commits that land later never change this DataFrame."""
-    files = snapshot_files(path, version)
+    HERE, so commits that land later never change this DataFrame.
+    With ``predicate``, stats-pruned files are never opened (the
+    caller still applies the row-level filter — pruning is
+    file-granular). Reads bind the LOG schema at the version, so
+    schema-evolved tables null-backfill added columns in old files,
+    and an empty snapshot returns an empty TYPED DataFrame."""
+    files = snapshot_files(path, version, predicate)
+    schema = table_schema(path, version)
     if not files:
-        # empty snapshot: derive the schema from the newest log that
-        # has files, else fail — simplest honest behavior
-        raise ValueError(f"snapshot at {path} has no data files")
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise ValueError(
+            f"snapshot at {path} has no data files and the log "
+            "records no schema"
+        )
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*files)
     return spark.read.parquet(*files)
 
 
+def _schema_action(df: DataFrame) -> dict:
+    return {"metaData": {"schemaJson": df.schema.json()}}
+
+
 def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
-    """Create version 0 from df. Fails if the table exists."""
+    """Create version 0 from df (the log records the schema). Fails
+    if the table exists."""
     if latest_version(path) >= 0:
         raise FileExistsError(f"table already exists at {path}")
     os.makedirs(path, exist_ok=True)
     actions = _write_data(spark, path, df)
-    _commit(path, 0, [_commit_info("CREATE"), *actions])
+    _commit(path, 0, [_commit_info("CREATE"), _schema_action(df), *actions])
     return 0
 
 
-def append(spark: SparkSession, path: str, df: DataFrame) -> int:
+def append(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    merge_schema: bool = False,
+) -> int:
     """Blind append — never conflicts logically, but still goes
-    through the exclusive commit (retry on ConcurrentCommitError)."""
+    through the exclusive commit (retry on ConcurrentCommitError).
+
+    Schema evolution: columns in ``df`` that the table lacks require
+    ``merge_schema=True`` and commit a widened ``metaData`` schema
+    (Delta's mergeSchema); older files null-backfill the new columns
+    at read time via the log-schema-bound parquet read. Columns the
+    table has but ``df`` lacks are always fine (nulls on read)."""
     v = latest_version(path)
     if v < 0:
         raise FileNotFoundError(f"no transaction log at {path}")
+    extra: list[dict] = []
+    cur = table_schema(path, v)
+    if cur is not None:
+        from pyspark.sql.types import StructType
+
+        cur_names = {f.name for f in cur.fields}
+        new_fields = [
+            f for f in df.schema.fields if f.name not in cur_names
+        ]
+        if new_fields:
+            if not merge_schema:
+                raise ValueError(
+                    "append adds columns "
+                    f"{[f.name for f in new_fields]}; pass "
+                    "merge_schema=True to evolve the table schema"
+                )
+            extra.append(
+                {
+                    "metaData": {
+                        "schemaJson": StructType(
+                            list(cur.fields) + new_fields
+                        ).json()
+                    }
+                }
+            )
     actions = _write_data(spark, path, df)
-    _commit(path, v + 1, [_commit_info("APPEND"), *actions])
+    _commit(path, v + 1, [_commit_info("APPEND"), *extra, *actions])
     return v + 1
 
 
 def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
-    """Replace the table contents in one commit (remove all + add)."""
+    """Replace the table contents in one commit (remove all + add);
+    the schema may change freely and is re-recorded."""
     v = latest_version(path)
     if v < 0:
         raise FileNotFoundError(f"no transaction log at {path}")
@@ -221,8 +432,37 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
     removes = [
         {"remove": {"path": os.path.relpath(p, path)}} for p in old
     ]
-    _commit(path, v + 1, [_commit_info("OVERWRITE"), *removes, *actions])
+    _commit(
+        path,
+        v + 1,
+        [_commit_info("OVERWRITE"), _schema_action(df), *removes, *actions],
+    )
     return v + 1
+
+
+def _updates_key_bounds(
+    updates: DataFrame, key_cols: list[str]
+) -> dict | None:
+    """Driver-side (metadata-scale: one 1-row agg) min/max of the
+    update keys, or None when any bound is unusable (empty updates,
+    null keys, non-orderable types) — callers fall back to the
+    unpruned path."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for k in key_cols:
+        aggs.append(F.min(k).alias(f"_mn_{k}"))
+        aggs.append(F.max(k).alias(f"_mx_{k}"))
+    row = updates.agg(*aggs).collect()[0]
+    bounds = {}
+    for k in key_cols:
+        mn, mx = row[f"_mn_{k}"], row[f"_mx_{k}"]
+        if mn is None or mx is None:
+            return None
+        if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+            return None
+        bounds[k] = (mn, mx)
+    return bounds
 
 
 def merge_into(
@@ -232,29 +472,120 @@ def merge_into(
     key_cols: list[str],
     delete_col: str | None = None,
     broadcast_updates: bool = False,
+    prune_files: bool = True,
 ) -> int:
     """Delta-style MERGE: snapshot read at the current version, the
     u4 merge_upsert plan, copy-on-write commit (remove old files, add
     new). If another writer commits first, the exclusive publish
     fails BEFORE any log change — the merge result is simply
-    discarded and the caller retries on the fresh snapshot."""
+    discarded and the caller retries on the fresh snapshot.
+
+    File pruning (``prune_files``): files whose per-key min/max
+    ranges cannot overlap the updates' key bounds are PROVABLY
+    untouched — they stay active, unread and unrewritten, so a
+    point-lookup MERGE on a range-clustered 100 TB table rewrites a
+    handful of files instead of all of them. Untouched files contain
+    no update key, so every row they hold passes through a full
+    merge unchanged — skipping them is value-identical."""
     from flytemosaic_spark.operators.merge import merge_upsert
 
     v = latest_version(path)
     if v < 0:
         raise FileNotFoundError(f"no transaction log at {path}")
-    base = read_snapshot(spark, path, v)
+    adds = _active_adds(path, v)
+    touched = sorted(adds)
+    if prune_files and adds:
+        bounds = _updates_key_bounds(updates, key_cols)
+        if bounds is not None:
+            pred_per_file = [
+                (k, ">=", mn) for k, (mn, _) in bounds.items()
+            ] + [(k, "<=", mx) for k, (_, mx) in bounds.items()]
+            touched = sorted(
+                p
+                for p, a in adds.items()
+                if _file_may_match(a, pred_per_file)
+            )
+    schema = table_schema(path, v)
+    files = [os.path.join(path, p) for p in touched]
+    if files:
+        base = (
+            spark.read.schema(schema).parquet(*files)
+            if schema is not None
+            else spark.read.parquet(*files)
+        )
+    elif schema is not None:
+        base = spark.createDataFrame([], schema)
+    else:
+        base = read_snapshot(spark, path, v).limit(0)
     merged = merge_upsert(
         base, updates, key_cols, delete_col=delete_col,
         broadcast_updates=broadcast_updates,
     ).drop("_action")
-    old = snapshot_files(path, v)
     actions = _write_data(spark, path, merged)
-    removes = [
-        {"remove": {"path": os.path.relpath(p, path)}} for p in old
-    ]
+    removes = [{"remove": {"path": p}} for p in touched]
     _commit(path, v + 1, [_commit_info("MERGE"), *removes, *actions])
     return v + 1
+
+
+def table_changes(
+    spark: SparkSession, path: str, v0: int, v1: int
+) -> DataFrame:
+    """Change-data-feed: row-level changes AFTER ``v0`` up TO ``v1``
+    (Delta's ``table_changes(v0+1, v1)`` readout). Per commit, rows
+    of files added minus rows of files removed are inserts, the
+    reverse are deletes — copy-on-write rewrites of unchanged rows
+    cancel in the bag diff, so only files the commit actually touched
+    are read. Emits the row columns (at the v1 schema) plus
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+    Feeds the D2 incremental-consumer idiom: a downstream rollup
+    applies the diff instead of re-reading the snapshot."""
+    from pyspark.sql import functions as F
+
+    head = latest_version(path)
+    if head < 0:
+        raise FileNotFoundError(f"no transaction log at {path}")
+    if not 0 <= v0 <= v1 <= head:
+        raise ValueError(f"bad change range [{v0}, {v1}] (head {head})")
+    schema = table_schema(path, v1)
+
+    def read_files(paths: list[str]) -> DataFrame:
+        if not paths:
+            if schema is None:
+                raise ValueError(
+                    "change feed on a pre-schema table needs files in "
+                    "every commit"
+                )
+            return spark.createDataFrame([], schema)
+        abs_paths = [os.path.join(path, p) for p in paths]
+        if schema is not None:
+            return spark.read.schema(schema).parquet(*abs_paths)
+        return spark.read.parquet(*abs_paths)
+
+    out = None
+    for v in range(v0 + 1, v1 + 1):
+        added: list[str] = []
+        removed: list[str] = []
+        with open(_log_file(path, v)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    added.append(a["add"]["path"])
+                elif "remove" in a:
+                    removed.append(a["remove"]["path"])
+        a_df, r_df = read_files(added), read_files(removed)
+        ins = a_df.exceptAll(r_df).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        dels = r_df.exceptAll(a_df).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        part = ins.unionByName(dels).withColumn(
+            "_commit_version", F.lit(v).cast("int")
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("empty change range")
+    return out
 
 
 def vacuum(path: str, retain_last: int = 2) -> dict:

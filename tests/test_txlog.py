@@ -240,3 +240,219 @@ class TestVacuum:
         assert sorted(
             r["k"] for r in txlog.read_snapshot(spark, p).collect()
         ) == [2, 3]
+
+
+def _range_table(spark, p, n_buckets=5, per=20):
+    """One commit per disjoint k-range so per-file stats partition the
+    key space."""
+    txlog.create_table(
+        spark, p, _df(spark, [(k, f"v{k}") for k in range(per)])
+    )
+    for b in range(1, n_buckets):
+        txlog.append(
+            spark,
+            p,
+            _df(spark, [(b * per + k, f"v{b * per + k}") for k in range(per)]),
+        )
+    return n_buckets * per
+
+
+class TestDataSkipping:
+    def test_add_actions_carry_stats(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(5, "e"), (9, "i")]))
+        adds = txlog._active_adds(p)
+        assert adds
+        for a in adds.values():
+            st = a["stats"]
+            assert st["numRecords"] >= 1
+            assert st["min"]["k"] >= 5 and st["max"]["k"] <= 9
+            assert st["min"]["v"] >= "e" and st["max"]["v"] <= "i"
+
+    def test_point_lookup_opens_fewer_files(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        n = _range_table(spark, p)
+        all_files = txlog.snapshot_files(p)
+        pruned = txlog.snapshot_files(p, predicate=[("k", "=", 42)])
+        assert len(pruned) < len(all_files)
+        # IO spy: the pruned READ must only open the pruned files
+        df = txlog.read_snapshot(spark, p, predicate=[("k", "=", 42)])
+        scanned = df.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+        assert {r["f"].replace("file://", "") for r in scanned} <= set(
+            pruned
+        )
+        # and the data under the predicate is complete
+        got = df.where(F.col("k") == 42).collect()
+        assert [(r["k"], r["v"]) for r in got] == [(42, "v42")]
+        assert n == 100
+
+    def test_range_predicates_prune_conservatively(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        _range_table(spark, p)
+        full = txlog.read_snapshot(spark, p)
+        for pred, cond in [
+            ([("k", ">=", 60)], F.col("k") >= 60),
+            ([("k", "<", 20)], F.col("k") < 20),
+            ([("k", ">", 35), ("k", "<=", 55)],
+             (F.col("k") > 35) & (F.col("k") <= 55)),
+            ([("v", "=", "v7")], F.col("v") == "v7"),
+        ]:
+            want = sorted(r["k"] for r in full.where(cond).collect())
+            got = sorted(
+                r["k"]
+                for r in txlog.read_snapshot(spark, p, predicate=pred)
+                .where(cond)
+                .collect()
+            )
+            assert got == want, pred
+
+    def test_pruning_survives_checkpoint(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        _range_table(spark, p)
+        txlog.write_checkpoint(p)
+        txlog.append(spark, p, _df(spark, [(999, "z")]))
+        pruned = txlog.snapshot_files(p, predicate=[("k", "=", 999)])
+        assert len(pruned) < len(txlog.snapshot_files(p))
+        got = (
+            txlog.read_snapshot(spark, p, predicate=[("k", "=", 999)])
+            .where(F.col("k") == 999)
+            .collect()
+        )
+        assert [(r["k"], r["v"]) for r in got] == [(999, "z")]
+
+
+class TestPrunedMerge:
+    def test_merge_leaves_untouched_files_in_place(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        _range_table(spark, p)
+        before = set(txlog.snapshot_files(p))
+        upd = _df(spark, [(42, "UPDATED"), (43, "ALSO")])
+        txlog.merge_into(spark, p, upd, ["k"])
+        after = set(txlog.snapshot_files(p))
+        # files provably outside [42, 43] survive the merge unrewritten
+        survivors = before & after
+        assert survivors, "pruned merge rewrote every file"
+        rewritten = before - after
+        assert len(rewritten) < len(before)
+        got = {
+            r["k"]: r["v"] for r in txlog.read_snapshot(spark, p).collect()
+        }
+        assert got[42] == "UPDATED" and got[43] == "ALSO"
+        assert got[41] == "v41" and len(got) == 100
+
+    def test_pruned_equals_unpruned_merge(self, spark, tmp_path):
+        pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+        for p in (pa, pb):
+            _range_table(spark, p)
+        upd = _df(spark, [(7, "X"), (77, "Y"), (500, "NEW")])
+        txlog.merge_into(spark, pa, upd, ["k"], prune_files=True)
+        txlog.merge_into(spark, pb, upd, ["k"], prune_files=False)
+        ga = sorted(
+            (r["k"], r["v"])
+            for r in txlog.read_snapshot(spark, pa).collect()
+        )
+        gb = sorted(
+            (r["k"], r["v"])
+            for r in txlog.read_snapshot(spark, pb).collect()
+        )
+        assert ga == gb
+        assert ("500", "NEW") not in ga and (500, "NEW") in ga
+
+    def test_merge_delete_with_pruning(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        _range_table(spark, p)
+        tomb = spark.createDataFrame(
+            [(13, "v13", True)], "k long, v string, dead boolean"
+        )
+        txlog.merge_into(spark, p, tomb, ["k"], delete_col="dead")
+        ks = sorted(
+            r["k"] for r in txlog.read_snapshot(spark, p).collect()
+        )
+        assert 13 not in ks and len(ks) == 99
+
+
+class TestSchemaEvolution:
+    def test_append_new_column_requires_flag(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a")]))
+        wide = spark.createDataFrame(
+            [(2, "b", 3.5)], "k long, v string, score double"
+        )
+        with pytest.raises(ValueError, match="merge_schema"):
+            txlog.append(spark, p, wide)
+        txlog.append(spark, p, wide, merge_schema=True)
+        got = {r["k"]: r for r in txlog.read_snapshot(spark, p).collect()}
+        assert got[1]["score"] is None  # null backfill on old files
+        assert got[2]["score"] == 3.5
+
+    def test_time_travel_keeps_old_schema(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a")]))
+        wide = spark.createDataFrame(
+            [(2, "b", 3.5)], "k long, v string, score double"
+        )
+        txlog.append(spark, p, wide, merge_schema=True)
+        v0 = txlog.read_snapshot(spark, p, 0)
+        assert v0.columns == ["k", "v"]
+        v1 = txlog.read_snapshot(spark, p, 1)
+        assert v1.columns == ["k", "v", "score"]
+
+    def test_narrow_append_null_backfills(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a")]))
+        narrow = spark.createDataFrame([(9,)], "k long")
+        txlog.append(spark, p, narrow)  # fewer cols: always legal
+        got = {r["k"]: r["v"] for r in txlog.read_snapshot(spark, p).collect()}
+        assert got == {1: "a", 9: None}
+
+
+class TestEmptySnapshotAndCDF:
+    def test_fully_deleted_table_reads_empty_typed(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+        tomb = spark.createDataFrame(
+            [(1, "a", True), (2, "b", True)],
+            "k long, v string, dead boolean",
+        )
+        txlog.merge_into(spark, p, tomb, ["k"], delete_col="dead")
+        snap = txlog.read_snapshot(spark, p)
+        assert snap.columns == ["k", "v"] and snap.count() == 0
+
+    def test_change_feed_insert_update_delete(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+        txlog.append(spark, p, _df(spark, [(3, "c")]))                 # v1
+        txlog.merge_into(spark, p, _df(spark, [(2, "B!")]), ["k"])     # v2
+        tomb = spark.createDataFrame(
+            [(1, "a", True)], "k long, v string, dead boolean"
+        )
+        txlog.merge_into(spark, p, tomb, ["k"], delete_col="dead")     # v3
+        cdf = txlog.table_changes(spark, p, 0, 3).collect()
+        got = sorted(
+            (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+            for r in cdf
+        )
+        assert got == [
+            (1, "insert", 3, "c"),
+            (2, "delete", 2, "b"),
+            (2, "insert", 2, "B!"),
+            (3, "delete", 1, "a"),
+        ]
+
+    def test_change_feed_cow_rewrites_cancel(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(
+            spark, p, _df(spark, [(k, f"v{k}") for k in range(50)])
+        )
+        txlog.merge_into(
+            spark, p, _df(spark, [(7, "SEVEN")]), ["k"],
+            prune_files=False,  # force a full rewrite
+        )
+        cdf = txlog.table_changes(spark, p, 0, 1).collect()
+        got = sorted(
+            (r["_change_type"], r["k"], r["v"]) for r in cdf
+        )
+        # 49 rows were rewritten IDENTICALLY and must cancel
+        assert got == [("delete", 7, "v7"), ("insert", 7, "SEVEN")]
