@@ -204,3 +204,63 @@ def charset_decode_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# zero-widths (ZWSP/ZWNJ/ZWJ/word-joiner/BOM), soft hyphen, and the
+# C0/DEL controls EXCEPT \t \n \r (those are whitespace for the
+# collapse stage). Spark regexp_replace replaces ALL matches; DuckDB
+# needs the 'g' flag — the oracle contract pins both.
+_ZW_CTRL_RE = (
+    "[\\u200b\\u200c\\u200d\\u2060\\ufeff\\u00ad"
+    "\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+)
+# explicit class, NOT \s: Java \s includes \x0B, RE2 \s does not —
+# after the control strip only these four remain anyway
+_WS_RUN_RE = "[ \\t\\n\\r]+"
+
+
+def nfc_normalize_udf(form: str = "NFC"):
+    """Arrow-batched scalar UDF: unicodedata.normalize(form, s).
+    Spark has no JVM-side unicode normalizer; this is the one Python
+    hop in the hygiene stage (vectorized, no per-row Python UDF)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x)
+        )
+
+    return _norm
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Unicode hygiene between charset decode and the text family
+    (CCNet/Dolma normalize BEFORE hashing — un-normalized text
+    silently breaks every md5-based dedup equality):
+
+    1. canonical normalization (NFC default; NFKC variant for
+       compatibility folding) — composed and decomposed spellings of
+       the same text become byte-identical;
+    2. strip zero-widths, soft hyphens, BOMs, and C0/DEL controls
+       (invisible codepoints that split dedup keys);
+    3. collapse [ \\t\\n\\r] runs to one space and trim.
+
+    Stage 1 is the Arrow UDF; stages 2-3 are JVM regexp_replace."""
+    stripped = F.regexp_replace(
+        nfc_normalize_udf(form)(F.col(text_col)), _ZW_CTRL_RE, ""
+    )
+    return df.withColumn(
+        out_col,
+        F.trim(F.regexp_replace(stripped, _WS_RUN_RE, " ")),
+    )

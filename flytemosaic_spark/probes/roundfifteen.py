@@ -341,3 +341,86 @@ def x252_txlog_cdf(spark: SparkSession, sf: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@probe(
+    "x250_unicode_normalize",
+    sql="""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INT)
+                        WHEN 0 THEN 'cafe' || chr(769) || ' x'
+                        WHEN 1 THEN chr(8203) || 'ab' || chr(8204)
+                                    || 'cd' || chr(8205)
+                        WHEN 2 THEN 'a' || chr(768) || 'e' || chr(769)
+                                    || 'o' || chr(770)
+                        WHEN 3 THEN 'tab' || chr(9) || 'nl' || chr(10)
+                                    || chr(13) || 'end'
+                        WHEN 4 THEN '  multi   space  '
+                        ELSE 'plain' END || ' ' || text AS t
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           nfc_normalize(t),
+                           '[\\x{200b}\\x{200c}\\x{200d}\\x{2060}'
+                           || '\\x{feff}\\x{ad}'
+                           || '\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
+                           '', 'g'),
+                       '[ \\t\\n\\r]+', ' ', 'g')) AS nt
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(length(nt) AS BIGINT) AS n_chars,
+               md5(nt) AS norm_md5
+        FROM n
+    """,
+    note="Unicode normalization + text hygiene "
+    "(operators/crawl.py:normalize_text) — the stage between charset "
+    "decode (x245) and the text family that CCNet/Dolma run before "
+    "hashing, because un-normalized unicode silently breaks every "
+    "md5-based dedup equality: NFC canonical composition (Arrow "
+    "scalar UDF over unicodedata — Spark has no JVM normalizer; the "
+    "one Python hop, vectorized), zero-width/soft-hyphen/BOM/control "
+    "strip, and [ \\t\\n\\r]-run collapse + trim (JVM regexp_replace; "
+    "the whitespace class is EXPLICIT because Java \\s and RE2 \\s "
+    "disagree on \\x0B, and strip patterns anchor the Spark-replaces-"
+    "ALL vs DuckDB-'g'-flag contract). Documents are augmented with "
+    "key-cycled decomposed accents, zero-widths, and messy whitespace "
+    "so every stage is exercised; the oracle replays the pipeline via "
+    "DuckDB's native nfc_normalize and md5-compares the result.",
+)
+def x250_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.crawl import normalize_text
+
+    # DECOMPOSED accents (e + U+0301 etc.) and explicit
+    # zero-widths: the raw forms the NFC/strip stages must
+    # actually transform (the oracle builds the same codepoints
+    # via chr())
+    pieces = [
+        "cafe\u0301 x",
+        "\u200bab\u200ccd\u200d",
+        "a\u0300e\u0301o\u0302",
+        "tab\tnl\n\rend",
+        "  multi   space  ",
+        "plain",
+    ]
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.element_at(
+                F.array(*[F.lit(p) for p in pieces]),
+                (F.col("doc_id") % 6 + 1).cast("int"),
+            ),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = normalize_text(d)
+    return out.select(
+        "doc_id",
+        F.length("norm_text").cast("long").alias("n_chars"),
+        F.md5(F.col("norm_text").cast("binary")).alias("norm_md5"),
+    )

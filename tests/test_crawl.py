@@ -154,3 +154,63 @@ class TestQualityClassifier:
         # carry positive weight after training
         assert w["w_flen"] > 0
         assert w["n"] > 0
+
+
+class TestNormalizeText:
+    """Unicode hygiene (crawl.normalize_text): composed/decomposed
+    twins become byte-identical, invisibles strip, whitespace
+    collapses — and md5-based dedup only works AFTER the stage."""
+
+    def test_composed_decomposed_dedup_only_after_normalize(self, spark):
+        from pyspark.sql import functions as F
+
+        from flytemosaic_spark.operators.crawl import normalize_text
+
+        rows = [
+            (1, "caf\u00e9 au lait"),            # composed e-acute
+            (2, "cafe\u0301 au lait"),           # decomposed twin
+            (3, "caf\u00e9\u200b au lait"),      # + zero-width space
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        raw = df.select(F.md5(F.col("text").cast("binary")).alias("h"))
+        assert raw.distinct().count() == 3  # raw md5 splits the twins
+        out = normalize_text(df)
+        norm = out.select(
+            F.md5(F.col("norm_text").cast("binary")).alias("h")
+        )
+        assert norm.distinct().count() == 1  # normalized: one content key
+
+    def test_strip_and_collapse(self, spark):
+        from flytemosaic_spark.operators.crawl import normalize_text
+
+        rows = [
+            (1, "  a\tb\r\nc   d  "),
+            (2, "x\u00ady\u2060z\ufeff"),
+            (3, "ctrl\x01\x02\x7fchars"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["norm_text"]
+            for r in normalize_text(df).collect()
+        }
+        assert got == {1: "a b c d", 2: "xyz", 3: "ctrlchars"}
+
+    def test_nfkc_variant_folds_compatibility(self, spark):
+        from flytemosaic_spark.operators.crawl import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "\ufb01le \u2460")], "doc_id long, text string"
+        )  # fi-ligature + circled one
+        nfc = normalize_text(df, form="NFC").collect()[0]["norm_text"]
+        nfkc = normalize_text(df, form="NFKC").collect()[0]["norm_text"]
+        assert nfc == "\ufb01le \u2460"
+        assert nfkc == "file 1"
+
+    def test_bad_form_raises(self, spark):
+        import pytest as _pt
+
+        from flytemosaic_spark.operators.crawl import normalize_text
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pt.raises(ValueError, match="normalization form"):
+            normalize_text(df, form="NFX")
