@@ -264,3 +264,77 @@ def normalize_text(
         out_col,
         F.trim(F.regexp_replace(stripped, _WS_RUN_RE, " ")),
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl-frontier scheduling
+# ---------------------------------------------------------------------------
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    robots: DataFrame,
+    batch_size: int = 4,
+    agent: str = "*",
+) -> DataFrame:
+    """Politeness-respecting fetch schedule — the glue between the
+    x244 robots gate and the x246 incremental crawl: ``urls`` is the
+    frontier (host, url), ``robots`` the per-host robots.txt body
+    (host, robots_txt); output is one row per ALLOWED url with
+
+    - ``seq``: its 0-based deterministic per-host fetch position
+      (url-sorted — re-runs schedule identically);
+    - ``wave``: ``seq div batch_size`` — the fetch batch it joins
+      (a host with n allowed urls needs ceil(n / batch) waves);
+    - ``eta_s``: ``seq * crawl_delay`` — the earliest polite fetch
+      time, so a wave's makespan is its max eta.
+
+    Plan: broadcast the host-scale robots side, ONE vectorized gate
+    pass (robotparser parsed once per distinct body per batch, not
+    per row), then a host-partitioned row_number — hosts are
+    high-cardinality, so no single-partition window. At 100 TB the
+    frontier shuffles once on host; per-host state never leaves the
+    task."""
+    from pyspark.sql import Window
+
+    j = urls.join(F.broadcast(robots), "host").select(
+        "host", "url", "robots_txt"
+    )
+    schema = "host string, url string, delay_s int"
+
+    def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.robotparser import RobotFileParser
+
+        memo: dict[str, tuple] = {}
+
+        def parser_for(txt: str):
+            got = memo.get(txt)
+            if got is None:
+                rp = RobotFileParser()
+                rp.parse(txt.splitlines())
+                d = rp.crawl_delay(agent)
+                got = (rp, int(d) if d is not None else 0)
+                memo[txt] = got
+            return got
+
+        for pdf in batches:
+            out = []
+            for host, url, txt in zip(
+                pdf["host"], pdf["url"], pdf["robots_txt"]
+            ):
+                rp, delay = parser_for(txt)
+                if rp.can_fetch(agent, url):
+                    out.append((host, url, delay))
+            yield pd.DataFrame(out, columns=["host", "url", "delay_s"])
+
+    gated = j.mapInPandas(gate, schema)
+    w = Window.partitionBy("host").orderBy("url")
+    seq = F.row_number().over(w) - F.lit(1)
+    return gated.select(
+        "host",
+        "url",
+        seq.alias("seq"),
+        # explicit floor: DuckDB CAST(x AS INT) rounds, Spark truncates
+        F.floor(seq / F.lit(batch_size)).cast("int").alias("wave"),
+        (seq * F.col("delay_s")).cast("long").alias("eta_s"),
+    )

@@ -424,3 +424,93 @@ def x250_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
         F.length("norm_text").cast("long").alias("n_chars"),
         F.md5(F.col("norm_text").cast("binary")).alias("norm_md5"),
     )
+
+
+@probe(
+    "x253_frontier_schedule",
+    sql="""
+        WITH k AS (
+            SELECT s_suppkey AS kk,
+                   CAST(s_suppkey % 25 AS INT) AS hid
+            FROM supplier
+        ),
+        urls AS (
+            SELECT 'h' || CAST(hid AS VARCHAR) AS host,
+                   hid, kk,
+                   '/d' || CAST(kk % 4 AS VARCHAR) || '/p'
+                       || lpad(CAST(kk AS VARCHAR), 8, '0') AS url
+            FROM k
+        ),
+        allowed AS (
+            SELECT host, url,
+                   1 + hid % 7 AS delay_s
+            FROM urls
+            WHERE kk % 4 <> hid % 3
+        ),
+        seqd AS (
+            SELECT host, url, delay_s,
+                   row_number() OVER (PARTITION BY host ORDER BY url)
+                       - 1 AS seq
+            FROM allowed
+        ),
+        sched AS (
+            SELECT host,
+                   CAST(floor(seq / 4.0) AS INT) AS wave,
+                   seq * delay_s AS eta_s
+            FROM seqd
+        )
+        SELECT host, wave,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(max(eta_s) AS BIGINT) AS max_eta_s
+        FROM sched
+        GROUP BY host, wave
+    """,
+    note="Crawl-frontier SCHEDULING (operators/crawl.py:"
+    "frontier_schedule) — the glue x244 (politeness) and x246 "
+    "(incremental crawl) were missing: the frontier joins its hosts' "
+    "robots.txt (broadcast, host-scale), one vectorized robotparser "
+    "gate drops disallowed urls (parser memoized per distinct body, "
+    "never per row; DISJOINT rule prefixes keep the verdicts "
+    "implementation-independent), and each host's allowed urls get a "
+    "deterministic url-sorted seq, a fetch wave (seq div batch), and "
+    "the earliest polite eta (seq * crawl-delay) — a host with n "
+    "allowed urls needs ceil(n/batch) waves and its wave makespan is "
+    "max(eta). Host-partitioned window, no single-partition stage; "
+    "the oracle replays gate + ranking + wave arithmetic entirely in "
+    "SQL from the generating arithmetic.",
+)
+def x253_frontier_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.crawl import frontier_schedule
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    hid = (F.col("s_suppkey") % 25).cast("int")
+    urls = keys.select(
+        F.concat(F.lit("h"), hid.cast("string")).alias("host"),
+        F.concat(
+            F.lit("/d"),
+            (F.col("s_suppkey") % 4).cast("string"),
+            F.lit("/p"),
+            F.lpad(F.col("s_suppkey").cast("string"), 8, "0"),
+        ).alias("url"),
+    )
+    robots = (
+        keys.select(hid.alias("hid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("hid").cast("string")).alias(
+                "host"
+            ),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /d"),
+                (F.col("hid") % 3).cast("string"),
+                F.lit("/\nCrawl-delay: "),
+                (1 + F.col("hid") % 7).cast("string"),
+                F.lit("\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    sched = frontier_schedule(urls, robots, batch_size=4)
+    return sched.groupBy("host", "wave").agg(
+        F.count("*").alias("n_urls"),
+        F.max("eta_s").alias("max_eta_s"),
+    )

@@ -214,3 +214,44 @@ class TestNormalizeText:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pt.raises(ValueError, match="normalization form"):
             normalize_text(df, form="NFX")
+
+
+class TestFrontierSchedule:
+    def _run(self, spark, urls, robots_txt, batch=2):
+        from flytemosaic_spark.operators.crawl import frontier_schedule
+
+        u = spark.createDataFrame(
+            [("h0", p) for p in urls], "host string, url string"
+        )
+        r = spark.createDataFrame(
+            [("h0", robots_txt)], "host string, robots_txt string"
+        )
+        return {
+            r_["url"]: (r_["seq"], r_["wave"], r_["eta_s"])
+            for r_ in frontier_schedule(u, r, batch_size=batch).collect()
+        }
+
+    def test_waves_and_eta(self, spark):
+        robots = "User-agent: *\nDisallow: /x/\nCrawl-delay: 3\n"
+        urls = [f"/a/p{i}" for i in range(5)] + ["/x/blocked"]
+        got = self._run(spark, urls, robots, batch=2)
+        assert "/x/blocked" not in got
+        # url-sorted: /a/p0../a/p4 -> seq 0..4, waves 0,0,1,1,2
+        assert got["/a/p0"] == (0, 0, 0)
+        assert got["/a/p1"] == (1, 0, 3)
+        assert got["/a/p2"] == (2, 1, 6)
+        assert got["/a/p4"] == (4, 2, 12)
+        # ceil(5 / 2) = 3 waves
+        assert len({w for _, w, _ in got.values()}) == 3
+
+    def test_no_delay_means_zero_eta(self, spark):
+        robots = "User-agent: *\n"
+        got = self._run(spark, ["/a", "/b"], robots, batch=4)
+        assert got["/a"] == (0, 0, 0) and got["/b"] == (1, 0, 0)
+
+    def test_deterministic_reruns(self, spark):
+        robots = "User-agent: *\nCrawl-delay: 1\n"
+        urls = [f"/p{i}" for i in range(7)]
+        a = self._run(spark, urls, robots)
+        b = self._run(spark, list(reversed(urls)), robots)
+        assert a == b  # input order never changes the schedule
