@@ -113,6 +113,16 @@ HEADLINE = [
     # composition of already-benched pieces (x243's extract, x240's
     # txlog) whose cost is parquet-write-bound table setup, not an
     # operator plan — the sweep covers its scaling instead.
+    # r9: every gate operator of the round — PDF extraction, the
+    # winnowing APPLY (cleaned-text emission), unicode hygiene, txlog
+    # data skipping + change feed (tempdir-backed like x240), and the
+    # crawl-frontier scheduler.
+    "x248_pdf_extract",
+    "x249_winnow_apply",
+    "x250_unicode_normalize",
+    "x251_txlog_prune",
+    "x252_txlog_cdf",
+    "x253_frontier_schedule",
 ]
 
 # The r5 driver bench line (BENCH_r05.json), pinned so the

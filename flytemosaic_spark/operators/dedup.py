@@ -1022,6 +1022,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     w: int = 24,
     p: int = 8,
+    segment: int = 512,
 ) -> DataFrame:
     """(doc_id, pos, h) selected fingerprints — the inverted-index
     rows. Keys are ``md5hex:position`` strings (md5 replays in any
@@ -1029,28 +1030,59 @@ def winnow_fingerprints(
     lexicographic min). Documents shorter than w + p - 1 chars have
     no guarantee and are skipped.
 
-    The window-hash array materializes as its own projection before
-    the sliding-min stage: a one-expression form re-evaluates the
-    whole O(n·w) md5 array inside EVERY transform element (measured
-    ~100x slower at sf0.01) — the CollapseProject discipline applies
-    to lambda bodies too."""
+    Two measured plan rules live here:
+
+    - the window-hash array materializes as its own projection before
+      the sliding-min stage: a one-expression form re-evaluates the
+      whole O(n·w) md5 array inside EVERY transform element (measured
+      ~100x slower at sf0.01) — the CollapseProject discipline
+      applies to lambda bodies too;
+    - documents first explode into overlapping SEGMENTS of
+      ``segment`` run-starts (length segment + w + p - 2, so every
+      p-run of windows lies wholly inside one segment and each global
+      run is owned by exactly one segment): positional
+      ``substring(t, i, w)`` costs O(i) per lookup, so the
+      whole-document form is O(n²) per doc — 19s for 50 x 60 KB docs
+      vs 0.7s segmented, while ~300-char corpus docs (one segment)
+      time the same. Long documents also parallelize WITHIN a doc.
+      Cross-segment duplicate selections collapse in one global
+      distinct (run minima near segment edges repeat).
+    """
+    wl = w + p - 1
+    seg_expr = (
+        f"transform(sequence(0, cast((length({text_col}) - {wl}) "
+        f"/ {segment} as int)), s -> struct(s * {segment} as off, "
+        f"substring({text_col}, s * {segment} + 1, "
+        f"{segment + w + p - 2}) as seg))"
+    )
+    segs = (
+        docs.where(F.length(text_col) >= wl)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.expr(seg_expr)).alias("sg"),
+        )
+        .select(
+            "doc_id",
+            F.col("sg.off").alias("_off"),
+            F.col("sg.seg").alias("_seg"),
+        )
+    )
     hs = (
-        f"transform(sequence(1, length({text_col}) - {w - 1}), i -> "
-        f"concat(md5(substring({text_col}, i, {w})), ':', "
-        f"lpad(cast(i as string), 7, '0')))"
+        f"transform(sequence(1, length(_seg) - {w - 1}), i -> "
+        f"concat(md5(substring(_seg, i, {w})), ':', "
+        f"lpad(cast(_off + i as string), 7, '0')))"
     )
-    s1 = docs.where(F.length(text_col) >= w + p - 1).select(
-        F.col(id_col).alias("doc_id"), F.expr(hs).alias("_hs")
-    )
+    s1 = segs.select("doc_id", F.expr(hs).alias("_hs"))
     wins = (
-        f"transform(sequence(1, size(_hs) - {p - 1}), i -> "
-        f"array_min(slice(_hs, i, {p})))"
+        f"transform(sequence(1, least({segment}, size(_hs) - {p - 1})), "
+        f"i -> array_min(slice(_hs, i, {p})))"
     )
     return (
         s1.select(
             "doc_id",
             F.explode(F.array_distinct(F.expr(wins))).alias("key"),
         )
+        .distinct()
         .select(
             "doc_id",
             F.substring("key", 1, 32).alias("h"),

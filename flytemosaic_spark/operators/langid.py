@@ -31,8 +31,32 @@ _GRAMS = "transform(sequence(1, length({t}) - 1), i -> substring({t}, i, 2))"
 
 def char_bigrams(col: str) -> F.Column:
     """All overlapping character bigrams of a string column (1-based,
-    single-arg lambda — 2-arg PySpark lambdas receive an index)."""
+    single-arg lambda — 2-arg PySpark lambdas receive an index).
+
+    NOTE: positional ``substring(t, i, 2)`` costs O(i) per lookup
+    (UTF8String scans for the code-point boundary), so this form is
+    O(n²) per document — fine for short strings and unit tests; the
+    corpus paths go through :func:`_bigram_occurrences`, which is
+    linear (chars array materialized once, O(1) element_at)."""
     return F.expr(_GRAMS.format(t=col))
+
+
+_PAIRS = (
+    "transform(sequence(1, size(_ca) - 1), "
+    "i -> concat(element_at(_ca, i), element_at(_ca, i + 1)))"
+)
+
+
+def _bigram_occurrences(d: DataFrame, keep: list[str]) -> DataFrame:
+    """(keep..., g) bigram rows — LINEAR in corpus characters: the
+    chars array materializes as its own projection (an inline
+    split(t,'') would re-run per lambda element — the x241 rule), and
+    element_at on an array is O(1), unlike positional substring on a
+    string, which is O(i) and made the one-expression form O(n²) per
+    document (measured: 2x data -> 3.7x time at 30-60 KB docs; the
+    staged form is ALSO 3.5x faster on ~300-char docs)."""
+    ca = d.select(*keep, F.expr("split(t, '')").alias("_ca"))
+    return ca.select(*keep, F.explode(F.expr(_PAIRS)).alias("g"))
 
 
 def train_char_lm(
@@ -54,7 +78,7 @@ def train_char_lm(
     d = docs.select(
         F.col(label_col).alias("lang"), F.lower(F.col(text_col)).alias("t")
     ).where(F.length("t") >= 2)
-    grams = d.select("lang", F.explode(char_bigrams("t")).alias("g"))
+    grams = _bigram_occurrences(d, ["lang"])
     # ONE corpus-scale aggregation; everything below derives from the
     # model-scale counts frame. localCheckpoint so the 4 downstream
     # references don't re-execute the corpus explode (the x191 rule).
@@ -137,7 +161,7 @@ def predict_lang(
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("t")
     ).where(F.length("t") >= 2)
-    occ = d.select("doc_id", F.explode(char_bigrams("t")).alias("g"))
+    occ = _bigram_occurrences(d, ["doc_id"])
     seen = (
         occ.join(F.broadcast(grid), "g")
         .groupBy("doc_id", "lang")
