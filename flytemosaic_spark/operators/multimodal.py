@@ -1887,11 +1887,12 @@ def synthesize_webp(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
 
 
 def synthesize_pdf(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
-    """Real PDF files with key-derived text; key % 8 cycles the
+    """Real PDF files with key-derived text; key % 9 cycles the
     encoder path (plain / Flate / A85+Flate chain + hex strings / LZW
     + T* lines / RunLength + quote lines / xref stream + Tm lines /
     xref stream + object streams + ToUnicode CMap / WinAnsi +
-    Differences remap) so every decoder tier sits in the gate."""
+    Differences remap / Type0 Identity-H CID with 2-byte codes) so
+    every decoder tier sits in the gate."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from flytemosaic_spark.sources.pdf import encode_pdf
@@ -1910,6 +1911,7 @@ def synthesize_pdf(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
                 encoding="tounicode",
             ),
             dict(encoding="differences", filters=("flate",)),
+            dict(encoding="cid", filters=("flate",)),
         ]
         for pdf in batches:
             out = []
@@ -1922,7 +1924,7 @@ def synthesize_pdf(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
                         ch = chr(97 + (k + i * 2 + j * 3) % 26)
                         lines.append(ch * (4 + (k * 3 + i * 5 + j * 7) % 17))
                     pages.append(lines)
-                out.append((k, encode_pdf(pages, **variants[k % 8])))
+                out.append((k, encode_pdf(pages, **variants[k % 9])))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
     n = keys.sparkSession.sparkContext.defaultParallelism

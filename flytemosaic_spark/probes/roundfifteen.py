@@ -58,8 +58,9 @@ from flytemosaic_spark.probes.registry import T, probe
     "RunLength filter chains, page-tree walk with inherited "
     "resources, BT/Tf/Td/TD/T*/Tm/Tj/'/\\\"/TJ content tokenizer, "
     "WinAnsi/Differences + ToUnicode CMap byte->unicode): executors "
-    "write key-derived pages cycling ALL EIGHT encoder paths by "
-    "key % 8 and extract back; the oracle reconstructs every page's "
+    "write key-derived pages cycling ALL NINE encoder paths (incl. Type0 Identity-H CID "
+    "2-byte codes) by key % 9 and extract back; the oracle "
+    "reconstructs every page's "
     "exact text from the generating arithmetic and md5-hashes it — "
     "one wrong byte in any xref, filter, tokenizer, or encoding "
     "stage shifts text_md5. The reference's open-any-media seam "

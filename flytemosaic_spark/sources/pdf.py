@@ -880,12 +880,29 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
 
 
 def _font_decoder(doc: PDFDocument, font):
-    """(bytes -> str) for one simple font: ToUnicode wins, else
-    /Encoding base table + /Differences, else latin-1 passthrough."""
+    """(bytes -> str) for one font. Simple fonts: ToUnicode wins,
+    else /Encoding base table + /Differences, else latin-1
+    passthrough. Composite fonts (/Subtype /Type0, the modern
+    embedded-font shape — Identity-H CID ordering): 2-byte codes
+    decoded through the ToUnicode CMap."""
     font = doc.resolve(font)
     if not isinstance(font, dict):
         return lambda bs: bs.decode("latin-1")
     tu = doc.resolve(font.get("ToUnicode"))
+    if font.get("Subtype") == "Type0":
+        cmap = (
+            _parse_tounicode(doc._stream_data(tu))
+            if isinstance(tu, Stream)
+            else {}
+        )
+
+        def _cid(bs: bytes) -> str:
+            return "".join(
+                cmap.get(int.from_bytes(bs[i : i + 2], "big"), "�")
+                for i in range(0, len(bs) - 1, 2)
+            )
+
+        return _cid
     if isinstance(tu, Stream):
         cmap = _parse_tounicode(doc._stream_data(tu))
         return lambda bs: "".join(cmap.get(b, chr(b)) for b in bs)
@@ -1093,8 +1110,16 @@ def _content_stream(
     line_op: str,
     remap: dict[str, int] | None,
     tj_kern_spaces: bool,
+    cid: bool = False,
 ) -> bytes:
     def enc_text(s: str) -> bytes:
+        if cid:  # Identity-H 2-byte codes: 0x0100 + codepoint
+            for ch in s:
+                if ord(ch) > 0x7F:
+                    raise ValueError("cid fixture text must be ASCII")
+            return b"".join(
+                (0x0100 + ord(ch)).to_bytes(2, "big") for ch in s
+            )
         if remap:
             return bytes(remap.get(ch, ord(ch)) for ch in s)
         return s.encode("latin-1")
@@ -1148,15 +1173,21 @@ def encode_pdf(
     text lines. Options select decoder paths: stream ``filters``
     (decode order, e.g. ``("a85", "flate")``), hex vs literal strings,
     classic xref table vs cross-reference stream, object streams,
-    ``encoding`` in {None, "differences", "tounicode"} (both remap
-    lowercase a-z to bytes 0x80-0x99), the line-advance operator
-    (td/tstar/quote/tm) and TJ kern-encoded spaces."""
+    ``encoding`` in {None, "differences", "tounicode", "cid"}
+    (differences/tounicode remap lowercase a-z to bytes 0x80-0x99;
+    cid writes a /Type0 Identity-H composite font with 2-byte codes
+    0x0100+codepoint and a 2-byte ToUnicode CMap — hex strings
+    forced), the line-advance operator (td/tstar/quote/tm) and TJ
+    kern-encoded spaces."""
     if object_streams and not xref_stream:
         raise ValueError("object streams require a cross-reference stream")
     remap = None
+    cid = encoding == "cid"
+    if cid:
+        hex_strings = True  # 2-byte codes are binary; hex is safe
     if encoding in ("differences", "tounicode"):
         remap = {chr(97 + i): 0x80 + i for i in range(26)}
-    elif encoding is not None:
+    elif encoding is not None and not cid:
         raise ValueError(f"unknown encoding variant {encoding}")
 
     objects: dict[int, bytes] = {}  # num -> serialized body (no wrapper)
@@ -1164,6 +1195,34 @@ def encode_pdf(
 
     font_extra = b""
     next_num = 4
+    font_body = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
+    )
+    if cid:
+        desc_num = next_num
+        next_num += 1
+        cmap_num = next_num
+        next_num += 1
+        objects[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FMSCID"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> >>"
+        )
+        streams[cmap_num] = (
+            b"",
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"12 dict begin\nbegincmap\n"
+            b"/CMapName /FMS-CID-UC def\n/CMapType 2 def\n"
+            b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+            b"1 beginbfrange\n<0100> <017f> <0000>\nendbfrange\n"
+            b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
+            b"end\nend",
+        )
+        font_body = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FMSCID"
+            b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
+            b" /ToUnicode %d 0 R%%s >>" % (desc_num, cmap_num)
+        )
     if encoding == "differences":
         diff = b" ".join(b"/" + chr(97 + i).encode() for i in range(26))
         objects[next_num] = (
@@ -1186,11 +1245,7 @@ def encode_pdf(
         font_extra = b" /ToUnicode %d 0 R" % next_num
         next_num += 1
 
-    objects[3] = (
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
-        + font_extra
-        + b" >>"
-    )
+    objects[3] = font_body % font_extra
 
     page_nums = []
     for lines in pages:
@@ -1204,6 +1259,7 @@ def encode_pdf(
             line_op=line_op,
             remap=remap,
             tj_kern_spaces=tj_kern_spaces,
+            cid=cid,
         )
         enc, filt = _encode_filters(raw, filters)
         streams[cs_num] = (filt.encode("ascii"), enc)

@@ -47,6 +47,10 @@ VARIANTS = [
     dict(encoding="tounicode", xref_stream=True, object_streams=True),
     dict(tj_kern_spaces=True),
     dict(tj_kern_spaces=True, hex_strings=True, filters=("flate",)),
+    dict(encoding="cid"),
+    dict(encoding="cid", filters=("flate",), line_op="quote"),
+    dict(encoding="cid", xref_stream=True, object_streams=True,
+         filters=("flate",)),
 ]
 
 
