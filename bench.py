@@ -123,6 +123,7 @@ HEADLINE = [
     "x251_txlog_prune",
     "x252_txlog_cdf",
     "x253_frontier_schedule",
+    "x254_txlog_optimize",
 ]
 
 # The r5 driver bench line (BENCH_r05.json), pinned so the

@@ -515,3 +515,72 @@ def x253_frontier_schedule(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_urls"),
         F.max("eta_s").alias("max_eta_s"),
     )
+
+
+@probe(
+    "x254_txlog_optimize",
+    sql="""
+        WITH p AS (
+            SELECT p_partkey AS k,
+                   p_partkey % 97 AS x,
+                   (p_partkey * 31) % 89 AS y,
+                   p_retailprice AS pr
+            FROM part
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN y >= 10 AND y < 30
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+               sum(CASE WHEN y >= 10 AND y < 30
+                        THEN CAST(floor(pr * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS sum_cents
+        FROM p
+    """,
+    note="Txlog OPTIMIZE + Z-ORDER (sources/txlog.py:optimize): "
+    "bin-packing compaction rewrites small files unchanged (one "
+    "OPTIMIZE commit; table_changes emits NOTHING — the add/remove "
+    "bag diff cancels) and zorder_by range-partitions + sorts on a "
+    "Morton-interleaved key so per-file min/max bounds tighten on "
+    "EVERY listed column — multi-dimension data skipping, the layout "
+    "step a 100 TB table needs before x251's pruning pays off. The "
+    "probe runs the full lifecycle (create + appends fragmenting the "
+    "table, OPTIMIZE with zorder on (y, x), stats-pruned read under "
+    "a y-range predicate) and the oracle checks total and predicate "
+    "row counts + the exact cents sum — the rewrite must be "
+    "value-identical; actual file-count pruning is asserted in "
+    "test_txlog.py where fixtures are deterministic.",
+)
+def x254_txlog_optimize(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from flytemosaic_spark.sources import txlog
+
+    part = T(spark, sf, "part").select(
+        F.col("p_partkey").alias("k"),
+        (F.col("p_partkey") % 97).alias("x"),
+        ((F.col("p_partkey") * 31) % 89).alias("y"),
+        F.col("p_retailprice").alias("pr"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="txlog_x254_"), "t")
+    txlog.create_table(spark, path, part.where(F.col("k") % 3 == 0))
+    txlog.append(spark, path, part.where(F.col("k") % 3 == 1))
+    txlog.append(spark, path, part.where(F.col("k") % 3 == 2))
+    txlog.optimize(spark, path, zorder_by=["y", "x"], target_files=12)
+    pred = [("y", ">=", 10), ("y", "<", 30)]
+    full = txlog.read_snapshot(spark, path)
+    pruned = txlog.read_snapshot(spark, path, predicate=pred).where(
+        (F.col("y") >= 10) & (F.col("y") < 30)
+    )
+    out = full.agg(F.count("*").alias("n_total")).crossJoin(
+        pruned.agg(
+            F.count("*").alias("n_pred"),
+            F.sum(
+                F.floor(F.col("pr") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("sum_cents"),
+        )
+    )
+    schema = out.schema
+    rows = out.collect()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

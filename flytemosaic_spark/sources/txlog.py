@@ -652,3 +652,116 @@ def history(path: str) -> list[dict]:
              "n_added": added, "n_removed": removed}
         )
     return out
+
+
+def _zorder_column(df: DataFrame, cols: list[str]):
+    """32-bit Z-value (Morton interleave) over up to 2 columns, each
+    min-max scaled to 16 bits from a 1-row driver agg (metadata
+    scale). The FIRST column takes the higher bit of each pair, so
+    range-partitioning on z splits its space first. Bounded 16-term
+    expression per column — no tree blowup."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= len(cols) <= 2:
+        raise ValueError("zorder_by supports 1 or 2 columns")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    scaled = []
+    for c in cols:
+        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+        if mn is None or mx is None:
+            raise ValueError(f"zorder column {c} has no values")
+        span = (mx - mn) or 1
+        scaled.append(
+            F.floor(
+                (F.col(c).cast("double") - F.lit(float(mn)))
+                / F.lit(float(span))
+                * 65535.0
+            ).cast("bigint")
+        )
+    if len(scaled) == 1:
+        return scaled[0]
+    z = F.lit(0).cast("bigint")
+    for bit in range(16):
+        z = (
+            z
+            + F.shiftleft(
+                F.shiftright(scaled[0], bit).bitwiseAND(F.lit(1)),
+                2 * bit + 1,
+            ).cast("bigint")
+            + F.shiftleft(
+                F.shiftright(scaled[1], bit).bitwiseAND(F.lit(1)),
+                2 * bit,
+            ).cast("bigint")
+        )
+    return z
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    small_file_rows: int | None = None,
+    target_files: int = 8,
+    zorder_by: list[str] | None = None,
+) -> int:
+    """Delta's OPTIMIZE: rewrite data files without changing data.
+
+    - bin-packing (default): files with fewer than ``small_file_rows``
+      rows (default: any file below the mean) are read back and
+      rewritten as ``target_files`` larger files — the many-small-
+      appends pathology that makes every snapshot read open thousands
+      of files at 100 TB;
+    - ``zorder_by``: ALL active files rewritten range-partitioned +
+      sorted on a Morton-interleaved key, so per-file min/max bounds
+      become tight on EVERY listed column and stats pruning works on
+      all of them (the multi-dimension data-skipping layout).
+
+    Rows are rewritten unchanged, so ``table_changes`` emits NOTHING
+    for an OPTIMIZE commit (the add/remove bag diff cancels) and
+    every pre-optimize version still time-travels."""
+    v = latest_version(path)
+    if v < 0:
+        raise FileNotFoundError(f"no transaction log at {path}")
+    adds = _active_adds(path, v)
+    schema = table_schema(path, v)
+    if zorder_by:
+        chosen = sorted(adds)
+    else:
+        sizes = {
+            p: (a.get("stats") or {}).get("numRecords")
+            for p, a in adds.items()
+        }
+        known = [n for n in sizes.values() if n is not None]
+        if not known:
+            return v
+        # default cutoff: the ideal post-compaction file size — any
+        # file below what an even target_files split would hold
+        cutoff = (
+            small_file_rows
+            if small_file_rows is not None
+            else (sum(known) / max(1, target_files))
+        )
+        chosen = sorted(
+            p for p, n in sizes.items() if n is not None and n < cutoff
+        )
+        if len(chosen) < 2:
+            return v  # nothing worth compacting
+    files = [os.path.join(path, p) for p in chosen]
+    df = (
+        spark.read.schema(schema).parquet(*files)
+        if schema is not None
+        else spark.read.parquet(*files)
+    )
+    if zorder_by:
+        z = _zorder_column(df, zorder_by)
+        df = df.withColumn("_z", z).repartitionByRange(
+            target_files, "_z"
+        ).sortWithinPartitions("_z").drop("_z")
+    else:
+        df = df.repartition(target_files)
+    actions = _write_data(spark, path, df)
+    removes = [{"remove": {"path": p}} for p in chosen]
+    _commit(path, v + 1, [_commit_info("OPTIMIZE"), *removes, *actions])
+    return v + 1

@@ -456,3 +456,83 @@ class TestEmptySnapshotAndCDF:
         )
         # 49 rows were rewritten IDENTICALLY and must cancel
         assert got == [("delete", 7, "v7"), ("insert", 7, "SEVEN")]
+
+
+class TestOptimize:
+    def test_compaction_preserves_data_and_history(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(0, "v0")]))
+        for k in range(1, 12):
+            txlog.append(spark, p, _df(spark, [(k, f"v{k}")]))
+        v_pre = txlog.latest_version(p)
+        n_files_pre = len(txlog.snapshot_files(p))
+        v = txlog.optimize(spark, p, target_files=2)
+        assert v == v_pre + 1
+        n_files_post = len(txlog.snapshot_files(p))
+        assert n_files_post < n_files_pre and n_files_post <= 2
+        got = sorted(
+            (r["k"], r["v"]) for r in txlog.read_snapshot(spark, p).collect()
+        )
+        assert got == [(k, f"v{k}") for k in range(12)]
+        # pre-optimize versions still time travel
+        assert txlog.read_snapshot(spark, p, 3).count() == 4
+        assert txlog.history(p)[-1]["operation"] == "OPTIMIZE"
+
+    def test_optimize_noop_when_nothing_small(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(
+            spark, p, _df(spark, [(k, f"v{k}") for k in range(10)])
+        )
+        v = txlog.optimize(spark, p, small_file_rows=1)
+        assert v == txlog.latest_version(p)  # no new commit
+
+    def test_cdf_emits_nothing_for_optimize(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(0, "a")]))
+        for k in range(1, 6):
+            txlog.append(spark, p, _df(spark, [(k, f"v{k}")]))
+        v0 = txlog.latest_version(p)
+        v1 = txlog.optimize(spark, p, target_files=1)
+        assert v1 == v0 + 1
+        assert txlog.table_changes(spark, p, v0, v1).count() == 0
+
+    def test_zorder_tightens_both_dimensions(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        rows = [
+            (i, i % 64, (i * 7) % 64, f"r{i}") for i in range(4096)
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, x long, y long, v string"
+        )
+        txlog.create_table(spark, p, df)
+        pred = [("y", ">=", 8), ("y", "<", 16)]
+        before = len(txlog.snapshot_files(p, predicate=pred))
+        total_before = len(txlog.snapshot_files(p))
+        txlog.optimize(spark, p, zorder_by=["y", "x"], target_files=16)
+        after = len(txlog.snapshot_files(p, predicate=pred))
+        total_after = len(txlog.snapshot_files(p))
+        # hash-written files all span the y range; z-ordered ones don't
+        assert before == total_before
+        assert after < total_after
+        # x predicate must ALSO prune (that is the z-order point)
+        predx = [("x", ">=", 0), ("x", "<", 8)]
+        assert len(txlog.snapshot_files(p, predicate=predx)) < total_after
+        got = sorted(
+            r["k"]
+            for r in txlog.read_snapshot(spark, p, predicate=pred)
+            .where((F.col("y") >= 8) & (F.col("y") < 16))
+            .collect()
+        )
+        want = sorted(i for i in range(4096) if 8 <= (i * 7) % 64 < 16)
+        assert got == want
+
+    def test_zorder_single_column(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _df(spark, [(k, f"v{k}") for k in range(1000)])
+        txlog.create_table(spark, p, df)
+        txlog.optimize(spark, p, zorder_by=["k"], target_files=8)
+        pred = [("k", ">=", 100), ("k", "<", 200)]
+        assert len(txlog.snapshot_files(p, predicate=pred)) < len(
+            txlog.snapshot_files(p)
+        )
+        assert txlog.read_snapshot(spark, p).count() == 1000
