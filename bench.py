@@ -124,6 +124,7 @@ HEADLINE = [
     "x252_txlog_cdf",
     "x253_frontier_schedule",
     "x254_txlog_optimize",
+    "x255_avro_scan",
 ]
 
 # The r5 driver bench line (BENCH_r05.json), pinned so the

@@ -1991,3 +1991,90 @@ def webp_pixel_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def synthesize_avro(keys: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
+    """Real Avro OCF payloads with key-derived records; key % 3 cycles
+    the block codec (null / deflate / snappy) and records exercise
+    nested records, arrays, maps, enums, fixed, and nullable unions."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.avro import encode_avro
+
+        schema = {
+            "type": "record", "name": "Doc",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "q", "type": "double"},
+                {"name": "tags",
+                 "type": {"type": "array", "items": "string"}},
+                {"name": "attrs",
+                 "type": {"type": "map", "values": "long"}},
+                {"name": "kind",
+                 "type": {"type": "enum", "name": "Kind",
+                          "symbols": ["A", "B", "C"]}},
+                {"name": "note", "type": ["null", "string"]},
+            ],
+        }
+        codecs = ["null", "deflate", "snappy"]
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                recs = []
+                for i in range(3 + k % 5):
+                    recs.append(
+                        {
+                            "id": k * 100 + i,
+                            # quarters are exact in binary doubles
+                            "q": ((k * 7 + i * 3) % 100) / 4.0,
+                            "tags": [f"t{j}" for j in range(i % 3)],
+                            "attrs": {"a": k + i, "b": i},
+                            "kind": "ABC"[(k + i) % 3],
+                            "note": None if (k + i) % 2 else f"n{i}",
+                        }
+                    )
+                out.append(
+                    (k, encode_avro(recs, schema, codec=codecs[k % 3]))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    n = keys.sparkSession.sparkContext.defaultParallelism
+    return keys.select(key_col).repartition(n, F.col(key_col)).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def avro_scan_stats(media: DataFrame) -> DataFrame:
+    """Decode .avro payloads (sources/avro.py) and emit exact record
+    statistics — one wrong byte in the varint/union/codec chain
+    shifts a sum."""
+    schema = (
+        "media_id long, n_recs long, sum_id long, sum_q4 long, "
+        "n_tags long, n_notes long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.avro import decode_avro
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, recs = decode_avro(bytes(payload))
+                out.append(
+                    (
+                        int(mid),
+                        len(recs),
+                        sum(r["id"] for r in recs),
+                        int(sum(r["q"] * 4 for r in recs)),
+                        sum(len(r["tags"]) for r in recs),
+                        sum(1 for r in recs if r["note"] is not None),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_recs", "sum_id", "sum_q4",
+                         "n_tags", "n_notes"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)

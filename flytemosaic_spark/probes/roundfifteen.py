@@ -584,3 +584,49 @@ def x254_txlog_optimize(spark: SparkSession, sf: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@probe(
+    "x255_avro_scan",
+    sql="""
+        WITH keys AS (
+            SELECT s_suppkey AS media_id, 3 + s_suppkey % 5 AS nr
+            FROM supplier
+        ),
+        recs AS (
+            SELECT media_id,
+                   unnest(generate_series(0, nr - 1)) AS i
+            FROM keys
+        )
+        SELECT media_id,
+               CAST(count(*) AS BIGINT) AS n_recs,
+               CAST(sum(media_id * 100 + i) AS BIGINT) AS sum_id,
+               CAST(sum((media_id * 7 + i * 3) % 100) AS BIGINT)
+                   AS sum_q4,
+               CAST(sum(i % 3) AS BIGINT) AS n_tags,
+               CAST(sum(CASE WHEN (media_id + i) % 2 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_notes
+        FROM recs
+        GROUP BY media_id
+    """,
+    note="Avro OCF scan in the gate (sources/avro.py — pure-stdlib "
+    "Object Container File codec per the public Avro 1.11 spec: "
+    "zigzag varints, blocks with per-block sync-marker verify, "
+    "null/deflate/snappy codecs — snappy through the repo's own "
+    "block codec with the spec's CRC-32 suffix — records incl. "
+    "nested/recursive, arrays, maps, unions, enums, fixed): "
+    "executors write key-derived records cycling the three codecs by "
+    "key % 3 and decode back; the oracle recomputes every field "
+    "aggregate from the generating arithmetic (q is quarters — exact "
+    "in binary doubles — so sum(q*4) is an exact integer). The "
+    "Kafka-ecosystem interchange format joins CSV/JSON/ORC in the "
+    "extension source family.",
+)
+def x255_avro_scan(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.multimodal import (
+        avro_scan_stats,
+        synthesize_avro,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    return avro_scan_stats(synthesize_avro(keys))
