@@ -125,6 +125,7 @@ HEADLINE = [
     "x253_frontier_schedule",
     "x254_txlog_optimize",
     "x255_avro_scan",
+    "x256_crawl_multiformat",
 ]
 
 # The r5 driver bench line (BENCH_r05.json), pinned so the

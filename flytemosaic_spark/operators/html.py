@@ -400,3 +400,116 @@ def warc_html_main_stats(
             )
 
     return warcs.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def _warc_pdf_lines(k: int, i: int) -> list[str]:
+    """PDF record (k, i): 2 + (k + i) % 3 lines, line j a repeated
+    letter — SQL-replayable like :func:`_warc_page_html`."""
+    return [
+        chr(97 + (k + i + j) % 26) * (5 + (k * 2 + i * 3 + j * 5) % 15)
+        for j in range(2 + (k + i) % 3)
+    ]
+
+
+def synthesize_warc_mixed(
+    keys: DataFrame, key_col: str = "s_suppkey"
+) -> DataFrame:
+    """WARC shards carrying BOTH modalities — the real crawl shape:
+    record i of shard k is an application/pdf document when
+    (k + i) % 3 == 0 (Flate-compressed for odd k+i... parity cycles
+    the PDF encoder path) and a text/html page otherwise; status 404
+    when (k + i) % 5 == 0 (dropped downstream)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.pdf import encode_pdf
+        from flytemosaic_spark.sources.warc import write_warc
+
+        for pdf in batches:
+            out = []
+            for k in pdf[key_col]:
+                k = int(k)
+                pages = []
+                for i in range(3 + k % 5):
+                    status = 200 if (k + i) % 5 else 404
+                    if (k + i) % 3 == 0:
+                        body = encode_pdf(
+                            [_warc_pdf_lines(k, i)],
+                            filters=("flate",) if (k + i) % 2 else (),
+                        )
+                        pages.append(
+                            (
+                                f"https://s{k % 7}.example/d{i}.pdf",
+                                status,
+                                body,
+                                "application/pdf",
+                            )
+                        )
+                    else:
+                        pages.append(
+                            (
+                                f"https://s{k % 7}.example/p{i}",
+                                status,
+                                _warc_page_html(k, i).encode(),
+                            )
+                        )
+                out.append(
+                    (k, write_warc(pages, per_record_gzip=bool(k % 2)))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return keys.select(key_col).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def warc_multiformat_pages(warcs: DataFrame) -> DataFrame:
+    """The content-type ROUTER of a multi-format crawl: each 200
+    response dispatches on its HTTP Content-Type — text/html through
+    the main-content extractor, application/pdf through the PDF text
+    extractor (pages joined by newline) — emitting one uniform
+    (media_id, rec_idx, fmt, text) row per document. Parse + route +
+    extract stay fused in the shard's task; only text leaves
+    Python."""
+    schema = "media_id long, rec_idx int, fmt string, text string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flytemosaic_spark.sources.pdf import extract_pdf_text
+        from flytemosaic_spark.sources.warc import (
+            parse_warc,
+            split_http_response,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                idx = -1
+                for rec in parse_warc(bytes(payload)):
+                    if rec["type"] != "response":
+                        continue
+                    idx += 1
+                    status, headers, body = split_http_response(
+                        rec["content"]
+                    )
+                    if status != 200:
+                        continue
+                    ctype = (
+                        {h.lower(): v for h, v in headers.items()}
+                        .get("content-type", "")
+                        .split(";")[0]
+                        .strip()
+                    )
+                    if ctype == "application/pdf":
+                        text = "\n".join(extract_pdf_text(body))
+                        fmt = "pdf"
+                    elif ctype == "text/html":
+                        r = extract_main_content(body.decode("utf-8"))
+                        text = r["main_text"]
+                        fmt = "html"
+                    else:
+                        continue
+                    out.append((int(mid), idx, fmt, text))
+            yield pd.DataFrame(
+                out, columns=["media_id", "rec_idx", "fmt", "text"]
+            )
+
+    return warcs.select("media_id", "payload").mapInPandas(run, schema)

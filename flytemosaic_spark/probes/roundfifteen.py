@@ -630,3 +630,123 @@ def x255_avro_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     keys = T(spark, sf, "supplier").select("s_suppkey")
     return avro_scan_stats(synthesize_avro(keys))
+
+
+@probe(
+    "x256_crawl_multiformat",
+    sql="""
+        WITH keys AS (
+            SELECT s_suppkey AS media_id, 3 + s_suppkey % 5 AS n
+            FROM supplier
+        ),
+        recs AS (
+            SELECT media_id, unnest(generate_series(0, n - 1)) AS i
+            FROM keys
+        ),
+        ok AS (
+            SELECT media_id, i FROM recs
+            WHERE (media_id + i) % 5 <> 0
+        ),
+        html_paras AS (
+            SELECT media_id, i,
+                   unnest(generate_series(0, 1 + (media_id + i) % 3))
+                       AS j
+            FROM ok WHERE (media_id + i) % 3 <> 0
+        ),
+        html_txt AS (
+            SELECT media_id, i, 'html' AS fmt,
+                   string_agg(
+                       repeat('w', 8 + (media_id * 3 + i * 5 + j * 7)
+                                       % 30) || '&',
+                       ' ' ORDER BY j
+                   ) AS nt
+            FROM html_paras GROUP BY media_id, i
+        ),
+        pdf_lines AS (
+            SELECT media_id, i,
+                   unnest(generate_series(0, 1 + (media_id + i) % 3))
+                       AS j
+            FROM ok WHERE (media_id + i) % 3 = 0
+        ),
+        pdf_txt AS (
+            SELECT media_id, i, 'pdf' AS fmt,
+                   string_agg(
+                       repeat(chr(CAST(97 + (media_id + i + j) % 26
+                                       AS INT)),
+                              5 + (media_id * 2 + i * 3 + j * 5) % 15),
+                       ' ' ORDER BY j
+                   ) AS nt
+            FROM pdf_lines GROUP BY media_id, i
+        ),
+        docs AS (
+            SELECT * FROM html_txt UNION ALL SELECT * FROM pdf_txt
+        ),
+        keyed AS (
+            SELECT media_id, fmt, nt, md5(nt) AS h,
+                   media_id * 16 + i AS k2
+            FROM docs
+        ),
+        first AS (SELECT h, min(k2) AS k0 FROM keyed GROUP BY h)
+        SELECT keyed.media_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN fmt = 'html' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_html,
+               CAST(sum(CASE WHEN fmt = 'pdf' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pdf,
+               CAST(sum(CASE WHEN k2 = k0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN k2 = k0 THEN length(nt) ELSE 0 END)
+                    AS BIGINT) AS kept_chars
+        FROM keyed JOIN first USING (h)
+        GROUP BY keyed.media_id
+    """,
+    note="MULTI-FORMAT crawl curation end to end — the composition "
+    "the r9 pieces exist for: WARC shards carry BOTH text/html pages "
+    "AND application/pdf documents; one fused task per shard parses "
+    "the WARC, ROUTES each 200 response on its HTTP Content-Type "
+    "(html -> main-content extraction, pdf -> sources/pdf.py text "
+    "extraction), then the unicode-hygiene stage (x250) normalizes "
+    "and a GLOBAL first-occurrence content dedup (h-partitioned "
+    "min window, the x241 rule) keeps one copy per distinct text "
+    "across shards AND formats. The oracle replays synthesis, both "
+    "extractors, normalization (newline joins become single spaces), "
+    "and dedup attribution entirely in SQL — one wrong byte in WARC "
+    "parsing, HTML extraction, PDF xref/filter/tokenizer stages, or "
+    "normalization shifts a count. The Common Crawl shape: "
+    "shard-parallel extract, one hash agg, join back, per-shard "
+    "rollup, no quadratic stage.",
+)
+def x256_crawl_multiformat(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flytemosaic_spark.operators.crawl import normalize_text
+    from flytemosaic_spark.operators.html import (
+        synthesize_warc_mixed,
+        warc_multiformat_pages,
+    )
+
+    keys = T(spark, sf, "supplier").select("s_suppkey")
+    pages = warc_multiformat_pages(synthesize_warc_mixed(keys))
+    norm = normalize_text(pages)
+    keyed = norm.select(
+        "media_id",
+        "fmt",
+        F.md5(F.col("norm_text").cast("binary")).alias("h"),
+        F.length("norm_text").cast("long").alias("nchars"),
+        (F.col("media_id") * 16 + F.col("rec_idx")).alias("k2"),
+    )
+    marked = keyed.withColumn(
+        "k0", F.min("k2").over(Window.partitionBy("h"))
+    )
+    kept = (F.col("k2") == F.col("k0")).cast("long")
+    return marked.groupBy("media_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("fmt") == "html").cast("long")).alias("n_html"),
+        F.sum((F.col("fmt") == "pdf").cast("long")).alias("n_pdf"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(
+            F.when(F.col("k2") == F.col("k0"), F.col("nchars")).otherwise(
+                F.lit(0)
+            )
+        ).alias("kept_chars"),
+    )

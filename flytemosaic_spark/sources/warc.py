@@ -84,21 +84,25 @@ def _record(headers: list[tuple[str, str]], content: bytes) -> bytes:
 
 
 def write_warc(
-    pages: list[tuple[str, int, bytes]], per_record_gzip: bool = True
+    pages: list[tuple], per_record_gzip: bool = True
 ) -> bytes:
     """A valid WARC: one warcinfo record then one HTTP ``response``
-    record per (uri, status, body) page. ``per_record_gzip`` emits
-    each record as its own gzip member (the Common Crawl layout)."""
+    record per (uri, status, body[, content_type]) page — the 4-tuple
+    form sets the HTTP Content-Type (default text/html), the router
+    key of a multi-format crawl. ``per_record_gzip`` emits each
+    record as its own gzip member (the Common Crawl layout)."""
     records = [
         _record(
             [("WARC-Type", "warcinfo"), ("WARC-Record-ID", "<urn:uuid:0>")],
             b"software: flytemosaic_spark\r\n",
         )
     ]
-    for uri, status, body in pages:
+    for page in pages:
+        uri, status, body = page[:3]
+        ctype = page[3] if len(page) > 3 else "text/html"
         http = (
             f"HTTP/1.1 {status} OK\r\n"
-            f"Content-Type: text/html\r\n"
+            f"Content-Type: {ctype}\r\n"
             f"Content-Length: {len(body)}\r\n\r\n"
         ).encode("latin-1") + body
         records.append(

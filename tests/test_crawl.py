@@ -255,3 +255,37 @@ class TestFrontierSchedule:
         a = self._run(spark, urls, robots)
         b = self._run(spark, list(reversed(urls)), robots)
         assert a == b  # input order never changes the schedule
+
+
+class TestMultiformatRouter:
+    def test_routes_html_and_pdf_skips_others(self, spark):
+        from flytemosaic_spark.operators.html import (
+            warc_multiformat_pages,
+        )
+        from flytemosaic_spark.sources.pdf import encode_pdf
+        from flytemosaic_spark.sources.warc import write_warc
+
+        html = b"<html><body><p>hello paragraph one two</p></body></html>"
+        pdf = encode_pdf([["pdf line one", "pdf line two"]])
+        shard = write_warc(
+            [
+                ("https://x/1", 200, html),
+                ("https://x/2.pdf", 200, pdf, "application/pdf"),
+                ("https://x/3.jpg", 200, b"\xff\xd8\xff", "image/jpeg"),
+                ("https://x/4", 404, html),
+                # charset parameter must not break the router
+                ("https://x/5", 200, html, "text/html; charset=utf-8"),
+            ]
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(shard))], "media_id long, payload binary"
+        )
+        rows = sorted(
+            (r["rec_idx"], r["fmt"], r["text"])
+            for r in warc_multiformat_pages(df).collect()
+        )
+        assert [(i, f) for i, f, _ in rows] == [
+            (0, "html"), (1, "pdf"), (4, "html")
+        ]
+        assert rows[1][2] == "pdf line one\npdf line two"
+        assert "hello paragraph one two" in rows[0][2]
