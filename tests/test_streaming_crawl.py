@@ -96,3 +96,71 @@ class TestIngest:
             r["h"] for r in txlog.read_snapshot(spark, table).collect()
         }
         assert after == before
+
+
+class TestStreamingCdf:
+    """Streaming change feed (streaming/txlog.py): incremental drains
+    converge to the batch table_changes result exactly."""
+
+    def test_incremental_drains_match_batch_cdf(self, spark, tmp_path):
+        from flytemosaic_spark.sources import txlog
+        from flytemosaic_spark.streaming.txlog import (
+            read_change_rows,
+            stream_table_changes,
+        )
+
+        p = str(tmp_path / "t")
+        ck = str(tmp_path / "ck")
+        out = str(tmp_path / "cdf")
+
+        def _df(rows):
+            return spark.createDataFrame(rows, "k long, v string")
+
+        txlog.create_table(spark, p, _df([(1, "a"), (2, "b")]))
+        txlog.append(spark, p, _df([(3, "c")]))
+        got1 = stream_table_changes(spark, p, ck, out)
+        assert got1 == [0, 1]
+
+        # more commits AFTER the first drain: only the delta processes
+        txlog.merge_into(spark, p, _df([(2, "B!")]), ["k"])
+        tomb = spark.createDataFrame(
+            [(1, "a", True)], "k long, v string, dead boolean"
+        )
+        txlog.merge_into(spark, p, tomb, ["k"], delete_col="dead")
+        got2 = stream_table_changes(spark, p, ck, out)
+        assert got2 == [2, 3]
+
+        streamed = sorted(
+            (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+            for r in read_change_rows(spark, out).collect()
+        )
+        batch = sorted(
+            (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+            for r in txlog.table_changes(spark, p, 0, 3).collect()
+        )
+        # version 0 is the initial-snapshot inserts on top of batch CDF
+        v0 = [(0, "insert", 1, "a"), (0, "insert", 2, "b")]
+        assert streamed == sorted(v0 + batch)
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from flytemosaic_spark.sources import txlog
+        from flytemosaic_spark.streaming.txlog import (
+            read_change_rows,
+            stream_table_changes,
+        )
+
+        p = str(tmp_path / "t")
+        out = str(tmp_path / "cdf")
+
+        def _df(rows):
+            return spark.createDataFrame(rows, "k long, v string")
+
+        txlog.create_table(spark, p, _df([(1, "a")]))
+        txlog.append(spark, p, _df([(2, "b")]))
+        stream_table_changes(spark, p, str(tmp_path / "ck1"), out)
+        n1 = read_change_rows(spark, out).count()
+        # a FRESH checkpoint re-delivers every commit (at-least-once);
+        # per-version overwrite keeps the output identical
+        stream_table_changes(spark, p, str(tmp_path / "ck2"), out)
+        n2 = read_change_rows(spark, out).count()
+        assert n1 == n2 == 2
