@@ -276,8 +276,12 @@ def _file_may_match(add: dict, predicate: list[tuple]) -> bool:
                 continue
         else:
             continue
-        if op == "=" and (val < mn or val > mx):
-            return False
+        if op == "=":
+            if val < mn or val > mx:
+                return False
+            bl = (stats.get("bloom") or {}).get(col)
+            if bl is not None and not _bloom_maybe_contains(bl, val):
+                return False  # range covers the key, content lacks it
         if op == "<" and mn >= val:
             return False
         if op == "<=" and mn > val:
@@ -505,6 +509,31 @@ def merge_into(
                 for p, a in adds.items()
                 if _file_may_match(a, pred_per_file)
             )
+        # bloom stage for POINT-LOOKUP merges (single key column,
+        # few distinct keys): a file whose range covers a key almost
+        # always still lacks it — the bloom proves that
+        if len(key_cols) == 1 and touched:
+            col = key_cols[0]
+            if any(
+                ((adds[p].get("stats") or {}).get("bloom") or {}).get(col)
+                for p in touched
+            ):
+                sample = (
+                    updates.select(col).distinct().limit(65).collect()
+                )
+                if len(sample) <= 64:  # metadata-scale key set
+                    vals = [r[col] for r in sample]
+                    kept = []
+                    for p in touched:
+                        bl = (
+                            (adds[p].get("stats") or {}).get("bloom")
+                            or {}
+                        ).get(col)
+                        if bl is None or any(
+                            _bloom_maybe_contains(bl, x) for x in vals
+                        ):
+                            kept.append(p)
+                    touched = kept
     schema = table_schema(path, v)
     files = [os.path.join(path, p) for p in touched]
     if files:
@@ -572,6 +601,12 @@ def table_changes(
                     added.append(a["add"]["path"])
                 elif "remove" in a:
                     removed.append(a["remove"]["path"])
+        if added and not removed:
+            # metadata-only re-adds (BLOOM stat enrichment) carry no
+            # data change — an already-active path must not replay as
+            # inserts
+            prev = _active_adds(path, v - 1)
+            added = [p for p in added if p not in prev]
         a_df, r_df = read_files(added), read_files(removed)
         ins = a_df.exceptAll(r_df).withColumn(
             "_change_type", F.lit("insert")
@@ -764,4 +799,103 @@ def optimize(
     actions = _write_data(spark, path, df)
     removes = [{"remove": {"path": p}} for p in chosen]
     _commit(path, v + 1, [_commit_info("OPTIMIZE"), *removes, *actions])
+    return v + 1
+
+
+# ---------------------------------------------------------------------------
+# optional per-file Bloom key indexes (point-lookup pruning beyond
+# min/max: a file whose RANGE covers a key usually still lacks it)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 5
+
+
+def _bloom_key(v) -> str | None:
+    """Canonical string for bloom hashing — int and str columns only
+    (floats/bools are poor point-lookup keys and canonicalize
+    ambiguously)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def _bloom_bits(key: str) -> list[int]:
+    import hashlib
+
+    h = hashlib.md5(key.encode("utf-8")).digest()
+    return [
+        int.from_bytes(h[4 * j : 4 * j + 2], "big") % _BLOOM_M
+        for j in range(_BLOOM_K)
+    ] + [int.from_bytes(h[10:12], "big") % _BLOOM_M]
+
+
+def _bloom_build(values) -> str | None:
+    import base64
+
+    bits = bytearray(_BLOOM_M // 8)
+    for v in values:
+        key = _bloom_key(v)
+        if key is None:
+            return None  # a non-indexable value poisons the filter
+        for b in _bloom_bits(key):
+            bits[b >> 3] |= 1 << (b & 7)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def _bloom_maybe_contains(b64: str, v) -> bool:
+    import base64
+
+    key = _bloom_key(v)
+    if key is None:
+        return True  # non-indexable probe value: stay conservative
+    try:
+        bits = base64.b64decode(b64)
+    except ValueError:
+        return True
+    if len(bits) != _BLOOM_M // 8:
+        return True
+    return all(
+        bits[b >> 3] & (1 << (b & 7)) for b in _bloom_bits(key)
+    )
+
+
+def attach_blooms(
+    spark: SparkSession, path: str, cols: list[str]
+) -> int:
+    """Build per-file Bloom filters for ``cols`` over every active
+    file that lacks them and commit the enriched add actions (a
+    metadata-only commit: same files, stats widened — the Databricks
+    bloom-index shape). ``=`` predicates and point-lookup MERGEs then
+    prune files whose RANGE covers a key but whose CONTENT lacks it —
+    at 100 TB the range check alone keeps ~every file for a key
+    drawn inside the global span; the bloom keeps ~none (1-2%% false
+    positives at 4096 bits). One columnar read per file at build
+    time, footer-light thereafter."""
+    import pyarrow.parquet as pq
+
+    v = latest_version(path)
+    if v < 0:
+        raise FileNotFoundError(f"no transaction log at {path}")
+    adds = _active_adds(path, v)
+    changed = []
+    for rel, add in sorted(adds.items()):
+        stats = add.setdefault("stats", {})
+        blooms = stats.setdefault("bloom", {})
+        missing = [c for c in cols if c not in blooms]
+        if not missing:
+            continue
+        tbl = pq.read_table(os.path.join(path, rel), columns=missing)
+        for c in missing:
+            b64 = _bloom_build(tbl.column(c).to_pylist())
+            if b64 is not None:
+                blooms[c] = b64
+        changed.append({"add": add})
+    if not changed:
+        return v
+    _commit(path, v + 1, [_commit_info("BLOOM"), *changed])
     return v + 1

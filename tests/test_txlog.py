@@ -536,3 +536,92 @@ class TestOptimize:
             txlog.snapshot_files(p)
         )
         assert txlog.read_snapshot(spark, p).count() == 1000
+
+
+class TestBloomIndex:
+    def test_point_lookup_prunes_past_range_overlap(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        # interleaved keys: every file's RANGE covers every key, so
+        # min/max pruning keeps everything — the bloom must not
+        # repartition(2): every file spans (almost) the full key
+        # range, so min/max pruning keeps everything
+        txlog.create_table(
+            spark, p,
+            _df(spark, [(k, f"v{k}") for k in range(0, 400, 4)])
+            .repartition(2),
+        )
+        for off in (1, 2, 3):
+            txlog.append(
+                spark, p,
+                _df(spark, [(k, f"v{k}") for k in range(off, 400, 4)])
+                .repartition(2),
+            )
+        pred = [("k", "=", 41)]
+        range_only = len(txlog.snapshot_files(p, predicate=pred))
+        total = len(txlog.snapshot_files(p))
+        assert range_only == total  # ranges don't help here
+        txlog.attach_blooms(spark, p, ["k"])
+        bloomed = len(txlog.snapshot_files(p, predicate=pred))
+        assert bloomed < total
+        got = (
+            txlog.read_snapshot(spark, p, predicate=pred)
+            .where(F.col("k") == 41)
+            .collect()
+        )
+        assert [(r["k"], r["v"]) for r in got] == [(41, "v41")]
+
+    def test_bloom_commit_is_metadata_only(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+        v0 = txlog.latest_version(p)
+        v1 = txlog.attach_blooms(spark, p, ["k", "v"])
+        assert v1 == v0 + 1
+        # same files, same data, AND the change feed emits nothing
+        assert txlog.read_snapshot(spark, p).count() == 2
+        assert txlog.table_changes(spark, p, v0, v1).count() == 0
+        assert txlog.history(p)[-1]["operation"] == "BLOOM"
+        # idempotent: nothing missing -> no new commit
+        assert txlog.attach_blooms(spark, p, ["k"]) == v1
+
+    def test_point_merge_rewrites_fewer_files_with_bloom(
+        self, spark, tmp_path
+    ):
+        pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+        for p in (pa, pb):
+            txlog.create_table(
+                spark, p,
+                _df(spark, [(k, f"v{k}") for k in range(0, 300, 3)]),
+            )
+            txlog.append(
+                spark, p,
+                _df(spark, [(k, f"v{k}") for k in range(1, 300, 3)]),
+            )
+            txlog.append(
+                spark, p,
+                _df(spark, [(k, f"v{k}") for k in range(2, 300, 3)]),
+            )
+        txlog.attach_blooms(spark, pa, ["k"])
+        upd = _df(spark, [(77, "UPDATED")])
+        before_a = set(txlog.snapshot_files(pa))
+        txlog.merge_into(spark, pa, upd, ["k"])
+        txlog.merge_into(spark, pb, upd, ["k"])
+        survivors_a = before_a & set(txlog.snapshot_files(pa))
+        # the bloomed table rewrote only bloom-positive files
+        assert len(survivors_a) > 0
+        ga = {r["k"]: r["v"] for r in txlog.read_snapshot(spark, pa).collect()}
+        gb = {r["k"]: r["v"] for r in txlog.read_snapshot(spark, pb).collect()}
+        assert ga == gb and ga[77] == "UPDATED"
+
+    def test_bloom_survives_checkpoint(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        txlog.create_table(
+            spark, p, _df(spark, [(k, f"v{k}") for k in range(100)])
+        )
+        txlog.attach_blooms(spark, p, ["k"])
+        txlog.write_checkpoint(p)
+        txlog.append(spark, p, _df(spark, [(999, "z")]))
+        adds = txlog._active_adds(p)
+        assert any(
+            (a.get("stats") or {}).get("bloom", {}).get("k")
+            for a in adds.values()
+        )
