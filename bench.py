@@ -126,6 +126,7 @@ HEADLINE = [
     "x254_txlog_optimize",
     "x255_avro_scan",
     "x256_crawl_multiformat",
+    "x257_unigram_tokenize",
 ]
 
 # The r5 driver bench line (BENCH_r05.json), pinned so the

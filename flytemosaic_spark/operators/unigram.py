@@ -1,0 +1,206 @@
+"""Unigram language-model tokenizer (the SentencePiece/Kudo 2018
+family) — completes the in-engine tokenizer set: BPE induction
+(x123), corpus-scale BPE apply (x235), and now the unigram-LM
+alternative every modern tokenizer toolkit ships.
+
+Shape:
+
+- seed vocabulary: every substring of length 1..max_piece of the
+  DISTINCT corpus words (occurrence-weighted by word frequency),
+  kept when count >= min_count; single characters are kept
+  unconditionally so every word stays segmentable;
+- piece scores: ln(count / total) quantized to integer micro-nats
+  BEFORE any summation (the x154/x238 recipe), so Viterbi totals are
+  association-free integers that replay bit-identically in SQL;
+- tokenization: per-word Viterbi DP maximizing the summed piece
+  score, deterministic tie-break by max (score, split point) —
+  16-position cap, <=64 DP candidates per word.
+
+Scale shape: everything heavy runs at DISTINCT-WORD scale, not
+corpus scale (the x235 lesson) — the corpus is touched once for word
+frequencies; the piece model is node-scale and broadcast
+(similarity.py's documented centroid-pull discipline); the DP is an
+Arrow-batched map over the word frame. EM refinement (re-estimating
+piece probabilities from segmentation counts) is provided as
+:func:`em_reestimate` with a python-twin property test; the gate
+probe covers seed + Viterbi, whose score/piece-count outputs prove
+the whole DP executed identically in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_WORD = 16
+MAX_PIECE = 4
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq) over whitespace tokens of 1..MAX_WORD chars — the
+    x247 split contract (trim + ``\\s+``), distinct-word scale."""
+    toks = docs.where(F.trim(F.col(text_col)) != "").select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    )
+    return (
+        toks.where(
+            (F.length("w") >= 1) & (F.length("w") <= MAX_WORD)
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def seed_pieces(
+    words: DataFrame, max_piece: int = MAX_PIECE, min_count: int = 2
+) -> DataFrame:
+    """(piece, c, su): occurrence-weighted substring counts over the
+    word frame, Laplace-free ML scores in integer micro-nats. Words
+    are <= MAX_WORD chars so the per-word substring explode is
+    bounded (<= 64 pieces/word) — the positional-substring O(i) cost
+    is capped by construction."""
+    subs = (
+        "flatten(transform(sequence(1, length(w)), i -> "
+        f"transform(sequence(1, least({max_piece}, length(w) - i + 1)), "
+        "l -> substring(w, i, l))))"
+    )
+    counts = (
+        words.select("freq", F.explode(F.expr(subs)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("c"))
+        .where((F.col("c") >= min_count) | (F.length("piece") == 1))
+    )
+    tot = counts.agg(F.sum("c").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "c",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("t")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("su"),
+    )
+
+
+def viterbi_py(w: str, pieces: dict, max_piece: int = MAX_PIECE):
+    """The DP twin (also the worker kernel): returns (score_u,
+    n_pieces) for the max-score segmentation, tie-broken by the
+    LARGEST last split point — identical to the SQL replay's
+    max(struct(s, j, n))."""
+    best = {0: (0, 0)}
+    for i in range(1, len(w) + 1):
+        cands = []
+        for j in range(max(0, i - max_piece), i):
+            if j in best:
+                su = pieces.get(w[j:i])
+                if su is not None:
+                    s, n = best[j]
+                    cands.append((s + su, j, n + 1))
+        if cands:
+            s, _j, n = max(cands)
+            best[i] = (s, n)
+    return best.get(len(w))
+
+
+def viterbi_stats(
+    words: DataFrame, pieces: DataFrame, max_piece: int = MAX_PIECE
+) -> DataFrame:
+    """(w, freq, s, n) per word — Arrow-batched DP over the word
+    frame with the node-scale piece model broadcast (the documented
+    similarity.py model-pull shape; the model is substring-bounded,
+    never corpus-bounded)."""
+    spark = words.sparkSession
+    model = {r["piece"]: r["su"] for r in pieces.select("piece", "su").collect()}
+    bc = spark.sparkContext.broadcast(model)
+    schema = "w string, freq long, s long, n long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = bc.value
+        for pdf in batches:
+            out = []
+            for w, freq in zip(pdf["w"], pdf["freq"]):
+                r = viterbi_py(str(w), m, max_piece)
+                if r is not None:
+                    out.append((str(w), int(freq), r[0], r[1]))
+            yield pd.DataFrame(out, columns=["w", "freq", "s", "n"])
+
+    return words.select("w", "freq").mapInPandas(run, schema)
+
+
+def unigram_corpus_stats(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The probe surface: per word length, the number of distinct
+    words, corpus token count, total segmentation cost (micro-nats),
+    and total emitted pieces — integers that shift if ONE piece
+    count, score quantization, or DP step differs."""
+    words = word_freqs(docs, text_col)
+    pieces = seed_pieces(words)
+    stats = viterbi_stats(words, pieces)
+    return stats.groupBy(F.length("w").alias("word_len")).agg(
+        F.count("*").alias("n_words"),
+        F.sum("freq").alias("total_freq"),
+        F.sum(F.col("freq") * F.col("s")).alias("cost_u"),
+        F.sum(F.col("freq") * F.col("n")).alias("total_pieces"),
+    )
+
+
+def em_reestimate(
+    words: DataFrame, pieces: DataFrame, max_piece: int = MAX_PIECE
+) -> DataFrame:
+    """One EM refinement: hard-EM piece counts from the current
+    Viterbi segmentation (backtracked per word, frequency-weighted)
+    -> re-normalized micro-nat scores. Pieces never used by any best
+    segmentation drop out (the SentencePiece prune step)."""
+    spark = words.sparkSession
+    model = {r["piece"]: r["su"] for r in pieces.select("piece", "su").collect()}
+    bc = spark.sparkContext.broadcast(model)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = bc.value
+        for pdf in batches:
+            out = []
+            for w, freq in zip(pdf["w"], pdf["freq"]):
+                w = str(w)
+                best = {0: (0, 0, -1)}  # i -> (s, n, argj)
+                for i in range(1, len(w) + 1):
+                    cands = []
+                    for j in range(max(0, i - max_piece), i):
+                        if j in best:
+                            su = m.get(w[j:i])
+                            if su is not None:
+                                s, n, _ = best[j]
+                                cands.append((s + su, j, n + 1))
+                    if cands:
+                        s, j, n = max(cands)
+                        best[i] = (s, n, j)
+                if len(w) not in best:
+                    continue
+                i = len(w)
+                while i > 0:
+                    j = best[i][2]
+                    out.append((w[j:i], int(freq)))
+                    i = j
+            yield pd.DataFrame(out, columns=["piece", "freq"])
+
+    used = (
+        words.select("w", "freq")
+        .mapInPandas(run, "piece string, freq long")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("c"))
+    )
+    tot = used.agg(F.sum("c").alias("t"))
+    return used.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "c",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("t")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("su"),
+    )

@@ -750,3 +750,117 @@ def x256_crawl_multiformat(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("kept_chars"),
     )
+
+
+def _unigram_dp_sql(max_len: int = 16, max_piece: int = 4) -> str:
+    """Generate the oracle: seed-vocabulary replay + the Viterbi DP
+    unrolled as MATERIALIZED CTE steps (each step references the
+    previous accumulator ONCE — materialization keeps the chain
+    linear, the k^iters rule in SQL form)."""
+    steps = ["b0 AS MATERIALIZED (SELECT w, 0 AS i, 0 AS s, 0 AS n FROM words)"]
+    union = ["SELECT * FROM b0"]
+    for i in range(1, max_len + 1):
+        steps.append(
+            f"ball{i - 1} AS MATERIALIZED ("
+            + " UNION ALL ".join(union)
+            + ")"
+        )
+        steps.append(
+            f"b{i} AS MATERIALIZED (\n"
+            f"  SELECT c.w, {i} AS i,\n"
+            "   max(struct_pack(s := b.s + c.su, j := c.j,"
+            " n := b.n + 1)) AS m\n"
+            f"  FROM cand c JOIN ball{i - 1} b"
+            " ON b.w = c.w AND b.i = c.j\n"
+            f"  WHERE c.i = {i}\n"
+            "  GROUP BY c.w)"
+        )
+        union = [
+            f"SELECT * FROM ball{i - 1}",
+            f"SELECT w, i, m.s AS s, m.n AS n FROM b{i}",
+        ]
+    final = " UNION ALL ".join(union)
+    return rf"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        words AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq
+            FROM toks
+            WHERE length(w) BETWEEN 1 AND {max_len}
+            GROUP BY w
+        ),
+        subs AS (
+            SELECT substr(w.w, il.i, il.l) AS piece, sum(w.freq) AS c
+            FROM words w,
+                 LATERAL (
+                     SELECT i, l
+                     FROM generate_series(1, {max_len}) g(i),
+                          generate_series(1, {max_piece}) h(l)
+                     WHERE i <= length(w.w)
+                       AND l <= length(w.w) - i + 1
+                 ) il
+            GROUP BY 1
+        ),
+        kept AS (
+            SELECT piece, c FROM subs
+            WHERE c >= 2 OR length(piece) = 1
+        ),
+        tot AS (SELECT sum(c) AS t FROM kept),
+        pieces AS MATERIALIZED (
+            SELECT piece,
+                   CAST(floor(ln(CAST(c AS DOUBLE) / t) * 1000000
+                              + 0.5) AS BIGINT) AS su
+            FROM kept, tot
+        ),
+        cand AS MATERIALIZED (
+            SELECT w.w, ij.i, ij.j, p.su
+            FROM words w,
+                 LATERAL (
+                     SELECT i, j
+                     FROM generate_series(1, {max_len}) g(i),
+                          generate_series(0, {max_len - 1}) h(j)
+                     WHERE i <= length(w.w)
+                       AND j >= greatest(0, i - {max_piece})
+                       AND j < i
+                 ) ij,
+                 pieces p
+            WHERE p.piece = substr(w.w, ij.j + 1, ij.i - ij.j)
+        ),
+        {",".join(steps)},
+        allb AS ({final})
+        SELECT CAST(length(ww.w) AS INT) AS word_len,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(ww.freq) AS BIGINT) AS total_freq,
+               CAST(sum(ww.freq * a.s) AS BIGINT) AS cost_u,
+               CAST(sum(ww.freq * a.n) AS BIGINT) AS total_pieces
+        FROM allb a JOIN words ww
+          ON a.w = ww.w AND a.i = length(ww.w)
+        GROUP BY 1
+    """
+
+
+@probe(
+    "x257_unigram_tokenize",
+    sql=_unigram_dp_sql(),
+    note="Unigram-LM tokenizer (operators/unigram.py — the "
+    "SentencePiece/Kudo 2018 family, completing the tokenizer set "
+    "next to BPE induction x123 + apply x235): seed vocabulary = "
+    "occurrence-weighted substrings (<=4 chars) of the DISTINCT word "
+    "frame with single-char fallback, ML scores in integer "
+    "micro-nats (the x154 quantize-before-sum recipe), then per-word "
+    "VITERBI segmentation maximizing the summed score with a "
+    "deterministic (score, split)-max tie-break. The oracle replays "
+    "seed counts, quantization, AND the whole DP — unrolled as "
+    "MATERIALIZED CTE steps so each stage is evaluated once (the "
+    "k^iters rule in SQL) — and compares per-word-length totals of "
+    "segmentation cost and piece count; one wrong count, ulp, or DP "
+    "transition shifts an integer. Scale: corpus touched once for "
+    "word freqs; everything else is distinct-word scale with a "
+    "node-scale broadcast model (the x235 discipline).",
+)
+def x257_unigram_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.unigram import unigram_corpus_stats
+
+    return unigram_corpus_stats(T(spark, sf, "documents"))
