@@ -127,6 +127,7 @@ HEADLINE = [
     "x255_avro_scan",
     "x256_crawl_multiformat",
     "x257_unigram_tokenize",
+    "x258_ece",
 ]
 
 # The r5 driver bench line (BENCH_r05.json), pinned so the

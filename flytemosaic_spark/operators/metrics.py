@@ -837,3 +837,45 @@ def isotonic_fit(
         )
         .orderBy("bucket")
     )
+
+
+def ece_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Expected-calibration-error bins — the reliability-diagram
+    aggregate behind every model-calibration report (next to x217's
+    isotonic recalibration and x106's ROC): scores in [0, 1) bucket
+    into ``bins`` equal-width bins; each bin emits INTEGER stats
+    (count, positives, score sum at ``scale``) plus its ECE numerator
+    ``|scale * n_pos - score_sum|`` — so
+    ``ECE = sum(ece_num) / (scale * N)`` is exact rational
+    arithmetic and the oracle needs no float rounding contract at
+    all. One scan + one ``bins``-row aggregation; flat at any
+    scale."""
+    s = F.col(score_col)
+    return (
+        df.select(
+            F.floor(s * bins).cast("int").alias("bin"),
+            F.col(label_col).cast("long").alias("y"),
+            F.floor(s * scale + F.lit(0.5)).cast("long").alias("sk"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum("sk").alias("conf_sum_k"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "conf_sum_k",
+            F.abs(
+                F.lit(scale) * F.col("n_pos") - F.col("conf_sum_k")
+            ).alias("ece_num"),
+        )
+    )

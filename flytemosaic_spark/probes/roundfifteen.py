@@ -864,3 +864,48 @@ def x257_unigram_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.unigram import unigram_corpus_stats
 
     return unigram_corpus_stats(T(spark, sf, "documents"))
+
+
+@probe(
+    "x258_ece",
+    sql="""
+        WITH scored AS (
+            SELECT ((l_partkey * 7 + l_suppkey * 13) % 1000) / 1000.0
+                       AS score,
+                   CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END AS y
+            FROM lineitem
+        ),
+        binned AS (
+            SELECT CAST(floor(score * 10) AS INT) AS bin, y,
+                   CAST(floor(score * 1000 + 0.5) AS BIGINT) AS sk
+            FROM scored
+        )
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(sk) AS BIGINT) AS conf_sum_k,
+               CAST(abs(1000 * sum(y) - sum(sk)) AS BIGINT) AS ece_num
+        FROM binned
+        GROUP BY bin
+    """,
+    note="Expected calibration error (operators/metrics.py:ece_bins) "
+    "— the reliability-diagram aggregate of every model-calibration "
+    "report, completing the eval family next to x106 ROC and x217 "
+    "isotonic recalibration: equal-width score bins each emit "
+    "INTEGER stats (count, positives, quantized score sum) plus the "
+    "ECE numerator |scale*n_pos - score_sum|, so "
+    "ECE = sum(ece_num)/(scale*N) is exact rational arithmetic and "
+    "the oracle needs NO float rounding contract. One scan + one "
+    "10-row aggregation; flat at any scale.",
+)
+def x258_ece(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.metrics import ece_bins
+
+    li = T(spark, sf, "lineitem").select(
+        (
+            ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 1000)
+            / F.lit(1000.0)
+        ).alias("score"),
+        (F.col("l_orderkey") % 3 == 0).alias("y"),
+    )
+    return ece_bins(li, "score", "y")
