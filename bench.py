@@ -128,6 +128,7 @@ HEADLINE = [
     "x256_crawl_multiformat",
     "x257_unigram_tokenize",
     "x258_ece",
+    "x259_readability",
 ]
 
 # The r5 driver bench line (BENCH_r05.json), pinned so the

@@ -411,3 +411,37 @@ def zipf_fit(
         portable_round(slope, 6).alias("slope"),
         portable_round(intercept, 6).alias("intercept"),
     )
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality signal (Dolma/C4-style pipelines gate on it next to the
+    x9 heuristics): 206.835 - 1.015·(words/sentences) -
+    84.6·(syllables/words), with the standard counting heuristics
+    spelled as engine-portable regex counts — syllables = vowel-group
+    runs ([aeiouy]+), sentences = terminal-punctuation runs
+    ([.!?]+, floored at 1), words = the x247 whitespace-split
+    contract. Emits the INTEGER counts (the exact signal) plus the
+    portable-rounded score; one scan, no shuffle before the
+    consumer's aggregation."""
+    t = F.lower(F.col(text_col))
+    n_words = F.size(F.split(F.trim(t), r"\s+"))
+    n_syll = F.regexp_count(t, F.lit("[aeiouy]+"))
+    n_sent = F.greatest(
+        F.lit(1), F.regexp_count(t, F.lit("[.!?]+"))
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syll"),
+        n_sent.cast("long").alias("n_sent"),
+        portable_round(score, 4).alias("flesch"),
+    )

@@ -909,3 +909,45 @@ def x258_ece(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_orderkey") % 3 == 0).alias("y"),
     )
     return ece_bins(li, "score", "y")
+
+
+@probe(
+    "x259_readability",
+    sql=r"""
+        WITH d AS (
+            SELECT doc_id, lower(text) AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        c AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(t), '\s+')) AS n_words,
+                   len(regexp_extract_all(t, '[aeiouy]+')) AS n_syll,
+                   greatest(1, len(regexp_extract_all(t, '[.!?]+')))
+                       AS n_sent
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_syll AS BIGINT) AS n_syll,
+               CAST(n_sent AS BIGINT) AS n_sent,
+               floor((206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE)
+                                 / CAST(n_sent AS DOUBLE))
+                      - 84.6 * (CAST(n_syll AS DOUBLE)
+                                / CAST(n_words AS DOUBLE)))
+                     * 10000 + 0.5) / 10000 AS flesch
+        FROM c
+    """,
+    note="Flesch reading-ease (operators/text.py:readability_scores) "
+    "— the classic readability gate of corpus-quality pipelines, "
+    "next to x9's heuristics and x154's LM score: syllables = "
+    "vowel-group regex runs, sentences = terminal-punctuation runs "
+    "(floored at 1), words = the x247 split contract; the oracle "
+    "recomputes the integer counts AND the portable-rounded score "
+    "(identical IEEE trees + the floor(x*10^k + 0.5) grain). One "
+    "scan, no shuffle.",
+)
+def x259_readability(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.text import readability_scores
+
+    return readability_scores(T(spark, sf, "documents"))
