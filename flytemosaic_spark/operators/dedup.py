@@ -388,21 +388,28 @@ def connected_components(
     )
     for _ in range(max_iter):
         prop = sym.join(labels.withColumnRenamed("node", "a"), "a").select(
-            F.col("b").alias("node"), "lbl"
+            F.col("b").alias("node"), "lbl", F.lit(0).alias("_old")
         )
+        # convergence detection FUSED into the propagation aggregate
+        # (r10): the old label rides along as min(lbl where _old), so
+        # "did any node's label drop" is a filter over the checkpointed
+        # rows — the r9 form paid an extra join-the-previous-labels
+        # job per iteration. Every node has an _old row (labels covers
+        # all nodes), so _oldlbl is never null.
         new = (
-            labels.union(prop)
+            labels.withColumn("_old", F.lit(1))
+            .union(prop)
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(
+                    F.when(F.col("_old") == 1, F.col("lbl"))
+                ).alias("_oldlbl"),
+            )
             .localCheckpoint()
         )
-        n_changed = (
-            new.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "node")
-            .where(F.col("new_lbl") < F.col("lbl"))
-            .count()
-        )
-        labels = new
+        n_changed = new.where(F.col("lbl") < F.col("_oldlbl")).count()
+        labels = new.select("node", "lbl")
         if n_changed == 0:
             break
     else:
@@ -1025,29 +1032,52 @@ def winnow_fingerprints(
     segment: int = 512,
 ) -> DataFrame:
     """(doc_id, pos, h) selected fingerprints — the inverted-index
-    rows. Keys are ``md5hex:position`` strings (md5 replays in any
-    engine; min over the fixed-width string IS the (hash, pos)
-    lexicographic min). Documents shorter than w + p - 1 chars have
-    no guarantee and are skipped.
+    rows. Selection key order is (md5hex, pos) — exactly the
+    lexicographic order of the oracle's ``md5hex:lpad7(pos)`` string
+    keys for positions < 10^7 (the documented per-doc length
+    contract). Documents shorter than w + p - 1 chars have no
+    guarantee and are skipped.
 
-    Two measured plan rules live here:
+    r10 plan (measured; r9 numbers in parentheses, sf0.1 hot):
 
-    - the window-hash array materializes as its own projection before
-      the sliding-min stage: a one-expression form re-evaluates the
-      whole O(n·w) md5 array inside EVERY transform element (measured
-      ~100x slower at sf0.01) — the CollapseProject discipline
-      applies to lambda bodies too;
-    - documents first explode into overlapping SEGMENTS of
-      ``segment`` run-starts (length segment + w + p - 2, so every
-      p-run of windows lies wholly inside one segment and each global
-      run is owned by exactly one segment): positional
-      ``substring(t, i, w)`` costs O(i) per lookup, so the
-      whole-document form is O(n²) per doc — 19s for 50 x 60 KB docs
-      vs 0.7s segmented, while ~300-char corpus docs (one segment)
-      time the same. Long documents also parallelize WITHIN a doc.
-      Cross-segment duplicate selections collapse in one global
-      distinct (run minima near segment edges repeat).
+    - documents still explode into overlapping SEGMENTS of
+      ``segment`` run-starts in the JVM (length segment + w + p - 2,
+      so every p-run of windows lies wholly inside one segment and
+      each global run is owned by exactly one segment) — long
+      documents parallelize WITHIN a doc and no single task owns a
+      100 KB straggler;
+    - per segment, hashing + sliding-min selection run in ONE
+      Arrow-batched mapInPandas kernel (hashlib md5 + an O(n)
+      monotonic-deque window minimum), emitting ONLY the selected
+      fingerprints — a REDUCING kernel, the regime where Python
+      kernels beat Catalyst (the x192 rule). The r9 JVM form built
+      the per-position key array and ran array_min(slice(...)) via
+      higher-order ``transform`` lambdas, which Catalyst cannot
+      codegen: every element evaluated interpreted (measured 3.5 s
+      for the md5 array alone + 1.6 s for the sliding min at sf0.1;
+      a struct-key variant was 3x worse again — interpreted struct
+      ordering). The kernel does the same work in ~0.2 s of
+      vectorized-ish Python across tasks. Per-segment selections are
+      emitted deduplicated;
+    - the kernel input is explicitly repartitioned
+      (``repartition(defaultParallelism, doc, off)`` — explicit count
+      because AQE would coalesce the tiny segment shuffle onto one
+      task, the x222 rule);
+    - the returned frame is hash-partitioned by ``h`` (explicit count
+      again) and the cross-segment duplicate collapse runs ON that
+      partitioning, so the h-partitioned first-occurrence window
+      every consumer applies next needs NO further exchange: one
+      fingerprint-set shuffle where the r9 form paid two (a global
+      distinct exchange on (doc_id, key) then the window's exchange
+      on h).
     """
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     wl = w + p - 1
     seg_expr = (
         f"transform(sequence(0, cast((length({text_col}) - {wl}) "
@@ -1067,27 +1097,70 @@ def winnow_fingerprints(
             F.col("sg.seg").alias("_seg"),
         )
     )
-    hs = (
-        f"transform(sequence(1, length(_seg) - {w - 1}), i -> "
-        f"concat(md5(substring(_seg, i, {w})), ':', "
-        f"lpad(cast(_off + i as string), 7, '0')))"
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    id_type = segs.schema["doc_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("doc_id", id_type, True),
+            StructField("h", StringType(), False),
+            StructField("pos", IntegerType(), False),
+        ]
     )
-    s1 = segs.select("doc_id", F.expr(hs).alias("_hs"))
-    wins = (
-        f"transform(sequence(1, least({segment}, size(_hs) - {p - 1})), "
-        f"i -> array_min(slice(_hs, i, {p})))"
+
+    def _extract(batches):
+        import hashlib
+        from collections import deque
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc: list = []
+            out_h: list = []
+            out_pos: list = []
+            for doc, off, seg in zip(
+                pdf["doc_id"], pdf["_off"], pdf["_seg"]
+            ):
+                n = len(seg) - w + 1
+                if n < p:  # unreachable by construction; keep the guard
+                    continue
+                hs = [
+                    hashlib.md5(seg[i : i + w].encode()).hexdigest()
+                    for i in range(n)
+                ]
+                m = min(segment, n - p + 1)  # run-starts owned here
+                sel: set = set()
+                dq: deque = deque()  # indices; (hs[i], i) increasing
+                for i in range(m + p - 1):
+                    # pop strictly-greater hashes only: an EQUAL hash
+                    # at an earlier index stays ahead (it is the
+                    # (h, pos) minimum while in-window) and the later
+                    # equal one queues behind it (it becomes the
+                    # minimum once the earlier expires) — exactly
+                    # array_min's (h, pos) lexicographic order.
+                    while dq and hs[dq[-1]] > hs[i]:
+                        dq.pop()
+                    dq.append(i)
+                    r = i - p + 1
+                    if r >= 0:
+                        while dq[0] < r:
+                            dq.popleft()
+                        if r < m:
+                            j = dq[0]
+                            sel.add((hs[j], off + j + 1))
+                for hh, pp in sel:
+                    out_doc.append(doc)
+                    out_h.append(hh)
+                    out_pos.append(pp)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "h": out_h, "pos": out_pos}
+            ).astype({"pos": "int32"})
+
+    fp = segs.repartition(n_part, "doc_id", "_off").mapInPandas(
+        _extract, out_schema
     )
     return (
-        s1.select(
-            "doc_id",
-            F.explode(F.array_distinct(F.expr(wins))).alias("key"),
-        )
-        .distinct()
-        .select(
-            "doc_id",
-            F.substring("key", 1, 32).alias("h"),
-            F.substring("key", 34, 7).cast("int").alias("pos"),
-        )
+        fp.repartition(n_part, "h")
+        .dropDuplicates(["doc_id", "h", "pos"])
     )
 
 
@@ -1107,23 +1180,23 @@ def winnow_dedup_stats(
     from pyspark.sql import Window
 
     fp = winnow_fingerprints(docs, text_col, id_col, w, p)
-    keyed = fp.select(
-        "doc_id",
-        "h",
-        F.concat(
-            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
-            F.lit(":"),
-            F.lpad(F.col("pos").cast("string"), 7, "0"),
-        ).alias("gk"),
-    )
     # global first occurrence per h via min-over-window, NOT an
     # agg + join-back: the join-back re-executes the corpus-scale
     # md5-window extraction once per consumer (the x191 rule) — the
-    # h-partitioned window computes it in ONE pass over one shuffle
-    # (h is high-cardinality, group sizes are collision-tiny).
-    marked = keyed.select(
+    # h-partitioned window computes it in ONE pass, and since
+    # winnow_fingerprints already returns h-partitioned rows it adds
+    # NO exchange. The (doc_id, pos) pair packs into ONE bigint
+    # (doc_id·2^24 + pos): numeric order == the oracle's
+    # lpad12(doc):lpad7(pos) string order under the documented
+    # pos < 10^7 / doc_id < 2^39 width contract, and a codegen'd
+    # bigint min beats both per-row string building (r8) and
+    # interpreted struct ordering (measured 3x slower in r10).
+    gk = F.col("doc_id").cast("bigint") * F.lit(1 << 24).cast(
+        "bigint"
+    ) + F.col("pos")
+    marked = fp.select(
         "doc_id",
-        (F.col("gk") == F.min("gk").over(Window.partitionBy("h")))
+        (gk == F.min(gk).over(Window.partitionBy("h")))
         .cast("bigint")
         .alias("is_first"),
     )
@@ -1190,20 +1263,17 @@ def winnow_dedup_apply(
     from pyspark.sql import Window
 
     fp = winnow_fingerprints(docs, text_col, id_col, w, p)
-    keyed = fp.select(
+    # first-occurrence marks ride winnow_fingerprints' existing h
+    # partitioning (no exchange); the packed-bigint (doc_id, pos) key
+    # replays the oracle's lpad12:lpad7 string order (see
+    # winnow_dedup_stats).
+    gk = F.col("doc_id").cast("bigint") * F.lit(1 << 24).cast(
+        "bigint"
+    ) + F.col("pos")
+    dup = fp.select(
         "doc_id",
         "pos",
-        "h",
-        F.concat(
-            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
-            F.lit(":"),
-            F.lpad(F.col("pos").cast("string"), 7, "0"),
-        ).alias("gk"),
-    )
-    dup = keyed.select(
-        "doc_id",
-        "pos",
-        (F.col("gk") == F.min("gk").over(Window.partitionBy("h"))).alias(
+        (gk == F.min(gk).over(Window.partitionBy("h"))).alias(
             "is_first"
         ),
     ).where(~F.col("is_first"))

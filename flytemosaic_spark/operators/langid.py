@@ -86,6 +86,17 @@ def train_char_lm(
         grams.groupBy("lang", "g").agg(F.count("*").alias("c"))
         .localCheckpoint()
     )
+    nd = d.groupBy("lang").agg(F.count("*").alias("nd")).localCheckpoint()
+    return _model_from_counts(counts, nd)
+
+
+def _model_from_counts(
+    counts: DataFrame, nd: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(lang, g, c) bigram counts + (lang, nd) doc counts →
+    (grid, priors, floors). All inputs/outputs are model-scale; the
+    split lets :func:`langid_pipeline` derive the counts from ONE
+    shared corpus pass instead of re-exploding per consumer."""
     tot = counts.groupBy("lang").agg(F.sum("c").alias("t"))
     vocab = counts.select("g").distinct()
     vsize = vocab.agg(F.count("*").alias("v"))
@@ -110,7 +121,6 @@ def train_char_lm(
             .alias("lp_u"),
         )
     )
-    nd = d.groupBy("lang").agg(F.count("*").alias("nd")).localCheckpoint()
     total = nd.agg(F.sum("nd").alias("total"))
     priors = nd.crossJoin(F.broadcast(total)).select(
         "lang",
@@ -161,12 +171,37 @@ def predict_lang(
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("t")
     ).where(F.length("t") >= 2)
-    occ = _bigram_occurrences(d, ["doc_id"])
-    seen = (
+    occ = _bigram_occurrences(d, ["doc_id"]).groupBy("doc_id", "g").agg(
+        F.count("*").alias("_c")
+    )
+    seen = _score_seen(occ, grid)
+    return _argmax_lang(_score_all(occ, seen, priors, floors))
+
+
+def _score_seen(occ: DataFrame, grid: DataFrame) -> DataFrame:
+    """(doc_id, g, _c) pre-aggregated bigram counts × broadcast grid →
+    per-(doc, lang) in-vocab score sums. The pre-aggregation is the
+    guide-§2.3 'aggregate before the exploding join' move: the ×|langs|
+    grid join and the (doc, lang) hash aggregate run over distinct
+    (doc, bigram) pairs (≈⅓ of corpus positions on real text), not
+    over every corpus character; sums are exact (bigint c · bigint
+    lp_u)."""
+    return (
         occ.join(F.broadcast(grid), "g")
         .groupBy("doc_id", "lang")
-        .agg(F.sum("lp_u").alias("s"), F.count("*").alias("n_seen"))
+        .agg(
+            F.sum(F.col("_c") * F.col("lp_u")).alias("s"),
+            F.sum("_c").alias("n_seen"),
+        )
     )
+
+
+def _score_all(
+    occ: DataFrame,
+    seen: DataFrame,
+    priors: DataFrame,
+    floors: DataFrame | None,
+) -> DataFrame:
     if floors is None:
         scores = seen.join(F.broadcast(priors), "lang").select(
             "doc_id",
@@ -178,7 +213,7 @@ def predict_lang(
         # the count of in-vocab bigrams for EVERY lang row; the rest
         # (n_g - n_seen) each contribute the per-language floor. The
         # doc × lang base frame keeps all-unseen documents scored.
-        n_gr = occ.groupBy("doc_id").agg(F.count("*").alias("n_g"))
+        n_gr = occ.groupBy("doc_id").agg(F.sum("_c").alias("n_g"))
         base = n_gr.crossJoin(F.broadcast(priors.select("lang")))
         scores = (
             base.join(seen, ["doc_id", "lang"], "left")
@@ -195,6 +230,10 @@ def predict_lang(
                 ).alias("score_u"),
             )
         )
+    return scores
+
+
+def _argmax_lang(scores: DataFrame) -> DataFrame:
     return (
         scores.groupBy("doc_id")
         .agg(F.max(F.struct(F.col("score_u"), F.col("lang"))).alias("m"))
@@ -208,12 +247,107 @@ def predict_lang(
 
 def langid_pipeline(docs: DataFrame) -> DataFrame:
     """Train-on-corpus + predict-on-corpus in one plan (the probe
-    shape); returns (doc_id, lang_pred, score_u, is_match)."""
-    grid, priors, _floors = train_char_lm(docs)
+    shape); returns (doc_id, lang_pred, score_u, is_match).
+
+    r10: ONE corpus bigram pass shared by train and predict. The r9
+    form exploded the corpus three times per invocation (train grams,
+    per-lang doc counts, predict occurrences); now a single
+    (doc_id, lang, g) → count aggregate is localCheckpointed and
+    every model/score consumer derives from it at distinct-bigram
+    scale — the guide-§2.3 'aggregate before you shuffle / share one
+    pass' rule. Scores are unchanged: integer c·lp_u sums associate
+    exactly.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = docs.select(
+        "doc_id",
+        F.col("lang"),
+        F.lower(F.col("text")).alias("t"),
+    ).where(F.length("t") >= 2)
+
+    id_type = d.schema["doc_id"].dataType
+    lang_type = d.schema["lang"].dataType
+    dgc_schema = StructType(
+        [
+            StructField("doc_id", id_type, True),
+            StructField("lang", lang_type, True),
+            StructField("g", StringType(), False),
+            StructField("c", LongType(), False),
+        ]
+    )
+
+    def _count_bigrams(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc: list = []
+            out_lang: list = []
+            out_g: list = []
+            out_c: list = []
+            for doc, lang, t in zip(pdf["doc_id"], pdf["lang"], pdf["t"]):
+                cnt = Counter(
+                    a + b for a, b in zip(t, t[1:])
+                )
+                out_doc.extend([doc] * len(cnt))
+                out_lang.extend([lang] * len(cnt))
+                out_g.extend(cnt.keys())
+                out_c.extend(cnt.values())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "lang": out_lang,
+                    "g": out_g,
+                    "c": out_c,
+                }
+            ).astype({"c": "int64"})
+
+    # per-(doc, lang, bigram) counts in ONE Arrow-batched kernel
+    # (Counter over adjacent code-point pairs — identical pairing to
+    # the JVM substring/element_at form; lower() stays in the JVM so
+    # locale-sensitive case folding is engine-identical). The r9 JVM
+    # form ran the concat(element_at, element_at) HOF lambda
+    # interpreted per corpus character (Catalyst cannot codegen
+    # higher-order transforms) — the kernel REDUCES corpus characters
+    # to per-doc distinct-bigram rows before anything shuffles, the
+    # same measured rule as the winnowing kernel. Each doc row is
+    # whole within its batch, so the Counter IS the per-doc aggregate.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    dgc = (
+        d.repartition(n_part, "doc_id")
+        .mapInPandas(_count_bigrams, dgc_schema)
+        .localCheckpoint()
+    )
+    # model-scale (|langs| x vocab) — checkpointed because the grid
+    # construction references counts from FIVE subplans (vocab, vsize,
+    # langs, tot, the left join) and each reference would re-aggregate
+    # the corpus-distinct dgc frame otherwise (measured ~1.0s of the
+    # exec at sf0.1 just rebuilding these aggregates).
+    counts = (
+        dgc.groupBy("lang", "g")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint()
+    )
+    nd = (
+        dgc.groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .localCheckpoint()
+    )
+    grid, priors, _floors = _model_from_counts(counts, nd)
     # train corpus == predict corpus ⇒ every bigram is in-vocab and the
     # floor term is identically zero; skip the floors path's extra
     # per-doc count + two joins (predict-on-B callers pass floors).
-    pred = predict_lang(docs, grid, priors)
+    occ = dgc.groupBy("doc_id", "g").agg(F.sum("c").alias("_c"))
+    pred = _argmax_lang(
+        _score_all(occ, _score_seen(occ, grid), priors, None)
+    )
     truth = docs.select("doc_id", F.col("lang").alias("lang_true"))
     return pred.join(truth, "doc_id").select(
         "doc_id",

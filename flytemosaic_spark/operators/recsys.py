@@ -131,7 +131,22 @@ def cooccur_topk(
         )
     else:
         raise ValueError(f"unknown plan {plan!r}")
-    sym = pw.unionAll(pw.select(F.col("v"), F.col("u"), F.col("w")))
+    # both directions from ONE evaluation of the pair aggregate via
+    # explode(array(...)), not unionAll of the same expensive subplan
+    # twice (the x104 corner-counts rule: union branches re-run the
+    # final aggregate even when the exchange below it is reused).
+    sym = pw.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v"), F.col("w")),
+                F.struct(
+                    F.col("v").alias("u"),
+                    F.col("u").alias("v"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v", "_e.w")
     fu = f.select(F.col("item").alias("u"), F.col("nf").alias("nfu"))
     fv = f.select(F.col("item").alias("v"), F.col("nf").alias("nfv"))
     sc = sym.join(fu, "u").join(fv, "v").select(

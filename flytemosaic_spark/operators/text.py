@@ -65,11 +65,18 @@ def repetition_stats(
     ``keep`` quality gate — the standard cheap filters for boilerplate
     and degenerate repetition in web-scale training corpora.
 
-    Scale shape: ``top/dup_word_frac`` go through explode → two-level
-    aggregation, so the shuffle carries one (doc, word, count) row per
-    distinct word with map-side combine; ``dup_bigram_frac`` is pure
-    per-row array math (no shuffle at all). The final join is
-    doc_id-keyed between two aggregates that are already partitioned
+    Scale shape: both ``top/dup_word_frac`` AND ``dup_bigram_frac``
+    go through explode → two-level aggregation, so each shuffle
+    carries one (doc, token, count) row per distinct token with
+    map-side combine. The bigram side was per-row array math in r9
+    (size/array_distinct over a transform-built array) — measured
+    SLOWER: the interpreted lambda tree is substituted per reference
+    by CollapseProject (3 references here) and again for every filter
+    conjunct a consumer pushes below the join (curate's quality gate
+    made the same corpus scan ~6x the standalone cost). The explode
+    form builds each bigram ONCE inside the Generate and everything
+    downstream is codegen'd aggregation. The final join is
+    doc_id-keyed between aggregates that are already partitioned
     compatibly.
     """
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w"))
@@ -77,9 +84,13 @@ def repetition_stats(
         F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(1))),
         lambda i: F.array_join(F.slice("w", i, 2), " "),
     )
-    row_stats = toks.select("doc_id", bigrams.alias("bg")).select(
-        "doc_id",
-        ((F.size("bg") - F.size(F.array_distinct("bg"))) / F.size("bg")).alias("_dup_bg"),
+    bgc = (
+        toks.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    row_stats = bgc.groupBy("doc_id").agg(
+        ((F.sum("c") - F.count("*")) / F.sum("c")).alias("_dup_bg"),
     )
     wc = (
         toks.select("doc_id", F.explode("w").alias("word"))

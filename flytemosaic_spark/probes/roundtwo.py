@@ -1279,9 +1279,13 @@ def x104_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
 
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
+    # '<' not '!=': the undirected edge set after least/greatest +
+    # distinct is identical, but the self-join emits each unordered
+    # pair ONCE instead of twice — half the rows into the distinct
+    # (r10, guide §2.3: shuffle fewer bytes).
     edges = (
         a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
