@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 
 from flytemosaic_spark.operators.text import word_shingles
 
+# near-dup pair graphs at or under this many (directed) edges solve
+# with one driver-side union-find instead of 2 Spark jobs per
+# propagation round; ~32 bytes/edge collected -> tens of MB at the cap
+_DRIVER_CC_EDGE_LIMIT = 1_000_000
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup groups: one row per distinct content hash with the
@@ -375,10 +380,53 @@ def connected_components(
     collecting labels to the driver. For adversarial long-chain graphs
     swap the propagation step for large-star/small-star (same join +
     min-agg primitives, O(log n) rounds).
+
+    r10 fast path: a near-dup pair graph is usually TINY relative to
+    the corpus (edges exist only between near-duplicates). When the
+    materialized edge count is at or under ``_DRIVER_CC_EDGE_LIMIT``
+    the components are solved with one driver-side union-find over the
+    collected pairs (the bounded-metadata recipe — same gate-then-
+    collect contract as the broadcast node tables in graph.py; Delta
+    replays its whole log driver-side on the same argument) instead of
+    2 jobs per propagation round. Identical (node, lbl = min id in
+    component) output — min over strings is lexicographic in both
+    paths. Past the gate, the iterative loop below is unchanged.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint()
+    if sym.count() <= _DRIVER_CC_EDGE_LIMIT:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        roots: dict = {}
+        for n in parent:
+            r = find(n)
+            m = roots.get(r)
+            roots[r] = n if m is None or n < m else m
+        from pyspark.sql.types import StructField, StructType
+
+        dt = sym.schema[0].dataType
+        schema = StructType(
+            [StructField("node", dt), StructField("lbl", dt)]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(n, roots[find(n)]) for n in parent], schema
+        )
     # seed with one propagation folded in: lbl = min(self, neighbors)
     labels = (
         sym.groupBy("a")

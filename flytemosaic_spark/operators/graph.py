@@ -41,6 +41,10 @@ def _round_at(c, digits: int):
 # iteration joins never shuffle the edge list; bigger graphs fall back
 # to shuffle joins against an edge list pre-partitioned on src once.
 _BROADCAST_NODE_LIMIT = 2_000_000
+# the oriented adjacency's total payload is one id per EDGE; up to this
+# many edges (~8 bytes each -> tens of MB built) it is broadcast so the
+# forward-star intersection joins never shuffle the edge list
+_BROADCAST_EDGE_LIMIT = 8_000_000
 
 
 def pagerank(
@@ -179,6 +183,15 @@ def _enumerate_oriented(und: DataFrame, deg: DataFrame) -> DataFrame:
     # 30.5s -> 5.7s, corner counts identical). Per-node adjacency
     # arrays are bounded by the orientation's O(sqrt E) out-degree.
     adj = oriented.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    # The adjacency table's TOTAL payload is |E| ids; when that fits
+    # the broadcast gate, broadcasting it removes both sort-merge
+    # exchanges of the edge list — crucially the second one, which
+    # would ship every edge WITH its first neighbor array attached
+    # (r10 at sf0.1: two SortMergeJoin exchanges of 1.2M rows, the
+    # second carrying ~60-element arrays, -> zero edge shuffles).
+    # Past the gate the sort-merge fallback below is unchanged.
+    if und.count() <= _BROADCAST_EDGE_LIMIT:
+        adj = F.broadcast(adj)
     j = (
         oriented.join(
             adj.withColumnRenamed("a", "_u"), F.col("a") == F.col("_u")

@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 
 _GRAIN = 1.0e9
 
+# a marginal with at most this many distinct values broadcasts its rank
+# table (the graph-operator node-table recipe), enabling the one-pass
+# spearman shape; bigger marginals fall back to the joint-aggregate form
+_SPEARMAN_BROADCAST_LIMIT = 2_000_000
+
 
 def _round9(c: Column) -> Column:
     return F.floor(c * F.lit(_GRAIN) + F.lit(0.5)) / F.lit(_GRAIN)
@@ -178,15 +183,20 @@ def spearman_corr(
     value-cardinality state, never a single-partition window, the
     roc_auc recipe.
 
-    ONE data-scale pass: the raw rows are reduced to the JOINT
-    (x, y) → count aggregate first (one shuffle), localCheckpointed
-    (three downstream subplans read it — the x191 rule), and BOTH
-    marginal value tables, both rank joins, and the five Pearson
-    moments (count-weighted) run over that aggregate — never back to
-    raw rows. (The previous form joined each rank table back to the
-    full fact twice: 2 scans + 2 data-scale sort-merge joins; this is
-    1 scan + 1 shuffle + joins at joint-distinct scale, and AQE
-    broadcasts a low-cardinality side's rank table outright.)
+    Physical shape (r10): when one marginal is node-scale (gated by a
+    distinct-value count, the graph-operator broadcast recipe) its
+    rank table broadcasts and the WHOLE computation is one data-scale
+    pass — attach r2x to the raw rows with a broadcast hash join,
+    aggregate per y value the count plus the exact decimal sums
+    Σ cnt·r2x and Σ cnt·r2x² (partial map-side aggregation), rank
+    that y-marginal with one bucketed cumsum, and read all five
+    Pearson moments off the ranked marginal (sab = Σ_y r2y·Σ_x
+    cnt·r2x — no join back to the fact, no joint (x, y) aggregate,
+    no two-column quantile sketch; r10 at sf0.1: 3.6s -> ~2.1s).
+    Past the gate it falls back to the joint-aggregate form: reduce
+    to the (x, y) → count aggregate (one shuffle, cached), rank both
+    marginals at value scale, join the rank tables back at
+    joint-distinct scale.
 
     Values are ranked AS-IS — any numeric type, no integer
     quantization (fractional inputs rank by their true order; the
@@ -205,19 +215,56 @@ def spearman_corr(
     x = F.col(x_col) if isinstance(x_col, str) else x_col
     y = F.col(y_col) if isinstance(y_col, str) else y_col
     dec = "decimal(38,0)"
+    nb = n_buckets or df.sparkSession.sparkContext.defaultParallelism
+    probs = [i / nb for i in range(1, nb)]
+    raw = df.select(x.alias("_x"), y.alias("_y"))
+
+    def rank2_of(v: DataFrame, col: str, bounds: list[float]) -> DataFrame:
+        # v: checkpointed (col, _c) marginal; 2-rank = 2·cum_before+c+1
+        r = distributed_cumsum(v, col, "_c", out_col="_cum", bounds=bounds)
+        return r.withColumn(
+            f"_r2{col}",
+            2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1,
+        )
+
+    # x-marginal: partial-aggregated, so the shuffle is distinct-value
+    # scale; checkpointed (cumsum + the gate count both read it)
+    vx = raw.groupBy("_x").agg(F.count("*").alias("_c")).localCheckpoint()
+    if vx.count() <= _SPEARMAN_BROADCAST_LIMIT:
+        qx = vx.approxQuantile("_x", probs, 0.01)
+        rx = rank2_of(vx, "_x", qx).select("_x", "_r2_x")
+        a = F.col("_r2_x").cast(dec)
+        ym = (
+            raw.join(F.broadcast(rx), "_x")
+            .groupBy("_y")
+            .agg(
+                F.count("*").alias("_c"),
+                F.sum(a).alias("_s"),
+                F.sum(a * a).alias("_s2"),
+            )
+            .localCheckpoint()
+        )
+        qy = ym.approxQuantile("_y", probs, 0.01)
+        ry = rank2_of(ym, "_y", qy)
+        b = F.col("_r2_y").cast(dec)
+        c = F.col("_c").cast(dec)
+        m = ry.groupBy().agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
+            F.sum("_s").alias("_sa"),
+            F.sum(c * b).alias("_sb"),
+            F.sum(F.col("_s") * b).alias("_sab"),
+            F.sum("_s2").alias("_saa"),
+            F.sum(c * b * b).alias("_sbb"),
+        )
+        return _spearman_rho(m, dec, portable_round)
     j = (
-        df.select(x.alias("_x"), y.alias("_y"))
-        .groupBy("_x", "_y")
-        .agg(F.count("*").alias("_cnt"))
-        .cache()
+        raw.groupBy("_x", "_y").agg(F.count("*").alias("_cnt")).cache()
     )
     # ONE quantile job covers both columns' bucket boundaries
     # (boundaries only steer window parallelism, any set is exact) AND
     # doubles as the job that populates j's cache — the three
     # downstream subplans (two marginals + the moment join) then read
     # the materialized joint, the x191 share-don't-recompute rule
-    nb = n_buckets or df.sparkSession.sparkContext.defaultParallelism
-    probs = [i / nb for i in range(1, nb)]
     qx, qy = j.approxQuantile(["_x", "_y"], probs, 0.01)
 
     def rank2(col: str, bounds: list[float]) -> DataFrame:
@@ -225,15 +272,7 @@ def spearman_corr(
         # window and the offsets branch) — checkpoint it so neither
         # re-runs the aggregate over j
         v = j.groupBy(col).agg(F.sum("_cnt").alias("_c")).localCheckpoint()
-        r = distributed_cumsum(
-            v, col, "_c", out_col="_cum", bounds=bounds
-        )
-        return r.select(
-            col,
-            (2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1).alias(
-                f"_r2{col}"
-            ),
-        )
+        return rank2_of(v, col, bounds).select(col, f"_r2{col}")
 
     joined = j.join(rank2("_x", qx), "_x").join(rank2("_y", qy), "_y")
     a, b = F.col("_r2_x"), F.col("_r2_y")
@@ -246,6 +285,10 @@ def spearman_corr(
         F.sum(c * a.cast(dec) * a.cast(dec)).alias("_saa"),
         F.sum(c * b.cast(dec) * b.cast(dec)).alias("_sbb"),
     )
+    return _spearman_rho(m, dec, portable_round)
+
+
+def _spearman_rho(m: DataFrame, dec: str, portable_round) -> DataFrame:
     n = F.col("_n").cast(dec)
     num = n * F.col("_sab") - F.col("_sa").cast(dec) * F.col("_sb").cast(dec)
     va = n * F.col("_saa") - F.col("_sa").cast(dec) * F.col("_sa").cast(dec)

@@ -60,29 +60,25 @@ def _baskets(li: DataFrame, order_col: str, item_col: str) -> DataFrame:
 
 
 def _pairs_basket(baskets: DataFrame) -> DataFrame:
-    k = F.size("ps")
-    # sorted basket: partner slice after i is always >= ps[i], so the
-    # (u, v) pair is (ps[i], p) directly — no least/greatest, and the
-    # a.item < b.item semantics of the join replay exactly (equal
-    # items filtered; multiplicity preserved: every position pair with
-    # distinct items contributes one count, = n_x * n_y per basket)
-    pairs_expr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.transform(
-                F.filter(
-                    F.slice(F.col("ps"), i + 1, k - i),
-                    lambda p: p != F.try_element_at(F.col("ps"), i),
-                ),
-                lambda p: F.struct(
-                    F.try_element_at(F.col("ps"), i).alias("u"), p.alias("v")
-                ),
-            ),
-        )
-    )
+    # sorted basket: the partner slice after position i is always
+    # >= ps[i], so the (u, v) pair is (ps[i], p) directly — no
+    # least/greatest, and the a.item < b.item semantics of the join
+    # replay exactly (equal items filtered by the v > u predicate;
+    # multiplicity preserved: every position pair with distinct items
+    # contributes one count, = n_x * n_y per basket). Two Generates +
+    # one codegen'd Filter — the previous flatten(transform(transform(
+    # filter))) HOF tree evaluated interpreted per element (r10,
+    # guide §4.1: built-ins only when they actually codegen).
+    pos = baskets.select(F.posexplode("ps").alias("_i", "u"), "ps")
     return (
-        baskets.select(F.explode(pairs_expr).alias("e"))
-        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        pos.select(
+            "u",
+            F.explode(
+                F.slice(F.col("ps"), F.col("_i") + 2, F.size("ps"))
+            ).alias("v"),
+        )
+        .where(F.col("v") > F.col("u"))
+        .groupBy("u", "v")
         .agg(F.count("*").alias("w"))
     )
 
@@ -200,14 +196,18 @@ def association_rules(
     cross-multiplication until the final rounded divisions; ranking
     uses the rounded (lift, confidence) with an (antecedent,
     consequent) tiebreak so the cut is engine-identical.
+
+    r10: ``auto`` now always takes the basket plan. Under RULE
+    (basket-DISTINCT) semantics the baskets are collect_set'd — one
+    shuffle, multiplicity-1 arrays — and with the Generate-based pair
+    expansion the basket plan measured faster at BOTH sf0.01
+    (0.99s vs 1.25s) and sf0.1 (1.65s vs 1.85s) as well as flat at
+    10x, so there is no crossover left to switch on (the distinct
+    pass the selfjoin plan needs is exactly the shuffle the basket
+    plan already pays). ``plan="selfjoin"`` remains for A/B.
     """
     if plan == "auto":
-        st = basket_pair_stats(li, order_col, cache_key=stats_key)
-        plan = (
-            "selfjoin"
-            if st["ordered_pairs"] <= ORDERED_PAIR_CROSSOVER
-            else "basket"
-        )
+        plan = "basket"
     if plan == "selfjoin":
         b = li.select(
             F.col(order_col).alias("bk"), F.col(item_col).alias("it")
@@ -285,25 +285,22 @@ def _apriori_reduce(
     frequent pairs inside EVERY basket containing it, so all of its
     occurrences survive and the caller's final HAVING on exact triple
     support culls any over-retained candidates."""
-    k = F.size("ps")
-    pairs_expr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), k - 1),
-            lambda i: F.transform(
-                F.slice(F.col("ps"), i + 1, k - i),
-                lambda p: F.struct(
-                    F.try_element_at(F.col("ps"), i).alias("a"), p.alias("b")
-                ),
-            ),
-        )
+    # C(k, 2) emission as two Generates (the codegen'd x192/x113
+    # shape — the previous flatten(transform(transform)) HOF tree
+    # evaluated interpreted per element, r10 guide §4.1)
+    pos = baskets.select(
+        "bk", F.posexplode("ps").alias("_i", "a"), "ps"
+    )
+    expanded = pos.select(
+        "bk",
+        "a",
+        F.explode(
+            F.slice(F.col("ps"), F.col("_i") + 2, F.size("ps"))
+        ).alias("b"),
     )
     # bp has two consumers (the pair-support aggregate and the
     # semi-join back) — cache so the C(k, 2) expansion runs once
-    bp = (
-        baskets.select("bk", F.explode(pairs_expr).alias("e"))
-        .select("bk", "e.a", "e.b")
-        .cache()
-    )
+    bp = expanded.cache()
     freq = (
         bp.groupBy("a", "b")
         .agg(F.count("*").alias("w"))
@@ -376,29 +373,30 @@ def frequent_triples(
     )
     if min_support >= 2:
         baskets = _apriori_reduce(baskets, min_support, max_basket)
-    k = F.size("ps")
-    triples = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), k - 2),
-            lambda i: F.flatten(
-                F.transform(
-                    F.sequence(i + 1, k - 1),
-                    lambda j: F.transform(
-                        F.slice(F.col("ps"), j + 1, k - j),
-                        lambda p: F.struct(
-                            F.try_element_at(F.col("ps"), i).alias("a"),
-                            F.try_element_at(F.col("ps"), j).alias("b"),
-                            p.alias("c"),
-                        ),
-                    ),
-                )
-            ),
-        )
+    # C(k,3) emission as a chain of three Generates over the sorted
+    # distinct basket (strictly increasing, so position order IS item
+    # order): posexplode picks a, the post-a slice is materialized
+    # ONCE as its own projected column (the r9 HOF rule — a bound
+    # attribute read per element, not a re-evaluated subtree), then
+    # posexplode picks b and a final explode of the post-b slice
+    # yields c. All codegen'd; the previous nested
+    # flatten(transform(transform(transform))) tree evaluated
+    # interpreted per innermost element (r10, guide §4.1).
+    p1 = baskets.select(
+        F.posexplode("ps").alias("_i", "item_a"), "ps"
+    ).select(
+        "item_a",
+        F.slice(F.col("ps"), F.col("_i") + 2, F.size("ps")).alias("_rest"),
     )
-    emitted = baskets.select(F.explode(triples).alias("e")).select(
-        F.col("e.a").alias("item_a"),
-        F.col("e.b").alias("item_b"),
-        F.col("e.c").alias("item_c"),
+    p2 = p1.where(F.size("_rest") >= 2).select(
+        "item_a", F.posexplode("_rest").alias("_j", "item_b"), "_rest"
+    )
+    emitted = p2.select(
+        "item_a",
+        "item_b",
+        F.explode(
+            F.slice(F.col("_rest"), F.col("_j") + 2, F.size("_rest"))
+        ).alias("item_c"),
     )
     if stats_key is not None:
         st = basket_pair_stats(li, order_col, cache_key=stats_key)

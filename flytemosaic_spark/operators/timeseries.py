@@ -205,16 +205,20 @@ def theil_sen_slope(
     12×). The classical result needs only a few hundred points for a
     stable median; budget ≥ n takes everything. Deterministic,
     retry/engine-stable. The median is the exact middle order
-    statistic(s) selected by global rank via
-    :func:`flytemosaic_spark.plans.prefix.distributed_row_number`
-    (slopes quantized at 1e-9 pre-rank, ties broken by the pair key).
+    statistic(s) selected by global rank over a
+    :func:`flytemosaic_spark.plans.prefix.bounded_window` — the slope
+    table is ≤ budget² rows BY CONSTRUCTION at any corpus size, the
+    provably-bounded case that helper exists for (r10: the previous
+    distributed_row_number decomposition paid an approxQuantile job
+    plus bucket/offset machinery to parallelize a ~45k-row sort;
+    slopes quantized at 1e-9 pre-rank, ties broken by the pair key).
 
     Returns one row: (n_sample, n_pairs, slope) — slope = lower
     middle for odd pair counts, mean of the two middles for even.
     """
     from flytemosaic_spark.operators.sampling import fixed_budget_sample
     from flytemosaic_spark.operators.text import portable_round
-    from flytemosaic_spark.plans.prefix import distributed_row_number
+    from flytemosaic_spark.plans.prefix import bounded_window
 
     base = df.select(
         F.col(key_col).cast("bigint").alias("_k"),
@@ -243,7 +247,12 @@ def theil_sen_slope(
         )
     )
     n_pairs = slopes.groupBy().agg(F.count("*").alias("n_pairs"))
-    ranked = distributed_row_number(slopes, ("_m", "_ka", "_kb"), out_col="_rn")
+    ranked = slopes.withColumn(
+        "_rn",
+        F.row_number()
+        .over(bounded_window("_m", F.col("_m"), F.col("_ka"), F.col("_kb")))
+        .cast("bigint"),
+    )
     mid = (
         ranked.crossJoin(F.broadcast(n_pairs))
         .where(

@@ -234,24 +234,48 @@ def x111_acf(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x112_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     # NOT localCheckpointed (r10 measured 2.55s -> 4.0s with a
     # checkpoint here): the four consumers' identical agg subtrees
     # share one ReusedExchange and overlap in one job, which beats
     # serializing an eager materialization before the main query.
+    # Pair generation via ONE groupBy + posexplode instead of the
+    # two-exchange self-join (the x104 recipe, guide §2.4); the
+    # emitted per-order pair multiset is identical.
+    grp = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    # collect_LIST + v > u: duplicates of one part in an order must
+    # contribute n_x·n_y row pairs, exactly like the row self-join
+    # the oracle counts (the _pairs_basket contract)
     e = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        grp.select(F.posexplode("ps").alias("_i", "u"), "ps")
+        .select(
+            "u",
+            F.explode(
+                F.slice(F.col("ps"), F.col("_i") + 2, F.size("ps"))
+            ).alias("v"),
         )
+        .where(F.col("v") > F.col("u"))
+        .groupBy("u", "v")
         .agg(F.count("*").alias("w"))
         .where(F.col("w") >= 2)
         .select("u", "v")
     )
-    sym = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
-        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
-    )
+    # both directions from ONE evaluation of the pair aggregate (the
+    # x104 corner-counts rule: unionAll branches re-run the final
+    # aggregate even when the exchange below it is reused)
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("node"), F.col("v").alias("nb")),
+                F.struct(
+                    F.col("v").alias("node"), F.col("u").alias("nb")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.node", "_e.nb")
     s1, s2 = sym.alias("s1"), sym.alias("s2")
     two = s1.join(s2, F.col("s1.nb") == F.col("s2.node")).where(
         F.col("s2.nb") != F.col("s1.node")

@@ -608,13 +608,22 @@ def table_changes(
             prev = _active_adds(path, v - 1)
             added = [p for p in added if p not in prev]
         a_df, r_df = read_files(added), read_files(removed)
-        ins = a_df.exceptAll(r_df).withColumn(
-            "_change_type", F.lit("insert")
-        )
-        dels = r_df.exceptAll(a_df).withColumn(
-            "_change_type", F.lit("delete")
-        )
-        part = ins.unionByName(dels).withColumn(
+        # bag diff against an EMPTY side is the identity — skip the
+        # exceptAll (two all-column hash-aggregate shuffles per call)
+        # for pure-append / pure-delete commits, the common log shape
+        if not removed:
+            part = a_df.withColumn("_change_type", F.lit("insert"))
+        elif not added:
+            part = r_df.withColumn("_change_type", F.lit("delete"))
+        else:
+            ins = a_df.exceptAll(r_df).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            dels = r_df.exceptAll(a_df).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            part = ins.unionByName(dels)
+        part = part.withColumn(
             "_commit_version", F.lit(v).cast("int")
         )
         out = part if out is None else out.unionByName(part)

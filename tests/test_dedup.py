@@ -175,14 +175,20 @@ def test_star_components_match_unionfind(spark):
         assert got == _unionfind(e)
 
 
-def test_min_label_components_raise_on_long_chains(spark):
-    # a 200-node path exceeds the 50-round propagation budget: the
-    # result would be silently wrong, so the operator must fail loudly
+def test_min_label_components_long_chains(spark, monkeypatch):
+    # r10: below the driver union-find gate a 200-node path is solved
+    # exactly (no iteration budget); past the gate (forced here) the
+    # propagation loop must still fail loudly rather than return a
+    # silently wrong labeling
+    import flytemosaic_spark.operators.dedup as dedup
     from flytemosaic_spark.operators.dedup import connected_components
 
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], "src long, dst long"
     )
+    rows = connected_components(df).collect()
+    assert len(rows) == 201 and all(r.lbl == 0 for r in rows)
+    monkeypatch.setattr(dedup, "_DRIVER_CC_EDGE_LIMIT", 0)
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df).collect()
 

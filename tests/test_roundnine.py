@@ -1027,3 +1027,21 @@ class TestSpearman:
         want = np.corrcoef(ra, rb)[0, 1]
         r = spearman_corr(df, "x", "y").collect()[0]
         assert abs(r.rho - want) < 1e-6
+
+    def test_fallback_path_matches_fast_path(self, spark, monkeypatch):
+        # r10: the broadcast fast path (node-scale x-marginal) and the
+        # joint-aggregate fallback must agree bit-for-bit — force the
+        # fallback by zeroing the gate and compare on tied, skewed data
+        import flytemosaic_spark.operators.linear as linear
+
+        rng = np.random.default_rng(101)
+        rows = [
+            (int(rng.integers(0, 30)), int(rng.integers(0, 200)))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "x long, y long")
+        fast = spearman_corr(df, "x", "y").collect()[0]
+        monkeypatch.setattr(linear, "_SPEARMAN_BROADCAST_LIMIT", 0)
+        slow = spearman_corr(df, "x", "y").collect()[0]
+        assert fast.n == slow.n == 500
+        assert fast.rho == slow.rho
