@@ -730,27 +730,35 @@ def embedding_neardup_pairs_lsh(
         lsh_signatures_gemm,
     )
 
+    # id-only signatures (r10, guide §2.3): the candidate self-join
+    # shuffles (id, table, bucket) instead of carrying the full vector
+    # through BOTH sides of the bucket shuffle (n_tables copies each);
+    # vectors re-attach from the source frame only for the surviving
+    # deduped candidates at refine time.
     sigs = lsh_signatures_gemm(
         df, "_id", "_v",
         vec_col=vec_col, id_col=id_col, n_planes=n_planes,
-        n_tables=n_tables, dim=dim, seed=seed,
+        n_tables=n_tables, dim=dim, seed=seed, include_vec=False,
     )
-    a = sigs.select(
-        "table", "bucket", F.col("_id").alias("id_a"), F.col("_v").alias("va")
-    )
-    b = sigs.select(
-        "table", "bucket", F.col("_id").alias("id_b"), F.col("_v").alias("vb")
-    )
+    a = sigs.select("table", "bucket", F.col("_id").alias("id_a"))
+    b = sigs.select("table", "bucket", F.col("_id").alias("id_b"))
     cand = (
         a.join(b, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
-    ).where(F.col("cosine") >= threshold)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 # Below this, sign-agreement for matching pairs sits too close to the

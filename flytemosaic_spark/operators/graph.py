@@ -47,6 +47,60 @@ _BROADCAST_NODE_LIMIT = 2_000_000
 _BROADCAST_EDGE_LIMIT = 8_000_000
 
 
+def grouped_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    distinct: bool = True,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Co-occurrence pairs (u, v) of ``item_col`` values sharing a
+    ``group_col`` value, emitted from ONE groupBy + positional explode
+    instead of the classic two-alias self-join (which shuffles the
+    table twice — both aliases — to build the same pairs; r10,
+    guide §2.4; x104 at sf0.1: 1.82s -> 1.28s for the edge build).
+
+    ``distinct=True`` collects the sorted SET per group and emits each
+    unordered pair u < v once per group (the self-join-on-``<``-plus-
+    DISTINCT contract). ``distinct=False`` collects the sorted LIST so
+    duplicated items contribute n_x·n_y pairs per group — exactly the
+    row-pair multiset a ``<`` self-join emits (the x112/_pairs_basket
+    contract; equal items are dropped by the v > u filter).
+    ``symmetric=True`` additionally emits each pair in both directions
+    from the SAME evaluation via explode(array(...)) — never a
+    unionAll of two readings of the aggregate (the x104 corner-counts
+    rule).
+
+    Group sizes must be task-bounded (order baskets, document
+    shingles): the in-task fan-out is C(k, 2) per group.
+    """
+    agg = F.collect_set(item_col) if distinct else F.collect_list(item_col)
+    grp = (
+        df.groupBy(group_col)
+        .agg(F.sort_array(agg).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    pairs = grp.select(F.posexplode("ps").alias("_i", "u"), "ps").select(
+        "u",
+        F.explode(
+            F.slice(F.col("ps"), F.col("_i") + 2, F.size("ps"))
+        ).alias("v"),
+    )
+    if not distinct:
+        pairs = pairs.where(F.col("v") > F.col("u"))
+    if symmetric:
+        pairs = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("_e")
+        ).select("_e.u", "_e.v")
+    return pairs
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

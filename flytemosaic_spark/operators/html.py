@@ -308,7 +308,13 @@ def synthesize_warc_html(
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return keys.select(key_col).mapInPandas(
+    # EXPLICIT count (the x222 rule): the keys table is typically one
+    # small parquet file -> one partition, and everything downstream of
+    # this mapInPandas (synthesis AND the per-page extraction kernels,
+    # which chain narrow) would serialize on one core. A bare
+    # repartition(col) would be coalesced right back by AQE.
+    n = keys.sparkSession.sparkContext.defaultParallelism
+    return keys.select(key_col).repartition(n, key_col).mapInPandas(
         run, "media_id long, payload binary"
     )
 
@@ -457,7 +463,9 @@ def synthesize_warc_mixed(
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return keys.select(key_col).mapInPandas(
+    # EXPLICIT count (the x222 rule) — see synthesize_warc_html
+    n = keys.sparkSession.sparkContext.defaultParallelism
+    return keys.select(key_col).repartition(n, key_col).mapInPandas(
         run, "media_id long, payload binary"
     )
 

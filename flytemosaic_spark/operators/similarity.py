@@ -155,10 +155,17 @@ def lsh_signatures_gemm(
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    include_vec: bool = True,
 ) -> DataFrame:
     """Same contract as :func:`lsh_signatures`, computed as ONE numpy
     gemm per Arrow batch via ``mapInPandas``: (batch × dim) @
     (dim × n_tables·n_planes), then a bit-pack per table.
+
+    ``include_vec=False`` drops the vector column from the output —
+    the signature table is then (id, table, bucket) only, n_tables×
+    smaller across the Python→JVM boundary and through any downstream
+    shuffle; callers re-attach vectors from the source frame for the
+    exact refine (r10, guide §2.3: shuffle ids, not payloads).
 
     The expression form embeds n_tables·n_planes·dim plane literals in
     the plan; past ~8×8 that blows whole-stage codegen past JIT limits
@@ -178,10 +185,8 @@ def lsh_signatures_gemm(
 
     id_type = df.schema[id_col].dataType.simpleString()
     vec_type = df.schema[vec_col].dataType.simpleString()
-    schema = (
-        f"{out_id} {id_type}, {out_vec} {vec_type}, "
-        "table int, bucket bigint"
-    )
+    vec_part = f"{out_vec} {vec_type}, " if include_vec else ""
+    schema = f"{out_id} {id_type}, {vec_part}table int, bucket bigint"
 
     def run(it):
         for pdf in it:
@@ -190,16 +195,14 @@ def lsh_signatures_gemm(
             v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             bits = (v @ planes.T) > 0  # (B, T*P)
             buckets = bits.reshape(len(pdf), n_tables, n_planes) @ weights
-            yield pd.DataFrame(
-                {
-                    out_id: np.repeat(pdf[id_col].values, n_tables),
-                    out_vec: np.repeat(pdf[vec_col].values, n_tables),
-                    "table": np.tile(
-                        np.arange(n_tables, dtype=np.int32), len(pdf)
-                    ),
-                    "bucket": buckets.ravel(),
-                }
+            cols = {out_id: np.repeat(pdf[id_col].values, n_tables)}
+            if include_vec:
+                cols[out_vec] = np.repeat(pdf[vec_col].values, n_tables)
+            cols["table"] = np.tile(
+                np.arange(n_tables, dtype=np.int32), len(pdf)
             )
+            cols["bucket"] = buckets.ravel()
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, vec_col).mapInPandas(run, schema)
 

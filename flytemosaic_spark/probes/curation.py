@@ -144,19 +144,17 @@ _PR_ITER = """
     "reproducible across engines (oracle unrolls the same 3 rounds)",
 )
 def x74_pagerank(spark: SparkSession, sf: str) -> DataFrame:
-    from flytemosaic_spark.operators.graph import pagerank
+    from flytemosaic_spark.operators.graph import grouped_pairs, pagerank
 
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-    )
+    # pagerank DISTINCTs its edges, so the set-per-order symmetric
+    # emission (each unordered co-occurrence once per order, both
+    # directions from one evaluation) yields the identical edge set
+    # the != self-join fed it — after ONE exchange instead of two
+    # (r10, the x104 pair-generation recipe)
+    edges = grouped_pairs(
+        li, "l_orderkey", "l_suppkey", distinct=True, symmetric=True
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
     ranks = pagerank(edges, iterations=3, damping=0.85)
     return ranks.select(F.col("node").alias("suppkey"), "pagerank")
 

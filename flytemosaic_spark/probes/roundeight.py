@@ -495,16 +495,15 @@ def x185_sprt(spark: SparkSession, sf: str) -> DataFrame:
     "/ recommendation-candidate readout",
 )
 def x186_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
-    from flytemosaic_spark.operators.graph import adamic_adar
+    from flytemosaic_spark.operators.graph import adamic_adar, grouped_pairs
 
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # list-per-order positional emission == the < self-join's row-pair
+    # multiset (n_x·n_y per order), after ONE exchange instead of two
+    # (r10, the x112 pair-generation recipe)
     edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        grouped_pairs(li, "l_orderkey", "l_partkey", distinct=False)
+        .groupBy("u", "v")
         .agg(F.count("*").alias("_n"))
         .where(F.col("_n") >= 2)
         .select("u", "v")

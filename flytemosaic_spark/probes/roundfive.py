@@ -252,19 +252,18 @@ _LPA_ITER = """
     "never by degree",
 )
 def x132_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
-    from flytemosaic_spark.operators.graph import label_propagation
+    from flytemosaic_spark.operators.graph import (
+        grouped_pairs,
+        label_propagation,
+    )
 
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-    )
+    # label_propagation DISTINCTs its edges — the set-per-order
+    # symmetric emission is the identical edge set after ONE exchange
+    # instead of the != self-join's two (r10, the x104 recipe)
+    edges = grouped_pairs(
+        li, "l_orderkey", "l_suppkey", distinct=True, symmetric=True
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
     out = label_propagation(edges, iterations=2, init_mod=10)
     return out.select(F.col("node").alias("suppkey"), "community")
 

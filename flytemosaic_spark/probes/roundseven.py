@@ -86,16 +86,15 @@ def _kcore_sql() -> str:
     "non-trivial 2-core shell structure); oracle unrolls 12 peels",
 )
 def x172_kcore(spark: SparkSession, sf: str) -> DataFrame:
-    from flytemosaic_spark.operators.graph import kcore
+    from flytemosaic_spark.operators.graph import grouped_pairs, kcore
 
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # list-per-order positional emission == the < self-join's row-pair
+    # multiset (n_x·n_y per order), after ONE exchange instead of two
+    # (r10, the x112 pair-generation recipe)
     edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        grouped_pairs(li, "l_orderkey", "l_partkey", distinct=False)
+        .groupBy("u", "v")
         .agg(F.count("*").alias("_n"))
         .where(F.col("_n") >= 2)
         .select("u", "v")

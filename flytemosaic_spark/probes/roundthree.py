@@ -755,14 +755,15 @@ _NDCG_DISCOUNT = "CASE rnk WHEN 1 THEN 1.0 WHEN 2 THEN 0.6309297535714575 ELSE 0
     "item and share the scored-pair aggregate",
 )
 def x119_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    from flytemosaic_spark.operators.graph import grouped_pairs
+
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # list-per-order positional emission == the < self-join's row-pair
+    # multiset (n_x·n_y per order), after ONE exchange instead of two
+    # (r10, the x112 pair-generation recipe)
     pw = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        grouped_pairs(li, "l_orderkey", "l_partkey", distinct=False)
+        .groupBy("u", "v")
         .agg(F.count("*").alias("w"))
     )
     sym = pw.unionAll(pw.select(F.col("v"), F.col("u"), F.col("w")))
