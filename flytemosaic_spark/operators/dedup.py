@@ -1232,7 +1232,11 @@ def winnow_dedup_stats(
     x153's arg-min-by-encoded-key) survives; later copies count as
     duplicated passage evidence. Plan: linear fingerprint explode ->
     one hash aggregation on h -> equi-join back -> per-doc rollup
-    (the x38/x153 inverted-index shape; no pair blowup)."""
+    (the x38/x153 inverted-index shape; no pair blowup).
+
+    First-occurrence ordering contract: documents must be shorter
+    than 10^7 chars and doc ids below 2^39 (the packed-bigint key
+    width); longer inputs silently corrupt the tie-break order."""
     from pyspark.sql import Window
 
     fp = winnow_fingerprints(docs, text_col, id_col, w, p)
@@ -1315,6 +1319,10 @@ def winnow_dedup_apply(
     span-free and short documents pass through verbatim.
 
     Returns (doc_id, clean_text, n_spans, n_removed).
+
+    First-occurrence ordering contract: documents must be shorter
+    than 10^7 chars and doc ids below 2^39 (the packed-bigint key
+    width); longer inputs silently corrupt the tie-break order.
     """
     from pyspark.sql import Window
 

@@ -859,7 +859,9 @@ def ece_bins(
     s = F.col(score_col)
     return (
         df.select(
-            F.floor(s * bins).cast("int").alias("bin"),
+            # s == 1.0 (clipped probabilities) joins the top bin instead
+            # of landing in an out-of-range bin == bins.
+            F.least(F.floor(s * bins), F.lit(bins - 1)).cast("int").alias("bin"),
             F.col(label_col).cast("long").alias("y"),
             F.floor(s * scale + F.lit(0.5)).cast("long").alias("sk"),
         )

@@ -82,7 +82,13 @@ def topk_similar_to_mean(
     Euclidean) to the z-normalized corpus-mean daily series."""
     from flytemosaic_spark.operators.text import portable_round
 
-    series = daily_series(events, n_days=n_days)
+    # The dense series is |keys| x n_days rows (metadata scale) but its
+    # upstream is the corpus scan+aggregate, and it feeds four subplans
+    # (per-key moments, the z side, the mean series twice) — the x191
+    # small-derived-frame rule: localCheckpoint it so the corpus scan
+    # runs once (static plan read the events scan 16x; measured at
+    # sf0.1 the checkpointed form is ~2x faster and results identical).
+    series = daily_series(events, n_days=n_days).localCheckpoint()
     z = znorm(series)
     mean_series = series.groupBy("day").agg(F.avg("v").alias("v"))
     qm = mean_series.agg(

@@ -876,7 +876,7 @@ def x257_unigram_tokenize(spark: SparkSession, sf: str) -> DataFrame:
             FROM lineitem
         ),
         binned AS (
-            SELECT CAST(floor(score * 10) AS INT) AS bin, y,
+            SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin, y,
                    CAST(floor(score * 1000 + 0.5) AS BIGINT) AS sk
             FROM scored
         )

@@ -83,6 +83,10 @@ class _Reader:
             shift += 7
             if shift > 63:
                 raise AvroError("varint too long")
+        # A 10th byte may carry bits above bit 63; mask so the decoded
+        # value stays in int64 range instead of surfacing later as an
+        # Arrow/pandas conversion error.
+        acc &= (1 << 64) - 1
         return (acc >> 1) ^ -(acc & 1)  # zigzag
 
 

@@ -455,6 +455,8 @@ def _f_a85(data: bytes, parms: dict) -> bytes:
         v = 0
         for g in group:
             v = v * 85 + g
+        if v > 0xFFFFFFFF:
+            raise PDFError("a85 group overflow")
         out += v.to_bytes(4, "big")[: k - 1]
     return bytes(out)
 

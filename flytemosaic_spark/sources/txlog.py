@@ -717,6 +717,8 @@ def _zorder_column(df: DataFrame, cols: list[str]):
         mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
         if mn is None or mx is None:
             raise ValueError(f"zorder column {c} has no values")
+        if isinstance(mn, bool) or not isinstance(mn, (int, float)):
+            raise ValueError("zorder_by requires numeric columns")
         span = (mx - mn) or 1
         scaled.append(
             F.floor(
