@@ -38,6 +38,18 @@ from pyspark.sql import functions as F
 MAX_WORD = 16
 MAX_PIECE = 4
 
+# Seed-vocabulary cap (the SentencePiece seed_sentencepiece_size
+# discipline): the piece model is COLLECTED to the driver and
+# broadcast (viterbi_stats), so it must stay node-scale by
+# construction — ≤4-char substrings of distinct words are fine for
+# ASCII but reach tens of millions of entries on a multilingual (CJK)
+# 100 TB corpus, a multi-GB driver dict. Multi-char pieces above the
+# cap are dropped LOWEST-COUNT-FIRST via a count threshold derived
+# from the count histogram (all pieces sharing a count are kept or
+# dropped together — deterministic, no per-piece tie-break shuffle);
+# single characters always survive so every word stays segmentable.
+_SEED_VOCAB_CAP = 1_000_000
+
 
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, freq) over whitespace tokens of 1..MAX_WORD chars — the
@@ -55,13 +67,30 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def seed_pieces(
-    words: DataFrame, max_piece: int = MAX_PIECE, min_count: int = 2
+    words: DataFrame,
+    max_piece: int = MAX_PIECE,
+    min_count: int = 2,
+    cap: int | None = _SEED_VOCAB_CAP,
 ) -> DataFrame:
     """(piece, c, su): occurrence-weighted substring counts over the
     word frame, Laplace-free ML scores in integer micro-nats. Words
     are <= MAX_WORD chars so the per-word substring explode is
     bounded (<= 64 pieces/word) — the positional-substring O(i) cost
-    is capped by construction."""
+    is capped by construction.
+
+    ``cap`` bounds the seed vocabulary (``_SEED_VOCAB_CAP``): the
+    count threshold c* = min{c : |{pieces with count >= c}| <= cap}
+    comes from a cumulative sum over the count HISTOGRAM (count-value
+    cardinality, the x206/x207 aggregate-before-window rule), all
+    in-plan — no extra driver action. When every count class together
+    fits the cap (any realistic test scale) c* is the minimum count
+    and the filter keeps everything: results are bit-identical to the
+    uncapped form. Degenerate all-one-count vocabularies keep the top
+    class whole (the cap is a scale guard, not an exact top-k)."""
+    from pyspark.sql import Window
+
+    from flytemosaic_spark.plans.prefix import bounded_window
+
     subs = (
         "flatten(transform(sequence(1, length(w)), i -> "
         f"transform(sequence(1, least({max_piece}, length(w) - i + 1)), "
@@ -73,6 +102,30 @@ def seed_pieces(
         .agg(F.sum("freq").alias("c"))
         .where((F.col("c") >= min_count) | (F.length("piece") == 1))
     )
+    if cap is not None:
+        hist = (
+            counts.where(F.length("piece") > 1)
+            .groupBy("c")
+            .agg(F.count("*").alias("_n"))
+        )
+        w_cum = bounded_window("c", F.col("c").desc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = hist.select("c", F.sum("_n").over(w_cum).alias("_cum"))
+        thr = cum.agg(
+            F.coalesce(
+                F.min(F.when(F.col("_cum") <= cap, F.col("c"))),
+                F.max("c"),
+            ).alias("_cstar")
+        )
+        counts = (
+            counts.crossJoin(F.broadcast(thr))
+            .where(
+                (F.length("piece") == 1)
+                | (F.col("c") >= F.coalesce(F.col("_cstar"), F.lit(0)))
+            )
+            .drop("_cstar")
+        )
     tot = counts.agg(F.sum("c").alias("t"))
     return counts.crossJoin(F.broadcast(tot)).select(
         "piece",

@@ -155,24 +155,49 @@ def _file_stats(fpath: str) -> dict:
     }
 
 
+# Files per commit above which per-file metadata work (footer stats,
+# bloom builds) distributes over the cluster instead of looping on the
+# driver (guide §5: no driver loops that grow with data). Below the
+# gate the job-dispatch overhead exceeds the serial loop (a footer
+# read is ~ms), so small commits — every local/test commit — keep the
+# zero-job path and the bench shape is unchanged.
+_PARALLEL_FILE_META = 32
+
+
 def _write_data(
     spark: SparkSession, path: str, df: DataFrame
 ) -> list[dict]:
     """Write df as parquet into a fresh per-commit subdirectory and
     return its add-actions (paths relative to the table root) with
     per-file stats (numRecords, per-column min/max) for data
-    skipping — footer reads only, metadata-scale."""
+    skipping — footer reads only, metadata-scale. Past
+    ``_PARALLEL_FILE_META`` files the footer reads run as one Spark
+    map over the file list (a 100 TB commit writes thousands of
+    files; reading every footer serially on the driver would gate
+    commit latency on one core)."""
     sub = f"files-{uuid.uuid4().hex}"
     out = os.path.join(path, sub)
     df.write.parquet(out)
+    names = [f for f in sorted(os.listdir(out)) if f.endswith(".parquet")]
+    paths = [os.path.join(out, f) for f in names]
+    if len(names) > _PARALLEL_FILE_META:
+        sc = spark.sparkContext
+        stats_by_path = dict(
+            sc.parallelize(
+                paths, min(len(paths), sc.defaultParallelism)
+            )
+            .map(lambda p: (p, _file_stats(p)))
+            .collect()
+        )
+    else:
+        stats_by_path = {p: _file_stats(p) for p in paths}
     adds = []
-    for f in sorted(os.listdir(out)):
-        if f.endswith(".parquet"):
-            stats = _file_stats(os.path.join(out, f))
-            if stats["numRecords"] == 0:
-                os.unlink(os.path.join(out, f))  # empty part file
-                continue
-            adds.append({"add": {"path": f"{sub}/{f}", "stats": stats}})
+    for f, p in zip(names, paths):
+        stats = stats_by_path[p]
+        if stats["numRecords"] == 0:
+            os.unlink(p)  # empty part file
+            continue
+        adds.append({"add": {"path": f"{sub}/{f}", "stats": stats}})
     return adds
 
 
@@ -609,20 +634,41 @@ def table_changes(
             added = [p for p in added if p not in prev]
         a_df, r_df = read_files(added), read_files(removed)
         # bag diff against an EMPTY side is the identity — skip the
-        # exceptAll (two all-column hash-aggregate shuffles per call)
-        # for pure-append / pure-delete commits, the common log shape
+        # diff aggregate for pure-append / pure-delete commits, the
+        # common log shape
         if not removed:
             part = a_df.withColumn("_change_type", F.lit("insert"))
         elif not added:
             part = r_df.withColumn("_change_type", F.lit("delete"))
         else:
-            ins = a_df.exceptAll(r_df).withColumn(
-                "_change_type", F.lit("insert")
+            # ONE-PASS bag diff (r10): the exceptAll pair scanned each
+            # side twice through two all-column hash aggregates; the
+            # signed-count form reads each side ONCE and shuffles once
+            # — n = count_added - count_removed per distinct row, n>0
+            # replays n inserts, n<0 replays |n| deletes (identical
+            # multiset to added.exceptAll(removed) ∪
+            # removed.exceptAll(added); copy-on-write rewrites cancel
+            # at n = 0). Grouping equality (null == null, NaN == NaN,
+            # -0.0 == 0.0) matches exceptAll's, which Spark itself
+            # rewrites through the same aggregate semantics.
+            cols = a_df.columns
+            tagged = a_df.withColumn("_s", F.lit(1)).unionByName(
+                r_df.withColumn("_s", F.lit(-1))
             )
-            dels = r_df.exceptAll(a_df).withColumn(
-                "_change_type", F.lit("delete")
+            net = (
+                tagged.groupBy(*cols)
+                .agg(F.sum("_s").alias("_n"))
+                .where(F.col("_n") != 0)
             )
-            part = ins.unionByName(dels)
+            part = net.select(
+                *cols,
+                F.when(F.col("_n") > 0, F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+                F.explode(
+                    F.sequence(F.lit(1), F.abs(F.col("_n")))
+                ).alias("_rep"),
+            ).drop("_rep")
         part = part.withColumn(
             "_commit_version", F.lit(v).cast("int")
         )
@@ -875,6 +921,22 @@ def _bloom_maybe_contains(b64: str, v) -> bool:
     )
 
 
+def _build_file_blooms(
+    table_path: str, rel: str, cols: list[str]
+) -> dict:
+    """Bloom filters for ``cols`` of one data file — the per-file unit
+    of attach_blooms, driver- or executor-side."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(table_path, rel), columns=cols)
+    out = {}
+    for c in cols:
+        b64 = _bloom_build(tbl.column(c).to_pylist())
+        if b64 is not None:
+            out[c] = b64
+    return out
+
+
 def attach_blooms(
     spark: SparkSession, path: str, cols: list[str]
 ) -> int:
@@ -886,26 +948,37 @@ def attach_blooms(
     at 100 TB the range check alone keeps ~every file for a key
     drawn inside the global span; the bloom keeps ~none (1-2%% false
     positives at 4096 bits). One columnar read per file at build
-    time, footer-light thereafter."""
-    import pyarrow.parquet as pq
-
+    time, footer-light thereafter. Past ``_PARALLEL_FILE_META``
+    pending files the per-file column reads run as one Spark map over
+    the file list (the build touches every active file's key columns
+    — serially on the driver that is the whole table through one
+    core; guide §5)."""
     v = latest_version(path)
     if v < 0:
         raise FileNotFoundError(f"no transaction log at {path}")
     adds = _active_adds(path, v)
-    changed = []
+    work = []
     for rel, add in sorted(adds.items()):
-        stats = add.setdefault("stats", {})
-        blooms = stats.setdefault("bloom", {})
+        blooms = add.setdefault("stats", {}).setdefault("bloom", {})
         missing = [c for c in cols if c not in blooms]
-        if not missing:
-            continue
-        tbl = pq.read_table(os.path.join(path, rel), columns=missing)
-        for c in missing:
-            b64 = _bloom_build(tbl.column(c).to_pylist())
-            if b64 is not None:
-                blooms[c] = b64
-        changed.append({"add": add})
+        if missing:
+            work.append((rel, missing))
+    if len(work) > _PARALLEL_FILE_META:
+        sc = spark.sparkContext
+        built = dict(
+            sc.parallelize(work, min(len(work), sc.defaultParallelism))
+            .map(lambda t: (t[0], _build_file_blooms(path, t[0], t[1])))
+            .collect()
+        )
+    else:
+        built = {
+            rel: _build_file_blooms(path, rel, missing)
+            for rel, missing in work
+        }
+    changed = []
+    for rel, _missing in work:
+        adds[rel]["stats"]["bloom"].update(built[rel])
+        changed.append({"add": adds[rel]})
     if not changed:
         return v
     _commit(path, v + 1, [_commit_info("BLOOM"), *changed])

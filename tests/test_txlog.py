@@ -457,6 +457,25 @@ class TestEmptySnapshotAndCDF:
         # 49 rows were rewritten IDENTICALLY and must cancel
         assert got == [("delete", 7, "v7"), ("insert", 7, "SEVEN")]
 
+    def test_change_feed_bag_multiplicity(self, spark, tmp_path):
+        # the r10 one-pass signed-count diff must REPLICATE rows whose
+        # add/remove counts differ by more than one (bag semantics,
+        # exactly what the exceptAll pair emitted)
+        p = str(tmp_path / "t")
+        txlog.create_table(
+            spark, p, _df(spark, [(1, "a"), (1, "a"), (2, "b")])
+        )
+        txlog.overwrite(
+            spark, p, _df(spark, [(1, "a"), (2, "b"), (2, "b"), (2, "b")])
+        )
+        cdf = txlog.table_changes(spark, p, 0, 1).collect()
+        got = sorted((r["_change_type"], r["k"], r["v"]) for r in cdf)
+        assert got == [
+            ("delete", 1, "a"),
+            ("insert", 2, "b"),
+            ("insert", 2, "b"),
+        ]
+
 
 class TestOptimize:
     def test_compaction_preserves_data_and_history(self, spark, tmp_path):
@@ -569,6 +588,33 @@ class TestBloomIndex:
             .collect()
         )
         assert [(r["k"], r["v"]) for r in got] == [(41, "v41")]
+
+    def test_parallel_file_meta_path_matches_serial(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # force the distributed footer-stat / bloom-build path (the
+        # r10 guide-§5 driver-loop fix, normally gated at 32 files)
+        # and prove it produces the same commit metadata the serial
+        # loop does
+        monkeypatch.setattr(txlog, "_PARALLEL_FILE_META", 0)
+        p = str(tmp_path / "t")
+        df = _df(spark, [(k, f"v{k}") for k in range(40)]).repartition(4)
+        txlog.create_table(spark, p, df)
+        adds = txlog._active_adds(p, txlog.latest_version(p))
+        assert len(adds) >= 2
+        for add in adds.values():
+            st = add["stats"]
+            assert st["numRecords"] > 0 and "k" in st["min"]
+        txlog.attach_blooms(spark, p, ["k"])
+        pred = [("k", "=", 7)]
+        assert len(txlog.snapshot_files(p, predicate=pred)) < len(
+            txlog.snapshot_files(p)
+        )
+        got = sorted(
+            (r["k"], r["v"])
+            for r in txlog.read_snapshot(spark, p).collect()
+        )
+        assert got == [(k, f"v{k}") for k in range(40)]
 
     def test_bloom_commit_is_metadata_only(self, spark, tmp_path):
         p = str(tmp_path / "t")

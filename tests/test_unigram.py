@@ -94,6 +94,50 @@ class TestSparkTwin:
             assert got[w] == viterbi_py(w, model), w
 
 
+class TestSeedCap:
+    def test_cap_binds_and_keeps_singles(self, spark):
+        # words with clearly tiered piece counts: the cap must drop the
+        # lowest-count multi-char classes first and never drop singles
+        docs = spark.createDataFrame(
+            [(1, "aaaa aaaa aaaa aaaa bbb bbb cc zq")],
+            "doc_id long, text string",
+        )
+        words = word_freqs(docs)
+        uncapped = seed_pieces(words, cap=None).collect()
+        n_multi = sum(1 for r in uncapped if len(r["piece"]) > 1)
+        assert n_multi > 3
+        capped = seed_pieces(words, cap=3).collect()
+        kept_multi = [r for r in capped if len(r["piece"]) > 1]
+        singles = {r["piece"] for r in capped if len(r["piece"]) == 1}
+        # every single char survives the cap
+        assert {"a", "b", "c", "z", "q"} <= singles
+        assert len(kept_multi) <= 3
+        # the survivors are the HIGHEST-count multi-char pieces
+        uncapped_multi = sorted(
+            (r["c"] for r in uncapped if len(r["piece"]) > 1),
+            reverse=True,
+        )
+        assert sorted((r["c"] for r in kept_multi), reverse=True) == (
+            uncapped_multi[: len(kept_multi)]
+        )
+
+    def test_default_cap_is_identity_at_test_scale(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "abab abab cdcd"), (2, "abab cdcd cdcd")],
+            "doc_id long, text string",
+        )
+        words = word_freqs(docs)
+        a = {
+            (r["piece"], r["c"], r["su"])
+            for r in seed_pieces(words).collect()
+        }
+        b = {
+            (r["piece"], r["c"], r["su"])
+            for r in seed_pieces(words, cap=None).collect()
+        }
+        assert a == b
+
+
 class TestEm:
     def test_reestimate_prunes_and_renormalizes(self, spark):
         docs = spark.createDataFrame(
