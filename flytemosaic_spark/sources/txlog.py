@@ -181,6 +181,9 @@ def _write_data(
     names = [f for f in sorted(os.listdir(out)) if f.endswith(".parquet")]
     paths = [os.path.join(out, f) for f in names]
     if len(names) > _PARALLEL_FILE_META:
+        from flytemosaic_spark.shipping import ship_package
+
+        ship_package(spark)  # map fns pickle by reference to this pkg
         sc = spark.sparkContext
         stats_by_path = dict(
             sc.parallelize(
@@ -964,6 +967,9 @@ def attach_blooms(
         if missing:
             work.append((rel, missing))
     if len(work) > _PARALLEL_FILE_META:
+        from flytemosaic_spark.shipping import ship_package
+
+        ship_package(spark)  # map fns pickle by reference to this pkg
         sc = spark.sparkContext
         built = dict(
             sc.parallelize(work, min(len(work), sc.defaultParallelism))
