@@ -228,7 +228,7 @@ def _enumerate_oriented(und: DataFrame, deg: DataFrame) -> DataFrame:
     oriented = with_keys.select(
         F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("b"),
-    ).cache()
+    )
     # compact forward star: each triangle {u < v < w} is found exactly
     # once, at its lowest edge (u, v), as w ∈ N+(u) ∩ N+(v) — the
     # intersection never MATERIALIZES the wedge set (the wedge-join
@@ -236,26 +236,48 @@ def _enumerate_oriented(und: DataFrame, deg: DataFrame) -> DataFrame:
     # graph that was 5x the cost: r6 A/B at sf0.1 6.5s -> 2.2s, at 10x
     # 30.5s -> 5.7s, corner counts identical). Per-node adjacency
     # arrays are bounded by the orientation's O(sqrt E) out-degree.
-    adj = oriented.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
     # The adjacency table's TOTAL payload is |E| ids; when that fits
-    # the broadcast gate, broadcasting it removes both sort-merge
-    # exchanges of the edge list — crucially the second one, which
-    # would ship every edge WITH its first neighbor array attached
-    # (r10 at sf0.1: two SortMergeJoin exchanges of 1.2M rows, the
-    # second carrying ~60-element arrays, -> zero edge shuffles).
+    # the broadcast gate, the edge (a, b) rows come straight out of an
+    # EXPLODE of the adjacency with N+(a) already attached — the first
+    # of r10's two adjacency joins disappears outright and the second
+    # is a broadcast hash join, so the edge list never shuffles (r11
+    # A/B at sf0.1: 1.59s -> 1.39s for the intersection stage on top
+    # of r10's SMJ removal). The checkpoint materializes the ~|E|-id
+    # adjacency once for its two consumers (explode source + broadcast
+    # build) instead of caching the 1.2M-row oriented edge list.
     # Past the gate the sort-merge fallback below is unchanged.
     if und.count() <= _BROADCAST_EDGE_LIMIT:
-        adj = F.broadcast(adj)
-    j = (
-        oriented.join(
-            adj.withColumnRenamed("a", "_u"), F.col("a") == F.col("_u")
+        adjc = (
+            oriented.groupBy("a")
+            .agg(F.collect_list("b").alias("nbrs"))
+            .localCheckpoint()
         )
-        .drop("_u")
-        .withColumnRenamed("nbrs", "_na")
-        .join(adj.withColumnRenamed("a", "_v"), F.col("b") == F.col("_v"))
-        .drop("_v")
-        .withColumnRenamed("nbrs", "_nb")
-    )
+        j = (
+            adjc.select(
+                "a",
+                F.col("nbrs").alias("_na"),
+                F.explode("nbrs").alias("b"),
+            )
+            .join(
+                F.broadcast(adjc).withColumnRenamed("a", "_v"),
+                F.col("b") == F.col("_v"),
+            )
+            .drop("_v")
+            .withColumnRenamed("nbrs", "_nb")
+        )
+    else:
+        oriented = oriented.cache()
+        adj = oriented.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+        j = (
+            oriented.join(
+                adj.withColumnRenamed("a", "_u"), F.col("a") == F.col("_u")
+            )
+            .drop("_u")
+            .withColumnRenamed("nbrs", "_na")
+            .join(adj.withColumnRenamed("a", "_v"), F.col("b") == F.col("_v"))
+            .drop("_v")
+            .withColumnRenamed("nbrs", "_nb")
+        )
     return j.select(
         "a",
         F.col("b").alias("b1"),

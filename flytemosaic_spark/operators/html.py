@@ -312,11 +312,28 @@ def synthesize_warc_html(
     # small parquet file -> one partition, and everything downstream of
     # this mapInPandas (synthesis AND the per-page extraction kernels,
     # which chain narrow) would serialize on one core. A bare
-    # repartition(col) would be coalesced right back by AQE.
-    n = keys.sparkSession.sparkContext.defaultParallelism
+    # repartition(col) would be coalesced right back by AQE. The count
+    # is sized to the WORK, not the core count (r11, VERDICT item 1):
+    # blasting ~1 ms/key work across every core pays per-partition
+    # Python/Arrow overhead for nothing at low key counts.
+    n = _kernel_partitions(keys)
     return keys.select(key_col).repartition(n, key_col).mapInPandas(
         run, "media_id long, payload binary"
     )
+
+
+def _kernel_partitions(keys: DataFrame, keys_per_task: int = 64) -> int:
+    """Explicit partition count for the per-key synthesis kernels:
+    ceil(n_keys / keys_per_task), capped at the session parallelism —
+    the work decides the fan-out, the core count only bounds it (at
+    corpus scale n_keys >> cores so this is defaultParallelism; at
+    probe scale it stops 32 Python workers each receiving ~30 tiny
+    keys). The count() is one job over the (dimension-scale) keys
+    table — the same bounded-action contract as the graph broadcast
+    gates."""
+    sc = keys.sparkSession.sparkContext
+    n_keys = keys.count()
+    return max(1, min(sc.defaultParallelism, -(-n_keys // keys_per_task)))
 
 
 def warc_extract_pages(warcs: DataFrame) -> DataFrame:
@@ -463,8 +480,9 @@ def synthesize_warc_mixed(
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    # EXPLICIT count (the x222 rule) — see synthesize_warc_html
-    n = keys.sparkSession.sparkContext.defaultParallelism
+    # EXPLICIT work-sized count (the x222 rule) — see
+    # synthesize_warc_html / _kernel_partitions
+    n = _kernel_partitions(keys)
     return keys.select(key_col).repartition(n, key_col).mapInPandas(
         run, "media_id long, payload binary"
     )

@@ -345,9 +345,65 @@ def langid_pipeline(docs: DataFrame) -> DataFrame:
     # floor term is identically zero; skip the floors path's extra
     # per-doc count + two joins (predict-on-B callers pass floors).
     occ = dgc.groupBy("doc_id", "g").agg(F.sum("c").alias("_c"))
-    pred = _argmax_lang(
-        _score_all(occ, _score_seen(occ, grid), priors, None)
+    # r11 (VERDICT item 9): the scoring tail. The tall form joined the
+    # dense langs × vocab grid to every (doc, bigram) occurrence —
+    # a ×|langs| row blowup into a (doc, lang) aggregate, then an
+    # argmax aggregate (two more exchanges). The label set of a
+    # training corpus is tiny and bounded (language codes), so PIVOT
+    # the grid to one (g, lp_u per lang) row — the broadcast join
+    # fans out NOTHING, per-language scores are |langs| sum columns of
+    # ONE doc-keyed aggregate, and the argmax is a row-local
+    # greatest() over (score, lang) structs: same integer sums, same
+    # lexicographic tie-break, two aggregates and the ×|langs| blowup
+    # gone. priors/langs are a model-scale driver collect (bounded,
+    # the broadcast-gate contract); an absurd label cardinality falls
+    # back to the tall path.
+    langs = sorted(
+        r["lang"] for r in priors.select("lang").distinct().collect()
     )
+    if 2 <= len(langs) <= 256:
+        prior_map = {
+            r["lang"]: r["prior_u"] for r in priors.collect()
+        }
+        # checkpoint: the broadcast build re-executes the whole grid
+        # construction (crossJoins over counts) per action otherwise —
+        # model-scale state, the x191 rule (A/B: tail 0.51s -> 0.23s)
+        wide = (
+            grid.groupBy("g")
+            .pivot("lang", langs)
+            .agg(F.first("lp_u"))
+            .localCheckpoint()
+        )
+        scored = (
+            occ.join(F.broadcast(wide), "g")
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.sum(F.col("_c") * F.col(f"`{lg}`")).alias(f"_s_{i}")
+                    for i, lg in enumerate(langs)
+                ]
+            )
+        )
+        m = F.greatest(
+            *[
+                F.struct(
+                    (F.col(f"_s_{i}") + F.lit(prior_map[lg])).alias(
+                        "score_u"
+                    ),
+                    F.lit(lg).alias("lang"),
+                )
+                for i, lg in enumerate(langs)
+            ]
+        )
+        pred = scored.select(
+            "doc_id",
+            m.getField("lang").alias("lang_pred"),
+            m.getField("score_u").alias("score_u"),
+        )
+    else:
+        pred = _argmax_lang(
+            _score_all(occ, _score_seen(occ, grid), priors, None)
+        )
     truth = docs.select("doc_id", F.col("lang").alias("lang_true"))
     return pred.join(truth, "doc_id").select(
         "doc_id",

@@ -183,20 +183,20 @@ def spearman_corr(
     value-cardinality state, never a single-partition window, the
     roc_auc recipe.
 
-    Physical shape (r10): when one marginal is node-scale (gated by a
-    distinct-value count, the graph-operator broadcast recipe) its
-    rank table broadcasts and the WHOLE computation is one data-scale
-    pass — attach r2x to the raw rows with a broadcast hash join,
-    aggregate per y value the count plus the exact decimal sums
-    Σ cnt·r2x and Σ cnt·r2x² (partial map-side aggregation), rank
-    that y-marginal with one bucketed cumsum, and read all five
-    Pearson moments off the ranked marginal (sab = Σ_y r2y·Σ_x
-    cnt·r2x — no join back to the fact, no joint (x, y) aggregate,
-    no two-column quantile sketch; r10 at sf0.1: 3.6s -> ~2.1s).
-    Past the gate it falls back to the joint-aggregate form: reduce
-    to the (x, y) → count aggregate (one shuffle, cached), rank both
-    marginals at value scale, join the rank tables back at
-    joint-distinct scale.
+    Physical shape (r11): the fact table is scanned EXACTLY ONCE —
+    the raw rows reduce to the checkpointed joint (x, y) → count
+    aggregate and everything else derives from it at joint-distinct
+    scale or below. The x-marginal comes from one aggregate over the
+    joint; when it is node-scale (gated by a distinct-value count,
+    the graph-operator broadcast recipe) its rank table broadcasts:
+    attach r2x to the joint rows, aggregate per y value the count
+    plus the exact decimal sums Σ cnt·r2x and Σ cnt·r2x² (partial
+    map-side aggregation), rank that y-marginal with one bucketed
+    cumsum, and read all five Pearson moments off the ranked marginal
+    (sab = Σ_y r2y·Σ_x cnt·r2x — no join back to the fact; the r10
+    broadcast path scanned the fact twice). Past the gate it falls
+    back to the joint-aggregate form: rank both marginals at value
+    scale, join the rank tables back at joint-distinct scale.
 
     Values are ranked AS-IS — any numeric type, no integer
     quantization (fractional inputs rank by their true order; the
@@ -227,20 +227,33 @@ def spearman_corr(
             2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1,
         )
 
-    # x-marginal: partial-aggregated, so the shuffle is distinct-value
-    # scale; checkpointed (cumsum + the gate count both read it)
-    vx = raw.groupBy("_x").agg(F.count("*").alias("_c")).localCheckpoint()
+    # ONE fact pass (r11, VERDICT item 5): the raw rows reduce to the
+    # checkpointed JOINT (x, y) -> count aggregate; BOTH the x-marginal
+    # and the per-y moments derive from it at joint-distinct scale, so
+    # the fact table is scanned exactly once (the r10 broadcast path
+    # scanned it twice: once for the x-marginal, once for the per-y
+    # decimal sums). All sums stay exact integers/decimals:
+    # Σ_rows r2x ≡ Σ_joint cnt·r2x.
+    j = (
+        raw.groupBy("_x", "_y")
+        .agg(F.count("*").alias("_cnt"))
+        .localCheckpoint()
+    )
+    # x-marginal: joint-distinct input, value-scale output;
+    # checkpointed (cumsum + the gate count both read it)
+    vx = j.groupBy("_x").agg(F.sum("_cnt").alias("_c")).localCheckpoint()
+    qx = vx.approxQuantile("_x", probs, 0.01)
+    rx = rank2_of(vx, "_x", qx).select("_x", "_r2_x")
     if vx.count() <= _SPEARMAN_BROADCAST_LIMIT:
-        qx = vx.approxQuantile("_x", probs, 0.01)
-        rx = rank2_of(vx, "_x", qx).select("_x", "_r2_x")
         a = F.col("_r2_x").cast(dec)
+        c0 = F.col("_cnt").cast(dec)
         ym = (
-            raw.join(F.broadcast(rx), "_x")
+            j.join(F.broadcast(rx), "_x")
             .groupBy("_y")
             .agg(
-                F.count("*").alias("_c"),
-                F.sum(a).alias("_s"),
-                F.sum(a * a).alias("_s2"),
+                F.sum("_cnt").alias("_c"),
+                F.sum(c0 * a).alias("_s"),
+                F.sum(c0 * a * a).alias("_s2"),
             )
             .localCheckpoint()
         )
@@ -257,15 +270,10 @@ def spearman_corr(
             F.sum(c * b * b).alias("_sbb"),
         )
         return _spearman_rho(m, dec, portable_round)
-    j = (
-        raw.groupBy("_x", "_y").agg(F.count("*").alias("_cnt")).cache()
-    )
-    # ONE quantile job covers both columns' bucket boundaries
-    # (boundaries only steer window parallelism, any set is exact) AND
-    # doubles as the job that populates j's cache — the three
-    # downstream subplans (two marginals + the moment join) then read
-    # the materialized joint, the x191 share-don't-recompute rule
-    qx, qy = j.approxQuantile(["_x", "_y"], probs, 0.01)
+    # past the gate: rank BOTH marginals at value scale and join the
+    # rank tables back at joint-distinct scale (the checkpointed j is
+    # the only thing any branch re-reads — never the fact table)
+    qy = j.approxQuantile("_y", probs, 0.01)
 
     def rank2(col: str, bounds: list[float]) -> DataFrame:
         # value-scale table, read twice downstream (the bucketed
@@ -274,7 +282,7 @@ def spearman_corr(
         v = j.groupBy(col).agg(F.sum("_cnt").alias("_c")).localCheckpoint()
         return rank2_of(v, col, bounds).select(col, f"_r2{col}")
 
-    joined = j.join(rank2("_x", qx), "_x").join(rank2("_y", qy), "_y")
+    joined = j.join(rx, "_x").join(rank2("_y", qy), "_y")
     a, b = F.col("_r2_x"), F.col("_r2_y")
     c = F.col("_cnt").cast(dec)
     m = joined.groupBy().agg(

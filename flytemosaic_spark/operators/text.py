@@ -65,47 +65,88 @@ def repetition_stats(
     ``keep`` quality gate — the standard cheap filters for boilerplate
     and degenerate repetition in web-scale training corpora.
 
-    Scale shape: both ``top/dup_word_frac`` AND ``dup_bigram_frac``
-    go through explode → two-level aggregation, so each shuffle
-    carries one (doc, token, count) row per distinct token with
-    map-side combine. The bigram side was per-row array math in r9
-    (size/array_distinct over a transform-built array) — measured
-    SLOWER: the interpreted lambda tree is substituted per reference
-    by CollapseProject (3 references here) and again for every filter
-    conjunct a consumer pushes below the join (curate's quality gate
-    made the same corpus scan ~6x the standalone cost). The explode
-    form builds each bigram ONCE inside the Generate and everything
-    downstream is codegen'd aggregation. The final join is
-    doc_id-keyed between aggregates that are already partitioned
-    compatibly.
+    Scale shape (r11): ONE reducing Arrow kernel per corpus partition
+    (the winnow/langid recipe, guide §4 — a kernel that REDUCES is the
+    regime where Python beats Catalyst) emits six small integers per
+    document: max word count, total words, distinct words, total
+    bigrams, distinct bigrams. NO shuffle at all — the r10 form ran
+    TWO corpus explode passes (words + bigrams) through two two-level
+    aggregations and a doc-keyed join (4 exchanges); the kernel's
+    per-doc Counter is the per-doc aggregate, since each document row
+    is whole within its Arrow batch. The fractions and the keep gate
+    stay JVM-side Catalyst expressions over the integers, so float
+    division and portable_round semantics are bit-identical to the
+    aggregate form. Tokenization parity with ``tokens()`` is pinned by
+    test (Spark trim strips ONLY spaces; Java ``\\s`` is the ASCII
+    class — verified empirically, see tests/test_text_kernel.py).
     """
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(1))),
-        lambda i: F.array_join(F.slice("w", i, 2), " "),
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_type, True),
+            StructField("_max_wc", LongType(), False),
+            StructField("_n_w", LongType(), False),
+            StructField("_n_dw", LongType(), False),
+            StructField("_n_bg", LongType(), False),
+            StructField("_n_dbg", LongType(), False),
+        ]
     )
-    bgc = (
-        toks.select("doc_id", F.explode(bigrams).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").alias("c"))
-    )
-    row_stats = bgc.groupBy("doc_id").agg(
-        ((F.sum("c") - F.count("*")) / F.sum("c")).alias("_dup_bg"),
-    )
-    wc = (
-        toks.select("doc_id", F.explode("w").alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("c"))
-    )
-    ws = wc.groupBy("doc_id").agg(
-        (F.max("c") / F.sum("c")).alias("_top_w"),
-        ((F.sum("c") - F.count("*")) / F.sum("c")).alias("_dup_w"),
-    )
-    out = ws.join(row_stats, "doc_id").select(
+
+    def _stats(batches):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        ws_re = re.compile("[ \t\n\x0b\f\r]+")  # Java \s, ASCII-only
+        for pdf in batches:
+            out_doc: list = []
+            out = ([], [], [], [], [])
+            for doc, t in zip(pdf["doc_id"], pdf["_t"]):
+                if t is None:
+                    continue  # tokens(NULL) explodes to no rows
+                w = ws_re.split(t.strip(" "))  # trim strips spaces only
+                wc = Counter(w)
+                nb = max(len(w) - 1, 1)  # len<2 -> one whole-text gram
+                if len(w) >= 2:
+                    n_dbg = len({(w[i], w[i + 1]) for i in range(nb)})
+                else:
+                    n_dbg = 1
+                out_doc.append(doc)
+                for lst, v in zip(
+                    out, (max(wc.values()), len(w), len(wc), nb, n_dbg)
+                ):
+                    lst.append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "_max_wc": out[0],
+                    "_n_w": out[1],
+                    "_n_dw": out[2],
+                    "_n_bg": out[3],
+                    "_n_dbg": out[4],
+                }
+            ).astype(
+                {
+                    "_max_wc": "int64", "_n_w": "int64", "_n_dw": "int64",
+                    "_n_bg": "int64", "_n_dbg": "int64",
+                }
+            )
+
+    ints = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    ).mapInPandas(_stats, schema)
+    out = ints.select(
         "doc_id",
-        portable_round(F.col("_top_w")).alias("top_word_frac"),
-        portable_round(F.col("_dup_w")).alias("dup_word_frac"),
-        portable_round(F.col("_dup_bg")).alias("dup_bigram_frac"),
+        portable_round(F.col("_max_wc") / F.col("_n_w")).alias("top_word_frac"),
+        portable_round(
+            (F.col("_n_w") - F.col("_n_dw")) / F.col("_n_w")
+        ).alias("dup_word_frac"),
+        portable_round(
+            (F.col("_n_bg") - F.col("_n_dbg")) / F.col("_n_bg")
+        ).alias("dup_bigram_frac"),
     )
     return out.withColumn(
         "keep", (F.col("top_word_frac") <= 0.3) & (F.col("dup_bigram_frac") <= 0.2)

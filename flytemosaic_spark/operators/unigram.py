@@ -103,6 +103,20 @@ def seed_pieces(
         .where((F.col("c") >= min_count) | (F.length("piece") == 1))
     )
     if cap is not None:
+        # r11: the cap's threshold subplan (histogram + cumsum) and
+        # the main filter BOTH read `counts` — without the barrier the
+        # whole word-substring explode ran twice per consumer (and the
+        # viterbi collect() is a consumer too). Piece-scale state, the
+        # x191 rule.
+        counts = counts.localCheckpoint()
+    if cap is not None and counts.count() > cap:
+        # cheap gate (r10 VERDICT item 8): when the WHOLE piece table
+        # fits the cap the threshold filter keeps everything by
+        # construction — skip the histogram/cumsum/crossJoin subplan
+        # outright (it cost ~0.3s of pure job overhead per invocation
+        # at any below-cap scale). One count() on the checkpointed
+        # piece table replaces it; results are bit-identical below the
+        # cap either way.
         hist = (
             counts.where(F.length("piece") > 1)
             .groupBy("c")
@@ -191,7 +205,10 @@ def unigram_corpus_stats(
     words, corpus token count, total segmentation cost (micro-nats),
     and total emitted pieces — integers that shift if ONE piece
     count, score quantization, or DP step differs."""
-    words = word_freqs(docs, text_col)
+    # words is read by TWO consumers (the seed-piece collect and the
+    # Viterbi map) — checkpoint so the corpus tokenize+aggregate runs
+    # once, not twice (distinct-word scale state; r11, the x191 rule)
+    words = word_freqs(docs, text_col).localCheckpoint()
     pieces = seed_pieces(words)
     stats = viterbi_stats(words, pieces)
     return stats.groupBy(F.length("w").alias("word_len")).agg(

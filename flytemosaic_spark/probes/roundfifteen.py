@@ -858,7 +858,14 @@ def _unigram_dp_sql(max_len: int = 16, max_piece: int = 4) -> str:
     "segmentation cost and piece count; one wrong count, ulp, or DP "
     "transition shifts an integer. Scale: corpus touched once for "
     "word freqs; everything else is distinct-word scale with a "
-    "node-scale broadcast model (the x235 discipline).",
+    "node-scale broadcast model (the x235 discipline). CAVEAT: the "
+    "engine caps the seed vocabulary at _SEED_VOCAB_CAP=1M "
+    "multi-char pieces (lowest-count-first, renormalizing scores) "
+    "and this oracle does NOT model the cap — EXACT depends on the "
+    "test corpus staying under it (sf0.1 has ~200 pieces; a corpus "
+    "bump that crosses 1M shifts scores BY DESIGN — extend the "
+    "oracle with the count-threshold filter then, don't debug the "
+    "engine).",
 )
 def x257_unigram_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     from flytemosaic_spark.operators.unigram import unigram_corpus_stats

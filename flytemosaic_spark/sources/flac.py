@@ -313,12 +313,57 @@ def _read_residual(
             if rawbits == 0:
                 out.extend([0] * cnt)
             else:
-                out.extend(br.read_signed(rawbits) for _ in range(cnt))
+                # inlined read_signed over local accumulator state
+                # (r11) — same rationale as the Rice branch below
+                data, pos, acc, n = br.data, br.pos, br.acc, br.n
+                sign = 1 << (rawbits - 1)
+                full = 1 << rawbits
+                append = out.append
+                for _ in range(cnt):
+                    while n < rawbits:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        n += 8
+                    n -= rawbits
+                    v = acc >> n
+                    acc &= (1 << n) - 1
+                    append(v - full if v & sign else v)
+                br.pos, br.acc, br.n = pos, acc, n
         else:
+            # inlined unary + k-bit reads over local accumulator
+            # state (r11): one attribute round-trip per PARTITION
+            # instead of 2-3 method calls per sample — bit-identical
+            # to read_unary()/read(k)
+            data, pos, acc, n = br.data, br.pos, br.acc, br.n
+            append = out.append
             for _ in range(cnt):
-                q = br.read_unary()
-                u = (q << k) | br.read(k)
-                out.append((u >> 1) ^ -(u & 1))
+                q = 0
+                while True:
+                    if n == 0:
+                        acc = data[pos]
+                        pos += 1
+                        n = 8
+                    if acc == 0:
+                        q += n
+                        n = 0
+                        continue
+                    top = acc.bit_length()
+                    q += n - top
+                    n = top - 1
+                    acc &= (1 << n) - 1
+                    break
+                if k:
+                    while n < k:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        n += 8
+                    n -= k
+                    u = (q << k) | (acc >> n)
+                    acc &= (1 << n) - 1
+                else:
+                    u = q
+                append((u >> 1) ^ -(u & 1))
+            br.pos, br.acc, br.n = pos, acc, n
     return np.asarray(out, dtype=np.int64)
 
 

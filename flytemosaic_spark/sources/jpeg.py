@@ -159,8 +159,14 @@ for _k in range(8):
         _DCT[_k, _n] = _c * np.cos((2 * _n + 1) * _k * np.pi / 16)
 
 
-def _build_huff_decoder(bits: list[int], huffval: list[int]) -> dict:
-    """Canonical Huffman (T.81 C.2): {(length, code): symbol}."""
+def _build_huff_decoder(bits: list[int], huffval: list[int]) -> tuple:
+    """Canonical Huffman (T.81 C.2): ({(length, code): symbol}, lut).
+
+    ``lut`` is a 256-entry first-8-bits fast table (r11): entry p
+    holds (symbol, length) when a code of length <= 8 prefixes p, else
+    None — one peek replaces up to 8 per-bit walk steps in
+    :meth:`_BitReaderMSB.huff`; decode behavior is bit-identical
+    because canonical codes are prefix-free."""
     table, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -168,7 +174,13 @@ def _build_huff_decoder(bits: list[int], huffval: list[int]) -> dict:
             code += 1
             k += 1
         code <<= 1
-    return table
+    lut: list = [None] * 256
+    for (length, code), sym in table.items():
+        if length <= 8:
+            base = code << (8 - length)
+            for j in range(1 << (8 - length)):
+                lut[base + j] = (sym, length)
+    return table, lut
 
 
 def _build_huff_encoder(bits: list[int], huffval: list[int]) -> dict:
@@ -213,12 +225,27 @@ class _BitReader:
         self.n -= k
         return v
 
-    def huff(self, table: dict) -> int:
-        code, length = 0, 0
-        for _ in range(16):
+    def huff(self, table: tuple) -> int:
+        m, lut = table
+        if self.n < 16:
+            self._fill()
+        # fast path (r11): one 8-bit peek against the first-8-bits
+        # LUT; the accumulator pads zeros past stream end exactly like
+        # the per-bit walk did
+        e = lut[(self.acc >> (self.n - 8)) & 0xFF]
+        if e is not None:
+            sym, ln = e
+            self.n -= ln
+            return sym
+        # >8-bit codes: continue the canonical walk from 8 bits in
+        # (the LUT proved no code of length <= 8 matches this prefix)
+        code = (self.acc >> (self.n - 8)) & 0xFF
+        self.n -= 8
+        length = 8
+        for _ in range(8):
             code = (code << 1) | self.bits(1)
             length += 1
-            sym = table.get((length, code))
+            sym = m.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code in JPEG stream")

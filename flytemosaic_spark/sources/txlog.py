@@ -161,6 +161,11 @@ def _file_stats(fpath: str) -> dict:
 # gate the job-dispatch overhead exceeds the serial loop (a footer
 # read is ~ms), so small commits — every local/test commit — keep the
 # zero-job path and the bench shape is unchanged.
+# SHARED-FILESYSTEM ASSUMPTION (r11, ADVICE): the distributed branch
+# ships table paths to executors and reads them with local pyarrow —
+# correct wherever the table root is a shared mount, which is already
+# txlog's commit design (os.link atomic commits). An object-store port
+# must route these reads through that store's client, not this gate.
 _PARALLEL_FILE_META = 32
 
 
@@ -655,23 +660,36 @@ def table_changes(
             # -0.0 == 0.0) matches exceptAll's, which Spark itself
             # rewrites through the same aggregate semantics.
             cols = a_df.columns
-            tagged = a_df.withColumn("_s", F.lit(1)).unionByName(
-                r_df.withColumn("_s", F.lit(-1))
+            # collision-proof internal names (r11, ADVICE): a user
+            # table with a column literally named _s/_n/_rep must not
+            # have it silently overwritten — extend with underscores
+            # until fresh (only _change_type/_commit_version are
+            # reserved by the CDF contract itself, as in the old
+            # exceptAll path)
+            def _fresh(base: str) -> str:
+                name = base
+                while name in cols:
+                    name += "_"
+                return name
+
+            c_s, c_n, c_rep = _fresh("_s"), _fresh("_n"), _fresh("_rep")
+            tagged = a_df.withColumn(c_s, F.lit(1)).unionByName(
+                r_df.withColumn(c_s, F.lit(-1))
             )
             net = (
                 tagged.groupBy(*cols)
-                .agg(F.sum("_s").alias("_n"))
-                .where(F.col("_n") != 0)
+                .agg(F.sum(c_s).alias(c_n))
+                .where(F.col(c_n) != 0)
             )
             part = net.select(
                 *cols,
-                F.when(F.col("_n") > 0, F.lit("insert"))
+                F.when(F.col(c_n) > 0, F.lit("insert"))
                 .otherwise(F.lit("delete"))
                 .alias("_change_type"),
                 F.explode(
-                    F.sequence(F.lit(1), F.abs(F.col("_n")))
-                ).alias("_rep"),
-            ).drop("_rep")
+                    F.sequence(F.lit(1), F.abs(F.col(c_n)))
+                ).alias(c_rep),
+            ).drop(c_rep)
         part = part.withColumn(
             "_commit_version", F.lit(v).cast("int")
         )

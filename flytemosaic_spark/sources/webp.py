@@ -44,24 +44,39 @@ import numpy as np
 
 
 class _BitReader:
-    __slots__ = ("data", "pos")
+    """Buffered LSB-first reader (r11): bits accumulate in an int
+    refilled a byte at a time, so read(n) is two shifts instead of a
+    per-bit loop (the r10 form walked one bit per iteration — the
+    profile's top decode cost). Touches exactly the bytes the bit
+    positions cover, so end-of-data still raises IndexError at the
+    same read it used to."""
+
+    __slots__ = ("data", "_byte", "_buf", "_n")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0  # bit position
+        self._byte = 0  # next byte index to refill from
+        self._buf = 0  # pending bits, LSB = next bit
+        self._n = 0  # number of pending bits
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte = self.data[self.pos >> 3]
-            v |= ((byte >> (self.pos & 7)) & 1) << i
-            self.pos += 1
-        return v
+        buf, nb = self._buf, self._n
+        while nb < n:
+            buf |= self.data[self._byte] << nb
+            self._byte += 1
+            nb += 8
+        self._buf = buf >> n
+        self._n = nb - n
+        return buf & ((1 << n) - 1)
 
     def read_bit(self) -> int:
-        byte = self.data[self.pos >> 3]
-        b = (byte >> (self.pos & 7)) & 1
-        self.pos += 1
+        if self._n == 0:
+            self._buf = self.data[self._byte]
+            self._byte += 1
+            self._n = 8
+        b = self._buf & 1
+        self._buf >>= 1
+        self._n -= 1
         return b
 
 
@@ -74,13 +89,14 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, v: int, n: int) -> None:
-        for i in range(n):
-            self.cur |= ((v >> i) & 1) << self.nbits
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.cur)
-                self.cur = 0
-                self.nbits = 0
+        # LSB-first accumulate n bits at once (r11; bit-identical to
+        # the r10 per-bit loop, the profile's top encode cost)
+        self.cur |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.cur & 0xFF)
+            self.cur >>= 8
+            self.nbits -= 8
 
     def finish(self) -> bytes:
         if self.nbits:
@@ -118,7 +134,7 @@ class _Huffman:
     """Decode table: walk bits MSB-of-code-first via successive
     single-bit reads (how VP8L streams are laid out)."""
 
-    __slots__ = ("map", "single")
+    __slots__ = ("map", "single", "lut")
 
     def __init__(self, lengths: list[int]):
         nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
@@ -127,6 +143,7 @@ class _Huffman:
         if len(nz) == 1:
             self.single = nz[0][1]
             self.map = None
+            self.lut = None
             return
         self.single = None
         self.map = {
@@ -137,6 +154,26 @@ class _Huffman:
         # must fail loudly, not hang the bit walk
         if sum(1 << (15 - ln) for ln, _ in nz if ln <= 15) != (1 << 15):
             raise ValueError("prefix code lengths not complete")
+        self._build_lut()
+
+    def _build_lut(self) -> None:
+        # first-8-STREAM-bits fast table (r11): stream bits arrive
+        # LSB-first, the code's MSB is the FIRST stream bit, so a code
+        # (code, ln <= 8) owns every 8-bit window whose low ln bits
+        # are the bit-REVERSED code. Decode is bit-identical: prefix
+        # codes are unique, the walk fallback handles >8-bit codes and
+        # near-end-of-stream windows.
+        lut: list = [None] * 256
+        for (ln, code), sym in self.map.items():
+            if ln <= 8:
+                rev = 0
+                c = code
+                for _ in range(ln):
+                    rev = (rev << 1) | (c & 1)
+                    c >>= 1
+                for j in range(1 << (8 - ln)):
+                    lut[rev | (j << ln)] = (sym, ln)
+        self.lut = lut
 
     @classmethod
     def simple(cls, symbols: list[int]):
@@ -144,22 +181,50 @@ class _Huffman:
         if len(symbols) == 1:
             h.single = symbols[0]
             h.map = None
+            h.lut = None
         else:
             h.single = None
             h.map = {(1, 0): symbols[0], (1, 1): symbols[1]}
+            h._build_lut()
         return h
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        # inlined bit walk over the reader's buffer (r11): one local
+        # refill loop instead of 1 method call + attribute round-trip
+        # per bit — decode's hottest path, same bit order and the same
+        # IndexError at stream end
+        m = self.map
+        data, byte, buf, nb = br.data, br._byte, br._buf, br._n
+        if nb < 8:
+            # top up for the 8-bit peek, stopping at end of data (the
+            # walk below handles short tail windows byte-exactly)
+            end = len(data)
+            while nb < 8 and byte < end:
+                buf |= data[byte] << nb
+                byte += 1
+                nb += 8
+        if nb >= 8:
+            e = self.lut[buf & 0xFF]
+            if e is not None:
+                sym, ln = e
+                br._byte, br._buf, br._n = byte, buf >> ln, nb - ln
+                return sym
         code = 0
         ln = 0
-        m = self.map
         while True:
-            code = (code << 1) | br.read_bit()
+            if nb == 0:
+                buf = data[byte]
+                byte += 1
+                nb = 8
+            code = (code << 1) | (buf & 1)
+            buf >>= 1
+            nb -= 1
             ln += 1
             sym = m.get((ln, code))
             if sym is not None:
+                br._byte, br._buf, br._n = byte, buf, nb
                 return sym
             if ln > 15:
                 raise ValueError("invalid prefix code in stream")
@@ -977,16 +1042,27 @@ def _emit_entropy_image(
     ld = _build_lengths(hd)
     for lens in (lg, lr, lb, la, ld):
         _write_code(bw, lens)
-    cg = _canonical_codes(lg)
-    cr = _canonical_codes(lr)
-    cb = _canonical_codes(lb)
-    ca = _canonical_codes(la)
-    cd = _canonical_codes(ld)
+    def _rev_codes(codes):
+        # pre-reverse each code ONCE per table so `put` is one
+        # LSB-first write (r11; bit-identical to the per-bit loop)
+        out = {}
+        for sym, (code, ln) in codes.items():
+            rev = 0
+            for _ in range(ln):
+                rev = (rev << 1) | (code & 1)
+                code >>= 1
+            out[sym] = (rev, ln)
+        return out
+
+    cg = _rev_codes(_canonical_codes(lg))
+    cr = _rev_codes(_canonical_codes(lr))
+    cb = _rev_codes(_canonical_codes(lb))
+    ca = _rev_codes(_canonical_codes(la))
+    cd = _rev_codes(_canonical_codes(ld))
 
     def put(codes, sym):
-        code, ln = codes[sym]
-        for b in range(ln - 1, -1, -1):
-            bw.write((code >> b) & 1, 1)
+        rev, ln = codes[sym]
+        bw.write(rev, ln)
 
     def put_if_coded(codes, sym):
         # single-symbol codes occupy zero bits

@@ -1,7 +1,7 @@
-"""Capture .explain('formatted') for headline queries into plans/r10/.
+"""Capture .explain('formatted') for headline queries into plans/r11/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-Writes plans/r10/<query>_<suffix>.txt for each named query (default:
+Writes plans/r11/<query>_<suffix>.txt for each named query (default:
 every HEADLINE query in bench.py except the non-Spark codec
 workloads). Plan capture only plans — nothing executes.
 """
@@ -31,7 +31,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        "r11",
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
