@@ -42,9 +42,14 @@ def _round_at(c, digits: int):
 # to shuffle joins against an edge list pre-partitioned on src once.
 _BROADCAST_NODE_LIMIT = 2_000_000
 # the oriented adjacency's total payload is one id per EDGE; up to this
-# many edges (~8 bytes each -> tens of MB built) it is broadcast so the
-# forward-star intersection joins never shuffle the edge list
-_BROADCAST_EDGE_LIMIT = 8_000_000
+# many edges (~8 bytes each + per-node overhead -> low hundreds of MB
+# built, the guide-§3.1 comfortable broadcast band) it is broadcast so
+# the forward-star intersection join never shuffles the edge list.
+# r11: raised 8M -> 32M after the 10x sweep showed the sort-merge
+# fallback spilling on array-carrying sorts (212s) while the broadcast
+# path stayed near-linear (3.5s -> 29.7s for 10x the edges); past the
+# gate the fallback is now a shuffled-hash join, not sort-merge.
+_BROADCAST_EDGE_LIMIT = 32_000_000
 
 
 def grouped_pairs(
@@ -236,48 +241,41 @@ def _enumerate_oriented(und: DataFrame, deg: DataFrame) -> DataFrame:
     # graph that was 5x the cost: r6 A/B at sf0.1 6.5s -> 2.2s, at 10x
     # 30.5s -> 5.7s, corner counts identical). Per-node adjacency
     # arrays are bounded by the orientation's O(sqrt E) out-degree.
-    # The adjacency table's TOTAL payload is |E| ids; when that fits
-    # the broadcast gate, the edge (a, b) rows come straight out of an
-    # EXPLODE of the adjacency with N+(a) already attached — the first
-    # of r10's two adjacency joins disappears outright and the second
-    # is a broadcast hash join, so the edge list never shuffles (r11
-    # A/B at sf0.1: 1.59s -> 1.39s for the intersection stage on top
-    # of r10's SMJ removal). The checkpoint materializes the ~|E|-id
-    # adjacency once for its two consumers (explode source + broadcast
-    # build) instead of caching the 1.2M-row oriented edge list.
-    # Past the gate the sort-merge fallback below is unchanged.
+    # r11 (both paths): the edge (a, b) rows come straight out of an
+    # EXPLODE of the checkpointed adjacency with N+(a) already
+    # attached — the first of r10's two adjacency joins disappears
+    # outright, so only ONE join attaches N+(b). The checkpoint
+    # materializes the ~|E|-id adjacency once for its two consumers
+    # (explode source + second-join build) instead of caching the
+    # edge list. Under the gate the second join is a broadcast hash
+    # join (zero edge shuffles; r11 A/B at sf0.1: 1.59s -> 1.39s for
+    # the intersection stage); past it, a SHUFFLE_HASH join — the
+    # r10 sort-merge fallback SORTED 12M array-carrying rows and
+    # spilled catastrophically (10x sweep: the two SMJs alone were
+    # 212s; explode + one SMJ 118s; explode + one shuffled-hash 59s
+    # for the WHOLE tail, and the build side is the node-keyed
+    # adjacency whose per-partition slice shrinks with the
+    # production shuffle-partition count).
+    adjc = (
+        oriented.groupBy("a")
+        .agg(F.collect_list("b").alias("nbrs"))
+        .localCheckpoint()
+    )
+    other = adjc.withColumnRenamed("a", "_v")
     if und.count() <= _BROADCAST_EDGE_LIMIT:
-        adjc = (
-            oriented.groupBy("a")
-            .agg(F.collect_list("b").alias("nbrs"))
-            .localCheckpoint()
-        )
-        j = (
-            adjc.select(
-                "a",
-                F.col("nbrs").alias("_na"),
-                F.explode("nbrs").alias("b"),
-            )
-            .join(
-                F.broadcast(adjc).withColumnRenamed("a", "_v"),
-                F.col("b") == F.col("_v"),
-            )
-            .drop("_v")
-            .withColumnRenamed("nbrs", "_nb")
-        )
+        other = F.broadcast(other)
     else:
-        oriented = oriented.cache()
-        adj = oriented.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
-        j = (
-            oriented.join(
-                adj.withColumnRenamed("a", "_u"), F.col("a") == F.col("_u")
-            )
-            .drop("_u")
-            .withColumnRenamed("nbrs", "_na")
-            .join(adj.withColumnRenamed("a", "_v"), F.col("b") == F.col("_v"))
-            .drop("_v")
-            .withColumnRenamed("nbrs", "_nb")
+        other = other.hint("shuffle_hash")
+    j = (
+        adjc.select(
+            "a",
+            F.col("nbrs").alias("_na"),
+            F.explode("nbrs").alias("b"),
         )
+        .join(other, F.col("b") == F.col("_v"))
+        .drop("_v")
+        .withColumnRenamed("nbrs", "_nb")
+    )
     return j.select(
         "a",
         F.col("b").alias("b1"),

@@ -109,6 +109,24 @@ def test_triangle_count_ignores_duplicates_and_direction(spark):
     assert triangle_count(_edges(spark, tri)).collect()[0].n_triangles == 1
 
 
+def test_triangle_paths_agree_past_broadcast_gate(spark, monkeypatch):
+    # r11: past _BROADCAST_EDGE_LIMIT the adjacency join switches from
+    # broadcast to shuffled-hash — both paths must enumerate the same
+    # triangles (forced-fallback equality, the spearman-gate pattern)
+    import random
+
+    import flytemosaic_spark.operators.graph as graph
+
+    rng = random.Random(29)
+    pairs = [(rng.randrange(0, 30), rng.randrange(0, 30)) for _ in range(220)]
+    from flytemosaic_spark.operators.graph import clustering_coefficient
+
+    fast = clustering_coefficient(_edges(spark, pairs)).orderBy("node").collect()
+    monkeypatch.setattr(graph, "_BROADCAST_EDGE_LIMIT", 0)
+    slow = clustering_coefficient(_edges(spark, pairs)).orderBy("node").collect()
+    assert fast == slow and len(fast) > 0
+
+
 # ------------------------------------------------------------- prefix join
 def _sets_df(spark, sets):
     return spark.createDataFrame(
